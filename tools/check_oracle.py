@@ -1,0 +1,107 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every `queries()` entry on Spark and its `oracle_sql()` twin on
+DuckDB over the same sf dir, then compares row count, column names, and
+values (columns sorted by name, rows sorted by their full tuple) EXACTLY
+— including bit-equality of doubles, which is stricter than any sane
+driver hash, so passing here should pass there.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision
+    return str(v)
+
+
+def to_rows(colnames, rows):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [tuple(sorted(colnames))] + out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from vcf_pg_loader_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir.rstrip('/')}/{t}.parquet'"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle (rows-only): {len(srows)} rows "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        s = to_rows(scols, srows)
+        d = to_rows(dcols, drows)
+        if s[0] != d[0]:
+            failures.append(name)
+            print(f"FAIL {name}: columns spark={s[0]} duckdb={d[0]}")
+            continue
+        if len(s) != len(d):
+            failures.append(name)
+            print(f"FAIL {name}: rowcount spark={len(s)-1} duckdb={len(d)-1}")
+            continue
+        bad = [(a, b) for a, b in zip(s[1:], d[1:]) if a != b]
+        if bad:
+            failures.append(name)
+            print(f"FAIL {name}: {len(bad)} mismatched rows; first:")
+            print(f"  cols : {s[0]}")
+            print(f"  spark: {bad[0][0]}")
+            print(f"  duck : {bad[0][1]}")
+            continue
+        print(f"OK   {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,201 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each variant):
+
+  exact         one hash-shuffle on the dedup key; at 100 TB group on a
+                64/128-bit digest of the payload, never the payload itself.
+  ngram-jaccard exact pairwise similarity restricted to pairs that share a
+                shingle — the shingle self-join is the quadratic hazard, so
+                it is only for small/filtered corpora or as the LSH
+                verification stage.
+  minhash-lsh   the scale path: per-doc signature (one groupBy over
+                exploded shingles), band-bucket join (equi-join, shuffles
+                only bucket keys), exact Jaccard verification on the tiny
+                candidate set.  Pair cost is O(collisions), not O(n²).
+  simhash       per-doc fingerprint in one pass; near-dups = fingerprints
+                at small Hamming distance (bucket by fingerprint for exact
+                dup classes; rotate-and-sort for distance>0 at scale).
+
+All hashes route through functions.hashing.h60 so the DuckDB oracle can
+reproduce every value (Spark's own xxhash64 is not portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vcf_pg_loader_spark.functions.hashing import h60
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+def exact_dedup_classes(df: DataFrame, key: str, id_col: str) -> DataFrame:
+    """Group identical payloads; canonical id = min id per class.
+
+    Reference analogue: duplicate detection GROUP BY (chrom,pos,ref,alt)
+    HAVING count>1 (cli.py:552-561) and ON CONFLICT DO NOTHING dedupe
+    (annotation_loader.py:166-170).
+    """
+    return df.groupBy(key).agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# --------------------------------------------------------------------------
+# shingling
+# --------------------------------------------------------------------------
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle) rows.
+
+    Built with sequence+transform (JVM-side) then exploded; the explode is
+    the only row-multiplying step and feeds a single downstream groupBy.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(grams)).alias("shingle"),
+    )
+
+
+def sql_shingles(n: int = 3, table: str = "documents") -> str:
+    """DuckDB twin of :func:`shingles` (1-based list indexing)."""
+    concat = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, greatest(len(t) - {n - 1}, 1) + 1),
+                              i -> {concat}))) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {table})
+    """
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard pairs (shingle self-join)
+# --------------------------------------------------------------------------
+def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """All doc pairs with Jaccard(shingle sets) >= threshold.
+
+    sh: output of :func:`shingles`.  The self-join explodes on hot
+    shingles; callers at scale must pre-filter (LSH candidates) first.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "n_inter", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding
+# --------------------------------------------------------------------------
+def minhash_signatures(sh: DataFrame, k: int = 8) -> DataFrame:
+    """K-permutation MinHash signature per doc: one groupBy, K min-aggs.
+
+    Hash family = salted h60 (portable across engines).
+    """
+    aggs = [
+        F.min(h60(F.col("shingle"), salt=f"mh{i}:")).alias(f"mh{i}") for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, k: int = 8, bands: int = 4) -> DataFrame:
+    """Band the signature, bucket-join docs sharing any band value.
+
+    Equi-join on (band_id, band_key): this is the scale path — shuffle is
+    proportional to docs×bands, and only colliding buckets produce pairs.
+    """
+    rows_per_band = k // bands
+    band_frames = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_key = F.md5(F.concat_ws("_", *[c.cast("string") for c in cols]))
+        band_frames.append(
+            sig.select(F.col("doc_id"), F.lit(b).alias("band_id"), band_key.alias("band_key"))
+        )
+    banded = band_frames[0]
+    for f in band_frames[1:]:
+        banded = banded.unionByName(f)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → MinHash → LSH buckets → exact
+    Jaccard verification of the candidate pairs only."""
+    sh = shingles(df, id_col, text_col, n)
+    cands = lsh_candidate_pairs(minhash_signatures(sh, k), k, bands)
+    verified = jaccard_pairs(sh, threshold)
+    return cands.join(verified, ["d1", "d2"]).select("d1", "d2", "n_inter", "jaccard")
+
+
+# --------------------------------------------------------------------------
+# SimHash (16-bit portable variant)
+# --------------------------------------------------------------------------
+SIMHASH_BITS = 16
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc 16-bit SimHash over tokens (with multiplicity).
+
+    bit_j(fingerprint) = majority of bit_j over token hashes.  One explode
+    + one groupBy; the 16 conditional sums all ride the same hash-agg.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).withColumn("h", h60(F.col("token"), salt="sim:"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*aggs)
+    fp: Column = F.lit(0)
+    for j in range(SIMHASH_BITS):
+        fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return per_doc.select("doc_id", fp.cast("bigint").alias("simhash"))

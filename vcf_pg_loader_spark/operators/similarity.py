@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  brute-force cosine top-k — exact; broadcast the (small) query set and
+    scan the corpus once.  Correctness baseline + the right plan whenever
+    |queries| is small: cost O(|corpus|·|queries|) with NO shuffle on the
+    corpus side (queries broadcast, ranking shuffles only the top
+    candidates per query after a local filter).
+  sign-LSH bucketed ANN — the scale path: hash every vector to a bucket
+    from the sign pattern of its leading components, equi-join buckets.
+    Shuffle ∝ corpus size, pair cost ∝ bucket collisions.
+
+Determinism: dot products are summed as per-element DECIMAL(20,12) casts
+(order-independent), so Spark and the DuckDB oracle agree bit-for-bit;
+final scores round to 6 dp before ranking with id tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DOT_DEC = "decimal(20,12)"
+ACC_DEC = "decimal(30,12)"
+
+
+def dot_exact(a: Column, b: Column) -> Column:
+    """Order-independent dot product: double per-element products, exact
+    decimal accumulation, double result."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    acc = F.aggregate(
+        prods,
+        F.lit(0).cast(ACC_DEC),
+        lambda s, v: (s + v.cast(DOT_DEC)).cast(ACC_DEC),
+    )
+    return acc.cast("double")
+
+
+def sql_dot_exact(a: str, b: str) -> str:
+    """DuckDB twin of :func:`dot_exact` (1-based list indexing)."""
+    return (
+        f"CAST(list_aggregate(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) AS DECIMAL(20,12))), "
+        f"'sum') AS DOUBLE)"
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return F.round(
+        dot_exact(a, b) / (F.sqrt(dot_exact(a, a)) * F.sqrt(dot_exact(b, b))), 6
+    )
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return (
+        f"ROUND({sql_dot_exact(a, b)} / "
+        f"(sqrt({sql_dot_exact(a, a)}) * sqrt({sql_dot_exact(b, b)})), 6)"
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector (self excluded).
+
+    The query side is broadcast — the corpus is scanned once and never
+    shuffled in full; only (query, candidate, score) survivors reach the
+    ranking exchange.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rn")
+    )
+
+
+def sign_bucket(vec: Column, bits: int = 8) -> Column:
+    """Sign-pattern LSH bucket from the first `bits` components."""
+    b: Column = F.lit(0)
+    for j in range(bits):
+        b = b + F.when(F.element_at(vec, j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return b.cast("bigint")
+
+
+def sql_sign_bucket(vec: str, bits: int = 8) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {vec}[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def ann_bucketed_topk(
+    corpus: DataFrame,
+    k: int = 3,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate all-pairs top-k: candidates restricted to the same
+    sign-LSH bucket, then exact cosine within the bucket.
+
+    This is the 100 TB shape: an equi-join on bucket id (shuffle on a
+    small key) instead of a full cross join.
+    """
+    v = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") != F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("query_id"),
+            F.col("b.vid").alias("cand_id"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rn")
+    )

@@ -1,0 +1,105 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All of these are pure JVM-side column expressions (no Python UDFs): at
+100 TB the tokenizer and quality metrics run inside whole-stage codegen
+with zero Python round-trips.  Everything is a narrow (per-row) transform
+— no shuffle — so they compose with any downstream dedup/agg for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword lists used by the n-gram/stopword language-ID heuristic.
+# Deliberately tiny + deterministic so the DuckDB oracle can mirror them.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "es": ("el", "la", "de", "que", "y", "un"),
+    "fr": ("le", "la", "de", "et", "un", "une"),
+    "de": ("der", "die", "das", "und", "ein", "zu"),
+}
+# Tie-break precedence when stopword counts are equal.
+LANG_PRECEDENCE = ("en", "es", "fr", "de")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenizer (the fixtures are single-space separated)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_ratio(text: Column) -> Column:
+    """Vocabulary richness: |distinct tokens| / |tokens| (double)."""
+    t = tokens(text)
+    return F.size(F.array_distinct(t)).cast("double") / F.size(t)
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length = (chars - separators) / tokens, in doubles."""
+    n = token_count(text)
+    return (F.length(text) - (n - F.lit(1))).cast("double") / n
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Count of tokens (with multiplicity) in the language's stopword set.
+
+    Higher-order `filter` keeps this JVM-side (no UDF, no explode/shuffle).
+    """
+    words = list(STOPWORDS[lang])
+    return F.size(F.filter(tokens(text), lambda t: t.isin(words)))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hit counts
+    with fixed precedence tie-break; 'und' when no stopwords at all.
+
+    Reference analogue: none (pipeline extension); semantics chosen to be
+    SQL-expressible for the oracle.
+    """
+    text = F.col(text_col)
+    hit_cols = {lang: stopword_hits(text, lang) for lang in LANG_PRECEDENCE}
+    best = F.greatest(*hit_cols.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_PRECEDENCE:
+        pred = pred.when(hit_cols[lang] == best, F.lit(lang))
+    out = df.withColumn("pred_lang", pred)
+    for lang in LANG_PRECEDENCE:
+        out = out.withColumn(f"hits_{lang}", hit_cols[lang])
+    return out
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals (length, richness, stopword ratio).
+
+    The `quality_score` weighting mirrors common pretraining-data filters:
+    prefer mid-length docs with healthy stopword density and vocabulary.
+    """
+    text = F.col(text_col)
+    n = token_count(text)
+    sw = sum((stopword_hits(text, lang) for lang in LANG_PRECEDENCE), F.lit(0))
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn("distinct_ratio", distinct_token_ratio(text))
+        .withColumn("avg_token_len", avg_token_len(text))
+        .withColumn("stopword_ratio", sw.cast("double") / n)
+        .withColumn(
+            "quality_score",
+            (
+                F.when((n >= 20) & (n <= 1000), F.lit(0.5)).otherwise(F.lit(0.0))
+                + F.col("distinct_ratio") * 0.25
+                + F.col("stopword_ratio") * 0.25
+            ),
+        )
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of whitespace-normalized
+    text (the reference's file-hash dedupe, loader.py:73-83, applied at
+    document granularity)."""
+    norm = F.regexp_replace(F.trim(F.col(text_col)), " +", " ")
+    return df.withColumn("doc_fp", F.md5(norm))

@@ -1,0 +1,34 @@
+"""Query registry: name -> (spark_fn, oracle_sql).
+
+This is the declared operator surface the driver's DuckDB oracle checks
+(SURVEY.md §2).  Modules:
+  core      — relational operators (scan/filter/join/agg/window/sort/setop)
+  pipeline  — large-scale pipeline ops (dedup, similarity, text analysis)
+  genomics  — genomics-domain operators expressed over the fixtures
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    from vcf_pg_loader_spark.queries import core, genomics, pipeline
+
+    merged: dict[str, QueryFn] = {}
+    for mod in (core, pipeline, genomics):
+        merged.update(mod.QUERIES)
+    return merged
+
+
+def all_oracles() -> dict[str, str]:
+    from vcf_pg_loader_spark.queries import core, genomics, pipeline
+
+    merged: dict[str, str] = {}
+    for mod in (core, pipeline, genomics):
+        merged.update(mod.ORACLE)
+    return merged

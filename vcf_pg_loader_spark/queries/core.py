@@ -1,0 +1,614 @@
+"""Core relational operator surface, oracle-checked (SURVEY.md §2.2-2.8).
+
+Each query exercises one family from the reference's operator inventory,
+re-expressed as idiomatic Spark DataFrame plans:
+
+  scan+filter+agg        q01 q06          (§2.2 filters, §2.4 aggs)
+  multi-way joins        q03 q05          (§2.3 annotation-join shape)
+  semi/anti joins        q04 q_anti       (§2.3 de-novo NOT EXISTS shape)
+  outer join + re-agg    q13              (§2.3)
+  window functions       q_window_topk, q_window_running (§2.5 + worst-
+                         consequence row_number pattern §1.4.6)
+  sorts / top-k          q_top_customers  (§2.6 export ordering)
+  set operations         q_setops         (§2.7)
+  distinct aggregation   q_distinct_agg   (§2.4 cohort frequency)
+  percentiles            q_percentile     (§2.4 batch QC summary median)
+  conditional counts     q_conditional    (§2.4 QC summary FILTER pattern)
+  JSON extraction        q_events_json    (§2.8 info->>'DP' pattern)
+  time bucketing         q_events_monthly (§2.8 date_trunc)
+  sessionization (lag)   q_events_sessions
+  broadcast range join   q_range_join     (§2.3 LD-block interval join)
+
+Scale notes: joins against region/nation/supplier/bins are broadcast
+(dimension tables); fact-fact joins shuffle on their keys and rely on AQE
+for skew; all aggregations are partial+final hash aggs (map-side combine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from vcf_pg_loader_spark.queries._util import MONEY, davg, dsum, sql_davg, sql_dsum
+from vcf_pg_loader_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# q01: pricing summary (TPC-H Q1 shape) — scan + filter + hash agg
+# --------------------------------------------------------------------------
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, "decimal(22,6)").alias("sum_disc_price"),
+            dsum(charge, "decimal(22,6)").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'DECIMAL(22,6)')} AS sum_disc_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'DECIMAL(22,6)')} AS sum_charge,
+       {sql_davg('l_quantity')} AS avg_qty,
+       {sql_davg('l_extendedprice')} AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q06: forecast revenue (TPC-H Q6 shape) — pushdown-friendly selective filter
+# --------------------------------------------------------------------------
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.08)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "decimal(22,6)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q06_SQL = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount', 'DECIMAL(22,6)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.08
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# q03: shipping priority (TPC-H Q3 shape) — 3-way join + top-k
+# --------------------------------------------------------------------------
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "decimal(22,6)"
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q03_SQL = f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'DECIMAL(22,6)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q04: order priority w/ EXISTS — left-semi join
+# --------------------------------------------------------------------------
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.08)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q04_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# q05: local supplier volume (TPC-H Q5 shape) — 6-way join w/ broadcast dims
+# --------------------------------------------------------------------------
+def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .filter(cust.c_nationkey == sup.s_nationkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "decimal(22,6)"
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q05_SQL = f"""
+SELECT r_name, n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'DECIMAL(22,6)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# q13: customer order-count distribution (TPC-H Q13 shape) — left outer join
+# --------------------------------------------------------------------------
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# --------------------------------------------------------------------------
+# anti join: customers with no orders (de-novo NOT EXISTS shape, §2.3)
+# --------------------------------------------------------------------------
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            davg("c_acctbal").alias("avg_acctbal"),
+        )
+    )
+
+
+Q_ANTI_SQL = f"""
+SELECT c_mktsegment, COUNT(*) AS n_custs, {sql_davg('c_acctbal')} AS avg_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# top-k with deterministic tie-break (§2.6 export ordering / latest-load)
+# --------------------------------------------------------------------------
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum("o_totalprice").alias("total_spend"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+Q_TOPCUST_SQL = f"""
+SELECT c_custkey, c_name, {sql_dsum('o_totalprice')} AS total_spend,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spend DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# window: top order per customer (worst-consequence row_number shape §1.4.6)
+# --------------------------------------------------------------------------
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+Q_WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# window: running per-customer spend (frame spec; decimal running sum)
+# --------------------------------------------------------------------------
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(MONEY)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+Q_WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       AS running_spend
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# set operations: UNION / EXCEPT distinct semantics (§2.7)
+# --------------------------------------------------------------------------
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    big_spenders = (
+        orders.filter(F.col("o_totalprice") > 400).select(F.col("o_custkey").alias("custkey"))
+    )
+    rich = cust.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("custkey"))
+    autos = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return big_spenders.union(rich).distinct().exceptAll(autos.distinct()).distinct()
+
+
+Q_SETOPS_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400
+UNION
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+"""
+
+
+# --------------------------------------------------------------------------
+# distinct aggregation (§2.4 cohort frequency COUNT(DISTINCT ...))
+# --------------------------------------------------------------------------
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+Q_DISTINCT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# percentiles (§2.4 batch QC PERCENTILE_CONT(0.5))
+# --------------------------------------------------------------------------
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+Q_PERCENTILE_SQL = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# conditional counts (§2.4 QC summary COUNT(*) FILTER (WHERE ...))
+# --------------------------------------------------------------------------
+def q_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("l_discount") == 0.0, 1)).alias("n_no_discount"),
+        F.count(F.when(F.col("l_quantity") >= 40, 1)).alias("n_bulk"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+        F.count(F.when((F.col("l_tax") > 0.05) & (F.col("l_discount") > 0.05), 1)).alias(
+            "n_high_tax_disc"
+        ),
+    )
+
+
+Q_CONDITIONAL_SQL = """
+SELECT COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE l_discount = 0.0) AS n_no_discount,
+       COUNT(*) FILTER (WHERE l_quantity >= 40) AS n_bulk,
+       COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+       COUNT(*) FILTER (WHERE l_tax > 0.05 AND l_discount > 0.05) AS n_high_tax_disc
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# JSON extraction (§2.8 info->>'DP' pattern over events.props)
+# --------------------------------------------------------------------------
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k > 50, 1)).alias("n_high_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+Q_EVENTS_JSON_SQL = """
+SELECT event_type,
+       SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       COUNT(*) FILTER (WHERE CAST(props->>'$.k' AS BIGINT) > 50) AS n_high_k,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# time bucketing (§2.8 date_trunc; monthly rollup over events)
+# --------------------------------------------------------------------------
+def q_events_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.trunc(F.col("ts"), "month").alias("month"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+Q_EVENTS_MONTHLY_SQL = f"""
+SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS month, event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# sessionization: lag-gap detection (window lag + conditional count)
+# --------------------------------------------------------------------------
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    new_session = F.when(prev.isNull() | ((us - prev) > 1_800_000_000), 1).otherwise(0)
+    return (
+        ev.select("user_id", new_session.alias("is_new"))
+        .groupBy("user_id")
+        .agg(F.sum("is_new").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+Q_EVENTS_SESSIONS_SQL = """
+SELECT user_id, SUM(is_new) AS n_sessions, COUNT(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM (
+    SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+             (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS prev_us
+    FROM events
+  )
+)
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# broadcast range join (§2.3 LD-block interval-assignment shape):
+# tiny bins table broadcast, theta-join on containment
+# --------------------------------------------------------------------------
+_QTY_BINS = [
+    ("B1_SMALL", 0.0, 10.0),
+    ("B2_MEDIUM", 10.0, 25.0),
+    ("B3_LARGE", 25.0, 40.0),
+    ("B4_BULK", 40.0, 1e9),
+]
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    bins = spark.createDataFrame(_QTY_BINS, ["bucket", "lo", "hi"])
+    return (
+        li.join(
+            F.broadcast(bins),
+            (F.col("l_quantity") > F.col("lo")) & (F.col("l_quantity") <= F.col("hi")),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("total_price"),
+        )
+    )
+
+
+_BINS_VALUES = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _QTY_BINS)
+Q_RANGE_JOIN_SQL = f"""
+SELECT bucket, COUNT(*) AS n_items, {sql_dsum('l_extendedprice')} AS total_price
+FROM lineitem
+JOIN (VALUES {_BINS_VALUES}) AS bins(bucket, lo, hi)
+  ON l_quantity > lo AND l_quantity <= hi
+GROUP BY bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# duplicate detection (§2.4 GROUP BY ... HAVING count>1; cli.py:552-561)
+# --------------------------------------------------------------------------
+def q_having_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .filter(F.col("n_lines") > 1)
+    )
+
+
+Q_HAVING_SQL = """
+SELECT l_orderkey, l_partkey, COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY l_orderkey, l_partkey
+HAVING COUNT(*) > 1
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q03_shipping_priority": q03_shipping_priority,
+    "q04_order_priority": q04_order_priority,
+    "q05_local_supplier": q05_local_supplier,
+    "q06_forecast_revenue": q06_forecast_revenue,
+    "q13_order_distribution": q13_order_distribution,
+    "q_anti_join": q_anti_join,
+    "q_top_customers": q_top_customers,
+    "q_window_topk": q_window_topk,
+    "q_window_running": q_window_running,
+    "q_setops": q_setops,
+    "q_distinct_agg": q_distinct_agg,
+    "q_percentile": q_percentile,
+    "q_conditional_counts": q_conditional_counts,
+    "q_events_json": q_events_json,
+    "q_events_monthly": q_events_monthly,
+    "q_events_sessions": q_events_sessions,
+    "q_range_join": q_range_join,
+    "q_having_dups": q_having_dups,
+}
+
+ORACLE = {
+    "q01_pricing_summary": Q01_SQL,
+    "q03_shipping_priority": Q03_SQL,
+    "q04_order_priority": Q04_SQL,
+    "q05_local_supplier": Q05_SQL,
+    "q06_forecast_revenue": Q06_SQL,
+    "q13_order_distribution": Q13_SQL,
+    "q_anti_join": Q_ANTI_SQL,
+    "q_top_customers": Q_TOPCUST_SQL,
+    "q_window_topk": Q_WINDOW_TOPK_SQL,
+    "q_window_running": Q_WINDOW_RUNNING_SQL,
+    "q_setops": Q_SETOPS_SQL,
+    "q_distinct_agg": Q_DISTINCT_SQL,
+    "q_percentile": Q_PERCENTILE_SQL,
+    "q_conditional_counts": Q_CONDITIONAL_SQL,
+    "q_events_json": Q_EVENTS_JSON_SQL,
+    "q_events_monthly": Q_EVENTS_MONTHLY_SQL,
+    "q_events_sessions": Q_EVENTS_SESSIONS_SQL,
+    "q_range_join": Q_RANGE_JOIN_SQL,
+    "q_having_dups": Q_HAVING_SQL,
+}

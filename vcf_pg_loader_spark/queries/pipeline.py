@@ -1,0 +1,336 @@
+"""Large-scale pipeline operators over the documents/embeddings fixtures:
+dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity search
+(brute-force + LSH-bucketed ANN), text analysis (lang-ID, quality, token
+stats, fingerprinting).  Every query has an exact DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vcf_pg_loader_spark.functions.hashing import sql_h60
+from vcf_pg_loader_spark.operators import dedup as D
+from vcf_pg_loader_spark.operators import similarity as S
+from vcf_pg_loader_spark.operators import text as T
+from vcf_pg_loader_spark.sources.tables import load_table
+
+NGRAM = 3
+MINHASH_K = 8
+MINHASH_BANDS = 4
+JACCARD_T = 0.8
+
+
+# --------------------------------------------------------------------------
+# exact dedup / fingerprinting
+# --------------------------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T.fingerprint(load_table(spark, sf_dir, "documents"))
+    return D.exact_dedup_classes(docs, key="doc_fp", id_col="doc_id")
+
+
+Q_DEDUP_EXACT_SQL = """
+SELECT md5(regexp_replace(trim(text), ' +', ' ', 'g')) AS doc_fp,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (exact pairwise via shingle self-join)
+# --------------------------------------------------------------------------
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(docs, "doc_id", "text", NGRAM)
+    return D.jaccard_pairs(sh, JACCARD_T)
+
+
+_SH = D.sql_shingles(NGRAM)
+Q_NGRAM_JACCARD_SQL = f"""
+WITH sh AS ({_SH}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, n_inter,
+       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = d1
+JOIN sizes sb ON sb.doc_id = d2
+WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {JACCARD_T}
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding near-dup pipeline
+# --------------------------------------------------------------------------
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_dedup(
+        docs, "doc_id", "text", NGRAM, MINHASH_K, MINHASH_BANDS, JACCARD_T
+    )
+
+
+def _minhash_sql() -> str:
+    mins = ",\n         ".join(
+        f"MIN({sql_h60('shingle', salt=f'mh{i}:')}) AS mh{i}" for i in range(MINHASH_K)
+    )
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    band_selects = []
+    for b in range(MINHASH_BANDS):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({key}) AS band_key FROM sig"
+        )
+    banded = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH sh AS ({_SH}),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT d1, d2, n_inter,
+         ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = d1
+  JOIN sizes sb ON sb.doc_id = d2
+  WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {JACCARD_T}
+)
+SELECT cand.d1, cand.d2, n_inter, jaccard FROM cand JOIN verified
+  ON cand.d1 = verified.d1 AND cand.d2 = verified.d2
+"""
+
+
+Q_MINHASH_LSH_SQL = _minhash_sql()
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprints
+# --------------------------------------------------------------------------
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text")
+
+
+def _simhash_sql() -> str:
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(D.SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(D.SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+h AS (SELECT doc_id, {sql_h60('token', salt='sim:')} AS h FROM tok),
+s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM s
+"""
+
+
+Q_SIMHASH_SQL = _simhash_sql()
+
+
+# --------------------------------------------------------------------------
+# token frequency top-k
+# --------------------------------------------------------------------------
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+Q_TOKEN_TOPK_SQL = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# language ID heuristic
+# --------------------------------------------------------------------------
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = T.language_id(docs)
+    return out.select(
+        "doc_id", "lang", "pred_lang", *[f"hits_{lang}" for lang in T.LANG_PRECEDENCE]
+    )
+
+
+def _lang_sql() -> str:
+    toks = "string_split(text, ' ')"
+    hit_exprs = {}
+    for lang in T.LANG_PRECEDENCE:
+        words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+        hit_exprs[lang] = f"len(list_filter({toks}, t -> t IN ({words})))"
+    hits_cols = ",\n       ".join(f"{e} AS hits_{lang}" for lang, e in hit_exprs.items())
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in T.LANG_PRECEDENCE) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lang in T.LANG_PRECEDENCE:
+        case += f"WHEN hits_{lang} = {best} THEN '{lang}' "
+    case += "END"
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang,
+       {hits_cols}
+  FROM documents
+)
+SELECT doc_id, lang, {case} AS pred_lang,
+       hits_en, hits_es, hits_fr, hits_de
+FROM h
+"""
+
+
+Q_LANG_ID_SQL = _lang_sql()
+
+
+# --------------------------------------------------------------------------
+# quality metrics rolled up per source
+# --------------------------------------------------------------------------
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T.quality_metrics(load_table(spark, sf_dir, "documents"))
+    dec = "decimal(18,6)"
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens")).alias("total_tokens"),
+        F.sum(F.col("distinct_ratio").cast(dec)).cast("double").alias("sum_distinct_ratio"),
+        F.sum(F.col("stopword_ratio").cast(dec)).cast("double").alias("sum_stopword_ratio"),
+        F.sum(F.col("quality_score").cast(dec)).cast("double").alias("sum_quality"),
+        F.count(F.when(F.col("quality_score") >= 0.7, 1)).alias("n_high_quality"),
+    )
+
+
+def _quality_sql() -> str:
+    toks = "string_split(text, ' ')"
+    n = f"len({toks})"
+    sw_sets = []
+    for lang in T.LANG_PRECEDENCE:
+        words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+        sw_sets.append(f"len(list_filter({toks}, t -> t IN ({words})))")
+    sw = " + ".join(sw_sets)
+    dr = f"CAST(len(list_distinct({toks})) AS DOUBLE) / {n}"
+    swr = f"CAST({sw} AS DOUBLE) / {n}"
+    q = (
+        f"((CASE WHEN {n} >= 20 AND {n} <= 1000 THEN 0.5 ELSE 0.0 END"
+        f" + ({dr}) * 0.25) + ({swr}) * 0.25)"
+    )
+    return f"""
+WITH m AS (
+  SELECT source, {n} AS n_tokens, {dr} AS distinct_ratio,
+         {swr} AS stopword_ratio, {q} AS quality_score
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(CAST(distinct_ratio AS DECIMAL(18,6))) AS DOUBLE) AS sum_distinct_ratio,
+       CAST(SUM(CAST(stopword_ratio AS DECIMAL(18,6))) AS DOUBLE) AS sum_stopword_ratio,
+       CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality,
+       COUNT(*) FILTER (WHERE quality_score >= 0.7) AS n_high_quality
+FROM m
+GROUP BY source
+"""
+
+
+Q_TEXT_QUALITY_SQL = _quality_sql()
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+N_QUERY_VECS = 5
+TOP_K = 3
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return S.cosine_topk(emb, queries, TOP_K)
+
+
+Q_COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id < {N_QUERY_VECS}),
+c AS (SELECT vec_id AS cand_id, embedding AS c_vec FROM embeddings),
+scored AS (
+  SELECT query_id, cand_id, {S.sql_cosine('q_vec', 'c_vec')} AS cos_sim
+  FROM c, q WHERE cand_id <> query_id
+)
+SELECT query_id, cand_id, cos_sim, rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, cand_id ASC) AS rn
+      FROM scored)
+WHERE rn <= {TOP_K}
+"""
+
+
+ANN_BITS = 8
+
+
+def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_bucketed_topk(emb, TOP_K, ANN_BITS)
+
+
+Q_ANN_BUCKETED_SQL = f"""
+WITH v AS (SELECT vec_id AS vid, embedding AS vec,
+                  {S.sql_sign_bucket('embedding', ANN_BITS)} AS bucket
+           FROM embeddings),
+scored AS (
+  SELECT a.vid AS query_id, b.vid AS cand_id,
+         {S.sql_cosine('a.vec', 'b.vec')} AS cos_sim
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vid <> b.vid
+)
+SELECT query_id, cand_id, cos_sim, rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, cand_id ASC) AS rn
+      FROM scored)
+WHERE rn <= {TOP_K}
+"""
+
+
+QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_minhash_lsh": q_minhash_lsh,
+    "q_simhash": q_simhash,
+    "q_token_topk": q_token_topk,
+    "q_lang_id": q_lang_id,
+    "q_text_quality": q_text_quality,
+    "q_cosine_topk": q_cosine_topk,
+    "q_ann_bucketed": q_ann_bucketed,
+}
+
+ORACLE = {
+    "q_dedup_exact": Q_DEDUP_EXACT_SQL,
+    "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
+    "q_minhash_lsh": Q_MINHASH_LSH_SQL,
+    "q_simhash": Q_SIMHASH_SQL,
+    "q_token_topk": Q_TOKEN_TOPK_SQL,
+    "q_lang_id": Q_LANG_ID_SQL,
+    "q_text_quality": Q_TEXT_QUALITY_SQL,
+    "q_cosine_topk": Q_COSINE_TOPK_SQL,
+    "q_ann_bucketed": Q_ANN_BUCKETED_SQL,
+}
