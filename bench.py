@@ -1,0 +1,61 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from vcf_pg_loader_spark.queries import all_queries
+    from vcf_pg_loader_spark.session import get_spark
+
+    spark = get_spark(app_name="vcf-pg-loader-spark-bench")
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session bring-up.
+    from vcf_pg_loader_spark.sources.tables import FIXTURE_TABLES, load_table
+
+    for t in FIXTURE_TABLES:
+        load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in all_queries().items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # full execution; result sizes vary, count avoids
+        # driver-collect skew for the large window outputs
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vcf_pg_loader_spark.functions.hashing import h60
+from vcf_pg_loader_spark.operators._parallel import ensure_min_parallelism
 
 
 # --------------------------------------------------------------------------
@@ -58,6 +59,7 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
     )
+    df = ensure_min_parallelism(df)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(grams)).alias("shingle"),
@@ -81,8 +83,10 @@ def sql_shingles(n: int = 3, table: str = "documents") -> str:
 def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     """All doc pairs with Jaccard(shingle sets) >= threshold.
 
-    sh: output of :func:`shingles`.  The self-join explodes on hot
-    shingles; callers at scale must pre-filter (LSH candidates) first.
+    sh: output of :func:`shingles` — persist it first when feeding this
+    (it is consumed three times: sizes + both join sides).  The self-join
+    explodes on hot shingles; callers at scale must pre-filter (LSH
+    candidates) first.
     """
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -165,8 +169,15 @@ def minhash_lsh_dedup(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → MinHash → LSH buckets → exact
-    Jaccard verification of the candidate pairs only."""
-    sh = shingles(df, id_col, text_col, n)
+    Jaccard verification of the candidate pairs only.
+
+    The shingle table feeds the signature build AND the verification
+    joins; persist it (memory-and-disk, spills safely at scale) so the
+    explode+hash work runs once.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    sh = shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(minhash_signatures(sh, k), k, bands)
     verified = jaccard_pairs(sh, threshold)
     return cands.join(verified, ["d1", "d2"]).select("d1", "d2", "n_inter", "jaccard")
@@ -184,7 +195,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     bit_j(fingerprint) = majority of bit_j over token hashes.  One explode
     + one groupBy; the 16 conditional sums all ride the same hash-agg.
     """
-    tok = df.select(
+    tok = ensure_min_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("token"),
     ).withColumn("h", h60(F.col("token"), salt="sim:"))

@@ -72,10 +72,14 @@ def cosine_topk(
     shuffled in full; only (query, candidate, score) survivors reach the
     ranking exchange.
     """
+    from vcf_pg_loader_spark.operators._parallel import ensure_min_parallelism
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    c = ensure_min_parallelism(corpus).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
@@ -117,7 +121,9 @@ def ann_bucketed_topk(
     This is the 100 TB shape: an equi-join on bucket id (shuffle on a
     small key) instead of a full cross join.
     """
-    v = corpus.select(
+    from vcf_pg_loader_spark.operators._parallel import ensure_min_parallelism
+
+    v = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         sign_bucket(F.col(vec_col), bits).alias("bucket"),

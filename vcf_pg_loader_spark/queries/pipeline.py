@@ -42,8 +42,10 @@ GROUP BY 1
 # n-gram Jaccard near-dup pairs (exact pairwise via shingle self-join)
 # --------------------------------------------------------------------------
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = D.shingles(docs, "doc_id", "text", NGRAM)
+    sh = D.shingles(docs, "doc_id", "text", NGRAM).persist(StorageLevel.MEMORY_AND_DISK)
     return D.jaccard_pairs(sh, JACCARD_T)
 
 
