@@ -1,0 +1,128 @@
+"""VCF scan semantics — decomposition, Number=A/R/G, normalization,
+CSQ/ANN worst-consequence, missing-value handling (SURVEY §1.4).
+
+Mirrors the reference's unit suites (tests/test_number_arg_extraction.py,
+tests/unit/test_header_parsing.py, tests/unit/test_malformed_vcf.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.vcf_fixtures import write_vcf
+from vcf_pg_loader_spark.sources.vcf import read_genotypes, read_header, read_vcf
+
+
+@pytest.fixture(scope="module")
+def multiallelic_vcf(tmp_path_factory):
+    p = tmp_path_factory.mktemp("vcf") / "multi.vcf"
+    rows = [
+        "chr1\t100\trs1\tA\tG\t50.0\tPASS\tDP=30;AF=0.5;AC=1;DB\tGT:GQ:DP:AD\t0/1:99:30:15,15\t0/0:80:25:25,0",
+        "1\t200\t.\tT\tC,G\t.\tLowQual\tDP=20;AF=0.3,0.1;AC=3,1;AD=10,6,4;PL=10,0,20,30,40,50\tGT:GQ\t1/2:50\t0/1:60",
+        "chr1\t300\trs3\tATT\tAT\t99.0\tPASS\tDP=15;AF=0.2;AC=2\tGT\t0/1\t1/1",
+        "chr1\t400\trs4\tG\tT\t70.0\tPASS\tDP=9;CSQ=T|missense_variant|MODERATE|GENE2|c.2A>T|p.K1X,T|stop_gained|HIGH|GENE2|c.3G>A|,A|synonymous_variant|LOW|GENE9||\tGT\t0/1\t0/0",
+        "chr1\t500\trs5\tC\tA\t60.0\tPASS\tDP=12;ANN=A|missense_variant|MODERATE|GENEB|g1|transcript|tx9|Coding|1/2|c.1C>A|p.P1T|||||\tGT\t0/1\t0/0",
+        "chr1\t600\trs6\tA\tT\t10.0\tq10;s50\tDP=5;INFO=0.4\tGT\t./.\t0/1",
+    ]
+    return str(write_vcf(str(p), rows, samples=["proband", "father"]))
+
+
+def test_header(multiallelic_vcf):
+    hdr = read_header(multiallelic_vcf)
+    assert hdr.samples == ["proband", "father"]
+    assert hdr.info_fields["AF"]["Number"] == "A"
+    assert hdr.info_fields["AD"]["Number"] == "R"
+    assert hdr.info_fields["PL"]["Number"] == "G"
+    assert hdr.csq_fields == [
+        "Allele", "Consequence", "IMPACT", "SYMBOL", "HGVSc", "HGVSp",
+    ]
+    assert hdr.ann_fields[0] == "Allele"
+    assert hdr.contigs["chr1"]["length"] == "248956422"
+
+
+def test_decomposition_and_arg_extraction(spark, multiallelic_vcf):
+    df = read_vcf(spark, multiallelic_vcf)
+    rows = {(r.pos, r.alt): r for r in df.collect()}
+    # one row per ALT
+    assert (200, "C") in rows and (200, "G") in rows
+    c, g = rows[(200, "C")], rows[(200, "G")]
+    # Number=A: value[alt_idx]
+    assert (c.info["AF"], g.info["AF"]) == ("0.3", "0.1")
+    assert (c.info["AC"], g.info["AC"]) == ("3", "1")
+    # Number=R: [ref_val, alt_val]
+    assert (c.info["AD"], g.info["AD"]) == ("10,6", "10,4")
+    # Number=G diploid indices [0, i+1, (i+1)(i+2)/2 + i+1]
+    assert (c.info["PL"], g.info["PL"]) == ("10,0,20", "10,20,50")
+    # chromosome canonicalization
+    assert c.chrom == "chr1"
+
+
+def test_missing_value_handling(spark, multiallelic_vcf):
+    rows = {(r.pos, r.alt): r for r in read_vcf(spark, multiallelic_vcf).collect()}
+    r1 = rows[(100, "G")]
+    assert r1.qual == pytest.approx(50.0)
+    assert r1.filter == []  # PASS -> empty (vcf_parser.py:334-336)
+    assert r1.rs_id == "rs1"
+    assert "DB" in r1.info  # Flag present
+    r2 = rows[(200, "C")]
+    assert r2.qual is None  # '.' -> null
+    assert r2.filter == ["LowQual"]
+    assert r2.rs_id is None
+    r6 = rows[(600, "T")]
+    assert r6.filter == ["q10", "s50"]
+
+
+def test_normalization_tracking(spark, multiallelic_vcf):
+    rows = {(r.pos, r.alt): r for r in read_vcf(
+        spark, multiallelic_vcf, normalize=True
+    ).collect()}
+    r = rows[(300, "A")]
+    assert (r.ref, r.alt) == ("AT", "A")
+    assert r.normalized is True
+    assert (r.original_pos, r.original_ref, r.original_alt) == (300, "ATT", "AT")
+    # untouched variant keeps nulls
+    snp = rows[(100, "G")]
+    assert snp.normalized is False and snp.original_pos is None
+
+
+def test_csq_worst_consequence(spark, multiallelic_vcf):
+    rows = {(r.pos, r.alt): r for r in read_vcf(spark, multiallelic_vcf).collect()}
+    r = rows[(400, "T")]
+    # two CSQ entries match ALT 'T'; HIGH outranks MODERATE
+    assert r.gene == "GENE2"
+    assert r.impact == "HIGH"
+    assert r.consequence == "stop_gained"
+    assert r.hgvs_c == "c.3G>A"
+    assert r.hgvs_p is None  # empty field -> null
+
+
+def test_ann_fallback(spark, multiallelic_vcf):
+    rows = {(r.pos, r.alt): r for r in read_vcf(spark, multiallelic_vcf).collect()}
+    r = rows[(500, "A")]
+    assert r.gene == "GENEB"
+    assert r.impact == "MODERATE"
+    assert r.consequence == "missense_variant"
+    assert r.transcript == "tx9"
+    assert r.hgvs_c == "c.1C>A"
+
+
+def test_info_score_filter(spark, multiallelic_vcf):
+    df = read_vcf(spark, multiallelic_vcf, min_info_score=0.6)
+    pos = {r.pos for r in df.collect()}
+    assert 600 not in pos  # INFO=0.4 < 0.6 dropped
+    assert 100 in pos  # null info_score passes
+
+
+def test_end_pos_default(spark, multiallelic_vcf):
+    rows = {(r.pos, r.alt): r for r in read_vcf(spark, multiallelic_vcf).collect()}
+    assert rows[(300, "AT")].end_pos == 300 + 3  # pos + len(ref)
+
+
+def test_genotype_long_format(spark, multiallelic_vcf):
+    df = read_genotypes(spark, multiallelic_vcf)
+    rows = {(r.pos, r.sample_id): r for r in df.collect()}
+    assert rows[(100, "proband")].gt == "0/1"
+    assert rows[(100, "proband")].gq == 99
+    assert rows[(100, "proband")].ad == [15, 15]
+    assert rows[(100, "father")].gt == "0/0"
+    assert rows[(600, "proband")].gt == "./."
+    assert rows[(300, "father")].gq is None  # FORMAT lacks GQ
