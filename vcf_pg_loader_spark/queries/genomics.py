@@ -1,14 +1,448 @@
 """Genomics-domain operators demonstrated over the driver fixtures.
 
 The reference's domain semantics (variant QC aggregation, allele
-harmonization, dosage math) are pure functions of relational inputs, so we
-exercise them on deterministic synthetic variant/genotype frames derived
-from the fixture tables — the same trick as the reference's synthetic VCF
-generators (tests/fixtures/vcf_generator.py).  Real VCF ingestion lives in
-sources/vcf.py and is covered by pytest (no VCF fixtures in testdata).
+harmonization, de-novo/compound-het queries, PRS scoring, popmax) are
+pure functions of relational inputs, so we exercise them on deterministic
+synthetic variant/genotype frames derived from the fixture tables — the
+same trick as the reference's synthetic VCF generators
+(tests/fixtures/vcf_generator.py).  The Spark side routes through the
+REAL engine operators (qc.variant_qc, functions.genomics, ...), so the
+DuckDB oracle validates the engine code itself.  Real VCF ingestion
+lives in sources/vcf.py and is covered by pytest (no VCF fixtures in
+testdata).
+
+Synthetic frames (shared by Spark + SQL):
+  genotypes: from lineitem — variant key = l_partkey, sample =
+    l_suppkey, GT from a deterministic mod of the keys.
+  variants:  from part — chrom/pos/ref/alt from deterministic mods.
+  gwas:      from part × a second allele derivation — harmonization
+    classification against the variants frame.
 """
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from vcf_pg_loader_spark.functions import genomics as G
+from vcf_pg_loader_spark.qc.variant_qc import variant_qc, with_allele_frequencies, genotype_counts
+from vcf_pg_loader_spark.sources.tables import load_table
+
+BASES = ["A", "C", "G", "T"]
+
+
+# ---------------------------------------------------------------------------
+# synthetic frames (Spark side) and their SQL CTE twins
+# ---------------------------------------------------------------------------
+def synth_genotypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long genotype frame from lineitem: one call per line item."""
+    li = load_table(spark, sf_dir, "lineitem")
+    gt = (
+        F.when((F.col("l_partkey") + F.col("l_linenumber")) % 5 == 0, "0/0")
+        .when((F.col("l_partkey") + F.col("l_linenumber")) % 5 == 1, "0/1")
+        .when((F.col("l_partkey") + F.col("l_linenumber")) % 5 == 2, "1/1")
+        .when((F.col("l_partkey") + F.col("l_linenumber")) % 5 == 3, "./.")
+        .otherwise("0|1")
+    )
+    return li.select(
+        F.lit("chr1").alias("chrom"),
+        (F.col("l_partkey") * 100).cast("bigint").alias("pos"),
+        F.lit("A").alias("ref"),
+        F.lit("G").alias("alt"),
+        F.col("l_suppkey").cast("string").alias("sample_id"),
+        gt.alias("gt"),
+    )
+
+
+SQL_GENOTYPES = """
+  SELECT 'chr1' AS chrom, CAST(l_partkey * 100 AS BIGINT) AS pos,
+         'A' AS ref, 'G' AS alt,
+         CAST(l_suppkey AS VARCHAR) AS sample_id,
+         CASE (l_partkey + l_linenumber) % 5
+           WHEN 0 THEN '0/0' WHEN 1 THEN '0/1' WHEN 2 THEN '1/1'
+           WHEN 3 THEN './.' ELSE '0|1' END AS gt
+  FROM lineitem
+"""
+
+SQL_GT_CLASS = """
+  CASE WHEN gt IN ('./.') THEN NULL
+       WHEN gt IN ('0/0') THEN 'hom_ref'
+       WHEN gt IN ('1/1') THEN 'hom_alt'
+       ELSE 'het' END
+"""
+
+
+def synth_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant frame from part: deterministic chrom/pos/ref/alt."""
+    p = load_table(spark, sf_dir, "part")
+    ref_i = F.col("p_partkey") % 4
+    alt_i = (ref_i + 1 + (F.col("p_partkey") % 3)) % 4
+    base = F.array(*[F.lit(b) for b in BASES])
+    return p.select(
+        F.col("p_partkey").cast("bigint").alias("variant_id"),
+        F.concat(F.lit("chr"), ((F.col("p_partkey") % 23) + 1).cast("string")).alias(
+            "chrom"
+        ),
+        (F.col("p_partkey") * 100).cast("bigint").alias("pos"),
+        F.element_at(base, (ref_i + 1).cast("int")).alias("ref"),
+        F.element_at(base, (alt_i + 1).cast("int")).alias("alt"),
+        F.col("p_brand").alias("gene"),
+        F.when(F.col("p_size") % 7 == 0, "HIGH")
+        .when(F.col("p_size") % 7 < 3, "MODERATE")
+        .when(F.col("p_size") % 7 < 5, "LOW")
+        .otherwise("MODIFIER")
+        .alias("impact"),
+        (F.col("p_retailprice") / 10000.0).alias("af"),
+    )
+
+
+SQL_VARIANTS = """
+  SELECT CAST(p_partkey AS BIGINT) AS variant_id,
+         'chr' || CAST((p_partkey % 23) + 1 AS VARCHAR) AS chrom,
+         CAST(p_partkey * 100 AS BIGINT) AS pos,
+         ['A','C','G','T'][CAST(p_partkey % 4 AS INT) + 1] AS ref,
+         ['A','C','G','T'][CAST(((p_partkey % 4) + 1 + (p_partkey % 3)) % 4 AS INT) + 1] AS alt,
+         p_brand AS gene,
+         CASE WHEN p_size % 7 = 0 THEN 'HIGH'
+              WHEN p_size % 7 < 3 THEN 'MODERATE'
+              WHEN p_size % 7 < 5 THEN 'LOW'
+              ELSE 'MODIFIER' END AS impact,
+         p_retailprice / 10000.0 AS af
+  FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# variant QC counts + allele frequencies (qc/variant_qc.py semantics)
+# ---------------------------------------------------------------------------
+def q_gx_variant_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gts = synth_genotypes(spark, sf_dir)
+    out = with_allele_frequencies(genotype_counts(gts))
+    return out.select(
+        "chrom", "pos", "ref", "alt",
+        "n_called", "n_het", "n_hom_ref", "n_hom_alt",
+        "aaf", "maf", F.col("mac").cast("bigint").alias("mac"), "call_rate",
+    )
+
+
+Q_GX_VARIANT_QC_SQL = f"""
+WITH g AS ({SQL_GENOTYPES}),
+c AS (
+  SELECT chrom, pos, ref, alt,
+         COUNT(*) FILTER (WHERE {SQL_GT_CLASS} = 'het') AS n_het,
+         COUNT(*) FILTER (WHERE {SQL_GT_CLASS} = 'hom_ref') AS n_hom_ref,
+         COUNT(*) FILTER (WHERE {SQL_GT_CLASS} = 'hom_alt') AS n_hom_alt,
+         COUNT(*) AS n_samples
+  FROM g GROUP BY 1, 2, 3, 4
+)
+SELECT chrom, pos, ref, alt,
+       n_het + n_hom_ref + n_hom_alt AS n_called,
+       n_het, n_hom_ref, n_hom_alt,
+       CASE WHEN n_het + n_hom_ref + n_hom_alt > 0 THEN
+         CAST(2 * n_hom_alt + n_het AS DOUBLE) / CAST(2 * (n_het + n_hom_ref + n_hom_alt) AS DOUBLE)
+       END AS aaf,
+       CASE WHEN n_het + n_hom_ref + n_hom_alt > 0 THEN
+         least(CAST(2 * n_hom_alt + n_het AS DOUBLE) / CAST(2 * (n_het + n_hom_ref + n_hom_alt) AS DOUBLE),
+               1 - CAST(2 * n_hom_alt + n_het AS DOUBLE) / CAST(2 * (n_het + n_hom_ref + n_hom_alt) AS DOUBLE))
+       END AS maf,
+       CAST(CASE WHEN n_het + n_hom_ref + n_hom_alt > 0
+                 THEN least(2 * n_hom_alt + n_het, 2 * n_hom_ref + n_het)
+                 ELSE 0 END AS BIGINT) AS mac,
+       CASE WHEN n_samples > 0 THEN CAST(n_het + n_hom_ref + n_hom_alt AS DOUBLE) / n_samples END AS call_rate
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# HWE (UDF — not SQL-expressible; rows-only check, no oracle entry)
+# ---------------------------------------------------------------------------
+def q_gx_hwe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gts = synth_genotypes(spark, sf_dir)
+    return variant_qc(gts).select(
+        "chrom", "pos", "ref", "alt", "n_het", "n_hom_ref", "n_hom_alt",
+        F.round(F.col("hwe_p"), 9).alias("hwe_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# allele harmonization classification (gwas/loader.py:68-176,
+# sql_functions.py:182-227) — exact / swap / strand-flip / none
+# ---------------------------------------------------------------------------
+def q_gx_harmonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = synth_variants(spark, sf_dir)
+    # second allele orientation derived from the same keys: rotate by a
+    # different modulus so we produce every match class
+    base = F.array(*[F.lit(b) for b in BASES])
+    k = F.col("variant_id")
+    ea_i = (k % 4 + F.when(k % 5 < 2, 0).otherwise(k % 3 + 1)) % 4
+    oa_i = (ea_i + 1 + (k % 2)) % 4
+    stats = v.select(
+        "variant_id", "ref", "alt",
+        F.element_at(base, (ea_i + 1).cast("int")).alias("ea"),
+        F.element_at(base, (oa_i + 1).cast("int")).alias("oa"),
+    )
+    ea, oa, ref, alt = F.col("ea"), F.col("oa"), F.col("ref"), F.col("alt")
+    match_type = (
+        F.when((ea == alt) & (oa == ref), "exact")
+        .when((ea == ref) & (oa == alt), "swap")
+        .when((G.complement(ea) == alt) & (G.complement(oa) == ref), "strand_flip")
+        .when((G.complement(ea) == ref) & (G.complement(oa) == alt), "flip_swap")
+        .otherwise("none")
+    )
+    return (
+        stats.select(
+            "variant_id",
+            match_type.alias("match_type"),
+            G.alleles_match(ref, alt, ea, oa).alias("matches"),
+            G.is_strand_ambiguous(ea, oa).alias("ambiguous"),
+        )
+    )
+
+
+Q_GX_HARMONIZE_SQL = f"""
+WITH v AS ({SQL_VARIANTS}),
+stats AS (
+  SELECT variant_id, ref, alt,
+         ['A','C','G','T'][CAST((variant_id % 4 + CASE WHEN variant_id % 5 < 2 THEN 0 ELSE variant_id % 3 + 1 END) % 4 AS INT) + 1] AS ea,
+         ['A','C','G','T'][CAST(((variant_id % 4 + CASE WHEN variant_id % 5 < 2 THEN 0 ELSE variant_id % 3 + 1 END) % 4 + 1 + (variant_id % 2)) % 4 AS INT) + 1] AS oa
+  FROM v
+)
+SELECT variant_id,
+       CASE WHEN ea = alt AND oa = ref THEN 'exact'
+            WHEN ea = ref AND oa = alt THEN 'swap'
+            WHEN translate(ea,'ACGT','TGCA') = alt AND translate(oa,'ACGT','TGCA') = ref THEN 'strand_flip'
+            WHEN translate(ea,'ACGT','TGCA') = ref AND translate(oa,'ACGT','TGCA') = alt THEN 'flip_swap'
+            ELSE 'none' END AS match_type,
+       (ref = ea AND alt = oa) OR (ref = oa AND alt = ea)
+         OR (translate(ref,'ACGT','TGCA') = ea AND translate(alt,'ACGT','TGCA') = oa)
+         OR (translate(ref,'ACGT','TGCA') = oa AND translate(alt,'ACGT','TGCA') = ea) AS matches,
+       (ea = 'A' AND oa = 'T') OR (ea = 'T' AND oa = 'A')
+         OR (ea = 'C' AND oa = 'G') OR (ea = 'G' AND oa = 'C') AS ambiguous
+FROM stats
+"""
+
+
+# ---------------------------------------------------------------------------
+# de-novo trio query (tests/integration/test_database_queries.py:86-111):
+# child variants absent from both parents — two anti-joins
+# ---------------------------------------------------------------------------
+def q_gx_denovo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    member = (F.col("l_suppkey") % 3)
+    calls = li.select(
+        (F.col("l_orderkey")).alias("variant_key"),
+        F.when(member == 0, "child").when(member == 1, "father").otherwise(
+            "mother"
+        ).alias("member"),
+    ).distinct()
+    child = calls.filter(F.col("member") == "child").select("variant_key")
+    father = calls.filter(F.col("member") == "father").select("variant_key")
+    mother = calls.filter(F.col("member") == "mother").select("variant_key")
+    return (
+        child.join(father, "variant_key", "left_anti")
+        .join(mother, "variant_key", "left_anti")
+        .orderBy("variant_key")
+    )
+
+
+Q_GX_DENOVO_SQL = """
+WITH calls AS (
+  SELECT DISTINCT l_orderkey AS variant_key,
+         CASE l_suppkey % 3 WHEN 0 THEN 'child' WHEN 1 THEN 'father'
+              ELSE 'mother' END AS member
+  FROM lineitem
+)
+SELECT variant_key FROM calls c WHERE member = 'child'
+  AND NOT EXISTS (SELECT 1 FROM calls f WHERE f.member = 'father'
+                  AND f.variant_key = c.variant_key)
+  AND NOT EXISTS (SELECT 1 FROM calls m WHERE m.member = 'mother'
+                  AND m.variant_key = c.variant_key)
+ORDER BY variant_key
+"""
+
+
+# ---------------------------------------------------------------------------
+# compound-het (test_database_queries.py:192-221): genes with >=2 variants
+# and >=1 HIGH impact — window rewrite of the reference's CTE+IN-subquery
+# ---------------------------------------------------------------------------
+def q_gx_compound_het(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = synth_variants(spark, sf_dir)
+    w = Window.partitionBy("gene")
+    return (
+        v.withColumn("n_in_gene", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "has_high", F.max(F.when(F.col("impact") == "HIGH", 1).otherwise(0)).over(w)
+        )
+        .filter((F.col("n_in_gene") >= 2) & (F.col("has_high") == 1))
+        .select("gene", "variant_id", "impact", "n_in_gene")
+    )
+
+
+Q_GX_COMPOUND_HET_SQL = f"""
+WITH v AS ({SQL_VARIANTS}),
+w AS (
+  SELECT gene, variant_id, impact,
+         COUNT(*) OVER (PARTITION BY gene) AS n_in_gene,
+         MAX(CASE WHEN impact = 'HIGH' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY gene) AS has_high
+  FROM v
+)
+SELECT gene, variant_id, impact, n_in_gene
+FROM w WHERE n_in_gene >= 2 AND has_high = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# PRS scoring (docs/prs-workflows.md:174-181, 291-296): dosage×weight sum
+# per sample + cohort z-score — the global window rewritten as a scalar
+# aggregate + broadcast (SURVEY §7.3 "global windows" hazard)
+# ---------------------------------------------------------------------------
+def q_gx_prs_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gts = synth_genotypes(spark, sf_dir)
+    weights = synth_variants(spark, sf_dir).select(
+        (F.col("variant_id") * 100).cast("bigint").alias("pos"),
+        (F.col("af") * 2 - 0.1).alias("weight"),
+    )
+    dosage = G.gt_to_dosage(F.col("gt"))
+    scored = (
+        gts.join(F.broadcast(weights), "pos")
+        .select(
+            "sample_id",
+            (dosage * F.col("weight")).cast("decimal(20,10)").alias("contrib"),
+        )
+        .groupBy("sample_id")
+        .agg(F.sum("contrib").cast("double").alias("prs_raw"))
+    )
+    # cohort standardization: exact-decimal mean/std scalars, broadcast back
+    stats = scored.agg(
+        F.sum(F.col("prs_raw").cast("decimal(24,10)")).cast("double").alias("s1"),
+        F.sum(
+            (F.col("prs_raw") * F.col("prs_raw")).cast("decimal(30,10)")
+        ).cast("double").alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return (
+        scored.crossJoin(F.broadcast(stats))
+        .select(
+            "sample_id",
+            F.round("prs_raw", 6).alias("prs_raw"),
+            F.round((F.col("prs_raw") - mean) / F.sqrt(var), 6).alias("prs_z"),
+        )
+    )
+
+
+Q_GX_PRS_SCORE_SQL = f"""
+WITH g AS ({SQL_GENOTYPES}),
+v AS ({SQL_VARIANTS}),
+weights AS (SELECT CAST(variant_id * 100 AS BIGINT) AS pos, af * 2 - 0.1 AS weight FROM v),
+scored AS (
+  SELECT sample_id,
+         CAST(SUM(CAST((CASE replace(gt, '|', '/')
+                 WHEN '0/0' THEN 0.0 WHEN '0/1' THEN 1.0 WHEN '1/0' THEN 1.0
+                 WHEN '1/1' THEN 2.0 END) * weight AS DECIMAL(20,10))) AS DOUBLE) AS prs_raw
+  FROM g JOIN weights USING (pos)
+  GROUP BY sample_id
+),
+stats AS (
+  SELECT CAST(SUM(CAST(prs_raw AS DECIMAL(24,10))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(prs_raw * prs_raw AS DECIMAL(30,10))) AS DOUBLE) AS s2,
+         COUNT(*) AS n
+  FROM scored
+)
+SELECT sample_id, ROUND(prs_raw, 6) AS prs_raw,
+       ROUND((prs_raw - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS prs_z
+FROM scored, stats
+"""
+
+
+# ---------------------------------------------------------------------------
+# popmax (annotations/population_freq.py:172-216): max AF across
+# populations excluding bottlenecked ASJ/FIN
+# ---------------------------------------------------------------------------
+_POPS = ["afr", "amr", "eas", "nfe", "asj", "fin"]
+_EXCLUDED = {"asj", "fin"}
+
+
+def q_gx_popmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = synth_variants(spark, sf_dir)
+    pops = spark.createDataFrame([(p, i) for i, p in enumerate(_POPS)], ["pop", "pop_i"])
+    freqs = v.crossJoin(F.broadcast(pops)).select(
+        "variant_id",
+        "pop",
+        F.round(
+            (F.col("af") * (1 + F.col("pop_i"))) % 1.0, 8
+        ).alias("pop_af"),
+    )
+    return freqs.groupBy("variant_id").agg(
+        F.max(
+            F.when(~F.col("pop").isin(*_EXCLUDED), F.col("pop_af"))
+        ).alias("popmax_af"),
+        F.max("pop_af").alias("max_af_all"),
+        F.count(F.lit(1)).alias("n_pops"),
+    )
+
+
+Q_GX_POPMAX_SQL = f"""
+WITH v AS ({SQL_VARIANTS}),
+pops AS (SELECT * FROM (VALUES ('afr',0),('amr',1),('eas',2),('nfe',3),('asj',4),('fin',5)) AS t(pop, pop_i)),
+freqs AS (
+  SELECT variant_id, pop, ROUND(fmod(af * (1 + pop_i), 1.0), 8) AS pop_af
+  FROM v CROSS JOIN pops
+)
+SELECT variant_id,
+       MAX(pop_af) FILTER (WHERE pop NOT IN ('asj','fin')) AS popmax_af,
+       MAX(pop_af) AS max_af_all,
+       COUNT(*) AS n_pops
+FROM freqs GROUP BY variant_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# chromosome-order export sort (schema.py:15-41 enum order; SURVEY §4 #3)
+# ---------------------------------------------------------------------------
+def q_gx_chrom_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = synth_variants(spark, sf_dir)
+    return (
+        v.orderBy(G.chrom_sort_key(F.col("chrom")), F.col("pos"))
+        .select("chrom", "pos", "ref", "alt")
+        .limit(50)
+    )
+
+
+_CHROM_CASE = "CASE chrom " + " ".join(
+    f"WHEN 'chr{c}' THEN {i}"
+    for i, c in enumerate([str(x) for x in range(1, 23)] + ["X", "Y", "M"])
+) + " ELSE 99 END"
+
+Q_GX_CHROM_ORDER_SQL = f"""
+WITH v AS ({SQL_VARIANTS})
+SELECT chrom, pos, ref, alt FROM v
+ORDER BY {_CHROM_CASE}, pos
+LIMIT 50
+"""
+
+
+QUERIES = {
+    "q_gx_variant_qc": q_gx_variant_qc,
+    "q_gx_hwe": q_gx_hwe,
+    "q_gx_harmonize": q_gx_harmonize,
+    "q_gx_denovo": q_gx_denovo,
+    "q_gx_compound_het": q_gx_compound_het,
+    "q_gx_prs_score": q_gx_prs_score,
+    "q_gx_popmax": q_gx_popmax,
+    "q_gx_chrom_order": q_gx_chrom_order,
+}
+
+ORACLE = {
+    "q_gx_variant_qc": Q_GX_VARIANT_QC_SQL,
+    # q_gx_hwe: recursive exact test is not SQL-expressible -> rows-only
+    "q_gx_harmonize": Q_GX_HARMONIZE_SQL,
+    "q_gx_denovo": Q_GX_DENOVO_SQL,
+    "q_gx_compound_het": Q_GX_COMPOUND_HET_SQL,
+    "q_gx_prs_score": Q_GX_PRS_SCORE_SQL,
+    "q_gx_popmax": Q_GX_POPMAX_SQL,
+    "q_gx_chrom_order": Q_GX_CHROM_ORDER_SQL,
+}
