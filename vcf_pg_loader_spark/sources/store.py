@@ -1,0 +1,177 @@
+"""Variant store: chromosome-partitioned Parquet + load audit + idempotent
+reload.
+
+Reference semantics: loader.py — SHA-256 file hash (loader.py:73-83),
+skip-or-replace on re-load of the same file (loader.py:182-252), audit
+rows with UUID batch ids (schema.py:205-241; loader.py:518-575).
+
+Physical layout = the reference's LIST-partitioning (schema.py:186-203)
+as Parquet `partitionBy('chrom')`, with rows sorted by pos within files
+so parquet min/max stats give range-query data skipping (the GiST-index
+analogue).  Idempotent reload = filter-out-batch + append, expressed as a
+dynamic partition overwrite of only the touched chromosomes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def compute_file_hash(path: str, chunk_size: int = 1 << 20) -> str:
+    """Streaming SHA-256 of an input file (loader.py:73-83)."""
+    h = hashlib.sha256()
+    with open(path, "rb") as fh:
+        while chunk := fh.read(chunk_size):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+@dataclass
+class LoadResult:
+    batch_id: str
+    variants_loaded: int
+    skipped: bool
+    file_hash: str
+    duration_sec: float
+
+
+class VariantStore:
+    """Parquet-backed variant store with audit + idempotent reload."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.variants_path = f"{self.root}/variants"
+        self.audit_path = f"{self.root}/audit"
+
+    # -- audit ----------------------------------------------------------
+    def _read_audit(self) -> list[dict]:
+        if not os.path.exists(self.audit_path):
+            return []
+        out = []
+        for name in sorted(os.listdir(self.audit_path)):
+            if name.endswith(".json"):
+                with open(os.path.join(self.audit_path, name)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def _write_audit(self, rec: dict) -> None:
+        os.makedirs(self.audit_path, exist_ok=True)
+        with open(
+            os.path.join(self.audit_path, f"{rec['batch_id']}.json"), "w"
+        ) as fh:
+            json.dump(rec, fh)
+
+    def audit_frame(self) -> DataFrame:
+        rows = self._read_audit()
+        if not rows:
+            return self.spark.createDataFrame(
+                [],
+                "batch_id string, source_file string, file_hash string, "
+                "n_variants long, status string, completed_at double",
+            )
+        return self.spark.createDataFrame(rows)
+
+    def find_existing(self, file_hash: str) -> dict | None:
+        """Previous completed load of the same content (loader.py:182-200)."""
+        done = [
+            r
+            for r in self._read_audit()
+            if r["file_hash"] == file_hash and r["status"] == "completed"
+        ]
+        return done[-1] if done else None
+
+    # -- load -----------------------------------------------------------
+    def load(
+        self,
+        variants: DataFrame,
+        source_file: str,
+        *,
+        force: bool = False,
+    ) -> LoadResult:
+        """Append a decomposed variants frame under a fresh batch id.
+
+        Same-content reloads are skipped unless force=True, in which case
+        the old batch's rows are replaced (delete-then-append semantics,
+        loader.py:230-252)."""
+        t0 = time.time()
+        file_hash = compute_file_hash(source_file)
+        existing = self.find_existing(file_hash)
+        if existing and not force:
+            return LoadResult(
+                existing["batch_id"], 0, True, file_hash, time.time() - t0
+            )
+        if existing and force:
+            self.delete_batch(existing["batch_id"])
+
+        batch_id = str(uuid.uuid4())
+        df = variants.withColumn("load_batch_id", F.lit(batch_id))
+        # sortWithinPartitions(pos): parquet row-group min/max stats then
+        # prune range scans — the GiST analogue (SURVEY §4 index strategy)
+        (
+            df.repartition("chrom")
+            .sortWithinPartitions("pos")
+            .write.mode("append")
+            .partitionBy("chrom")
+            .parquet(self.variants_path)
+        )
+        n = self.read().filter(F.col("load_batch_id") == batch_id).count()
+        self._write_audit(
+            {
+                "batch_id": batch_id,
+                "source_file": source_file,
+                "file_hash": file_hash,
+                "n_variants": n,
+                "status": "completed",
+                "completed_at": time.time(),
+            }
+        )
+        return LoadResult(batch_id, n, False, file_hash, time.time() - t0)
+
+    def delete_batch(self, batch_id: str) -> None:
+        """Remove one batch (DELETE WHERE load_batch_id=...,
+        loader.py:249-252): rewrite only the touched chromosome
+        partitions via stage-to-temp + directory swap.
+
+        NB: dynamic partition overwrite alone is NOT enough — a partition
+        whose rows are all deleted produces no output partition and would
+        silently survive.  A transactional table format (Delta/Iceberg
+        DELETE) is the production-cluster path; this filesystem swap is
+        the plain-Parquet equivalent."""
+        import shutil
+        import tempfile
+
+        df = self.read()
+        touched = [
+            r.chrom
+            for r in df.filter(F.col("load_batch_id") == batch_id)
+            .select("chrom")
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            return
+        keep = df.filter(
+            F.col("chrom").isin(touched) & (F.col("load_batch_id") != batch_id)
+        )
+        staging = tempfile.mkdtemp(prefix="variant_store_rewrite_")
+        keep.write.mode("overwrite").partitionBy("chrom").parquet(staging)
+        for chrom in touched:
+            dst = os.path.join(self.variants_path, f"chrom={chrom}")
+            src = os.path.join(staging, f"chrom={chrom}")
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            if os.path.isdir(src):
+                shutil.move(src, dst)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.variants_path)
