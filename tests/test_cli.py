@@ -1,0 +1,77 @@
+"""CLI command surface (reference cli.py commands on the Spark engine)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from tests.vcf_fixtures import write_vcf
+from vcf_pg_loader_spark.cli import main
+
+
+@pytest.fixture(scope="module")
+def vcf_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    rows = [
+        "chr1\t100\trs1\tA\tG\t50.0\tPASS\tDP=30\tGT\t0/1\t0/0",
+        "chr2\t200\trs2\tT\tC\t60.0\tPASS\tDP=20\tGT\t1/1\t0/1",
+    ]
+    return write_vcf(str(d / "cli.vcf"), rows, samples=["s1", "s2"])
+
+
+def test_load_validate_query_roundtrip(spark, tmp_path, vcf_file, capsys):
+    store = str(tmp_path / "store")
+    assert main(["load", vcf_file, "--store", store, "--normalize"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["variants_loaded"] == 2 and not out["skipped"]
+
+    # idempotent reload skips
+    assert main(["load", vcf_file, "--store", store]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["skipped"] is True
+
+    assert main(["validate", vcf_file]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["records"] == 2 and out["duplicate_sites"] == 0
+
+    assert (
+        main(
+            [
+                "annotation-query",
+                "SELECT chrom, COUNT(*) AS n FROM variants GROUP BY chrom",
+                "--store",
+                store,
+            ]
+        )
+        == 0
+    )
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {r["chrom"] for r in rows} == {"chr1", "chr2"}
+
+
+def test_sample_qc_and_gwas_flow(spark, tmp_path, vcf_file, capsys):
+    store = str(tmp_path / "store2")
+    main(["load", vcf_file, "--store", store])
+    capsys.readouterr()
+
+    gwas = tmp_path / "g.tsv"
+    gwas.write_text(
+        "CHR\tPOS\tEA\tOA\tP\tSNP\tBETA\tSE\n1\t100\tG\tA\t1e-8\trs1\t0.05\t0.01\n"
+    )
+    assert main(["import-gwas", str(gwas), "--store", store]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["matched"] == 1
+
+    assert main(["compute-sample-qc", vcf_file, "--store", store]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert {r["sample_id"] for r in lines} == {"s1", "s2"}
+
+    out_dir = str(tmp_path / "plink")
+    assert main(["export-plink", "--store", store, "--out", out_dir]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 1
+
+    assert main(["refresh-views", "--store", store]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["refreshed"] == 2

@@ -1,0 +1,379 @@
+"""CLI mirroring the reference's command surface (cli.py:245-1502) on the
+Spark engine.  A user of `vcf-pg-loader <cmd>` finds the same commands
+here: `python -m vcf_pg_loader_spark.cli <cmd>` — Postgres becomes a
+Parquet store rooted at --store (plus an optional JDBC sink).
+
+Commands: load, validate, import-gwas, import-pgs, load-reference,
+annotate-ld-blocks, compute-sample-qc, refresh-views, annotate,
+annotation-query, export-{plink,prs-cs,ldpred2,prsice}, benchmark.
+
+HIPAA/auth/PHI subcommands (reference cli.py:2419-7005) are compliance
+tooling, not analytics — out of scope (SURVEY §7.0)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _spark():
+    from vcf_pg_loader_spark.session import get_spark
+
+    return get_spark(app_name="vcf-pg-loader-spark-cli")
+
+
+def cmd_load(args) -> int:
+    from vcf_pg_loader_spark.sources.store import VariantStore
+    from vcf_pg_loader_spark.sources.vcf import read_vcf
+
+    spark = _spark()
+    store = VariantStore(spark, args.store)
+    df = read_vcf(
+        spark,
+        args.vcf,
+        normalize=args.normalize,
+        human_genome=not args.non_human,
+        min_info_score=args.min_info_score,
+    )
+    res = store.load(df, args.vcf, force=args.force)
+    print(
+        json.dumps(
+            {
+                "batch_id": res.batch_id,
+                "variants_loaded": res.variants_loaded,
+                "skipped": res.skipped,
+                "file_hash": res.file_hash,
+                "duration_sec": round(res.duration_sec, 3),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_validate(args) -> int:
+    """Duplicate detection + counts (reference cli.py:552-561)."""
+    from pyspark.sql import functions as F
+
+    from vcf_pg_loader_spark.sources.vcf import read_vcf
+
+    spark = _spark()
+    df = read_vcf(spark, args.vcf).cache()
+    n = df.count()
+    dups = (
+        df.groupBy("chrom", "pos", "ref", "alt")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    by_type = {
+        r.variant_type: r["count"]
+        for r in df.groupBy("variant_type").count().collect()
+    }
+    print(json.dumps({"records": n, "duplicate_sites": dups, "by_type": by_type}))
+    return 0 if dups == 0 else 1
+
+
+def cmd_import_gwas(args) -> int:
+    from vcf_pg_loader_spark.operators.matching import match_gwas_to_variants
+    from vcf_pg_loader_spark.sources.store import VariantStore
+    from vcf_pg_loader_spark.sources.tsv import read_gwas_ssf
+
+    spark = _spark()
+    stats = read_gwas_ssf(spark, args.tsv)
+    from pyspark.sql import functions as F
+
+    variants = (
+        VariantStore(spark, args.store)
+        .read()
+        .withColumn("variant_id", F.monotonically_increasing_id())
+    )
+    matched = match_gwas_to_variants(stats, variants).cache()
+    n_match = matched.filter(F.col("variant_id").isNotNull()).count()
+    n_total = matched.count()
+    matched.write.mode("overwrite").parquet(f"{args.store}/gwas_summary_stats")
+    print(json.dumps({"imported": n_total, "matched": n_match,
+                      "unmatched": n_total - n_match}))
+    return 0
+
+
+def cmd_import_pgs(args) -> int:
+    from vcf_pg_loader_spark.sources.tsv import read_pgs_catalog, read_pgs_header
+
+    spark = _spark()
+    meta = read_pgs_header(args.file)
+    weights = read_pgs_catalog(spark, args.file)
+    n = weights.count()
+    weights.write.mode("overwrite").parquet(f"{args.store}/prs_weights")
+    print(json.dumps({"pgs_id": meta.get("pgs_id"), "weights": n}))
+    return 0
+
+
+def cmd_load_reference(args) -> int:
+    from vcf_pg_loader_spark.sources.tsv import read_hapmap3
+
+    spark = _spark()
+    panel = read_hapmap3(spark, args.tsv, build=args.build)
+    n = panel.count()
+    panel.write.mode("overwrite").parquet(f"{args.store}/reference_panels")
+    print(json.dumps({"panel": f"hapmap3_{args.build.lower()}", "variants": n}))
+    return 0
+
+
+def cmd_annotate_ld_blocks(args) -> int:
+    from vcf_pg_loader_spark.operators.matching import assign_ld_blocks
+    from vcf_pg_loader_spark.sources.store import VariantStore
+    from vcf_pg_loader_spark.sources.tsv import read_ld_blocks
+
+    spark = _spark()
+    blocks = read_ld_blocks(spark, args.bed, population=args.population,
+                            build=args.build)
+    store = VariantStore(spark, args.store)
+    out = assign_ld_blocks(store.read(), blocks)
+    from pyspark.sql import functions as F
+
+    n = out.filter(F.col("ld_block_id").isNotNull()).count()
+    out.write.mode("overwrite").parquet(f"{args.store}/variants_ld")
+    print(json.dumps({"assigned": n}))
+    return 0
+
+
+def cmd_compute_sample_qc(args) -> int:
+    from vcf_pg_loader_spark.qc.sample_qc import sample_qc
+    from vcf_pg_loader_spark.sources.vcf import read_genotypes
+
+    spark = _spark()
+    from pyspark.sql import functions as F
+
+    gts = read_genotypes(spark, args.vcf)
+    gts = gts.withColumn("alt", F.element_at(F.col("alts"), 1)).drop("alts")
+    out = sample_qc(gts)
+    out.write.mode("overwrite").parquet(f"{args.store}/sample_qc")
+    for r in out.collect():
+        print(
+            json.dumps(
+                {
+                    "sample_id": r.sample_id,
+                    "call_rate": r.call_rate,
+                    "ti_tv_ratio": r.ti_tv_ratio,
+                    "sex_inferred": r.sex_inferred,
+                    "qc_pass": r.qc_pass,
+                }
+            )
+        )
+    return 0
+
+
+def cmd_refresh_views(args) -> int:
+    from vcf_pg_loader_spark.plans.views import (
+        chromosome_variant_counts,
+        refresh_view,
+        variant_qc_summary,
+    )
+    from vcf_pg_loader_spark.sources.store import VariantStore
+
+    spark = _spark()
+    variants = VariantStore(spark, args.store).read()
+    from pyspark.sql import functions as F
+
+    # columns the QC views need may be absent pre-QC — default them
+    for col, typ in [("in_hapmap3", "boolean"), ("call_rate", "double"),
+                     ("hwe_p", "double"), ("maf", "double")]:
+        if col not in variants.columns:
+            variants = variants.withColumn(col, F.lit(None).cast(typ))
+    t0 = time.time()
+    refresh_view(variant_qc_summary(variants), f"{args.store}/views/variant_qc_summary",
+                 "variant_qc_summary")
+    refresh_view(chromosome_variant_counts(variants),
+                 f"{args.store}/views/chromosome_variant_counts",
+                 "chromosome_variant_counts")
+    print(json.dumps({"refreshed": 2, "sec": round(time.time() - t0, 3)}))
+    return 0
+
+
+def cmd_annotation_query(args) -> int:
+    """Raw SQL passthrough over the store (reference cli.py:1454-1502)."""
+    from vcf_pg_loader_spark.sources.store import VariantStore
+
+    spark = _spark()
+    VariantStore(spark, args.store).read().createOrReplaceTempView("variants")
+    rows = spark.sql(args.sql)
+    out = [r.asDict(recursive=True) for r in rows.limit(args.limit).collect()]
+    print(json.dumps(out, default=str))
+    return 0
+
+
+def cmd_annotate(args) -> int:
+    from vcf_pg_loader_spark.operators.annotate import AnnotationRegistry, annotate
+    from vcf_pg_loader_spark.sources.store import VariantStore
+
+    spark = _spark()
+    registry = AnnotationRegistry()
+    for spec in args.source or []:
+        name, path = spec.split("=", 1)
+        registry.register(name, spark.read.parquet(path))
+    out = annotate(
+        VariantStore(spark, args.store).read(),
+        registry,
+        filter_expr=args.filter,
+        limit=args.limit,
+    )
+    for r in out.collect():
+        print(json.dumps(r.asDict(recursive=True), default=str))
+    return 0
+
+
+def _export(args, fmt: str) -> int:
+    from pyspark.sql import functions as F
+
+    from vcf_pg_loader_spark.prs import export as E
+    from vcf_pg_loader_spark.sources.store import VariantStore
+
+    spark = _spark()
+    stats = spark.read.parquet(f"{args.store}/gwas_summary_stats")
+    variants = (
+        VariantStore(spark, args.store)
+        .read()
+        .withColumn("variant_id", F.monotonically_increasing_id())
+    )
+    vfilter = E.VariantFilter(
+        hapmap3_only=args.hapmap3_only,
+        min_info_score=args.min_info,
+        min_maf=args.min_maf,
+    )
+    frame = {
+        "plink": E.plink_score_frame,
+        "prs-cs": E.prs_cs_frame,
+        "ldpred2": E.ldpred2_frame,
+        "prsice": E.prsice2_frame,
+    }[fmt](stats, variants, vfilter=vfilter)
+    E.write_tsv(frame, args.out)
+    print(json.dumps({"format": fmt, "rows": frame.count(), "path": args.out}))
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    """Synthetic parse benchmark (reference benchmark.py shape)."""
+    import tempfile
+
+    from vcf_pg_loader_spark.sources.vcf import read_vcf
+
+    spark = _spark()
+    header = (
+        "##fileformat=VCFv4.2\n"
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">\n'
+        '##INFO=<ID=AF,Number=A,Type=Float,Description="AF">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+    )
+    bases = ["A", "C", "G", "T"]
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/bench.vcf"
+        with open(path, "w") as fh:
+            fh.write(header)
+            for i in range(args.variants):
+                ref = bases[i % 4]
+                alt = bases[(i + 1) % 4]
+                # sprinkle multiallelics + indels like the reference's
+                # GIAB-realistic generator (benchmark.py:147-180)
+                if i % 20 == 0:
+                    alt = f"{alt},{bases[(i + 2) % 4]}"
+                if i % 6 == 5:
+                    ref = ref + "TT"
+                fh.write(
+                    f"chr{(i % 22) + 1}\t{1000 + i}\trs{i}\t{ref}\t{alt}\t50.0"
+                    f"\tPASS\tDP={i % 100};AF=0.{i % 9 + 1}\n"
+                )
+        t0 = time.time()
+        n = read_vcf(spark, path, normalize=True).count()
+        dt = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "variants": n,
+                "sec": round(dt, 3),
+                "variants_per_sec": round(n / dt, 1),
+            }
+        )
+    )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vcf-pg-loader-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add(name, fn, **kwargs):
+        sp = sub.add_parser(name, **kwargs)
+        sp.set_defaults(fn=fn)
+        return sp
+
+    sp = add("load", cmd_load, help="load a VCF into the variant store")
+    sp.add_argument("vcf")
+    sp.add_argument("--store", required=True)
+    sp.add_argument("--normalize", action="store_true")
+    sp.add_argument("--non-human", action="store_true")
+    sp.add_argument("--min-info-score", type=float)
+    sp.add_argument("--force", action="store_true")
+
+    sp = add("validate", cmd_validate, help="duplicate/type report for a VCF")
+    sp.add_argument("vcf")
+
+    sp = add("import-gwas", cmd_import_gwas, help="import GWAS-SSF stats")
+    sp.add_argument("tsv")
+    sp.add_argument("--store", required=True)
+
+    sp = add("import-pgs", cmd_import_pgs, help="import PGS Catalog weights")
+    sp.add_argument("file")
+    sp.add_argument("--store", required=True)
+
+    sp = add("load-reference", cmd_load_reference, help="load HapMap3 panel")
+    sp.add_argument("tsv")
+    sp.add_argument("--store", required=True)
+    sp.add_argument("--build", default="grch38")
+
+    sp = add("annotate-ld-blocks", cmd_annotate_ld_blocks)
+    sp.add_argument("bed")
+    sp.add_argument("--store", required=True)
+    sp.add_argument("--population", required=True)
+    sp.add_argument("--build", default="grch37")
+
+    sp = add("compute-sample-qc", cmd_compute_sample_qc)
+    sp.add_argument("vcf")
+    sp.add_argument("--store", required=True)
+
+    sp = add("refresh-views", cmd_refresh_views)
+    sp.add_argument("--store", required=True)
+
+    sp = add("annotation-query", cmd_annotation_query, help="raw SQL over the store")
+    sp.add_argument("sql")
+    sp.add_argument("--store", required=True)
+    sp.add_argument("--limit", type=int, default=100)
+
+    sp = add("annotate", cmd_annotate, help="echtvar-filter annotation join")
+    sp.add_argument("--store", required=True)
+    sp.add_argument("--source", action="append", metavar="name=path")
+    sp.add_argument("--filter")
+    sp.add_argument("--limit", type=int)
+
+    for fmt in ("plink", "prs-cs", "ldpred2", "prsice"):
+        sp = add(f"export-{fmt}", lambda a, f=fmt: _export(a, f))
+        sp.add_argument("--store", required=True)
+        sp.add_argument("--out", required=True)
+        sp.add_argument("--hapmap3-only", action="store_true")
+        sp.add_argument("--min-info", type=float)
+        sp.add_argument("--min-maf", type=float)
+
+    sp = add("benchmark", cmd_benchmark)
+    sp.add_argument("--variants", type=int, default=10000)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,171 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Design for 100 TB: media bytes live in a `binary` column (or a reference
+to object storage) beside a typed metadata struct; all per-item compute
+(decode, resize, feature extraction, frame sampling) runs as Arrow-
+batched `mapInPandas` so bytes cross the JVM/Python boundary once per
+batch, not per row.  Partitioning is by content hash so hot items spread.
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
+decode kernels are deterministic fakes behind `_decode_*` seams, clearly
+marked; the Spark-side plumbing — schemas, batch iteration, UDF
+signatures, partitioning — is real and tested.  Swap the seam for the
+real library on a cluster image that has it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# media row: bytes + typed metadata (the reference's JSONB-metadata idea,
+# schema.py:252, applied to media)
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content_sha256", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_sha256", T.StringType(), False),
+    ]
+)
+
+
+def _decode_image(content: bytes) -> np.ndarray:
+    """DECODE SEAM — deterministic fake.
+
+    Real implementation: `PIL.Image.open(io.BytesIO(content))` →
+    np.asarray.  The container has no imaging libs, so we derive a
+    deterministic pseudo-pixel array from the byte stream; shape and
+    dtype match what a decoder would produce.
+    """
+    h = hashlib.sha256(content).digest()
+    side = 8
+    rng = np.frombuffer((h * ((side * side * 3) // len(h) + 1))[: side * side * 3],
+                        dtype=np.uint8)
+    return rng.reshape(side, side, 3)
+
+
+def _decode_video_frames(content: bytes, n_frames: int) -> list[bytes]:
+    """DECODE SEAM — deterministic fake for ffmpeg frame extraction."""
+    return [
+        hashlib.sha256(content + idx.to_bytes(4, "little")).digest()
+        for idx in range(n_frames)
+    ]
+
+
+def image_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Per-image feature vector via mapInPandas (Arrow batches).
+
+    Feature = channel-mean pyramid of the decoded array, L2-normalized —
+    a stand-in for any CNN/CLIP embedding; the batch shape, schema, and
+    normalization are exactly what the real extractor would use.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "content_sha256": [],
+                "n_bytes": [],
+                "feature": [],
+            }
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                arr = _decode_image(bytes(content)).astype(np.float32)
+                flat = arr.reshape(-1)
+                # fixed-dim pooling: mean of equal chunks
+                chunks = np.array_split(flat, dim)
+                feat = np.array([c.mean() for c in chunks], dtype=np.float32)
+                norm = float(np.linalg.norm(feat))
+                if norm > 0:
+                    feat = feat / norm
+                out["media_id"].append(media_id)
+                out["content_sha256"].append(
+                    hashlib.sha256(bytes(content)).hexdigest()
+                )
+                out["n_bytes"].append(len(content))
+                out["feature"].append(feat.tolist())
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(
+        extract, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def sample_frames(df: DataFrame, n_frames: int = 3) -> DataFrame:
+    """Frame sampling for video rows via mapInPandas → long format."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_sha256": []}
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                for idx, frame in enumerate(
+                    _decode_video_frames(bytes(content), n_frames)
+                ):
+                    out["media_id"].append(media_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_sha256"].append(frame.hex())
+            yield pd.DataFrame(out)
+
+    return (
+        df.filter(F.col("kind") == "video")
+        .select("media_id", "content")
+        .mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
+    )
+
+
+def dedup_by_content(df: DataFrame) -> DataFrame:
+    """Exact media dedup on sha2(content) — JVM-side hash, no Python."""
+    return (
+        df.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+        .groupBy("content_sha256")
+        .agg(
+            F.min("media_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def partition_by_content(df: DataFrame, n: int = 0) -> DataFrame:
+    """Spread hot/duplicate media across partitions by content hash —
+    the layout step before any per-item decode at scale."""
+    parts = n or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(parts, F.sha2(F.col("content"), 256))
