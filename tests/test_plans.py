@@ -1,0 +1,146 @@
+"""Physical-plan assertions: the 100 TB questions, answered by explain().
+
+Mirrors the reference's own plan checking (partitions.py:49-96
+verify_partition_pruning walks EXPLAIN output for Postgres); here we
+assert the Catalyst equivalents: predicate pushdown to parquet, column
+pruning, broadcast joins for dimension tables, partition pruning on the
+chrom-partitioned store, and whole-stage codegen coverage."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf):
+    from vcf_pg_loader_spark.sources.tables import load_table
+
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_quantity") < 10).select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = plan_of(li)
+    assert "PushedFilters" in plan
+    assert "LessThan(l_quantity,10.0)" in plan.replace(" ", "")
+
+
+def test_column_pruning(spark, sf):
+    from vcf_pg_loader_spark.sources.tables import load_table
+
+    df = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    # ReadSchema carries only the projected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_dimension_joins_broadcast(spark, sf):
+    from vcf_pg_loader_spark.queries.core import q05_local_supplier
+
+    plan = plan_of(q05_local_supplier(spark, sf))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_range_join_is_broadcast(spark, sf):
+    from vcf_pg_loader_spark.queries.core import q_range_join
+
+    plan = plan_of(q_range_join(spark, sf))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_wholestage_codegen_on_scan_agg(spark, sf):
+    from vcf_pg_loader_spark.queries.core import q01_pricing_summary
+
+    # AQE defers codegen planning until runtime; toggle it off to assert
+    # the expression pipeline itself fuses into whole-stage codegen
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(q01_pricing_summary(spark, sf), mode="codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen" in plan
+    assert "Found 0 WholeStageCodegen" not in plan
+
+
+def test_vcf_scan_has_no_python_udf(spark, tmp_path):
+    """The VCF scan must stay JVM-side: no BatchEvalPython/ArrowEvalPython
+    nodes in the plan (SURVEY §2.1 design goal)."""
+    from tests.vcf_fixtures import write_vcf
+    from vcf_pg_loader_spark.sources.vcf import read_vcf
+
+    vcf = write_vcf(
+        str(tmp_path / "p.vcf"),
+        ["chr1\t100\trs1\tA\tG\t50.0\tPASS\tDP=30"],
+    )
+    df = read_vcf(spark, vcf, normalize=True)
+    assert "EvalPython" not in plan_of(df, mode="simple")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(df, mode="codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "Found 0 WholeStageCodegen" not in plan
+
+
+def test_store_partition_pruning(spark, tmp_path):
+    """chrom filter prunes partitions of the variant store — the Spark
+    analogue of the reference's verify_partition_pruning."""
+    from tests.vcf_fixtures import write_vcf
+    from vcf_pg_loader_spark.sources.store import VariantStore
+    from vcf_pg_loader_spark.sources.vcf import read_vcf
+
+    vcf = write_vcf(
+        str(tmp_path / "s.vcf"),
+        [
+            "chr1\t100\trs1\tA\tG\t50.0\tPASS\tDP=30",
+            "chr2\t200\trs2\tT\tC\t60.0\tPASS\tDP=20",
+            "chrX\t300\trs3\tG\tA\t70.0\tPASS\tDP=25",
+        ],
+    )
+    store = VariantStore(spark, str(tmp_path / "store"))
+    store.load(read_vcf(spark, vcf), vcf)
+    pruned = store.read().filter(F.col("chrom") == "chr2")
+    plan = plan_of(pruned)
+    assert "PartitionFilters" in plan
+    # only one of three partitions survives pruning
+    assert pruned.rdd.getNumPartitions() <= 1 or pruned.count() == 1
+
+
+def test_gwas_match_uses_join_not_collect(spark):
+    """The matching operator must be a join (no driver-side collect) —
+    the fix for the reference's driver-memory hash join."""
+    from vcf_pg_loader_spark.operators.matching import match_gwas_to_variants
+
+    stats = spark.createDataFrame(
+        [("1", 100, "G", "A", 1e-8, "rs1", 0.1, 0.01, None, None, None, None, None)],
+        "chromosome string, position long, effect_allele string, "
+        "other_allele string, p_value double, rsid string, beta double, "
+        "standard_error double, odds_ratio double, "
+        "effect_allele_frequency double, n int, n_cases int, info_score double",
+    )
+    variants = spark.createDataFrame(
+        [(1, "chr1", 100, "A", "G", "rs1")],
+        ["variant_id", "chrom", "pos", "ref", "alt", "rs_id"],
+    )
+    plan = plan_of(match_gwas_to_variants(stats, variants), mode="simple")
+    assert "Join" in plan
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"

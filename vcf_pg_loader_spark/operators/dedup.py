@@ -117,15 +117,37 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
 # --------------------------------------------------------------------------
 # MinHash + LSH banding
 # --------------------------------------------------------------------------
-def minhash_signatures(sh: DataFrame, k: int = 8) -> DataFrame:
-    """K-permutation MinHash signature per doc: one groupBy, K min-aggs.
+# Universal-hash family derived from ONE base hash: h_i(x) = (a_i*hi(x)
+# + b_i*lo(x) + c_i) mod P.  One md5 per shingle instead of K — the md5
+# is the dominant cost at scale.  Constants bound every product under
+# 2^62 so the arithmetic is overflow-free (and hence reproducible) on
+# any engine with int64.
+_MH_P = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
+_MH_PARAMS = [
+    (1048583 + 2 * i * 15485867, 32452843 + i * 49979687, 67867967 + i * 86028121)
+    for i in range(64)
+]
+_MASK30 = (1 << 30) - 1
 
-    Hash family = salted h60 (portable across engines).
-    """
-    aggs = [
-        F.min(h60(F.col("shingle"), salt=f"mh{i}:")).alias(f"mh{i}") for i in range(k)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+
+def _mh_expr(h: Column, i: int) -> Column:
+    a, b, c = _MH_PARAMS[i]
+    hi = F.shiftright(h, 30)
+    lo = h.bitwiseAND(F.lit(_MASK30))
+    return (F.lit(a) * hi + F.lit(b) * lo + F.lit(c)) % F.lit(_MH_P)
+
+
+def sql_mh_expr(h: str, i: int) -> str:
+    a, b, c = _MH_PARAMS[i]
+    return f"(({a} * ({h} >> 30) + {b} * ({h} & {_MASK30}) + {c}) % {_MH_P})"
+
+
+def minhash_signatures(sh: DataFrame, k: int = 8) -> DataFrame:
+    """K-permutation MinHash signature per doc: one md5-derived base hash
+    per shingle, K arithmetic permutations, one groupBy with K min-aggs."""
+    hashed = sh.withColumn("_h", h60(F.col("shingle"), salt="mh:"))
+    aggs = [F.min(_mh_expr(F.col("_h"), i)).alias(f"mh{i}") for i in range(k)]
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(sig: DataFrame, k: int = 8, bands: int = 4) -> DataFrame:

@@ -569,6 +569,29 @@ HAVING COUNT(*) > 1
 """
 
 
+# --------------------------------------------------------------------------
+# grouping sets / rollup (not in the reference — Spark gives them free,
+# SURVEY §2.4 note; exposed for oracle coverage)
+# --------------------------------------------------------------------------
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+Q_ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -589,6 +612,7 @@ QUERIES = {
     "q_events_sessions": q_events_sessions,
     "q_range_join": q_range_join,
     "q_having_dups": q_having_dups,
+    "q_rollup": q_rollup,
 }
 
 ORACLE = {
@@ -611,4 +635,5 @@ ORACLE = {
     "q_events_sessions": Q_EVENTS_SESSIONS_SQL,
     "q_range_join": Q_RANGE_JOIN_SQL,
     "q_having_dups": Q_HAVING_SQL,
+    "q_rollup": Q_ROLLUP_SQL,
 }

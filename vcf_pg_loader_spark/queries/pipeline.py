@@ -78,8 +78,9 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
+    base = sql_h60("shingle", salt="mh:")
     mins = ",\n         ".join(
-        f"MIN({sql_h60('shingle', salt=f'mh{i}:')}) AS mh{i}" for i in range(MINHASH_K)
+        f"MIN({D.sql_mh_expr('_h', i)}) AS mh{i}" for i in range(MINHASH_K)
     )
     rows_per_band = MINHASH_K // MINHASH_BANDS
     band_selects = []
@@ -92,7 +93,8 @@ def _minhash_sql() -> str:
     banded = "\nUNION ALL\n".join(band_selects)
     return f"""
 WITH sh AS ({_SH}),
-sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {mins}
+        FROM (SELECT doc_id, {base} AS _h FROM sh) GROUP BY doc_id),
 banded AS ({banded}),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
@@ -313,6 +315,56 @@ WHERE rn <= {TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup detection (dedup track): all vector pairs
+# above a similarity threshold, restricted to same-sign-bucket candidates
+# (the scale path) — exact cosine verification inside the bucket
+# --------------------------------------------------------------------------
+# the fixture embeddings are random (no planted near-identical vectors);
+# 0.35 exercises the pipeline with non-empty results at every SF
+NEARDUP_T = 0.35
+
+
+S_NEARDUP_BITS = 6
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators._parallel import ensure_min_parallelism
+
+    emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"))
+    v = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("vec"),
+        S.sign_bucket(F.col("embedding"), S_NEARDUP_BITS).alias("bucket"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("v1"),
+            F.col("b.vid").alias("v2"),
+            S.cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= NEARDUP_T)
+    )
+
+Q_EMBED_NEARDUP_SQL = f"""
+WITH v AS (SELECT vec_id AS vid, embedding AS vec,
+                  {S.sql_sign_bucket('embedding', S_NEARDUP_BITS)} AS bucket
+           FROM embeddings),
+scored AS (
+  SELECT a.vid AS v1, b.vid AS v2,
+         {S.sql_cosine('a.vec', 'b.vec')} AS cos_sim
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vid < b.vid
+)
+SELECT v1, v2, cos_sim FROM scored WHERE cos_sim >= {NEARDUP_T}
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_ngram_jaccard": q_ngram_jaccard,
@@ -323,6 +375,7 @@ QUERIES = {
     "q_text_quality": q_text_quality,
     "q_cosine_topk": q_cosine_topk,
     "q_ann_bucketed": q_ann_bucketed,
+    "q_embed_neardup": q_embed_neardup,
 }
 
 ORACLE = {
@@ -335,4 +388,5 @@ ORACLE = {
     "q_text_quality": Q_TEXT_QUALITY_SQL,
     "q_cosine_topk": Q_COSINE_TOPK_SQL,
     "q_ann_bucketed": Q_ANN_BUCKETED_SQL,
+    "q_embed_neardup": Q_EMBED_NEARDUP_SQL,
 }
