@@ -120,6 +120,20 @@ def allele_balance(ad: Column) -> Column:
     )
 
 
+def passes_adj(gt: Column, gq: Column, dp: Column, ad: Column) -> Column:
+    """gnomAD ADJ genotype filter: GQ>=20, DP>=10, het AB>=0.2 — missing
+    values pass (genotypes/genotype_loader.py:140-172; generated column
+    genotypes/schema.py:31-35)."""
+    g = F.translate(gt, "|", "/")
+    is_het = (g == "0/1") | (g == "1/0") | (g == "1/2") | (g == "2/1")
+    ab = allele_balance(ad)
+    return (
+        (gq.isNull() | (gq >= 20))
+        & (dp.isNull() | (dp >= 10))
+        & (~is_het | ab.isNull() | (ab >= 0.2))
+    )
+
+
 def is_transition(ref: Column, alt: Column) -> Column:
     """Transition (A<->G, C<->T) vs transversion (qc/sample_qc.py:80-117)."""
     pair = F.concat(F.upper(ref), F.upper(alt))

@@ -97,6 +97,27 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def char_trigrams(text: Column) -> Column:
+    """Distinct character 3-grams of ' '-padded lowercased text — the
+    pg_trgm tokenization (reference schema.py:294-297 uses a trigram
+    index on hgvs_p; this is the computable equivalent)."""
+    padded = F.concat(F.lit("  "), F.lower(F.trim(text)), F.lit(" "))
+    n = F.length(padded)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+        lambda i: padded.substr(i, F.lit(3)),
+    )
+    return F.array_distinct(grams)
+
+
+def trigram_similarity(a: Column, b: Column) -> Column:
+    """pg_trgm-style similarity: |trigrams(a) ∩ trigrams(b)| / |union|."""
+    ta, tb = char_trigrams(a), char_trigrams(b)
+    inter = F.size(F.array_intersect(ta, tb))
+    union = F.size(ta) + F.size(tb) - inter
+    return F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of whitespace-normalized
     text (the reference's file-hash dedupe, loader.py:73-83, applied at

@@ -365,6 +365,101 @@ SELECT v1, v2, cos_sim FROM scored WHERE cos_sim >= {NEARDUP_T}
 """
 
 
+# --------------------------------------------------------------------------
+# trigram string similarity (pg_trgm parity — reference schema.py:294-297
+# indexes hgvs_p with gin_trgm_ops): blocked self-join on (brand, size)
+# so pair cost stays bounded at scale, then exact trigram Jaccard
+# --------------------------------------------------------------------------
+TRIGRAM_T = 0.5
+
+
+def q_trigram_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    # materialize trigram sets BEFORE the self-join so each side computes
+    # them once, not once per candidate pair
+    v = part.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        T.char_trigrams(F.col("p_name")).alias("tg"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tg"), F.col("b.tg")))
+    union = F.size(F.col("a.tg")) + F.size(F.col("b.tg")) - inter
+    sim = F.round(
+        F.when(union > 0, inter.cast("double") / union).otherwise(0.0), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("k1"),
+            F.col("b.p_partkey").alias("k2"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= TRIGRAM_T)
+    )
+
+
+def _trigram_sql() -> str:
+    pad = "'  ' || lower(trim(p_name)) || ' '"
+    tg = f"list_distinct(list_transform(range(1, greatest(len({pad})-2,1)+1), i -> ({pad})[i:i+2]))"
+    return f"""
+WITH t AS (SELECT p_partkey, p_brand, p_size, {tg} AS tg FROM part),
+pairs AS (
+  SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+         ROUND(len(list_intersect(a.tg, b.tg)) * 1.0 /
+               (len(a.tg) + len(b.tg) - len(list_intersect(a.tg, b.tg))), 6) AS sim
+  FROM t a JOIN t b
+    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+   AND a.p_partkey < b.p_partkey
+)
+SELECT k1, k2, sim FROM pairs WHERE sim >= {TRIGRAM_T}
+"""
+
+
+Q_TRIGRAM_SQL = _trigram_sql()
+
+
+# --------------------------------------------------------------------------
+# merge/upsert semantics (ON CONFLICT DO UPDATE — SURVEY §4): customer
+# balances upserted from each customer's max order total
+# --------------------------------------------------------------------------
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators.merge import merge_upsert
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").cast("decimal(18,2)").cast("double").alias("val"),
+    )
+    updates = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(
+            F.max(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("val")
+        )
+    )
+    return merge_upsert(cust, updates, ["key"])
+
+
+Q_MERGE_UPSERT_SQL = """
+WITH updates AS (
+  SELECT o_custkey AS key,
+         CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS val
+  FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(c_custkey, u.key) AS key,
+       COALESCE(u.val, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE)) AS val
+FROM customer FULL OUTER JOIN updates u ON c_custkey = u.key
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_ngram_jaccard": q_ngram_jaccard,
@@ -376,6 +471,8 @@ QUERIES = {
     "q_cosine_topk": q_cosine_topk,
     "q_ann_bucketed": q_ann_bucketed,
     "q_embed_neardup": q_embed_neardup,
+    "q_trigram_sim": q_trigram_sim,
+    "q_merge_upsert": q_merge_upsert,
 }
 
 ORACLE = {
@@ -389,4 +486,6 @@ ORACLE = {
     "q_cosine_topk": Q_COSINE_TOPK_SQL,
     "q_ann_bucketed": Q_ANN_BUCKETED_SQL,
     "q_embed_neardup": Q_EMBED_NEARDUP_SQL,
+    "q_trigram_sim": Q_TRIGRAM_SQL,
+    "q_merge_upsert": Q_MERGE_UPSERT_SQL,
 }

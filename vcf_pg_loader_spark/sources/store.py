@@ -175,3 +175,17 @@ class VariantStore:
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.variants_path)
+
+    def partition_stats(self) -> DataFrame:
+        """Row counts per chromosome partition (reference
+        partitions.py:12-32 get_partition_stats, catalog-free)."""
+        return (
+            self.read()
+            .groupBy("chrom")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("pos").alias("min_pos"),
+                F.max("pos").alias("max_pos"),
+                F.countDistinct("load_batch_id").alias("n_batches"),
+            )
+        )
