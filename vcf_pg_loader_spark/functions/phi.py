@@ -54,6 +54,24 @@ class SanitizationResult:
         return "high"
 
 
+def anonymize_sample_ids(
+    samples: list[str], source_file: str
+) -> dict[str, str]:
+    """Stable pseudonymous IDs for sample names (reference
+    phi/anonymizer.py:49-91 issues UUIDs via a vault table; here the ID
+    is a deterministic UUIDv5-style digest of (sample, source_file) so
+    repeat loads of the same file map identically — the same
+    idempotent-reload property without a database)."""
+    import hashlib
+    import uuid
+
+    out = {}
+    for s in samples:
+        digest = hashlib.sha256(f"{source_file}\x00{s}".encode()).digest()[:16]
+        out[s] = str(uuid.UUID(bytes=digest))
+    return out
+
+
 def sanitize_header(
     header_text: str,
     remove_file_paths: bool = True,

@@ -570,6 +570,62 @@ HAVING COUNT(*) > 1
 
 
 # --------------------------------------------------------------------------
+# tumbling event-time windows via window() — the batch twin of the
+# streaming aggregation (streaming/events.py); oracle via time_bucket
+# --------------------------------------------------------------------------
+def q_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+Q_EVENTS_HOURLY_SQL = f"""
+SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type, COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# raw-SQL passthrough surface (reference cli.py:1454-1502): the full
+# query language is Spark SQL over registered views, as it was Postgres
+# SQL for the reference — exercised with a CTE + join + agg
+# --------------------------------------------------------------------------
+_PASSTHROUGH_SQL = f"""
+WITH big_orders AS (
+  SELECT o_custkey, COUNT(*) AS n_big
+  FROM orders WHERE o_totalprice > 300
+  GROUP BY o_custkey
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       {sql_dsum('n_big', 'DECIMAL(18,0)')} AS total_big_orders
+FROM customer JOIN big_orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_PASSTHROUGH_SQL)
+
+
+# --------------------------------------------------------------------------
 # grouping sets / rollup (not in the reference — Spark gives them free,
 # SURVEY §2.4 note; exposed for oracle coverage)
 # --------------------------------------------------------------------------
@@ -613,6 +669,8 @@ QUERIES = {
     "q_range_join": q_range_join,
     "q_having_dups": q_having_dups,
     "q_rollup": q_rollup,
+    "q_events_hourly_window": q_events_hourly_window,
+    "q_sql_passthrough": q_sql_passthrough,
 }
 
 ORACLE = {
@@ -636,4 +694,6 @@ ORACLE = {
     "q_range_join": Q_RANGE_JOIN_SQL,
     "q_having_dups": Q_HAVING_SQL,
     "q_rollup": Q_ROLLUP_SQL,
+    "q_events_hourly_window": Q_EVENTS_HOURLY_SQL,
+    "q_sql_passthrough": _PASSTHROUGH_SQL,
 }
