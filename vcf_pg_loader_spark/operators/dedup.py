@@ -181,6 +181,43 @@ def lsh_candidate_pairs(sig: DataFrame, k: int = 8, bands: int = 4) -> DataFrame
     )
 
 
+def verify_candidate_jaccard(
+    cands: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for CANDIDATE pairs only: join each side's shingles
+    onto the pair list, count matches per pair.  Cost is proportional to
+    |candidates| × shingles-per-doc — never all-pairs."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        cands.join(a, cands["d1"] == F.col("a.doc_id"))
+        .join(
+            b,
+            (cands["d2"] == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "n_inter", "jaccard")
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -191,18 +228,18 @@ def minhash_lsh_dedup(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → MinHash → LSH buckets → exact
-    Jaccard verification of the candidate pairs only.
+    Jaccard verification restricted to the candidate pairs.
 
     The shingle table feeds the signature build AND the verification
     joins; persist it (memory-and-disk, spills safely at scale) so the
-    explode+hash work runs once.
+    explode+hash work runs once.  Verification touches only candidate
+    pairs — the property that makes LSH sub-quadratic.
     """
     from pyspark.storagelevel import StorageLevel
 
     sh = shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(minhash_signatures(sh, k), k, bands)
-    verified = jaccard_pairs(sh, threshold)
-    return cands.join(verified, ["d1", "d2"]).select("d1", "d2", "n_inter", "jaccard")
+    return verify_candidate_jaccard(cands, sh, threshold)
 
 
 # --------------------------------------------------------------------------

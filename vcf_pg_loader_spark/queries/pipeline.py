@@ -374,7 +374,9 @@ TRIGRAM_T = 0.5
 
 
 def q_trigram_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part")
+    from vcf_pg_loader_spark.operators._parallel import ensure_min_parallelism
+
+    part = ensure_min_parallelism(load_table(spark, sf_dir, "part"))
     # materialize trigram sets BEFORE the self-join so each side computes
     # them once, not once per candidate pair
     v = part.select(
