@@ -253,6 +253,43 @@ def _export(args, fmt: str) -> int:
     return 0
 
 
+def cmd_score(args) -> int:
+    """Compute per-sample PRS from a VCF's genotypes + imported weights
+    (docs/prs-workflows.md:174-181, 291-296)."""
+    from pyspark.sql import functions as F
+
+    from vcf_pg_loader_spark.prs.scoring import score_samples, standardize
+    from vcf_pg_loader_spark.sources.vcf import read_genotypes
+
+    spark = _spark()
+    gts = read_genotypes(spark, args.vcf)
+    gts = gts.withColumn("alt", F.element_at(F.col("alts"), 1)).drop("alts")
+    # weights keyed on (canonical chrom, pos, effect allele as ALT)
+    weights = spark.read.parquet(f"{args.store}/prs_weights").select(
+        F.concat(F.lit("chr"), F.regexp_replace("chrom", "^chr", "")).alias(
+            "chrom"
+        ),
+        "pos",
+        F.col("effect_allele").alias("alt"),
+        "effect_weight",
+    )
+    scores = standardize(
+        score_samples(gts, weights, key=["chrom", "pos", "alt"])
+    )
+    for r in scores.collect():
+        print(
+            json.dumps(
+                {
+                    "sample_id": r.sample_id,
+                    "prs_raw": r.prs_raw,
+                    "prs_z": r.prs_z,
+                    "n_variants_used": r.n_variants_used,
+                }
+            )
+        )
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     """Synthetic parse benchmark (reference benchmark.py shape)."""
     import tempfile
@@ -363,6 +400,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--hapmap3-only", action="store_true")
         sp.add_argument("--min-info", type=float)
         sp.add_argument("--min-maf", type=float)
+
+    sp = add("score", cmd_score, help="per-sample PRS from genotypes + weights")
+    sp.add_argument("vcf")
+    sp.add_argument("--store", required=True)
 
     sp = add("benchmark", cmd_benchmark)
     sp.add_argument("--variants", type=int, default=10000)

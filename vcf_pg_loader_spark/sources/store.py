@@ -176,6 +176,27 @@ class VariantStore:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.variants_path)
 
+    # -- query surface (reference latency tests, test_query_latency.py) --
+    def query_region(self, chrom: str, start: int, end: int) -> DataFrame:
+        """Region query: partition pruning on chrom + row-group min/max
+        skipping on pos (the GiST-range-index analogue; rows were sorted
+        by pos at write time)."""
+        return self.read().filter(
+            (F.col("chrom") == chrom)
+            & (F.col("pos") >= start)
+            & (F.col("pos") <= end)
+        )
+
+    def lookup_variant(self, chrom: str, pos: int) -> DataFrame:
+        """Single-site lookup (reference <5ms point query; here a pruned
+        single-partition scan with pos skipping)."""
+        return self.query_region(chrom, pos, pos)
+
+    def lookup_rsid(self, rs_id: str) -> DataFrame:
+        """rsid lookup (reference hash index; full column scan here —
+        point-lookup workloads should keep a secondary rsid-sorted copy)."""
+        return self.read().filter(F.col("rs_id") == rs_id)
+
     def partition_stats(self) -> DataFrame:
         """Row counts per chromosome partition (reference
         partitions.py:12-32 get_partition_stats, catalog-free)."""
