@@ -117,6 +117,25 @@ def test_end_pos_default(spark, multiallelic_vcf):
     assert rows[(300, "AT")].end_pos == 300 + 3  # pos + len(ref)
 
 
+def test_multi_file_scan(spark, tmp_path):
+    """A directory of shard VCFs with the same header reads as one
+    distributed scan — the multi-file 100 TB shape."""
+    d = tmp_path / "shards"
+    d.mkdir()
+    for i in range(3):
+        write_vcf(
+            str(d / f"part{i}.vcf"),
+            [f"chr{i + 1}\t{100 + i}\trs{i}\tA\tG\t50.0\tPASS\tDP={10 + i}"],
+        )
+    from vcf_pg_loader_spark.sources.vcf import read_header as rh
+
+    hdr = rh(str(d / "part0.vcf"))
+    df = read_vcf(spark, str(d / "*.vcf"), header=hdr)
+    rows = df.collect()
+    assert len(rows) == 3
+    assert {r.chrom for r in rows} == {"chr1", "chr2", "chr3"}
+
+
 def test_genotype_long_format(spark, multiallelic_vcf):
     df = read_genotypes(spark, multiallelic_vcf)
     rows = {(r.pos, r.sample_id): r for r in df.collect()}
