@@ -39,7 +39,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     convert to a microsecond TimestampType by integer division — identical
     to DuckDB's `CAST(ts AS TIMESTAMP)` truncation, so oracle comparisons
     stay exact.
+
+    Defensive conf: callers may hand us a session built without our
+    factory (the driver's harness does).  Both confs are runtime-settable
+    SQL confs, so pin them here — without nanosAsLong the events read
+    throws PARQUET_TYPE_ILLEGAL, and a non-UTC session timezone would
+    shift collected timestamps away from DuckDB's naive values.
     """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
