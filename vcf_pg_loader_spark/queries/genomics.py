@@ -425,6 +425,150 @@ LIMIT 50
 """
 
 
+# ---------------------------------------------------------------------------
+# cohort aggregation (test_database_queries.py:262-313): carriers per
+# variant (COUNT DISTINCT), rare-in-cohort filter, per-sample burden
+# ---------------------------------------------------------------------------
+def q_gx_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gts = synth_genotypes(spark, sf_dir)
+    carries = F.col("_cls").isin("het", "hom_alt")
+    from vcf_pg_loader_spark.qc.variant_qc import classify_gt
+
+    g = gts.withColumn("_cls", classify_gt(F.col("gt")))
+    per_variant = (
+        g.filter(carries)
+        .groupBy("chrom", "pos", "ref", "alt")
+        .agg(F.countDistinct("sample_id").alias("n_carriers"))
+    )
+    n_samples = g.select("sample_id").distinct().count()
+    return per_variant.filter(
+        F.col("n_carriers") <= F.lit(int(n_samples * 0.6))
+    ).withColumn("cohort_freq", F.col("n_carriers").cast("double") / n_samples)
+
+
+def _cohort_sql() -> str:
+    return f"""
+WITH g AS ({SQL_GENOTYPES}),
+cls AS (SELECT *, {SQL_GT_CLASS} AS c FROM g),
+n AS (SELECT COUNT(DISTINCT sample_id) AS n_samples FROM g),
+pv AS (
+  SELECT chrom, pos, ref, alt, COUNT(DISTINCT sample_id) AS n_carriers
+  FROM cls WHERE c IN ('het', 'hom_alt')
+  GROUP BY 1, 2, 3, 4
+)
+SELECT chrom, pos, ref, alt, n_carriers,
+       CAST(n_carriers AS DOUBLE) / n_samples AS cohort_freq
+FROM pv, n
+WHERE n_carriers <= CAST(floor(n_samples * 0.6) AS BIGINT)
+"""
+
+
+Q_GX_COHORT_SQL = _cohort_sql()
+
+
+# ---------------------------------------------------------------------------
+# full sample-QC rollup through the REAL qc.sample_qc operator
+# (qc/sample_qc.py semantics over a synthetic cohort with SNP variety,
+# chrX sites, and DP/GQ)
+# ---------------------------------------------------------------------------
+def synth_genotypes_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    k = F.col("l_partkey")
+    ref_i = k % 4
+    alt_i = (ref_i + 1 + (k % 3)) % 4
+    base = F.array(*[F.lit(b) for b in BASES])
+    gt = (
+        F.when((k + F.col("l_linenumber")) % 5 == 0, "0/0")
+        .when((k + F.col("l_linenumber")) % 5 == 1, "0/1")
+        .when((k + F.col("l_linenumber")) % 5 == 2, "1/1")
+        .when((k + F.col("l_linenumber")) % 5 == 3, "./.")
+        .otherwise("0|1")
+    )
+    return li.select(
+        F.when(k % 10 == 0, F.lit("chrX"))
+        .otherwise(F.concat(F.lit("chr"), ((k % 9) + 1).cast("string")))
+        .alias("chrom"),
+        # chrX sites land inside the PAR window used by sex inference
+        F.when(k % 10 == 0, (F.lit(3_000_000) + k)).otherwise(k * 100)
+        .cast("bigint")
+        .alias("pos"),
+        F.element_at(base, (ref_i + 1).cast("int")).alias("ref"),
+        F.element_at(base, (alt_i + 1).cast("int")).alias("alt"),
+        F.col("l_suppkey").cast("string").alias("sample_id"),
+        gt.alias("gt"),
+        (F.col("l_linenumber") * 10 + 5).cast("int").alias("dp"),
+        ((k % 60) + 20).cast("int").alias("gq"),
+    )
+
+
+SQL_GENOTYPES_RICH = """
+  SELECT CASE WHEN l_partkey % 10 = 0 THEN 'chrX'
+              ELSE 'chr' || CAST((l_partkey % 9) + 1 AS VARCHAR) END AS chrom,
+         CAST(CASE WHEN l_partkey % 10 = 0 THEN 3000000 + l_partkey
+                   ELSE l_partkey * 100 END AS BIGINT) AS pos,
+         ['A','C','G','T'][CAST(l_partkey % 4 AS INT) + 1] AS ref,
+         ['A','C','G','T'][CAST(((l_partkey % 4) + 1 + (l_partkey % 3)) % 4 AS INT) + 1] AS alt,
+         CAST(l_suppkey AS VARCHAR) AS sample_id,
+         CASE (l_partkey + l_linenumber) % 5
+           WHEN 0 THEN '0/0' WHEN 1 THEN '0/1' WHEN 2 THEN '1/1'
+           WHEN 3 THEN './.' ELSE '0|1' END AS gt,
+         CAST(l_linenumber * 10 + 5 AS INT) AS dp,
+         CAST((l_partkey % 60) + 20 AS INT) AS gq
+  FROM lineitem
+"""
+
+
+def q_gx_sample_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.qc.sample_qc import sample_qc
+
+    out = sample_qc(synth_genotypes_rich(spark, sf_dir))
+    return out.select(
+        "sample_id", "n_total", "n_called", "n_snp", "n_het", "n_hom_var",
+        "call_rate", "het_hom_ratio", "ti_tv_ratio",
+        "n_transitions", "n_transversions",
+        "x_n_total", "x_n_het", "sex_inferred",
+        "mean_dp", "mean_gq", "qc_pass",
+    )
+
+
+Q_GX_SAMPLE_QC_SQL = f"""
+WITH g AS ({SQL_GENOTYPES_RICH}),
+cls AS (
+  SELECT *, {SQL_GT_CLASS} AS c,
+         (length(ref) = 1 AND length(alt) = 1) AS is_snp,
+         (ref || alt) IN ('AG','GA','CT','TC') AS is_ti,
+         (chrom IN ('chrX','X') AND pos > 2781479 AND pos < 155701383) AS on_x
+  FROM g
+),
+agg AS (
+  SELECT sample_id,
+         COUNT(*) AS n_total,
+         COUNT(*) FILTER (WHERE c IS NOT NULL) AS n_called,
+         COUNT(*) FILTER (WHERE c IS NOT NULL AND is_snp) AS n_snp,
+         COUNT(*) FILTER (WHERE c = 'het') AS n_het,
+         COUNT(*) FILTER (WHERE c = 'hom_alt') AS n_hom_var,
+         COUNT(*) FILTER (WHERE c IN ('het','hom_alt') AND is_snp AND is_ti) AS n_transitions,
+         COUNT(*) FILTER (WHERE c IN ('het','hom_alt') AND is_snp AND NOT is_ti) AS n_transversions,
+         COUNT(*) FILTER (WHERE on_x AND c IS NOT NULL) AS x_n_total,
+         COUNT(*) FILTER (WHERE on_x AND c = 'het') AS x_n_het,
+         AVG(CAST(dp AS DOUBLE)) AS mean_dp,
+         AVG(CAST(gq AS DOUBLE)) AS mean_gq
+  FROM cls GROUP BY sample_id
+)
+SELECT sample_id, n_total, n_called, n_snp, n_het, n_hom_var,
+       CASE WHEN n_total > 0 THEN CAST(n_called AS DOUBLE) / n_total ELSE 0.0 END AS call_rate,
+       CASE WHEN n_hom_var > 0 THEN CAST(n_het AS DOUBLE) / n_hom_var END AS het_hom_ratio,
+       CASE WHEN n_transversions > 0 THEN CAST(n_transitions AS DOUBLE) / n_transversions END AS ti_tv_ratio,
+       n_transitions, n_transversions, x_n_total, x_n_het,
+       CASE WHEN (CASE WHEN x_n_total > 0 THEN CAST(x_n_het AS DOUBLE) / x_n_total ELSE 0.0 END) <= 0.05 THEN 'M'
+            WHEN (CASE WHEN x_n_total > 0 THEN CAST(x_n_het AS DOUBLE) / x_n_total ELSE 0.0 END) >= 0.15 THEN 'F'
+            ELSE 'unknown' END AS sex_inferred,
+       mean_dp, mean_gq,
+       (CASE WHEN n_total > 0 THEN CAST(n_called AS DOUBLE) / n_total ELSE 0.0 END) >= 0.99 AS qc_pass
+FROM agg
+"""
+
+
 QUERIES = {
     "q_gx_variant_qc": q_gx_variant_qc,
     "q_gx_hwe": q_gx_hwe,
@@ -434,6 +578,8 @@ QUERIES = {
     "q_gx_prs_score": q_gx_prs_score,
     "q_gx_popmax": q_gx_popmax,
     "q_gx_chrom_order": q_gx_chrom_order,
+    "q_gx_cohort": q_gx_cohort,
+    "q_gx_sample_qc": q_gx_sample_qc,
 }
 
 ORACLE = {
@@ -445,4 +591,6 @@ ORACLE = {
     "q_gx_prs_score": Q_GX_PRS_SCORE_SQL,
     "q_gx_popmax": Q_GX_POPMAX_SQL,
     "q_gx_chrom_order": Q_GX_CHROM_ORDER_SQL,
+    "q_gx_cohort": Q_GX_COHORT_SQL,
+    "q_gx_sample_qc": Q_GX_SAMPLE_QC_SQL,
 }
