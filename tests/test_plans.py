@@ -141,6 +141,33 @@ def test_gwas_match_uses_join_not_collect(spark):
     assert "Join" in plan
 
 
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key join without an Exchange —
+    the co-located-join layout for repeated fact-fact joins at scale."""
+    from vcf_pg_loader_spark.sources.store import VariantStore
+
+    store = VariantStore(spark, str(tmp_path / "bstore"))
+    left = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    right = spark.range(0, 1000).withColumn("w", F.col("id") * 3)
+    store.write_bucketed(left, "bucketed_left", ["id"], n_buckets=8)
+    store.write_bucketed(right, "bucketed_right", ["id"], n_buckets=8)
+    # small frames would broadcast (which bypasses bucketing); force the
+    # shuffle-join path to observe the bucketed layout
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bucketed_left").join(
+            spark.table("bucketed_right"), "id"
+        )
+        plan = plan_of(joined, mode="simple")
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Bucketed: true" in plan
+        # neither side re-shuffles: no hashpartitioning exchange
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"

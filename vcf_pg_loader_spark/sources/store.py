@@ -176,6 +176,28 @@ class VariantStore:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.variants_path)
 
+    # -- bucketed layout (co-located joins) ------------------------------
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_cols: list[str],
+        n_buckets: int = 32,
+    ) -> None:
+        """Persist as a bucketed table: joins/aggregations on the bucket
+        key skip their shuffle entirely (both sides pre-partitioned).
+
+        The Spark-native answer to the reference's hash-partitioned
+        tables for parallel aggregation (genotypes/schema.py:38-48) —
+        asserted shuffle-free in tests/test_plans.py."""
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*bucket_cols)
+            .option("path", f"{self.root}/tables/{table}")
+            .saveAsTable(table)
+        )
+
     # -- query surface (reference latency tests, test_query_latency.py) --
     def query_region(self, chrom: str, start: int, end: int) -> DataFrame:
         """Region query: partition pruning on chrom + row-group min/max
