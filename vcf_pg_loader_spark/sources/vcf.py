@@ -155,8 +155,7 @@ class VCFHeader:
         return [k for k, v in self.info_fields.items() if v["Number"] == number]
 
 
-def read_header(path: str) -> VCFHeader:
-    """Read header lines from a local VCF(.gz) file on the driver."""
+def _header_lines(path: str) -> list[str]:
     opener = gzip.open if path.endswith(".gz") else open
     lines: list[str] = []
     with opener(path, "rb") as fh:
@@ -164,7 +163,31 @@ def read_header(path: str) -> VCFHeader:
             if not raw.startswith("#"):
                 break
             lines.append(raw.rstrip("\n"))
-    return VCFHeader.parse(lines)
+    return lines
+
+
+def _resolve_one(path: str) -> str:
+    """Globs/directories resolve to their first file (shards share a
+    header by construction)."""
+    import glob as _glob
+    import os as _os
+
+    if any(ch in path for ch in "*?[") or _os.path.isdir(path):
+        matches = sorted(_glob.glob(path)) or sorted(
+            _glob.glob(_os.path.join(path, "*"))
+        )
+        if matches:
+            return matches[0]
+    return path
+
+
+def _header_text(path: str) -> str:
+    return "\n".join(_header_lines(_resolve_one(path)))
+
+
+def read_header(path: str) -> VCFHeader:
+    """Read header lines from a local VCF(.gz) file on the driver."""
+    return VCFHeader.parse(_header_lines(_resolve_one(path)))
 
 
 # ---------------------------------------------------------------------------
@@ -289,6 +312,7 @@ def read_vcf(
     normalize: bool = False,
     human_genome: bool = True,
     min_info_score: float | None = None,
+    imputation_source: str | None = None,
 ) -> DataFrame:
     """Distributed VCF scan → decomposed, typed variants DataFrame.
 
@@ -409,20 +433,41 @@ def read_vcf(
     hgvs_p = F.coalesce(csq_f("HGVSp"), F.when(use_ann, ann_f("HGVS.p")))
     transcript = F.when(use_ann, ann_f("Feature_ID"))
 
-    # imputation metrics (parsers/imputation.py, simplified multi-source)
-    info_score = (
-        F.coalesce(
-            F.col("info")["INFO"], F.col("info")["R2"], F.col("info")["DR2"]
+    # imputation metrics: source-specific extraction when a source is
+    # named or detectable from the header; generic fallback otherwise
+    # (parsers/imputation.py semantics via functions/imputation.py)
+    from vcf_pg_loader_spark.functions.imputation import (
+        ImputationSource,
+        detect_imputation_source,
+        imputation_columns,
+    )
+
+    if imputation_source == "auto":
+        src = detect_imputation_source(_header_text(path))
+    elif imputation_source is not None:
+        src = ImputationSource(imputation_source)
+    else:
+        src = None
+
+    if src is not None and src != ImputationSource.UNKNOWN:
+        imp = imputation_columns(F.col("info"), src)
+        info_score = imp["info_score"]
+        is_imputed = imp["is_imputed"]
+        is_typed = imp["is_typed"]
+    else:
+        info_score = (
+            F.coalesce(
+                F.col("info")["INFO"], F.col("info")["R2"], F.col("info")["DR2"]
+            )
+            .try_cast("float")
         )
-        .try_cast("float")
-    )
-    is_imputed = (
-        F.map_contains_key(F.col("info"), "IMPUTED")
-        | F.map_contains_key(F.col("info"), "IMP")
-    )
-    is_typed = F.map_contains_key(F.col("info"), "TYPED") | F.map_contains_key(
-        F.col("info"), "GENOTYPED"
-    )
+        is_imputed = (
+            F.map_contains_key(F.col("info"), "IMPUTED")
+            | F.map_contains_key(F.col("info"), "IMP")
+        )
+        is_typed = F.map_contains_key(
+            F.col("info"), "TYPED"
+        ) | F.map_contains_key(F.col("info"), "GENOTYPED")
 
     out = df.select(
         chrom.alias("chrom"),
