@@ -28,8 +28,11 @@ def classify_gt(gt: Column) -> Column:
     parts = F.split(g, "/")
     a1 = F.element_at(parts, 1)
     a2 = F.when(F.size(parts) >= 2, F.element_at(parts, 2))
-    a1n = F.when(a1.rlike("^[0-9]+$"), a1.cast("int"))
-    a2n = F.when(a2.rlike("^[0-9]+$"), a2.cast("int"))
+    # try_cast instead of a regex guard: non-integer alleles -> NULL with
+    # no per-row regex evaluation (this is the hot path of every QC agg),
+    # matching the reference's int() parse semantics (variant_qc.py:68-75)
+    a1n = a1.try_cast("int")
+    a2n = a2.try_cast("int")
     return (
         F.when(gt.isNull() | gt.isin(".", "./.", ".|."), F.lit(None))
         # haploid (no separator): single numeric allele

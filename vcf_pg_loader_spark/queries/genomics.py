@@ -36,7 +36,12 @@ BASES = ["A", "C", "G", "T"]
 # synthetic frames (Spark side) and their SQL CTE twins
 # ---------------------------------------------------------------------------
 def synth_genotypes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Long genotype frame from lineitem: one call per line item."""
+    """Long genotype frame from lineitem: one call per line item.
+
+    Projection happens BEFORE the parallelism widening so the round-robin
+    shuffle carries 6 narrow columns, not the full lineitem row."""
+    from vcf_pg_loader_spark.operators._parallel import ensure_min_parallelism
+
     li = load_table(spark, sf_dir, "lineitem")
     gt = (
         F.when((F.col("l_partkey") + F.col("l_linenumber")) % 5 == 0, "0/0")
@@ -45,7 +50,7 @@ def synth_genotypes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when((F.col("l_partkey") + F.col("l_linenumber")) % 5 == 3, "./.")
         .otherwise("0|1")
     )
-    return li.select(
+    out = li.select(
         F.lit("chr1").alias("chrom"),
         (F.col("l_partkey") * 100).cast("bigint").alias("pos"),
         F.lit("A").alias("ref"),
@@ -53,6 +58,7 @@ def synth_genotypes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").cast("string").alias("sample_id"),
         gt.alias("gt"),
     )
+    return ensure_min_parallelism(out)
 
 
 SQL_GENOTYPES = """
@@ -430,17 +436,21 @@ LIMIT 50
 # variant (COUNT DISTINCT), rare-in-cohort filter, per-sample burden
 # ---------------------------------------------------------------------------
 def q_gx_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    gts = synth_genotypes(spark, sf_dir)
-    carries = F.col("_cls").isin("het", "hom_alt")
     from vcf_pg_loader_spark.qc.variant_qc import classify_gt
 
-    g = gts.withColumn("_cls", classify_gt(F.col("gt")))
+    gts = synth_genotypes(spark, sf_dir)
+    # carrier predicate folded INTO the aggregate (countDistinct skips
+    # nulls) rather than a filter: a pre-aggregation filter would be
+    # pushed below the parallelism repartition and evaluate the classify
+    # expression on the narrow scan partition
+    cls = classify_gt(F.col("gt"))
+    carrier_sample = F.when(cls.isin("het", "hom_alt"), F.col("sample_id"))
     per_variant = (
-        g.filter(carries)
-        .groupBy("chrom", "pos", "ref", "alt")
-        .agg(F.countDistinct("sample_id").alias("n_carriers"))
+        gts.groupBy("chrom", "pos", "ref", "alt")
+        .agg(F.countDistinct(carrier_sample).alias("n_carriers"))
+        .filter(F.col("n_carriers") > 0)
     )
-    n_samples = g.select("sample_id").distinct().count()
+    n_samples = gts.select("sample_id").distinct().count()
     return per_variant.filter(
         F.col("n_carriers") <= F.lit(int(n_samples * 0.6))
     ).withColumn("cohort_freq", F.col("n_carriers").cast("double") / n_samples)
@@ -472,6 +482,8 @@ Q_GX_COHORT_SQL = _cohort_sql()
 # chrX sites, and DP/GQ)
 # ---------------------------------------------------------------------------
 def synth_genotypes_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators._parallel import ensure_min_parallelism
+
     li = load_table(spark, sf_dir, "lineitem")
     k = F.col("l_partkey")
     ref_i = k % 4
@@ -484,7 +496,7 @@ def synth_genotypes_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when((k + F.col("l_linenumber")) % 5 == 3, "./.")
         .otherwise("0|1")
     )
-    return li.select(
+    out = li.select(
         F.when(k % 10 == 0, F.lit("chrX"))
         .otherwise(F.concat(F.lit("chr"), ((k % 9) + 1).cast("string")))
         .alias("chrom"),
@@ -499,6 +511,7 @@ def synth_genotypes_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_linenumber") * 10 + 5).cast("int").alias("dp"),
         ((k % 60) + 20).cast("int").alias("gq"),
     )
+    return ensure_min_parallelism(out)
 
 
 SQL_GENOTYPES_RICH = """
