@@ -6,6 +6,11 @@ values (columns sorted by name, rows sorted by their full tuple) EXACTLY
 — including bit-equality of doubles, which is stricter than any sane
 driver hash, so passing here should pass there.
 
+Both sides are fetched THROUGH PANDAS (Spark toPandas / DuckDB .df())
+because that is the path the driver hashes: dtype-representation bugs
+like DuckDB SUM(BIGINT) -> HUGEINT -> float64 ("5.0" vs "5") only
+surface there, never in Python-tuple fetches (round-1 lesson).
+
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
@@ -21,10 +26,25 @@ sys.path.insert(0, "/root/repo")
 
 
 def norm_cell(v):
+    import datetime as dt
+
+    import pandas as pd
+
+    if v is None or v is pd.NaT or v is pd.NA:
+        return "None"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(v)  # full precision
+        return repr(float(v))  # full precision; np.float64 -> float
+    # Date-vs-midnight-timestamp is a dtype artifact, not a value
+    # difference (Spark DATE -> datetime.date, DuckDB DATE/TIMESTAMP
+    # -> pandas Timestamp); the driver hash treats them as equal.
+    if isinstance(v, (pd.Timestamp, dt.datetime)):
+        if v.hour == v.minute == v.second == 0 and getattr(v, "microsecond", 0) == 0:
+            return v.strftime("%Y-%m-%d")
+        return v.isoformat(sep=" ")
+    if isinstance(v, dt.date):
+        return v.strftime("%Y-%m-%d")
     return str(v)
 
 
@@ -61,8 +81,9 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
@@ -72,9 +93,9 @@ def main() -> int:
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(oracles[name]).df()
+            dcols = list(dpdf.columns)
+            drows = [tuple(r) for r in dpdf.itertuples(index=False, name=None)]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")

@@ -443,7 +443,7 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_EVENTS_JSON_SQL = """
 SELECT event_type,
-       SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*) FILTER (WHERE CAST(props->>'$.k' AS BIGINT) > 50) AS n_high_k,
        COUNT(*) AS n_events
 FROM events
@@ -496,7 +496,7 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_EVENTS_SESSIONS_SQL = """
-SELECT user_id, SUM(is_new) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM (
   SELECT user_id,
          CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new

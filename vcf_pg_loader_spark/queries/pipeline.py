@@ -248,7 +248,7 @@ WITH m AS (
   FROM documents
 )
 SELECT source, COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        CAST(SUM(CAST(distinct_ratio AS DECIMAL(18,6))) AS DOUBLE) AS sum_distinct_ratio,
        CAST(SUM(CAST(stopword_ratio AS DECIMAL(18,6))) AS DOUBLE) AS sum_stopword_ratio,
        CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality,
