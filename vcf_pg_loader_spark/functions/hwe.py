@@ -40,8 +40,18 @@ def hwe_pvalue_py(n_het: int, n_hom_ref: int, n_hom_alt: int) -> float:
     if n_het >= len(probs):
         return 1.0
     p_obs = probs[n_het]
-    p_value = float(probs[probs <= p_obs + 1e-10].sum())
-    return min(1.0, p_value)
+    # Sequential (index-ordered) accumulation, NOT probs[mask].sum():
+    # numpy's pairwise summation has an implementation-defined grouping
+    # that a SQL left-fold cannot reproduce; a plain ordered loop is a
+    # well-defined IEEE op sequence that the DuckDB oracle twin
+    # (queries/genomics.py Q_GX_HWE_SQL) replicates bit-for-bit via
+    # list_reduce.  Arrays are tiny (<= max_het+1) and memoized upstream.
+    threshold = p_obs + 1e-10
+    p_value = 0.0
+    for v in probs:
+        if v <= threshold:
+            p_value += v
+    return min(1.0, float(p_value))
 
 
 def _het_probs(n: int, n_a: int, n_b: int) -> np.ndarray | None:

@@ -161,7 +161,16 @@ FROM c
 
 
 # ---------------------------------------------------------------------------
-# HWE (UDF — not SQL-expressible; rows-only check, no oracle entry)
+# HWE exact test (Wigginton 2005) with a recursive-CTE DuckDB oracle.
+#
+# The reference proves SQL-expressibility in plpgsql
+# (validation/sql_functions.py:28-156); here the same recursion is a
+# DuckDB recursive CTE that replicates functions/hwe.py op-for-op:
+#   - down/up chains thread the unnormalized prob through the recursion
+#     with the exact IEEE expression shapes of _het_probs,
+#   - both ordered float accumulations (total, masked p-value sum) are
+#     list_reduce left-folds matching the kernel's sequential loops,
+# so the p-values agree bit-for-bit before the shared ROUND(…, 9).
 # ---------------------------------------------------------------------------
 def q_gx_hwe(spark: SparkSession, sf_dir: str) -> DataFrame:
     gts = synth_genotypes(spark, sf_dir)
@@ -169,6 +178,106 @@ def q_gx_hwe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chrom", "pos", "ref", "alt", "n_het", "n_hom_ref", "n_hom_alt",
         F.round(F.col("hwe_p"), 9).alias("hwe_p"),
     )
+
+
+Q_GX_HWE_SQL = f"""
+WITH RECURSIVE g AS ({SQL_GENOTYPES}),
+c AS (
+  SELECT pos,
+         COUNT(*) FILTER (WHERE {SQL_GT_CLASS} = 'het') AS n_het,
+         COUNT(*) FILTER (WHERE {SQL_GT_CLASS} = 'hom_ref') AS n_hom_ref,
+         COUNT(*) FILTER (WHERE {SQL_GT_CLASS} = 'hom_alt') AS n_hom_alt
+  FROM g GROUP BY pos
+),
+base AS (
+  SELECT pos, n_het, n_hom_ref, n_hom_alt,
+         n_het + n_hom_ref + n_hom_alt AS n,
+         2 * n_hom_ref + n_het AS na,
+         2 * n_hom_alt + n_het AS nb
+  FROM c
+),
+-- mid selection, mirroring _het_probs (functions/hwe.py)
+m2 AS (
+  SELECT pos, n_het, na, nb, min_het, max_het,
+         CASE WHEN mid0a > max_het OR mid0a < min_het THEN min_het
+              ELSE mid0a END AS mid
+  FROM (
+    SELECT *,
+           CASE WHEN mid0 % 2 != min_het % 2
+                THEN CASE WHEN mid0 < max_het THEN mid0 + 1 ELSE mid0 - 1 END
+                ELSE mid0 END AS mid0a
+    FROM (
+      SELECT pos, n_het, na, nb,
+             abs(na - nb) % 2 AS min_het,
+             least(na, nb) AS max_het,
+             (abs(na - nb) % 2 + least(na, nb)) // 2 AS mid0
+      FROM base
+      WHERE n > 0 AND na > 0 AND nb > 0 AND n_het <= least(na, nb)
+    )
+  )
+),
+down AS (
+  SELECT pos, min_het, na, nb, mid AS h, CAST(1.0 AS DOUBLE) AS p, 0 AS step
+  FROM m2
+  UNION ALL
+  SELECT pos, min_het, na, nb, h - 2 AS h,
+         p * h * (h - 1) / (4.0 * ((na - h) // 2) * ((nb - h) // 2)) AS p,
+         step + 1 AS step
+  FROM down
+  WHERE h > min_het AND h - 2 >= 0
+    AND (na - h) // 2 > 0 AND (nb - h) // 2 > 0
+),
+up AS (
+  SELECT pos, max_het, na, nb, mid AS h, CAST(1.0 AS DOUBLE) AS p, 0 AS step
+  FROM m2
+  UNION ALL
+  SELECT pos, max_het, na, nb, h + 2 AS h,
+         p * 4.0 * ((na - h) // 2) * ((nb - h) // 2) / ((h + 2) * (h + 1)) AS p,
+         step + 1 AS step
+  FROM up
+  WHERE h < max_het AND h + 2 <= max_het
+    AND (na - h) // 2 >= 0 AND (nb - h) // 2 >= 0
+),
+-- every unnormalized prob, ordered exactly as the kernel accumulates:
+-- mid first (down step 0), then the down chain, then the up chain
+probs AS (
+  SELECT pos, h, p, step AS ord FROM down
+  UNION ALL
+  SELECT pos, h, p, 1000000 + step AS ord FROM up WHERE step > 0
+),
+tot AS (
+  SELECT pos, list_reduce(list(p ORDER BY ord), (a, b) -> a + b) AS total
+  FROM probs GROUP BY pos
+),
+normed AS (
+  SELECT probs.pos, probs.h, probs.p / tot.total AS np
+  FROM probs JOIN tot ON probs.pos = tot.pos
+),
+-- p_obs is 0.0 when the recursion never reached index n_het (gap rows)
+obs AS (
+  SELECT m2.pos, COALESCE(n.np, CAST(0.0 AS DOUBLE)) + 1e-10 AS threshold
+  FROM m2 LEFT JOIN normed n ON n.pos = m2.pos AND n.h = m2.n_het
+),
+pv AS (
+  SELECT o.pos,
+         least(CAST(1.0 AS DOUBLE),
+               list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                              COALESCE(list(n.np ORDER BY n.h)
+                                         FILTER (WHERE n.np <= o.threshold),
+                                       [])),
+                 (a, b) -> a + b)) AS p_raw
+  FROM obs o JOIN normed n ON n.pos = o.pos
+  GROUP BY o.pos, o.threshold
+)
+SELECT 'chr1' AS chrom, b.pos, 'A' AS ref, 'G' AS alt,
+       b.n_het, b.n_hom_ref, b.n_hom_alt,
+       ROUND(CASE WHEN b.n = 0 THEN NULL
+                  WHEN b.na = 0 OR b.nb = 0 THEN CAST(1.0 AS DOUBLE)
+                  WHEN b.n_het > least(b.na, b.nb) THEN NULL
+                  ELSE pv.p_raw END, 9) AS hwe_p
+FROM base b LEFT JOIN pv ON pv.pos = b.pos
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -597,7 +706,7 @@ QUERIES = {
 
 ORACLE = {
     "q_gx_variant_qc": Q_GX_VARIANT_QC_SQL,
-    # q_gx_hwe: recursive exact test is not SQL-expressible -> rows-only
+    "q_gx_hwe": Q_GX_HWE_SQL,
     "q_gx_harmonize": Q_GX_HARMONIZE_SQL,
     "q_gx_denovo": Q_GX_DENOVO_SQL,
     "q_gx_compound_het": Q_GX_COMPOUND_HET_SQL,
