@@ -82,3 +82,22 @@ def test_imputation_source_wiring(spark, tmp_path):
     row = read_vcf(spark, str(p), imputation_source="auto").collect()[0]
     assert row.info_score == pytest.approx(0.85)
     assert row.is_imputed is True and row.is_typed is False
+
+
+def test_beagle_is_typed_false_when_dr2_missing(spark, tmp_path):
+    """Missing DR2 must yield is_typed=False (reference default), not
+    NULL — a NULL would be dropped by both `is_typed` and `NOT is_typed`
+    filters."""
+    p = tmp_path / "beagle.vcf"
+    p.write_text(
+        "##fileformat=VCFv4.2\n"
+        "##source=beagle5\n"
+        '##INFO=<ID=DR2,Number=1,Type=Float,Description="r2">\n'
+        '##INFO=<ID=IMP,Number=0,Type=Flag,Description="i">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "chr1\t100\t.\tA\tG\t50\tPASS\tDR2=1.0\n"
+        "chr1\t200\t.\tC\tT\t50\tPASS\tDP=3\n"
+    )
+    rows = {r.pos: r for r in read_vcf(spark, str(p), imputation_source="auto").collect()}
+    assert rows[100].is_typed is True
+    assert rows[200].is_typed is False  # not None

@@ -32,3 +32,13 @@ def test_salted_join_equals_plain(spark):
     left_plain = big.join(small, ["key"], "left").count()
     left_salted = salted_join(big, small, ["key"], how="left").count()
     assert left_salted == left_plain
+
+
+def test_salted_join_rejects_small_side_preserving_how(spark):
+    import pytest
+
+    big = spark.createDataFrame([("a", 1)], ["key", "v"])
+    small = spark.createDataFrame([("a", "A")], ["key", "tag"])
+    for how in ("right", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="big-side-preserving"):
+            salted_join(big, small, ["key"], how=how)

@@ -72,8 +72,11 @@ def imputation_columns(
             "info_score": dr2,
             "imputation_r2": dr2,
             "is_imputed": imputed,
-            # DR2 == 1.0 without the IMP flag -> directly genotyped
-            "is_typed": (~imputed) & (dr2 >= 1.0),
+            # DR2 == 1.0 without the IMP flag -> directly genotyped.
+            # coalesce: missing DR2 makes the comparison NULL, but the
+            # reference defaults is_typed to False (not missing), and
+            # boolean filters must not silently drop those rows.
+            "is_typed": F.coalesce((~imputed) & (dr2 >= 1.0), F.lit(False)),
             "imputation_source": F.lit("beagle"),
         }
     if source == ImputationSource.IMPUTE2:

@@ -53,12 +53,23 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
 
     Built with sequence+transform (JVM-side) then exploded; the explode is
     the only row-multiplying step and feeds a single downstream groupBy.
+
+    Docs with fewer than n tokens yield NO shingles: the gram branch is
+    gated on size(toks) >= n so every element_at index is in bounds
+    (bare element_at throws under Spark 4 ANSI mode), and the DuckDB twin
+    drops the same docs because its out-of-range t[i] makes the || chain
+    NULL and list_distinct strips NULLs.
     """
     toks = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
-    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     df = ensure_min_parallelism(df)
     return df.select(
         F.col(id_col).alias("doc_id"),

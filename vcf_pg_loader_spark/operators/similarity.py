@@ -94,10 +94,19 @@ def cosine_topk(
 
 
 def sign_bucket(vec: Column, bits: int = 8) -> Column:
-    """Sign-pattern LSH bucket from the first `bits` components."""
+    """Sign-pattern LSH bucket from the first `bits` components.
+
+    try_element_at (not element_at): a vector shorter than `bits` yields
+    NULL components, NULL > 0 is not true, so missing components count as
+    non-positive — identical to the SQL twin, where out-of-range vec[j]
+    is NULL and the CASE falls through to 0.  Bare element_at would throw
+    under Spark 4 ANSI mode instead.
+    """
     b: Column = F.lit(0)
     for j in range(bits):
-        b = b + F.when(F.element_at(vec, j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        b = b + F.when(F.try_element_at(vec, F.lit(j + 1)) > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
     return b.cast("bigint")
 
 

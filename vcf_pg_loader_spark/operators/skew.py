@@ -44,8 +44,21 @@ def salted_join(
     the big side spread across reducers.
 
     big rows get a deterministic hash-derived salt; small rows are
-    exploded over all salts.  Result equals big.join(small, key, how).
+    exploded over all salts.  Result equals big.join(small, key, how)
+    for big-side-preserving joins ONLY — right/full outer would emit
+    every unmatched small-side row once per salt replica, so those are
+    rejected.
     """
+    allowed = {
+        "inner", "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins only, got {how!r}: "
+            "the replicated small side would duplicate unmatched rows in "
+            "right/full outer results"
+        )
     big_salted = big.withColumn(
         "_salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salts)),
