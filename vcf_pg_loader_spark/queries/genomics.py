@@ -559,10 +559,20 @@ def q_gx_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct(carrier_sample).alias("n_carriers"))
         .filter(F.col("n_carriers") > 0)
     )
-    n_samples = gts.select("sample_id").distinct().count()
-    return per_variant.filter(
-        F.col("n_carriers") <= F.lit(int(n_samples * 0.6))
-    ).withColumn("cohort_freq", F.col("n_carriers").cast("double") / n_samples)
+    # n_samples as a 1-row aggregate crossJoined broadcast (the
+    # q_gx_prs_score pattern) — no eager driver-side .count() mid-query,
+    # no second scheduled job over the genotype scan.
+    n = gts.agg(F.countDistinct("sample_id").alias("n_samples"))
+    return (
+        per_variant.crossJoin(F.broadcast(n))
+        .filter(F.col("n_carriers") <= F.floor(F.col("n_samples") * 0.6))
+        .select(
+            "chrom", "pos", "ref", "alt", "n_carriers",
+            (F.col("n_carriers").cast("double") / F.col("n_samples")).alias(
+                "cohort_freq"
+            ),
+        )
+    )
 
 
 def _cohort_sql() -> str:
