@@ -98,3 +98,30 @@ class TestShortVectorSignBucket:
             ).fetchall()
         )
         assert got == want
+
+
+class TestPrefixFilteredJaccard:
+    def test_equals_naive_self_join(self, spark):
+        """Prefix filtering is a pruning, not an approximation: output
+        must equal the naive all-pairs shingle self-join, including on a
+        corpus with a hot shingle shared by every doc."""
+        from vcf_pg_loader_spark.operators.dedup import (
+            jaccard_pairs,
+            prefix_filtered_jaccard_pairs,
+        )
+
+        hot = "the quick brown"
+        rows = [
+            (1, f"{hot} fox jumps over the lazy dog"),
+            (2, f"{hot} fox jumps over the lazy cat"),
+            (3, f"{hot} fox leaps over the lazy dog"),
+            (4, f"{hot} entirely different tail of words here"),
+            (5, "unrelated text with no overlap at all present"),
+            (6, f"{hot} fox jumps over the lazy dog"),  # exact dup of 1
+        ]
+        sh = shingles(_docs(spark, rows), "doc_id", "text", n=3).persist()
+        for t in (0.5, 0.8):
+            naive = {tuple(r) for r in jaccard_pairs(sh, t).collect()}
+            fast = {tuple(r) for r in prefix_filtered_jaccard_pairs(sh, t).collect()}
+            assert fast == naive and (t > 0.5 or len(naive) > 0)
+        sh.unpersist()

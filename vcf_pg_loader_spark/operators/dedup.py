@@ -125,6 +125,94 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def prefix_filtered_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard-similar pairs via prefix filtering (AllPairs/PPJoin).
+
+    Same output as :func:`jaccard_pairs`, scale-safe plan: if
+    Jaccard(A,B) >= t, A and B must share a shingle within each one's
+    first |S| - ceil(t*|S|) + 1 shingles under any global total order.
+    Ordering shingles by ascending document frequency makes the prefix
+    the RAREST shingles, so the candidate self-join runs on cold keys —
+    the hot-shingle quadratic blowup of the naive self-join cannot
+    occur.  Candidates then go through exact verification
+    (:func:`verify_candidate_jaccard`), so the filter only ever prunes,
+    never approximates.
+
+    +2 (not +1) prefix slack: the bound needs ceil of the exact real
+    t*|S|; one extra shingle makes any double-rounding wobble at integer
+    boundaries harmless on both engines.
+
+    sh: output of :func:`shingles` — persist it first (feeds the df
+    counts, the prefixes, and verification).
+    """
+    from pyspark.sql.window import Window
+
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # rank and size share ONE doc_id exchange: n_sh comes from a window
+    # count over the same partition key, not a separate sizes join.
+    w_rank = Window.partitionBy("doc_id").orderBy(F.asc("_df"), F.asc("shingle"))
+    w_doc = Window.partitionBy("doc_id")
+    prefix = (
+        sh.join(dfc, "shingle")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_sh", F.count(F.lit(1)).over(w_doc))
+        .filter(
+            F.col("rn")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 2
+        )
+        .select("doc_id", "shingle")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    return verify_candidate_jaccard(cands, sh, threshold)
+
+
+def sql_prefix_filtered_jaccard(sh_sql: str, threshold: float) -> str:
+    """DuckDB twin of :func:`prefix_filtered_jaccard_pairs`."""
+    return f"""
+WITH sh AS ({sh_sql}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+dfc AS (SELECT shingle, COUNT(*) AS _df FROM sh GROUP BY shingle),
+ranked AS (
+  SELECT sh.doc_id, sh.shingle, sizes.n_sh,
+         row_number() OVER (PARTITION BY sh.doc_id
+                            ORDER BY dfc._df, sh.shingle) AS rn
+  FROM sh JOIN dfc USING (shingle) JOIN sizes USING (doc_id)
+),
+prefix AS (
+  SELECT doc_id, shingle FROM ranked
+  WHERE rn <= n_sh - CAST(ceil({threshold} * n_sh) AS BIGINT) + 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM prefix a JOIN prefix b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.d1
+  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT d1, d2, n_inter,
+       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = d1
+JOIN sizes sb ON sb.doc_id = d2
+WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}
+"""
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH banding
 # --------------------------------------------------------------------------

@@ -39,32 +39,22 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
-# n-gram Jaccard near-dup pairs (exact pairwise via shingle self-join)
+# n-gram Jaccard near-dup pairs — EXACT pairwise, prefix-filtered plan
+# (AllPairs/PPJoin): identical output to the naive shingle self-join,
+# but the join key set is each doc's rarest shingles, so hot shingles
+# never explode the join.  The naive plan (D.jaccard_pairs) remains
+# available for candidate verification.
 # --------------------------------------------------------------------------
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     docs = load_table(spark, sf_dir, "documents")
     sh = D.shingles(docs, "doc_id", "text", NGRAM).persist(StorageLevel.MEMORY_AND_DISK)
-    return D.jaccard_pairs(sh, JACCARD_T)
+    return D.prefix_filtered_jaccard_pairs(sh, JACCARD_T)
 
 
 _SH = D.sql_shingles(NGRAM)
-Q_NGRAM_JACCARD_SQL = f"""
-WITH sh AS ({_SH}),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT d1, d2, n_inter,
-       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = d1
-JOIN sizes sb ON sb.doc_id = d2
-WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {JACCARD_T}
-"""
+Q_NGRAM_JACCARD_SQL = D.sql_prefix_filtered_jaccard(_SH, JACCARD_T)
 
 
 # --------------------------------------------------------------------------
