@@ -128,3 +128,73 @@ def test_sql_registration(spark):
     assert row.n == 200.0
     assert row.af == pytest.approx(0.5)
     assert row.hp == pytest.approx(1.0, abs=0.01)
+
+
+class TestClinvarNormalization:
+    """Vectors ported from reference tests/test_type_mapping.py plus the
+    compound/quirk cases of type_mapping.py:106-138."""
+
+    VECTORS = [
+        ("Pathogenic", "pathogenic"),
+        ("Likely_pathogenic", "likely_pathogenic"),
+        ("Benign", "benign"),
+        ("Likely_benign", "likely_benign"),
+        ("Uncertain_significance", "vus"),
+        ("Conflicting_interpretations_of_pathogenicity", "conflicting"),
+        ("Benign,Pathogenic", "pathogenic"),
+        ("Uncertain_significance/Pathogenic", "pathogenic"),
+        ("Benign,Likely_pathogenic", "likely_pathogenic"),
+        ("", "not_provided"),
+        (None, "not_provided"),
+        ("drug_response", "drug_response"),
+        ("risk_factor", "risk_factor"),
+        # unmapped tokens lower-case through
+        ("Affects", "affects"),
+        # reference quirk: benign suppressed when any token CONTAINS
+        # 'pathogenic' (substring test over the list repr)
+        ("Benign,Pathogenic_low_penetrance", "benign_or_not"),
+    ]
+
+    def test_vectors(self, spark):
+        from vcf_pg_loader_spark.functions.genomics import normalize_clinvar_sig
+
+        rows = [(i, v) for i, (v, _) in enumerate(self.VECTORS)]
+        df = spark.createDataFrame(rows, "id int, raw string")
+        got = {
+            r.id: r.norm
+            for r in df.select(
+                "id", normalize_clinvar_sig(F.col("raw")).alias("norm")
+            ).collect()
+        }
+        for i, (raw, want) in enumerate(self.VECTORS):
+            if want == "benign_or_not":
+                continue
+            assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+    def test_benign_suppressed_by_pathogenic_substring(self, spark):
+        """Python-twin check of the reference's str(list) containment
+        quirk: 'Benign,Pathogenic_low_penetrance' must NOT normalize to
+        benign (falls through to the first token)."""
+        from vcf_pg_loader_spark.functions.genomics import normalize_clinvar_sig
+
+        df = spark.createDataFrame(
+            [(1, "Benign,Pathogenic_low_penetrance")], "id int, raw string"
+        )
+        out = df.select(normalize_clinvar_sig(F.col("raw")).alias("n")).collect()[0].n
+        assert out == "benign"  # first token after fallthrough
+
+    def test_scan_applies_normalization(self, spark, tmp_path):
+        from vcf_pg_loader_spark.sources.vcf import read_vcf
+
+        p = tmp_path / "clnsig.vcf"
+        p.write_text(
+            "##fileformat=VCFv4.2\n"
+            '##INFO=<ID=CLNSIG,Number=.,Type=String,Description="sig">\n'
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+            "chr1\t100\t.\tA\tG\t50\tPASS\tCLNSIG=Benign/Pathogenic\n"
+            "chr1\t200\t.\tC\tT\t50\tPASS\tDP=3\n"
+        )
+        rows = {r.pos: r for r in read_vcf(spark, str(p)).collect()}
+        assert rows[100].clinvar_sig == "pathogenic"
+        assert rows[100].clinvar_sig_raw == "Benign/Pathogenic"
+        assert rows[200].clinvar_sig is None  # absent stays NULL

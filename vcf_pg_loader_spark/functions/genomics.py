@@ -158,6 +158,58 @@ def worst_impact(impacts: Column) -> Column:
     )
 
 
+# Reference type_mapping.py:90-103 — raw CLNSIG token -> normalized label.
+CLINVAR_SIGNIFICANCE_MAP: dict[str, str] = {
+    "Benign": "benign",
+    "Likely_benign": "likely_benign",
+    "Uncertain_significance": "vus",
+    "Likely_pathogenic": "likely_pathogenic",
+    "Pathogenic": "pathogenic",
+    "Conflicting_interpretations_of_pathogenicity": "conflicting",
+    "drug_response": "drug_response",
+    "risk_factor": "risk_factor",
+    "association": "association",
+    "protective": "protective",
+    "not_provided": "not_provided",
+    "other": "other",
+}
+
+
+def _map_clinvar_part(p: Column) -> Column:
+    out = F.lower(p)
+    for raw, norm in reversed(CLINVAR_SIGNIFICANCE_MAP.items()):
+        out = F.when(p == raw, F.lit(norm)).otherwise(out)
+    return out
+
+
+def normalize_clinvar_sig(raw: Column) -> Column:
+    """Normalize a ClinVar CLNSIG value (type_mapping.py:106-138).
+
+    Compound values split on ','/'/' are mapped token-wise, then resolved
+    by clinical priority: pathogenic > likely_pathogenic > benign >
+    likely_benign > conflicting > first token.  The benign branch is
+    suppressed when ANY token merely CONTAINS "pathogenic" — the
+    reference checks `'pathogenic' not in str(normalized_parts)`, a
+    substring test over the list repr, and unmapped tokens like
+    "pathogenic_low_penetrance" must keep tripping it here.
+    NULL / empty input -> 'not_provided', as in the reference.
+    """
+    parts = F.transform(
+        F.split(F.translate(raw, "/", ","), ","), lambda p: F.trim(p)
+    )
+    mapped = F.transform(parts, _map_clinvar_part)
+    contains_pathogenic = F.exists(mapped, lambda m: m.contains("pathogenic"))
+    resolved = (
+        F.when(F.array_contains(mapped, "pathogenic"), "pathogenic")
+        .when(F.array_contains(mapped, "likely_pathogenic"), "likely_pathogenic")
+        .when(F.array_contains(mapped, "benign") & ~contains_pathogenic, "benign")
+        .when(F.array_contains(mapped, "likely_benign"), "likely_benign")
+        .when(F.array_contains(mapped, "conflicting"), "conflicting")
+        .otherwise(F.coalesce(F.try_element_at(mapped, F.lit(1)), F.lit("not_provided")))
+    )
+    return F.when(raw.isNull() | (raw == ""), F.lit("not_provided")).otherwise(resolved)
+
+
 def register_sql_functions(spark: SparkSession) -> None:
     """Register SQL-callable twins of the reference's Postgres functions
     (validation/sql_functions.py:20-26) so `spark.sql` keeps parity.

@@ -59,6 +59,7 @@ VARIANTS_SCHEMA = T.StructType(
         T.StructField("af_gnomad", T.FloatType(), True),
         T.StructField("cadd_phred", T.FloatType(), True),
         T.StructField("clinvar_sig", T.StringType(), True),
+        T.StructField("clinvar_sig_raw", T.StringType(), True),
         T.StructField("is_coding", T.BooleanType(), True),
         T.StructField("is_lof", T.BooleanType(), True),
         T.StructField("normalized", T.BooleanType(), True),

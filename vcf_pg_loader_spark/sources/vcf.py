@@ -31,6 +31,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vcf_pg_loader_spark.functions.genomics import normalize_clinvar_sig
 from vcf_pg_loader_spark.functions.normalize import (
     classify_variant_expr,
     normalize_struct,
@@ -500,7 +501,14 @@ def read_vcf(
         hgvs_p.alias("hgvs_p"),
         F.col("info")["gnomAD_AF"].try_cast("float").alias("af_gnomad"),
         F.col("info")["CADD_PHRED"].try_cast("float").alias("cadd_phred"),
-        F.col("info")["CLNSIG"].alias("clinvar_sig"),
+        # Normalized significance (type_mapping.py:106-138), NULL-gated:
+        # a variant with no ClinVar annotation stays NULL rather than
+        # asserting 'not_provided'; the raw CLNSIG rides alongside.
+        F.when(
+            F.col("info")["CLNSIG"].isNotNull(),
+            normalize_clinvar_sig(F.col("info")["CLNSIG"]),
+        ).alias("clinvar_sig"),
+        F.col("info")["CLNSIG"].alias("clinvar_sig_raw"),
         was_norm.alias("normalized"),
         original_pos.cast("bigint").alias("original_pos"),
         original_ref.alias("original_ref"),
