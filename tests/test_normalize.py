@@ -125,3 +125,139 @@ def test_classify(spark):
         [("A", "G"), ("A", "AT"), ("AT", "GC"), ("A", "<DEL>")], ["ref", "alt"]
     ).select(classify_variant_expr(F.col("ref"), F.col("alt")).alias("t"))
     assert [r.t for r in df.collect()] == ["snp", "indel", "mnp", "sv"]
+
+
+# ---------------------------------------------------------------------------
+# Left extension with a reference genome — vt test vectors ported from the
+# reference tests/test_normalizer_vt.py (source data: vt/test/ref/20.fa.gz
+# and vt/test/normalize/01_IN.vcf -> 01_OUT.vcf).
+# ---------------------------------------------------------------------------
+CHR20_BASES = {
+    421805: "T", 421806: "C", 421807: "C",
+    2171402: "T", 2171403: "A",
+    3373437: "G", 3373438: "C", 3373439: "T", 3373440: "T",
+    3635158: "A",
+    4422115: "G", 4422116: "G", 4422117: "G", 4422118: "A",
+    5900669: "G",
+}
+
+VT_CASES = [
+    # (pos, ref, alt) -> (pos, ref, alt); needs_ext
+    ((421808, "A", "ACCA"), (421805, "T", "TCCA"), True),
+    ((1292033, "C", "CTTGT"), (1292033, "C", "CTTGT"), False),
+    ((1600125, "GAA", "G"), (1600125, "GAA", "G"), False),
+    ((2171404, "A", "AA"), (2171402, "T", "TA"), True),
+    ((3373441, "TCTTT", "T"), (3373437, "GCTTT", "G"), True),
+    ((3635159, "T", "TT"), (3635158, "A", "AT"), True),
+    (
+        (4422119, "GCTCCCAGGCTACAGAAAGATGATGGAG", "G"),
+        (4422115, "GGGAGCTCCCAGGCTACAGAAAGATGAT", "G"),
+        True,
+    ),
+    ((5900670, "C", "CC"), (5900669, "G", "GC"), True),
+]
+
+
+class TestLeftExtension:
+    def _genome(self):
+        from vcf_pg_loader_spark.functions.normalize import ReferenceBases
+
+        return ReferenceBases.from_points({"20": CHR20_BASES})
+
+    def test_python_twin_matches_vt(self):
+        from vcf_pg_loader_spark.functions.normalize import normalize_variant_py
+
+        g = self._genome()
+        for (p, r, a), (ep, er, ea), _ in VT_CASES:
+            np_, nr, nalts = normalize_variant_py(
+                p, r, [a], fetch_base=lambda q: g.base("20", q)
+            )
+            assert (np_, nr, nalts[0]) == (ep, er, ea), (p, r, a)
+
+    def test_flag_expression_marks_extension_cases(self, spark):
+        from vcf_pg_loader_spark.functions.normalize import (
+            needs_left_extension_expr,
+        )
+
+        rows = [(i, p, r, a) for i, ((p, r, a), _, _) in enumerate(VT_CASES)]
+        df = spark.createDataFrame(rows, "id int, pos bigint, ref string, alt string")
+        got = {
+            r.id: r.flag
+            for r in df.select(
+                "id",
+                needs_left_extension_expr(
+                    F.col("pos"), F.col("ref"), F.col("alt")
+                ).alias("flag"),
+            ).collect()
+        }
+        for i, (_, _, want) in enumerate(VT_CASES):
+            assert got[i] is want, VT_CASES[i]
+
+    def test_apply_left_extension_operator(self, spark):
+        from vcf_pg_loader_spark.functions.normalize import (
+            apply_left_extension,
+            needs_left_extension_expr,
+        )
+
+        rows = [
+            ("20", p, r, a) for (p, r, a), _, _ in VT_CASES
+        ] + [("7", 5900670, "C", "CC")]  # chrom absent from the genome
+        df = spark.createDataFrame(
+            rows, "chrom string, pos bigint, ref string, alt string"
+        ).withColumn(
+            "needs_left_extension",
+            needs_left_extension_expr(F.col("pos"), F.col("ref"), F.col("alt")),
+        )
+        out = {
+            (r.chrom, r.pos, r.ref, r.alt, r.was_left_extended, r.needs_left_extension)
+            for r in apply_left_extension(df, self._genome()).collect()
+        }
+        for (p0, r0, a0), (ep, er, ea), needs in VT_CASES:
+            if needs:
+                assert ("20", ep, er, ea, True, False) in out, (p0, r0, a0)
+            else:
+                assert ("20", p0, r0, a0, False, False) in out
+        # unknown chrom: untouched, still flagged
+        assert ("7", 5900670, "C", "CC", False, True) in out
+
+    def test_scan_flags_and_extension_roundtrip(self, spark, tmp_path):
+        from vcf_pg_loader_spark.functions.normalize import (
+            ReferenceBases,
+            apply_left_extension,
+        )
+        from vcf_pg_loader_spark.sources.vcf import read_vcf
+
+        p = tmp_path / "ext.vcf"
+        p.write_text(
+            "##fileformat=VCFv4.2\n"
+            '##INFO=<ID=DP,Number=1,Type=Integer,Description="d">\n'
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+            "20\t2171404\t.\tA\tAA\t50\tPASS\tDP=3\n"
+            "20\t1600125\t.\tGAA\tG\t50\tPASS\tDP=3\n"
+        )
+        scan = read_vcf(spark, str(p), human_genome=False, normalize=True)
+        flags = {r.pos: r.needs_left_extension for r in scan.collect()}
+        assert flags == {2171404: True, 1600125: False}
+        out = apply_left_extension(
+            scan,
+            ReferenceBases.from_points({"20": CHR20_BASES}),
+            src_pos_col="original_pos",
+            src_ref_col="original_ref",
+            src_alt_col="original_alt",
+        )
+        rows = {r.pos: r for r in out.collect()}
+        assert rows[2171402].ref == "T" and rows[2171402].alt == "TA"
+        assert rows[2171402].was_left_extended is True
+        assert rows[1600125].ref == "GAA"
+
+    def test_from_fasta(self, tmp_path):
+        from vcf_pg_loader_spark.functions.normalize import ReferenceBases
+
+        f = tmp_path / "toy.fa"
+        f.write_text(">chr1 test\nACGT\nACGT\n>2\nGGCC\n")
+        g = ReferenceBases.from_fasta(str(f))
+        assert g.base("chr1", 5) == "A"
+        assert g.base("1", 8) == "T"  # prefix-insensitive
+        assert g.base("chr2", 1) == "G"
+        assert g.base("chr1", 9) is None
+        assert g.base("chrX", 1) is None

@@ -63,6 +63,7 @@ VARIANTS_SCHEMA = T.StructType(
         T.StructField("is_coding", T.BooleanType(), True),
         T.StructField("is_lof", T.BooleanType(), True),
         T.StructField("normalized", T.BooleanType(), True),
+        T.StructField("needs_left_extension", T.BooleanType(), True),
         T.StructField("original_pos", T.LongType(), True),
         T.StructField("original_ref", T.StringType(), True),
         T.StructField("original_alt", T.StringType(), True),

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from vcf_pg_loader_spark.functions.genomics import normalize_clinvar_sig
 from vcf_pg_loader_spark.functions.normalize import (
     classify_variant_expr,
+    needs_left_extension_expr,
     normalize_struct,
 )
 
@@ -387,6 +388,12 @@ def read_vcf(
         original_pos = F.when(was_norm, F.col("pos_raw"))
         original_ref = F.when(was_norm, F.col("ref_raw"))
         original_alt = F.when(was_norm, F.col("alt_raw"))
+        # closed-form normalization cannot left-extend (no genome in the
+        # scan); flag the rows a ReferenceBases-backed pass must finish
+        # (functions/normalize.py apply_left_extension)
+        needs_ext = needs_left_extension_expr(
+            F.col("pos_raw"), F.col("ref_raw"), F.col("alt_raw")
+        )
     else:
         pos = F.col("pos_raw")
         ref = F.col("ref_raw")
@@ -395,6 +402,7 @@ def read_vcf(
         original_pos = F.lit(None).cast("bigint")
         original_ref = F.lit(None).cast("string")
         original_alt = F.lit(None).cast("string")
+        needs_ext = F.lit(False)
 
     # CSQ first, ANN as fallback (vcf_parser.py:345-364).  NB: the
     # reference matches annotation alleles against the ORIGINAL alt
@@ -510,6 +518,7 @@ def read_vcf(
         ).alias("clinvar_sig"),
         F.col("info")["CLNSIG"].alias("clinvar_sig_raw"),
         was_norm.alias("normalized"),
+        needs_ext.alias("needs_left_extension"),
         original_pos.cast("bigint").alias("original_pos"),
         original_ref.alias("original_ref"),
         original_alt.alias("original_alt"),
