@@ -44,6 +44,16 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    # VCF parse throughput (BASELINE.md row 1: reference claims 106k/s
+    # single-process) — measured every round so the one directly
+    # comparable reference number is tracked.
+    from vcf_pg_loader_spark.parse_bench import parse_throughput
+
+    parse = parse_throughput(
+        spark, int(os.environ.get("SPARK_GRAFT_PARSE_N", "2000000"))
+    )
+    print(f"# vcf_parse: {parse}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -52,6 +62,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "vcf_parse_variants_per_sec": parse["variants_per_sec"],
+                "vcf_parse_variants": parse["variants"],
+                "vcf_parse_rows": parse["rows_after_decomposition"],
             }
         )
     )

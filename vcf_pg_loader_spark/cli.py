@@ -292,47 +292,10 @@ def cmd_score(args) -> int:
 
 def cmd_benchmark(args) -> int:
     """Synthetic parse benchmark (reference benchmark.py shape)."""
-    import tempfile
-
-    from vcf_pg_loader_spark.sources.vcf import read_vcf
+    from vcf_pg_loader_spark.parse_bench import parse_throughput
 
     spark = _spark()
-    header = (
-        "##fileformat=VCFv4.2\n"
-        '##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">\n'
-        '##INFO=<ID=AF,Number=A,Type=Float,Description="AF">\n'
-        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
-    )
-    bases = ["A", "C", "G", "T"]
-    with tempfile.TemporaryDirectory() as d:
-        path = f"{d}/bench.vcf"
-        with open(path, "w") as fh:
-            fh.write(header)
-            for i in range(args.variants):
-                ref = bases[i % 4]
-                alt = bases[(i + 1) % 4]
-                # sprinkle multiallelics + indels like the reference's
-                # GIAB-realistic generator (benchmark.py:147-180)
-                if i % 20 == 0:
-                    alt = f"{alt},{bases[(i + 2) % 4]}"
-                if i % 6 == 5:
-                    ref = ref + "TT"
-                fh.write(
-                    f"chr{(i % 22) + 1}\t{1000 + i}\trs{i}\t{ref}\t{alt}\t50.0"
-                    f"\tPASS\tDP={i % 100};AF=0.{i % 9 + 1}\n"
-                )
-        t0 = time.time()
-        n = read_vcf(spark, path, normalize=True).count()
-        dt = time.time() - t0
-    print(
-        json.dumps(
-            {
-                "variants": n,
-                "sec": round(dt, 3),
-                "variants_per_sec": round(n / dt, 1),
-            }
-        )
-    )
+    print(json.dumps(parse_throughput(spark, args.variants)))
     return 0
 
 
