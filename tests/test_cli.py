@@ -75,3 +75,37 @@ def test_sample_qc_and_gwas_flow(spark, tmp_path, vcf_file, capsys):
     assert main(["refresh-views", "--store", store]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["refreshed"] == 2
+
+
+def test_import_frequencies_and_ld_block_stats(spark, tmp_path, capsys):
+    vcf = tmp_path / "gnomad.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n"
+        '##INFO=<ID=AF_afr,Number=A,Type=Float,Description="a">\n'
+        '##INFO=<ID=AF_nfe,Number=A,Type=Float,Description="a">\n'
+        '##INFO=<ID=AF_fin,Number=A,Type=Float,Description="a">\n'
+        '##INFO=<ID=AC_afr,Number=A,Type=Integer,Description="a">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "chr1\t100\t.\tA\tG\t50\tPASS\tAF_afr=0.1;AF_nfe=0.3;AF_fin=0.9;AC_afr=5\n"
+        "chr1\t200\t.\tC\tT\t50\tPASS\tAF_afr=0.2\n"
+    )
+    store = str(tmp_path / "store")
+    assert main(["import-frequencies", str(vcf), "--store", store]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # site1: afr, nfe, fin; site2: afr
+    assert out["frequency_rows"] == 4
+    assert out["popmax_variants"] == 2
+
+    pm = {
+        r.pos: r
+        for r in spark.read.parquet(f"{store}/popmax").collect()
+    }
+    # FIN excluded as bottlenecked: popmax at site 100 is NFE 0.3
+    assert pm[100].popmax_population == "NFE"
+    assert pm[100].popmax_af == pytest.approx(0.3)
+
+    bed = tmp_path / "blocks.bed"
+    bed.write_text("chrom\tstart\tend\tn_snps_1kg\nchr1\t1\t1000\t50\n")
+    assert main(["ld-block-stats", str(bed), "--population", "EUR"]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rows[0]["block_count"] == 1 and rows[0]["population"] == "EUR"

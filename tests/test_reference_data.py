@@ -134,3 +134,28 @@ def test_ld_block_assignment(spark, tmp_path):
     assert by_pos[("chr1", 1500)] is not None
     assert by_pos[("chr1", 500)] != by_pos[("chr1", 1500)]
     assert by_pos[("chr3", 10)] is None
+
+
+def test_ld_block_stats(spark, tmp_path):
+    from vcf_pg_loader_spark.operators.matching import ld_block_stats
+
+    bed = tmp_path / "blocks.bed"
+    bed.write_text(
+        "chrom\tstart\tend\tn_snps_1kg\n"
+        "chr1\t1\t1000\t50\n"
+        "chr1\t1001\t2000\t30\n"
+        "chr2\t1\t5000\t100\n"
+    )
+    eur = read_ld_blocks(spark, str(bed), population="EUR")
+    afr = read_ld_blocks(spark, str(bed), population="afr", build="grch38")
+    stats = ld_block_stats(eur.unionByName(afr)).collect()
+    assert [(r.population, r.genome_build) for r in stats] == [
+        ("AFR", "GRCh38"),
+        ("EUR", "GRCh37"),
+    ]
+    r = stats[1]
+    assert (r.block_count, r.min_start, r.max_end) == (3, 1, 5000)
+    assert r.avg_snps == pytest.approx(60.0)
+    assert r.source == "Berisa_Pickrell_2016"
+    only = ld_block_stats(eur.unionByName(afr), population="eur").collect()
+    assert len(only) == 1 and only[0].population == "EUR"

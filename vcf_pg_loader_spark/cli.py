@@ -290,6 +290,46 @@ def cmd_score(args) -> int:
     return 0
 
 
+def cmd_import_frequencies(args) -> int:
+    """Population-frequency import from a gnomAD-annotated VCF
+    (reference cli.py:1194-1341): per-population AF/AC/AN/nhomalt into a
+    long-format population_frequencies table, plus popmax (ASJ/FIN
+    excluded) unless --no-update-popmax."""
+    from vcf_pg_loader_spark.operators.popfreq import (
+        gnomad_frequencies_long,
+        popmax,
+    )
+    from vcf_pg_loader_spark.sources.vcf import read_vcf
+
+    spark = _spark()
+    variants = read_vcf(spark, args.vcf, normalize=True)
+    freqs = gnomad_frequencies_long(variants, source=args.source)
+    freq_path = f"{args.store}/population_frequencies"
+    freqs.write.mode("overwrite").parquet(freq_path)
+    loaded = spark.read.parquet(freq_path)
+    summary = {"frequency_rows": loaded.count(), "source": args.source}
+    if args.update_popmax:
+        pm_path = f"{args.store}/popmax"
+        popmax(loaded).write.mode("overwrite").parquet(pm_path)
+        summary["popmax_variants"] = spark.read.parquet(pm_path).count()
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_ld_block_stats(args) -> int:
+    """Rollup of a loaded LD-block BED (references/ld_blocks.py:221-268)."""
+    from vcf_pg_loader_spark.operators.matching import ld_block_stats
+    from vcf_pg_loader_spark.sources.tsv import read_ld_blocks
+
+    spark = _spark()
+    blocks = read_ld_blocks(
+        spark, args.bed, population=args.population, build=args.build
+    )
+    rows = ld_block_stats(blocks, population=None).collect()
+    print(json.dumps([r.asDict() for r in rows]))
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     """Synthetic parse benchmark (reference benchmark.py shape)."""
     from vcf_pg_loader_spark.parse_bench import parse_throughput
@@ -367,6 +407,22 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("score", cmd_score, help="per-sample PRS from genotypes + weights")
     sp.add_argument("vcf")
     sp.add_argument("--store", required=True)
+
+    sp = add("import-frequencies", cmd_import_frequencies,
+             help="import gnomAD population frequencies + popmax")
+    sp.add_argument("vcf")
+    sp.add_argument("--store", required=True)
+    sp.add_argument("--source", default="gnomAD_v3")
+    sp.add_argument("--update-popmax", action="store_true", default=True)
+    sp.add_argument(
+        "--no-update-popmax", dest="update_popmax", action="store_false"
+    )
+
+    sp = add("ld-block-stats", cmd_ld_block_stats,
+             help="per-population/build LD block rollup")
+    sp.add_argument("bed")
+    sp.add_argument("--population", required=True)
+    sp.add_argument("--build", default="grch37")
 
     sp = add("benchmark", cmd_benchmark)
     sp.add_argument("--variants", type=int, default=10000)

@@ -146,6 +146,28 @@ def flag_hapmap3(variants: DataFrame, panel: DataFrame) -> DataFrame:
     )
 
 
+def ld_block_stats(blocks: DataFrame, population: str | None = None) -> DataFrame:
+    """Per-(population, build, source) LD-block rollup: count, span,
+    average 1kG SNP density (reference references/ld_blocks.py:221-268).
+
+    One hash aggregate over the (tiny) block table; the optional
+    population filter prunes before the shuffle.
+    """
+    df = blocks
+    if population:
+        df = df.filter(F.col("population") == population.upper())
+    return (
+        df.groupBy("population", "genome_build", "source")
+        .agg(
+            F.count(F.lit(1)).alias("block_count"),
+            F.min("start_pos").alias("min_start"),
+            F.max("end_pos").alias("max_end"),
+            F.avg("n_snps").alias("avg_snps"),
+        )
+        .orderBy("population", "genome_build")
+    )
+
+
 def assign_ld_blocks(variants: DataFrame, blocks: DataFrame) -> DataFrame:
     """Interval containment join: block whose [start,end] covers pos
     (references/ld_blocks.py:151-219 UPDATE → broadcast theta-join).
