@@ -125,3 +125,77 @@ class TestPrefixFilteredJaccard:
             fast = {tuple(r) for r in prefix_filtered_jaccard_pairs(sh, t).collect()}
             assert fast == naive and (t > 0.5 or len(naive) > 0)
         sh.unpersist()
+
+
+class TestMultiProbeANN:
+    def test_recall_improves_on_single_bucket(self, spark):
+        """Multi-probe candidates are a superset of the single-bucket
+        candidates, so recall@k vs exact brute force can only go up."""
+        from vcf_pg_loader_spark.operators.similarity import (
+            ann_bucketed_topk,
+            ann_multiprobe_topk,
+            cosine_topk,
+        )
+        from vcf_pg_loader_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        exact = {
+            (r.query_id, r.cand_id)
+            for r in cosine_topk(emb, emb, k=3).collect()
+        }
+
+        def recall(df):
+            got = {(r.query_id, r.cand_id) for r in df.collect()}
+            return len(got & exact) / len(exact)
+
+        r1 = recall(ann_bucketed_topk(emb, k=3, bits=8))
+        r2 = recall(ann_multiprobe_topk(emb, k=3, bits=8, probes=2))
+        # random fixture vectors: recall is data-poor for ANY sign-LSH,
+        # but probing can only widen the candidate set
+        assert r2 >= r1
+
+    def test_planted_neighbor_across_hyperplane(self, spark):
+        """A near-identical vector whose least-confident sign flips
+        lands one bucket away: single-bucket misses it, probing finds
+        it."""
+        from vcf_pg_loader_spark.operators.similarity import (
+            ann_bucketed_topk,
+            ann_multiprobe_topk,
+        )
+
+        base = [0.9, 0.05, 0.8, -0.7, 0.6, -0.5, 0.4, -0.3]
+        twin = list(base)
+        twin[1] = -0.05  # flip the least-confident sign only
+        far = [-x for x in base]
+        df = spark.createDataFrame(
+            [(1, base), (2, twin), (3, far)],
+            "vec_id bigint, embedding array<double>",
+        )
+        single = {
+            (r.query_id, r.cand_id)
+            for r in ann_bucketed_topk(df, k=1, bits=8).collect()
+        }
+        probed = {
+            (r.query_id, r.cand_id)
+            for r in ann_multiprobe_topk(df, k=1, bits=8, probes=2).collect()
+        }
+        assert (1, 2) not in single
+        assert (1, 2) in probed and (2, 1) in probed
+
+    def test_probe_buckets_distinct_and_sized(self, spark):
+        from vcf_pg_loader_spark.operators.similarity import probe_buckets
+
+        df = spark.createDataFrame(
+            [(1, [0.9, -0.01, 0.5, -0.6, 0.02, 0.7, -0.8, 0.9])],
+            "vec_id bigint, embedding array<double>",
+        )
+        buckets = df.select(
+            probe_buckets(F.col("embedding"), bits=8, probes=3).alias("b")
+        ).collect()[0].b
+        assert len(buckets) == 4
+        assert len(set(buckets)) == 4
+        # least-confident components are indices 1 (0.01) and 4 (0.02):
+        # first flips toggle bits 1 and 4 of the base bucket
+        base = buckets[0]
+        assert buckets[1] == base ^ (1 << 1)
+        assert buckets[2] == base ^ (1 << 4)

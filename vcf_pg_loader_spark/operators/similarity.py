@@ -117,6 +117,92 @@ def sql_sign_bucket(vec: str, bits: int = 8) -> str:
     return f"CAST({terms} AS BIGINT)"
 
 
+def probe_buckets(vec: Column, bits: int = 8, probes: int = 2) -> Column:
+    """Multi-probe bucket list: own bucket + `probes` single-bit flips.
+
+    The flipped positions are the LEAST-confident signs (smallest
+    |component|) — the components most likely to differ for a true
+    neighbor sitting across a hyperplane.  Flipping distinct bits always
+    yields distinct buckets, so the list needs no dedup.  Missing
+    components (vector shorter than `bits`) rank as infinitely
+    confident and are never flipped.
+    """
+    base = sign_bucket(vec, bits)
+    ranked = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda j: F.struct(
+                F.coalesce(
+                    F.abs(F.try_element_at(vec, j + 1)), F.lit(float("inf"))
+                ).alias("m"),
+                j.alias("j"),
+            ),
+        )
+    )
+    flips = F.transform(
+        F.slice(ranked, 1, probes),
+        lambda s: base.bitwiseXOR(F.pow(F.lit(2.0), s["j"]).cast("bigint")),
+    )
+    return F.concat(F.array(base), flips)
+
+
+def sql_probe_buckets(vec: str, bucket: str, bits: int = 8, probes: int = 2) -> str:
+    """DuckDB twin of :func:`probe_buckets`."""
+    return (
+        f"list_concat([{bucket}], list_transform("
+        f"list_slice(list_sort(list_transform(range(1, {bits} + 1), "
+        f"j -> {{'m': coalesce(abs({vec}[j]), 'inf'::DOUBLE), 'j': j - 1}})), 1, {probes}), "
+        f"s -> xor({bucket}, CAST(pow(2, s.j) AS BIGINT))))"
+    )
+
+
+def ann_multiprobe_topk(
+    corpus: DataFrame,
+    k: int = 3,
+    bits: int = 8,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe sign-LSH ANN: each query probes its own bucket plus
+    `probes` least-confident single-bit flips.
+
+    The scale lever: raising `bits` shrinks bucket population ~2×/bit
+    (join cost falls quadratically per bucket) while probing recovers
+    the recall the extra partitioning costs.  Candidate volume is
+    ~(probes+1)× the single-bucket join — still an equi-join shuffle on
+    small keys, never a cross join.  docs/SCALE.md has the sizing math.
+    """
+    from vcf_pg_loader_spark.operators._parallel import ensure_min_parallelism
+
+    base = ensure_min_parallelism(corpus)
+    v = base.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_vec"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    q = base.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe_buckets(F.col(vec_col), bits, probes)).alias("bucket"),
+    )
+    scored = (
+        q.join(v, ["bucket"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rn")
+    )
+
+
 def ann_bucketed_topk(
     corpus: DataFrame,
     k: int = 3,

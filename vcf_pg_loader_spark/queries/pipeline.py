@@ -306,6 +306,39 @@ WHERE rn <= {TOP_K}
 
 
 # --------------------------------------------------------------------------
+# multi-probe ANN: same bucketed join, but each query also probes its
+# least-confident single-bit-flip buckets — the knob that lets `bits`
+# rise (smaller buckets) at 100 TB without losing recall
+# --------------------------------------------------------------------------
+ANN_PROBES = 2
+
+
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_multiprobe_topk(emb, TOP_K, ANN_BITS, ANN_PROBES)
+
+
+Q_ANN_MULTIPROBE_SQL = f"""
+WITH v AS (SELECT vec_id AS cand_id, embedding AS c_vec,
+                  {S.sql_sign_bucket('embedding', ANN_BITS)} AS bucket
+           FROM embeddings),
+q AS (SELECT cand_id AS query_id, c_vec AS q_vec,
+             unnest({S.sql_probe_buckets('c_vec', 'bucket', ANN_BITS, ANN_PROBES)}) AS bucket
+      FROM v),
+scored AS (
+  SELECT q.query_id, v.cand_id,
+         {S.sql_cosine('q.q_vec', 'v.c_vec')} AS cos_sim
+  FROM q JOIN v ON q.bucket = v.bucket AND q.query_id <> v.cand_id
+)
+SELECT query_id, cand_id, cos_sim, rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, cand_id ASC) AS rn
+      FROM scored)
+WHERE rn <= {TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # embedding-cosine near-dup detection (dedup track): all vector pairs
 # above a similarity threshold, restricted to same-sign-bucket candidates
 # (the scale path) — exact cosine verification inside the bucket
@@ -462,6 +495,7 @@ QUERIES = {
     "q_text_quality": q_text_quality,
     "q_cosine_topk": q_cosine_topk,
     "q_ann_bucketed": q_ann_bucketed,
+    "q_ann_multiprobe": q_ann_multiprobe,
     "q_embed_neardup": q_embed_neardup,
     "q_trigram_sim": q_trigram_sim,
     "q_merge_upsert": q_merge_upsert,
@@ -477,6 +511,7 @@ ORACLE = {
     "q_text_quality": Q_TEXT_QUALITY_SQL,
     "q_cosine_topk": Q_COSINE_TOPK_SQL,
     "q_ann_bucketed": Q_ANN_BUCKETED_SQL,
+    "q_ann_multiprobe": Q_ANN_MULTIPROBE_SQL,
     "q_embed_neardup": Q_EMBED_NEARDUP_SQL,
     "q_trigram_sim": Q_TRIGRAM_SQL,
     "q_merge_upsert": Q_MERGE_UPSERT_SQL,
