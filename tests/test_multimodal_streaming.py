@@ -70,6 +70,40 @@ class TestMultimodal:
         assert out.count() == 5
 
 
+class TestAudio:
+    def test_audio_features_shape_and_determinism(self, spark, media):
+        feats = {
+            r.media_id: r for r in M.audio_features(media, bands=13).collect()
+        }
+        # only the audio row crosses the boundary
+        assert set(feats) == {5}
+        r = feats[5]
+        assert len(r.feature) == 13
+        assert r.sample_rate == 16000
+        assert r.n_samples >= 256
+        again = M.audio_features(media, bands=13).collect()[0]
+        assert again.feature == r.feature  # deterministic fake
+
+    def test_audio_default_sample_rate(self, spark):
+        rows = [
+            {
+                "media_id": 9,
+                "kind": "audio",
+                "content": b"clip-without-rate",
+                "mime": "audio/wav",
+                "meta": {
+                    "width": None,
+                    "height": None,
+                    "duration_ms": None,
+                    "sample_rate": None,
+                },
+            }
+        ]
+        df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+        out = M.audio_features(df).collect()[0]
+        assert out.sample_rate == 16000
+
+
 class TestStreaming:
     def test_windowed_counts_available_now(self, spark, tmp_path):
         from vcf_pg_loader_spark.streaming.events import (

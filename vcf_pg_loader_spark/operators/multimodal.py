@@ -152,6 +152,82 @@ def sample_frames(df: DataFrame, n_frames: int = 3) -> DataFrame:
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content_sha256", T.StringType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def _decode_audio(content: bytes, sample_rate: int) -> np.ndarray:
+    """DECODE SEAM — deterministic fake.
+
+    Real implementation: `soundfile.read(io.BytesIO(content))` (or
+    librosa.load) → float32 waveform.  No audio libs in this container,
+    so derive a deterministic pseudo-waveform in [-1, 1) whose length
+    scales with the payload, as a real decode's would.
+    """
+    h = hashlib.sha256(content).digest()
+    n = max(256, min(len(content) * 4, 1 << 15))
+    raw = np.frombuffer((h * (n // len(h) + 1))[:n], dtype=np.uint8)
+    return (raw.astype(np.float32) - 127.5) / 128.0
+
+
+def audio_features(df: DataFrame, bands: int = 13) -> DataFrame:
+    """Per-clip band-energy feature via mapInPandas (Arrow batches).
+
+    Feature = log-RMS over `bands` equal time windows of the decoded
+    waveform — a stand-in for MFCC/mel-band extraction with the same
+    batch shape, schema, and fixed output dim the real kernel would
+    have.  Rows with kind != 'audio' are filtered JVM-side before any
+    bytes cross the boundary; sample_rate rides from metadata (16 kHz
+    default, as the reference-style loaders assume for missing rates).
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "content_sha256": [],
+                "n_samples": [],
+                "sample_rate": [],
+                "feature": [],
+            }
+            for media_id, content, rate in zip(
+                pdf["media_id"], pdf["content"], pdf["sample_rate"]
+            ):
+                if content is None:
+                    continue
+                sr = int(rate) if pd.notna(rate) else 16000
+                wave = _decode_audio(bytes(content), sr)
+                windows = np.array_split(wave, bands)
+                feat = np.array(
+                    [
+                        np.log1p(float(np.sqrt(np.mean(np.square(w)))))
+                        for w in windows
+                    ],
+                    dtype=np.float32,
+                )
+                out["media_id"].append(media_id)
+                out["content_sha256"].append(
+                    hashlib.sha256(bytes(content)).hexdigest()
+                )
+                out["n_samples"].append(len(wave))
+                out["sample_rate"].append(sr)
+                out["feature"].append(feat.tolist())
+            yield pd.DataFrame(out)
+
+    return (
+        df.filter(F.col("kind") == "audio")
+        .select("media_id", "content", F.col("meta.sample_rate").alias("sample_rate"))
+        .mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
+    )
+
+
 def dedup_by_content(df: DataFrame) -> DataFrame:
     """Exact media dedup on sha2(content) — JVM-side hash, no Python."""
     return (
