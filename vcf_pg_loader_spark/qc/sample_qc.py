@@ -95,10 +95,18 @@ def sample_qc(
         # X-het for sex inference (sample_qc.py:469-492)
         F.count(F.when(on_x_par & is_called, 1)).alias("x_n_total"),
         F.count(F.when(on_x_par & is_het, 1)).alias("x_n_het"),
-        # expected het under HWE: sum over variants of 2·maf·(1-maf)
-        F.sum(F.when(is_called, 2 * F.col("maf") * (1 - F.col("maf")))).alias(
-            "expected_het"
-        ),
+        # expected het under HWE: sum over variants of 2·maf·(1-maf).
+        # Per-row decimal cast (queries/_util.py pattern): double sums are
+        # partial-aggregation-order dependent; decimal addition is exact,
+        # so the result is reproducible across partitionings and engines.
+        F.sum(
+            F.when(
+                is_called,
+                (2 * F.col("maf") * (1 - F.col("maf"))).cast("decimal(28,12)"),
+            )
+        )
+        .cast("double")
+        .alias("expected_het"),
         # singletons: MAC==1 and this sample carries the allele
         F.count(F.when(carries_alt & (F.col("mac") == 1), 1)).alias("n_singleton"),
     )

@@ -701,6 +701,269 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# inbreeding F / expected het / singletons — the sample_qc metrics that
+# need the variant_maf join (qc/sample_qc.py:96-103,137-144), through the
+# REAL operator.  expected_het uses the decimal-sum pattern so the double
+# is partition-order independent and bit-matches DuckDB.
+# ---------------------------------------------------------------------------
+def q_gx_inbreeding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.qc.sample_qc import sample_qc
+    from vcf_pg_loader_spark.qc.variant_qc import (
+        genotype_counts,
+        with_allele_frequencies,
+    )
+
+    gts = synth_genotypes(spark, sf_dir)
+    vqc = with_allele_frequencies(genotype_counts(gts))
+    out = sample_qc(gts, variant_maf=vqc)
+    return out.select(
+        "sample_id",
+        "n_het",
+        F.col("n_singleton").cast("bigint").alias("n_singleton"),
+        F.round(F.col("expected_het"), 9).alias("expected_het"),
+        F.round(F.col("f_inbreeding"), 9).alias("f_inbreeding"),
+    )
+
+
+Q_GX_INBREEDING_SQL = f"""
+WITH g AS ({SQL_GENOTYPES}),
+cls AS (SELECT *, {SQL_GT_CLASS} AS c FROM g),
+vc AS (
+  SELECT chrom, pos, ref, alt,
+         COUNT(*) FILTER (WHERE c = 'het') AS v_het,
+         COUNT(*) FILTER (WHERE c = 'hom_ref') AS v_hom_ref,
+         COUNT(*) FILTER (WHERE c = 'hom_alt') AS v_hom_alt
+  FROM cls GROUP BY 1, 2, 3, 4
+),
+vqc AS (
+  SELECT chrom, pos, ref, alt,
+         CASE WHEN v_het + v_hom_ref + v_hom_alt > 0 THEN
+           least(CAST(2 * v_hom_alt + v_het AS DOUBLE) / CAST(2 * (v_het + v_hom_ref + v_hom_alt) AS DOUBLE),
+                 1 - CAST(2 * v_hom_alt + v_het AS DOUBLE) / CAST(2 * (v_het + v_hom_ref + v_hom_alt) AS DOUBLE))
+         END AS maf,
+         CAST(CASE WHEN v_het + v_hom_ref + v_hom_alt > 0
+                   THEN least(2 * v_hom_alt + v_het, 2 * v_hom_ref + v_het)
+                   ELSE 0 END AS BIGINT) AS mac
+  FROM vc
+),
+j AS (
+  SELECT cls.sample_id, cls.c, vqc.maf, vqc.mac
+  FROM cls LEFT JOIN vqc USING (chrom, pos, ref, alt)
+),
+agg AS (
+  SELECT sample_id,
+         COUNT(*) FILTER (WHERE c = 'het') AS n_het,
+         CAST(SUM(CASE WHEN c IS NOT NULL
+                       THEN CAST((2 * maf) * (1 - maf) AS DECIMAL(28,12)) END)
+              AS DOUBLE) AS expected_het,
+         COUNT(*) FILTER (WHERE c IN ('het','hom_alt') AND mac = 1) AS n_singleton
+  FROM j GROUP BY sample_id
+)
+SELECT sample_id, n_het, n_singleton,
+       ROUND(expected_het, 9) AS expected_het,
+       ROUND(CASE WHEN expected_het IS NOT NULL AND expected_het != 0
+                  THEN 1.0 - CAST(n_het AS DOUBLE) / expected_het END, 9)
+         AS f_inbreeding
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# gnomAD ADJ genotype filter (genotypes/genotype_loader.py:140-172) over a
+# cohort with missing GQ/DP/AD sprinkled in — missing values pass, het
+# calls additionally need allele balance >= 0.2
+# ---------------------------------------------------------------------------
+def q_gx_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.functions.genomics import passes_adj
+    from vcf_pg_loader_spark.operators._parallel import ensure_min_parallelism
+
+    li = load_table(spark, sf_dir, "lineitem")
+    k = F.col("l_partkey")
+    gt = (
+        F.when((k + F.col("l_linenumber")) % 5 == 0, "0/0")
+        .when((k + F.col("l_linenumber")) % 5 == 1, "0/1")
+        .when((k + F.col("l_linenumber")) % 5 == 2, "1/1")
+        .when((k + F.col("l_linenumber")) % 5 == 3, "./.")
+        .otherwise("0|1")
+    )
+    gq = F.when(k % 11 == 0, F.lit(None)).otherwise(k % 40).cast("int")
+    dp = (
+        F.when(k % 13 == 0, F.lit(None))
+        .otherwise(F.col("l_linenumber") * 4)
+        .cast("int")
+    )
+    m = (k % 12).cast("int")
+    ad = F.when(
+        k % 17 != 0,
+        F.array((F.col("l_linenumber") * 4 - m).cast("int"), m),
+    )
+    gts = ensure_min_parallelism(
+        li.select(
+            (k * 100).cast("bigint").alias("pos"),
+            F.col("l_suppkey").cast("string").alias("sample_id"),
+            gt.alias("gt"),
+            gq.alias("gq"),
+            dp.alias("dp"),
+            ad.alias("ad"),
+        )
+    )
+    flagged = gts.withColumn(
+        "adj_pass", passes_adj(F.col("gt"), F.col("gq"), F.col("dp"), F.col("ad"))
+    )
+    return flagged.groupBy((F.col("pos") % 7).cast("bigint").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("adj_pass"), 1)).alias("n_pass"),
+        F.count(
+            F.when(
+                F.col("adj_pass")
+                & F.translate(F.col("gt"), "|", "/").isin("0/1", "1/0"),
+                1,
+            )
+        ).alias("n_het_pass"),
+    )
+
+
+Q_GX_ADJ_SQL = """
+WITH g AS (
+  SELECT CAST(l_partkey * 100 AS BIGINT) AS pos,
+         CAST(l_suppkey AS VARCHAR) AS sample_id,
+         CASE (l_partkey + l_linenumber) % 5
+           WHEN 0 THEN '0/0' WHEN 1 THEN '0/1' WHEN 2 THEN '1/1'
+           WHEN 3 THEN './.' ELSE '0|1' END AS gt,
+         CASE WHEN l_partkey % 11 = 0 THEN NULL
+              ELSE CAST(l_partkey % 40 AS INT) END AS gq,
+         CASE WHEN l_partkey % 13 = 0 THEN NULL
+              ELSE CAST(l_linenumber * 4 AS INT) END AS dp,
+         CASE WHEN l_partkey % 17 != 0
+              THEN [CAST(l_linenumber * 4 - (l_partkey % 12) AS INT),
+                    CAST(l_partkey % 12 AS INT)]
+              END AS ad
+  FROM lineitem
+),
+e AS (
+  SELECT *,
+         replace(gt, '|', '/') AS gslash,
+         CASE WHEN ad IS NULL THEN NULL
+              ELSE coalesce(ad[1], 0) + coalesce(ad[2], 0) END AS ad_total
+  FROM g
+),
+ab AS (
+  SELECT *,
+         CASE WHEN ad_total > 0
+              THEN CAST(ad_total - coalesce(ad[1], 0) AS DOUBLE) / ad_total
+              END AS bal,
+         gslash IN ('0/1', '1/0', '1/2', '2/1') AS is_het
+  FROM e
+),
+p AS (
+  SELECT *,
+         (gq IS NULL OR gq >= 20)
+         AND (dp IS NULL OR dp >= 10)
+         AND ((NOT is_het) OR bal IS NULL OR bal >= 0.2) AS adj_pass
+  FROM ab
+)
+SELECT CAST(pos % 7 AS BIGINT) AS grp,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE adj_pass) AS n_pass,
+       COUNT(*) FILTER (WHERE adj_pass AND gslash IN ('0/1','1/0')) AS n_het_pass
+FROM p GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# dosage-array statistics: af_from_dosages (HOF left-fold, no explode) and
+# n_eff (sql_functions.py:159-179)
+# ---------------------------------------------------------------------------
+def q_gx_dosage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.functions.genomics import af_from_dosages, n_eff
+    from vcf_pg_loader_spark.operators._parallel import ensure_min_parallelism
+
+    p = ensure_min_parallelism(load_table(spark, sf_dir, "part"))
+    k = F.col("p_partkey")
+    ds = F.array(
+        (k % 3).cast("double"),
+        ((k + 2) % 4).cast("double") / 2,
+        F.when(k % 5 != 0, (k % 2).cast("double")),
+    )
+    return p.select(
+        k.cast("bigint").alias("variant_id"),
+        F.round(af_from_dosages(ds), 9).alias("af_dosage"),
+        F.round(n_eff((k % 100).cast("int"), ((k * 7) % 100).cast("int")), 9).alias(
+            "n_eff"
+        ),
+    )
+
+
+Q_GX_DOSAGE_STATS_SQL = """
+WITH d AS (
+  SELECT CAST(p_partkey AS BIGINT) AS variant_id,
+         list_filter([CAST(p_partkey % 3 AS DOUBLE),
+                      CAST((p_partkey + 2) % 4 AS DOUBLE) / 2,
+                      CASE WHEN p_partkey % 5 != 0
+                           THEN CAST(p_partkey % 2 AS DOUBLE) END],
+                     x -> x IS NOT NULL) AS valid,
+         CAST(p_partkey % 100 AS INT) AS n_cases,
+         CAST((p_partkey * 7) % 100 AS INT) AS n_controls
+  FROM part
+)
+SELECT variant_id,
+       ROUND(CASE WHEN len(valid) > 0
+                  THEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), valid),
+                                   (a, b) -> a + b) / (2.0 * len(valid))
+                  END, 9) AS af_dosage,
+       ROUND(CASE WHEN n_cases = 0 OR n_controls = 0 THEN NULL
+                  ELSE 4.0 * CAST(n_cases AS DOUBLE) * CAST(n_controls AS DOUBLE)
+                       / CAST(n_cases + n_controls AS DOUBLE) END, 9) AS n_eff
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# worst-impact selection over annotation arrays (type_mapping.py:141-161)
+# ---------------------------------------------------------------------------
+def q_gx_worst_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.functions.genomics import worst_impact
+    from vcf_pg_loader_spark.operators._parallel import ensure_min_parallelism
+
+    p = ensure_min_parallelism(load_table(spark, sf_dir, "part"))
+    k = F.col("p_partkey")
+    rank = F.array(
+        F.lit("HIGH"), F.lit("MODERATE"), F.lit("LOW"), F.lit("MODIFIER")
+    )
+    imp = lambda e: F.element_at(rank, (e % 4 + 1).cast("int"))  # noqa: E731
+    impacts = F.array(
+        F.when(k % 4 != 0, imp(k)),
+        imp(k + 1),
+        F.when(k % 3 != 0, imp(k + 2)),
+    )
+    return p.select(
+        k.cast("bigint").alias("variant_id"),
+        worst_impact(impacts).alias("worst_impact"),
+    )
+
+
+Q_GX_WORST_IMPACT_SQL = """
+WITH d AS (
+  SELECT CAST(p_partkey AS BIGINT) AS variant_id,
+         [CASE WHEN p_partkey % 4 != 0
+               THEN ['HIGH','MODERATE','LOW','MODIFIER'][CAST(p_partkey % 4 AS INT) + 1] END,
+          ['HIGH','MODERATE','LOW','MODIFIER'][CAST((p_partkey + 1) % 4 AS INT) + 1],
+          CASE WHEN p_partkey % 3 != 0
+               THEN ['HIGH','MODERATE','LOW','MODIFIER'][CAST((p_partkey + 2) % 4 AS INT) + 1] END
+         ] AS impacts
+  FROM part
+)
+SELECT variant_id,
+       CASE WHEN list_contains(impacts, 'HIGH') THEN 'HIGH'
+            WHEN list_contains(impacts, 'MODERATE') THEN 'MODERATE'
+            WHEN list_contains(impacts, 'LOW') THEN 'LOW'
+            WHEN list_contains(impacts, 'MODIFIER') THEN 'MODIFIER'
+            END AS worst_impact
+FROM d
+"""
+
+
 QUERIES = {
     "q_gx_variant_qc": q_gx_variant_qc,
     "q_gx_hwe": q_gx_hwe,
@@ -712,6 +975,10 @@ QUERIES = {
     "q_gx_chrom_order": q_gx_chrom_order,
     "q_gx_cohort": q_gx_cohort,
     "q_gx_sample_qc": q_gx_sample_qc,
+    "q_gx_inbreeding": q_gx_inbreeding,
+    "q_gx_adj": q_gx_adj,
+    "q_gx_dosage_stats": q_gx_dosage_stats,
+    "q_gx_worst_impact": q_gx_worst_impact,
 }
 
 ORACLE = {
@@ -725,4 +992,8 @@ ORACLE = {
     "q_gx_chrom_order": Q_GX_CHROM_ORDER_SQL,
     "q_gx_cohort": Q_GX_COHORT_SQL,
     "q_gx_sample_qc": Q_GX_SAMPLE_QC_SQL,
+    "q_gx_inbreeding": Q_GX_INBREEDING_SQL,
+    "q_gx_adj": Q_GX_ADJ_SQL,
+    "q_gx_dosage_stats": Q_GX_DOSAGE_STATS_SQL,
+    "q_gx_worst_impact": Q_GX_WORST_IMPACT_SQL,
 }
