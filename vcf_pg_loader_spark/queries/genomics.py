@@ -964,6 +964,135 @@ FROM d
 """
 
 
+# ---------------------------------------------------------------------------
+# GWAS→variant matching through the REAL operator
+# (operators/matching.py match_gwas_to_variants: positional join with
+# orientation compatibility, rsid fallback for positional misses,
+# broadcast variants) — the synthetic stats cycle through every match
+# class: direct / swap / strand-flip / flip-swap / arbitrary pair /
+# positional-miss-with-rsid / positional-miss-without-rsid.
+# ---------------------------------------------------------------------------
+def q_gx_gwas_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators.matching import match_gwas_to_variants
+
+    v = synth_variants(spark, sf_dir).withColumn(
+        "rs_id", F.concat(F.lit("rs"), F.col("variant_id"))
+    )
+    base = F.array(*[F.lit(b) for b in BASES])
+    k = F.col("variant_id")
+    m = k % 7
+    ref, alt = F.col("ref"), F.col("alt")
+    ref_i = k % 4
+    arb_ea = F.element_at(base, ((ref_i + 2) % 4 + 1).cast("int"))
+    arb_oa = F.element_at(base, ((ref_i + 3) % 4 + 1).cast("int"))
+    stats = v.select(
+        F.col("chrom").alias("chromosome"),
+        F.when(m >= 5, F.col("pos") + 1).otherwise(F.col("pos")).alias("position"),
+        F.when(m == 6, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("rs"), k))
+        .alias("rsid"),
+        F.when(m == 0, alt)
+        .when(m == 1, ref)
+        .when(m == 2, G.complement(alt))
+        .when(m == 3, G.complement(ref))
+        .otherwise(arb_ea)
+        .alias("effect_allele"),
+        F.when(m == 0, ref)
+        .when(m == 1, alt)
+        .when(m == 2, G.complement(ref))
+        .when(m == 3, G.complement(alt))
+        .otherwise(arb_oa)
+        .alias("other_allele"),
+    )
+    out = match_gwas_to_variants(stats, v, broadcast_variants=True)
+    # variant_id carries NULLs for unmatched stats; DOUBLE on both sides
+    # so the pandas comparison path renders Spark and DuckDB identically
+    return out.select(
+        "chromosome", "position", "rsid", "effect_allele", "other_allele",
+        F.col("variant_id").cast("double").alias("variant_id"),
+        "match_source",
+        F.when(F.col("is_strand_flipped"), 1.0)
+        .when(~F.col("is_strand_flipped"), 0.0)
+        .alias("is_strand_flipped"),
+        F.when(F.col("is_effect_allele_alt"), 1.0)
+        .when(~F.col("is_effect_allele_alt"), 0.0)
+        .alias("is_effect_allele_alt"),
+        "is_ambiguous",
+    )
+
+
+_SQL_GWAS_COMP = "translate(upper({0}), 'ACGT', 'TGCA')"
+
+Q_GX_GWAS_MATCH_SQL = f"""
+WITH v0 AS ({SQL_VARIANTS}),
+v AS (SELECT *, 'rs' || CAST(variant_id AS VARCHAR) AS rs_id FROM v0),
+s AS (
+  SELECT chrom AS chromosome,
+         CASE WHEN variant_id % 7 >= 5 THEN pos + 1 ELSE pos END AS position,
+         CASE WHEN variant_id % 7 = 6 THEN NULL
+              ELSE 'rs' || CAST(variant_id AS VARCHAR) END AS rsid,
+         CASE variant_id % 7
+           WHEN 0 THEN alt WHEN 1 THEN ref
+           WHEN 2 THEN {_SQL_GWAS_COMP.format('alt')}
+           WHEN 3 THEN {_SQL_GWAS_COMP.format('ref')}
+           ELSE ['A','C','G','T'][CAST((variant_id % 4 + 2) % 4 AS INT) + 1]
+         END AS effect_allele,
+         CASE variant_id % 7
+           WHEN 0 THEN ref WHEN 1 THEN alt
+           WHEN 2 THEN {_SQL_GWAS_COMP.format('ref')}
+           WHEN 3 THEN {_SQL_GWAS_COMP.format('alt')}
+           ELSE ['A','C','G','T'][CAST((variant_id % 4 + 3) % 4 AS INT) + 1]
+         END AS other_allele
+  FROM v
+),
+vv AS (
+  SELECT variant_id, regexp_replace(chrom, '^chr', '') AS v_chrom,
+         pos AS v_pos, upper(ref) AS v_ref, upper(alt) AS v_alt, rs_id
+  FROM v
+),
+by_pos AS (
+  SELECT s.*, vv.variant_id AS pos_variant_id, vv.v_ref, vv.v_alt
+  FROM s LEFT JOIN vv
+    ON regexp_replace(s.chromosome, '^chr', '') = vv.v_chrom
+   AND s.position = vv.v_pos
+   AND ((vv.v_ref = upper(s.other_allele) AND vv.v_alt = upper(s.effect_allele))
+     OR (vv.v_ref = upper(s.effect_allele) AND vv.v_alt = upper(s.other_allele))
+     OR ({_SQL_GWAS_COMP.format('vv.v_ref')} = upper(s.other_allele)
+         AND {_SQL_GWAS_COMP.format('vv.v_alt')} = upper(s.effect_allele))
+     OR ({_SQL_GWAS_COMP.format('vv.v_ref')} = upper(s.effect_allele)
+         AND {_SQL_GWAS_COMP.format('vv.v_alt')} = upper(s.other_allele)))
+),
+rs AS (SELECT variant_id AS rs_variant_id, rs_id AS rs_key
+       FROM vv WHERE rs_id IS NOT NULL),
+o AS (
+  SELECT bp.*, rs.rs_variant_id,
+         upper(bp.effect_allele) AS ea, upper(bp.other_allele) AS oa
+  FROM by_pos bp LEFT JOIN rs
+    ON bp.rsid IS NOT NULL AND bp.rsid = rs.rs_key
+   AND bp.pos_variant_id IS NULL
+)
+SELECT chromosome, position, rsid, effect_allele, other_allele,
+       CAST(COALESCE(pos_variant_id, rs_variant_id) AS DOUBLE) AS variant_id,
+       CASE WHEN pos_variant_id IS NOT NULL THEN 'position'
+            WHEN rs_variant_id IS NOT NULL THEN 'rsid' END AS match_source,
+       CASE WHEN (ea = v_alt AND oa = v_ref) OR (ea = v_ref AND oa = v_alt)
+              THEN 0.0
+            WHEN ({_SQL_GWAS_COMP.format('ea')} = v_alt AND {_SQL_GWAS_COMP.format('oa')} = v_ref)
+              OR ({_SQL_GWAS_COMP.format('ea')} = v_ref AND {_SQL_GWAS_COMP.format('oa')} = v_alt)
+              THEN 1.0 END AS is_strand_flipped,
+       CASE WHEN ea = v_alt AND oa = v_ref THEN 1.0
+            WHEN ea = v_ref AND oa = v_alt THEN 0.0
+            WHEN {_SQL_GWAS_COMP.format('ea')} = v_alt
+                 AND {_SQL_GWAS_COMP.format('oa')} = v_ref THEN 1.0
+            WHEN {_SQL_GWAS_COMP.format('ea')} = v_ref
+                 AND {_SQL_GWAS_COMP.format('oa')} = v_alt THEN 0.0
+            END AS is_effect_allele_alt,
+       (ea = 'A' AND oa = 'T') OR (ea = 'T' AND oa = 'A')
+         OR (ea = 'C' AND oa = 'G') OR (ea = 'G' AND oa = 'C') AS is_ambiguous
+FROM o
+"""
+
+
 QUERIES = {
     "q_gx_variant_qc": q_gx_variant_qc,
     "q_gx_hwe": q_gx_hwe,
@@ -979,6 +1108,7 @@ QUERIES = {
     "q_gx_adj": q_gx_adj,
     "q_gx_dosage_stats": q_gx_dosage_stats,
     "q_gx_worst_impact": q_gx_worst_impact,
+    "q_gx_gwas_match": q_gx_gwas_match,
 }
 
 ORACLE = {
@@ -996,4 +1126,5 @@ ORACLE = {
     "q_gx_adj": Q_GX_ADJ_SQL,
     "q_gx_dosage_stats": Q_GX_DOSAGE_STATS_SQL,
     "q_gx_worst_impact": Q_GX_WORST_IMPACT_SQL,
+    "q_gx_gwas_match": Q_GX_GWAS_MATCH_SQL,
 }
