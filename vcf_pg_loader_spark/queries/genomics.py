@@ -1093,6 +1093,99 @@ FROM o
 """
 
 
+# ---------------------------------------------------------------------------
+# HapMap3 panel flagging through the REAL operator (operators/matching.py
+# flag_hapmap3: broadcast join on bare chrom + pos with allele match
+# including strand complements)
+# ---------------------------------------------------------------------------
+def q_gx_hapmap3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators.matching import flag_hapmap3
+
+    v = synth_variants(spark, sf_dir)
+    k = F.col("variant_id")
+    panel = v.filter(k % 2 == 0).select(
+        F.regexp_replace(F.col("chrom"), "^chr", "").alias("chrom"),
+        F.col("pos").alias("position"),
+        # half direct orientation, half strand-complemented
+        F.when(k % 6 == 0, G.complement(F.col("alt"))).otherwise(F.col("alt")).alias("a1"),
+        F.when(k % 6 == 0, G.complement(F.col("ref"))).otherwise(F.col("ref")).alias("a2"),
+        F.concat(F.lit("hm"), k).alias("rsid"),
+    )
+    out = flag_hapmap3(v.select("variant_id", "chrom", "pos", "ref", "alt"), panel)
+    return out.select("variant_id", "in_hapmap3", "hapmap3_rsid")
+
+
+Q_GX_HAPMAP3_SQL = f"""
+WITH v AS ({SQL_VARIANTS}),
+panel AS (
+  SELECT regexp_replace(chrom, '^chr', '') AS p_chrom, pos AS p_pos,
+         CASE WHEN variant_id % 6 = 0
+              THEN translate(upper(alt), 'ACGT', 'TGCA') ELSE alt END AS a1,
+         CASE WHEN variant_id % 6 = 0
+              THEN translate(upper(ref), 'ACGT', 'TGCA') ELSE ref END AS a2,
+         'hm' || CAST(variant_id AS VARCHAR) AS p_rsid
+  FROM v WHERE variant_id % 2 = 0
+)
+SELECT v.variant_id, p.p_rsid IS NOT NULL AS in_hapmap3,
+       p.p_rsid AS hapmap3_rsid
+FROM v LEFT JOIN panel p
+  ON regexp_replace(v.chrom, '^chr', '') = p.p_chrom AND v.pos = p.p_pos
+ AND ((upper(v.ref) = upper(p.a1) AND upper(v.alt) = upper(p.a2))
+   OR (upper(v.ref) = upper(p.a2) AND upper(v.alt) = upper(p.a1))
+   OR (translate(upper(v.ref), 'ACGT', 'TGCA') = upper(p.a1)
+       AND translate(upper(v.alt), 'ACGT', 'TGCA') = upper(p.a2))
+   OR (translate(upper(v.ref), 'ACGT', 'TGCA') = upper(p.a2)
+       AND translate(upper(v.alt), 'ACGT', 'TGCA') = upper(p.a1)))
+"""
+
+
+# ---------------------------------------------------------------------------
+# multi-source annotation join + echtvar filter through the REAL operator
+# (operators/annotate.py: registry, broadcast LEFT-join chain, translated
+# filter pushed into the plan)
+# ---------------------------------------------------------------------------
+def q_gx_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators.annotate import AnnotationRegistry, annotate
+
+    v = synth_variants(spark, sf_dir)
+    k = F.col("variant_id")
+    gnomad = v.filter(k % 3 == 0).select(
+        "chrom", "pos", "ref", "alt", F.col("af").alias("gnomad_af")
+    )
+    clinvar = v.filter(k % 4 == 0).select(
+        "chrom", "pos", "ref", "alt",
+        F.when(k % 5 == 0, "Pathogenic").otherwise("Benign").alias("clinvar_sig"),
+    )
+    reg = AnnotationRegistry()
+    reg.register("gnomad", gnomad)
+    reg.register("clinvar", clinvar)
+    out = annotate(
+        v.select("variant_id", "chrom", "pos", "ref", "alt"),
+        reg,
+        filter_expr="gnomad_af < 0.1",
+    )
+    return out.select(
+        "variant_id", "chrom", "pos", "ref", "alt",
+        F.round(F.col("gnomad_af"), 9).alias("gnomad_af"),
+        "clinvar_sig",
+    )
+
+
+Q_GX_ANNOTATE_SQL = f"""
+WITH v AS ({SQL_VARIANTS}),
+g AS (SELECT chrom, pos, ref, alt, af AS gnomad_af FROM v WHERE variant_id % 3 = 0),
+c AS (SELECT chrom, pos, ref, alt,
+             CASE WHEN variant_id % 5 = 0 THEN 'Pathogenic' ELSE 'Benign' END AS clinvar_sig
+      FROM v WHERE variant_id % 4 = 0)
+SELECT v.variant_id, v.chrom, v.pos, v.ref, v.alt,
+       ROUND(g.gnomad_af, 9) AS gnomad_af, c.clinvar_sig
+FROM v
+LEFT JOIN g USING (chrom, pos, ref, alt)
+LEFT JOIN c USING (chrom, pos, ref, alt)
+WHERE g.gnomad_af < 0.1
+"""
+
+
 QUERIES = {
     "q_gx_variant_qc": q_gx_variant_qc,
     "q_gx_hwe": q_gx_hwe,
@@ -1109,6 +1202,8 @@ QUERIES = {
     "q_gx_dosage_stats": q_gx_dosage_stats,
     "q_gx_worst_impact": q_gx_worst_impact,
     "q_gx_gwas_match": q_gx_gwas_match,
+    "q_gx_hapmap3": q_gx_hapmap3,
+    "q_gx_annotate": q_gx_annotate,
 }
 
 ORACLE = {
@@ -1127,4 +1222,6 @@ ORACLE = {
     "q_gx_dosage_stats": Q_GX_DOSAGE_STATS_SQL,
     "q_gx_worst_impact": Q_GX_WORST_IMPACT_SQL,
     "q_gx_gwas_match": Q_GX_GWAS_MATCH_SQL,
+    "q_gx_hapmap3": Q_GX_HAPMAP3_SQL,
+    "q_gx_annotate": Q_GX_ANNOTATE_SQL,
 }
