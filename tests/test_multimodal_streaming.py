@@ -148,3 +148,43 @@ class TestStreaming:
         max_ts = max(k[0] for k in b)
         for k in set(b) - set(s):
             assert k[0] >= max_ts - datetime.timedelta(hours=2)
+
+
+class TestStatefulSessionization:
+    def test_stream_equals_batch_for_closed_sessions(self, spark, tmp_path):
+        import datetime
+
+        from vcf_pg_loader_spark.sources.tables import load_table
+        from vcf_pg_loader_spark.streaming.events import (
+            read_events_stream,
+            run_available_now,
+            sessionize_batch,
+            sessionize_stream,
+        )
+
+        src = str(tmp_path / "sess_in")
+        events = load_table(spark, "/root/testdata/sf0.001", "events")
+        events.write.parquet(src)
+
+        stream = sessionize_stream(read_events_stream(spark, src), gap_minutes=30)
+        out = str(tmp_path / "sess_out")
+        run_available_now(stream, str(tmp_path / "sess_ckpt"), out)
+        got = {
+            (r.user_id, r.session_start, r.session_end): (r.n_events, round(r.total_value, 6))
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got, "no sessions emitted"
+
+        batch = sessionize_batch(events, gap_minutes=30)
+        max_ts = events.agg(F.max("ts")).collect()[0][0]
+        gap = datetime.timedelta(minutes=30)
+        closed = {
+            (r.user_id, r.session_start, r.session_end): (r.n_events, round(r.total_value, 6))
+            for r in batch.collect()
+            if r.session_end + gap <= max_ts
+        }
+        # every emitted streaming session matches the batch twin exactly
+        for k, v in got.items():
+            assert closed.get(k) == v, k
+        # and every batch session that must have closed was emitted
+        assert set(closed) == set(got)
