@@ -25,7 +25,7 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 
 
-def norm_cell(v):
+def norm_cell(v, collapse_midnight=False):
     import datetime as dt
 
     import pandas as pd
@@ -38,9 +38,13 @@ def norm_cell(v):
         return repr(float(v))  # full precision; np.float64 -> float
     # Date-vs-midnight-timestamp is a dtype artifact, not a value
     # difference (Spark DATE -> datetime.date, DuckDB DATE/TIMESTAMP
-    # -> pandas Timestamp); the driver hash treats them as equal.
+    # -> pandas Timestamp); the driver hash treats them as equal.  Only
+    # collapse in columns where ONE side is genuinely date-typed — a
+    # true TIMESTAMP column whose values happen to be midnight must NOT
+    # silently match a DATE column (round-2 ADVICE).
     if isinstance(v, (pd.Timestamp, dt.datetime)):
-        if v.hour == v.minute == v.second == 0 and getattr(v, "microsecond", 0) == 0:
+        if collapse_midnight and v.hour == v.minute == v.second == 0 \
+                and getattr(v, "microsecond", 0) == 0:
             return v.strftime("%Y-%m-%d")
         return v.isoformat(sep=" ")
     if isinstance(v, dt.date):
@@ -48,9 +52,27 @@ def norm_cell(v):
     return str(v)
 
 
-def to_rows(colnames, rows):
+def date_like_cols(colnames, rows):
+    """Columns whose non-null values are all pure datetime.date (not
+    datetime/Timestamp) — i.e. the frame carries a real DATE column."""
+    import datetime as dt
+
+    out = set()
+    for i, c in enumerate(colnames):
+        vals = [r[i] for r in rows if r[i] is not None]
+        if vals and all(
+            isinstance(v, dt.date) and not isinstance(v, dt.datetime) for v in vals
+        ):
+            out.add(c)
+    return out
+
+
+def to_rows(colnames, rows, collapse_cols=frozenset()):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out = [
+        tuple(norm_cell(r[i], colnames[i] in collapse_cols) for i in order)
+        for r in rows
+    ]
     out.sort()
     return [tuple(sorted(colnames))] + out
 
@@ -100,8 +122,14 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
             continue
-        s = to_rows(scols, srows)
-        d = to_rows(dcols, drows)
+        # Collapse midnight timestamps only in columns where exactly one
+        # side is a true DATE (dtype artifact of the pandas fetch path).
+        sdate, ddate = date_like_cols(scols, srows), date_like_cols(dcols, drows)
+        collapse = sdate.symmetric_difference(ddate)
+        if collapse:
+            print(f"note {name}: date/timestamp collapse on {sorted(collapse)}")
+        s = to_rows(scols, srows, collapse)
+        d = to_rows(dcols, drows, collapse)
         if s[0] != d[0]:
             failures.append(name)
             print(f"FAIL {name}: columns spark={s[0]} duckdb={d[0]}")

@@ -4,7 +4,9 @@ A small parquet file scans as ONE task; an explode/hash pipeline chained
 onto it then runs on one core no matter how many are idle.  At real scale
 the scan already has thousands of partitions and a repartition would be a
 pure pessimization — so we only widen when the scan is narrower than the
-cluster.
+cluster.  Inputs on remote filesystems (s3/hdfs/abfs) are treated as
+already-wide: at 100 TB the scan is never narrower than the cluster, and
+probing partition counts there would force an RDD plan translation.
 """
 
 from __future__ import annotations
@@ -15,26 +17,43 @@ from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame
 
+_DEFAULT_MAX_PARTITION_BYTES = 128 << 20
+
+# Compression formats Spark cannot split: one scan task per file no matter
+# the size.  (bgzip also ends in .gz — see sources/bgzf.py for the
+# splittable path.)
+_NON_SPLITTABLE_SUFFIXES = (".gz", ".bz2", ".zst", ".lz4", ".deflate", ".snappy")
+
 
 def _parse_bytes(v: str) -> int:
-    v = v.strip().lower()
-    for suffix, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
-        if v.endswith(suffix):
-            return int(float(v[: -len(suffix)])) * mult
-    return int(v)
+    try:
+        v = v.strip().lower()
+        core = v[:-1] if v.endswith("b") and len(v) > 1 else v
+        for suffix, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
+            if core.endswith(suffix):
+                return int(float(core[: -len(suffix)]) * mult)
+        return int(float(v[:-1] if v.endswith("b") else v))
+    except (ValueError, AttributeError):
+        return _DEFAULT_MAX_PARTITION_BYTES
 
 
 def _estimated_scan_partitions(df: DataFrame) -> int | None:
     """Split-count estimate from the scan's file listing — no RDD
-    conversion (df.rdd would force plan translation per call).  Returns
-    None when the sources aren't local files (caller falls back)."""
+    conversion (an RDD probe would force plan translation per call).  Returns
+    None when the estimate can't be made cheaply (caller no-ops)."""
     try:
         files = df.inputFiles()
     except Exception:
         return None
     if not files:
         return None
-    total = 0
+    max_bytes = max(
+        _parse_bytes(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        ),
+        1,
+    )
+    splits = 0
     for f in files:
         u = urlparse(f)
         if u.scheme not in ("file", ""):
@@ -42,21 +61,20 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
         path = u.path or f
         if not os.path.exists(path):
             return None
-        total += os.path.getsize(path)
-    max_bytes = _parse_bytes(
-        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128m")
-    )
-    return max(len(files), math.ceil(total / max(max_bytes, 1)))
+        if path.lower().endswith(_NON_SPLITTABLE_SUFFIXES):
+            splits += 1  # gzip & friends: one task per file, size irrelevant
+        else:
+            splits += max(1, math.ceil(os.path.getsize(path) / max_bytes))
+    return splits
 
 
 def ensure_min_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     """Round-robin repartition up to default parallelism — only if the
-    scan is narrower than the cluster."""
+    scan is provably narrower than the cluster.  Remote inputs and
+    un-estimable plans pass through unchanged (assumed already wide)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
     est = _estimated_scan_partitions(df)
-    if est is None:
-        est = df.rdd.getNumPartitions()
-    if est < target:
+    if est is not None and est < target:
         return df.repartition(target)
     return df
