@@ -1,29 +1,50 @@
-"""JDBC (Postgres) sink — the reference's binary-COPY bulk path
-(loader.py:492-516, db_loader.py:11-78) re-expressed as tuned JDBC batch
-writes, per BASELINE.json ("Spark DataFrame parsing and JDBC bulk
-writes").
+"""JDBC sink — the reference's binary-COPY bulk path (loader.py:492-516,
+db_loader.py:11-78) re-expressed as tuned JDBC batch writes, per
+BASELINE.json ("Spark DataFrame parsing and JDBC bulk writes").
 
-No Postgres is available in this environment, so everything here is
-config assembly + write-plan construction; the write itself is exercised
-only when a URL is supplied.  Idempotent reload (delete batch then
-append) mirrors loader.py:230-252 via a pre-delete statement.
+Production target is Postgres; tests exercise the identical write path
+against embedded Derby (shipped in Spark's jars), so the sink is verified
+end-to-end: write -> read-back -> delete-batch -> idempotent re-append.
+Idempotent reload (delete batch then append) mirrors loader.py:230-252.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+_DRIVER_BY_SCHEME = {
+    "postgresql": "org.postgresql.Driver",
+    "derby": "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+    "sqlite": "org.sqlite.JDBC",
+    "h2": "org.h2.Driver",
+}
+
+
+def _scheme(url: str) -> str:
+    # jdbc:postgresql://... -> postgresql ; jdbc:derby:/path -> derby
+    parts = url.split(":", 2)
+    return parts[1] if len(parts) > 1 else ""
 
 
 @dataclass
 class JdbcSinkConfig:
-    url: str  # jdbc:postgresql://host:port/db
+    url: str  # jdbc:postgresql://host:port/db | jdbc:derby:/path;create=true
     table: str = "variants"
     user: str | None = None
     password: str | None = None
     batch_size: int = 30_000  # reference's optimal COPY batch
     num_partitions: int = 8  # parallel connections (pool analogue)
+    driver: str | None = None  # inferred from URL scheme when None
+    # Override Spark's default type mapping at CREATE time — e.g. Derby
+    # maps StringType to CLOB, which cannot appear in a WHERE clause, so
+    # key columns need explicit VARCHARs.
+    create_table_column_types: str | None = None
+    extra_options: dict[str, str] = field(default_factory=dict)
+
+    def resolved_driver(self) -> str | None:
+        return self.driver or _DRIVER_BY_SCHEME.get(_scheme(self.url))
 
     def options(self) -> dict[str, str]:
         opts = {
@@ -31,16 +52,22 @@ class JdbcSinkConfig:
             "dbtable": self.table,
             "batchsize": str(self.batch_size),
             "numPartitions": str(self.num_partitions),
-            "driver": "org.postgresql.Driver",
+        }
+        drv = self.resolved_driver()
+        if drv:
+            opts["driver"] = drv
+        if _scheme(self.url) == "postgresql":
             # rewrite INSERTs into multi-row batches server-side — the
             # closest JDBC gets to binary COPY throughput
-            "reWriteBatchedInserts": "true",
-            "stringtype": "unspecified",
-        }
+            opts["reWriteBatchedInserts"] = "true"
+            opts["stringtype"] = "unspecified"
+        if self.create_table_column_types:
+            opts["createTableColumnTypes"] = self.create_table_column_types
         if self.user:
             opts["user"] = self.user
         if self.password:
             opts["password"] = self.password
+        opts.update(self.extra_options)
         return opts
 
 
@@ -57,8 +84,59 @@ def write_variants_jdbc(
     )
 
 
+def read_table_jdbc(spark: SparkSession, cfg: JdbcSinkConfig) -> DataFrame:
+    """Read the sink table back (verification / round-trip tests)."""
+    return spark.read.format("jdbc").options(**cfg.options()).load()
+
+
 def delete_batch_sql(table: str, batch_id: str) -> str:
-    """Idempotent-reload pre-delete (loader.py:249-252); execute via any
-    Postgres client before re-appending the batch."""
+    """Idempotent-reload pre-delete (loader.py:249-252).
+
+    The table name is used VERBATIM (Spark's JDBC writer passes it
+    unquoted into CREATE TABLE, so the stored name matches what the user
+    configured); column identifiers are double-quoted because Spark
+    quotes them at CREATE time, which makes them case-sensitive on
+    case-folding databases (Derby, Postgres)."""
     safe = batch_id.replace("'", "''")
-    return f"DELETE FROM {table} WHERE load_batch_id = '{safe}'"
+    return f"DELETE FROM {table} WHERE \"load_batch_id\" = '{safe}'"
+
+
+def execute_statement(spark: SparkSession, cfg: JdbcSinkConfig, sql: str) -> int:
+    """Run one DML statement over a driver-side JDBC connection (the
+    delete half of idempotent reload).  Returns the update count.
+
+    Uses java.sql.DriverManager in the driver JVM — a single short
+    statement, never row data, so there is no scale concern."""
+    jvm = spark._jvm  # py4j bridge to the driver JVM
+    drv = cfg.resolved_driver()
+    if drv:
+        jvm.java.lang.Class.forName(drv)
+    props = jvm.java.util.Properties()
+    if cfg.user:
+        props.setProperty("user", cfg.user)
+    if cfg.password:
+        props.setProperty("password", cfg.password)
+    conn = jvm.java.sql.DriverManager.getConnection(cfg.url, props)
+    try:
+        stmt = conn.createStatement()
+        try:
+            return stmt.executeUpdate(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
+_MISSING_TABLE_MARKERS = ("does not exist", "42X05", "42P01")
+
+
+def idempotent_reload(df: DataFrame, cfg: JdbcSinkConfig, batch_id: str) -> None:
+    """Delete any prior rows of `batch_id`, then bulk-append — re-running
+    a failed load converges instead of duplicating (loader.py:230-252).
+    A missing table (very first load) is not an error."""
+    try:
+        execute_statement(df.sparkSession, cfg, delete_batch_sql(cfg.table, batch_id))
+    except Exception as e:  # noqa: BLE001 — py4j wraps the SQL error
+        if not any(m in str(e) for m in _MISSING_TABLE_MARKERS):
+            raise
+    write_variants_jdbc(df, cfg, mode="append")
