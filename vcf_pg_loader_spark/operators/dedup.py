@@ -147,13 +147,14 @@ def prefix_filtered_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    # rank and size share ONE doc_id exchange: n_sh comes from a window
-    # count over the same partition key, not a separate sizes join.
+    # Document frequency via a window over the shingle partition: ONE
+    # exchange of sh (the old groupBy+join shuffled sh twice).  Rank and
+    # size then share ONE doc_id exchange.
+    w_df = Window.partitionBy("shingle")
     w_rank = Window.partitionBy("doc_id").orderBy(F.asc("_df"), F.asc("shingle"))
     w_doc = Window.partitionBy("doc_id")
     prefix = (
-        sh.join(dfc, "shingle")
+        sh.withColumn("_df", F.count(F.lit(1)).over(w_df))
         .withColumn("rn", F.row_number().over(w_rank))
         .withColumn("n_sh", F.count(F.lit(1)).over(w_doc))
         .filter(
@@ -164,14 +165,18 @@ def prefix_filtered_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # groupBy instead of .distinct(): same single shuffle, and candidate
+    # uniqueness is REQUIRED — duplicate (d1,d2) rows would multiply
+    # every shingle match in verification and inflate n_inter.
     cands = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("_n_prefix_shared"))
+        .select("d1", "d2")
     )
     return verify_candidate_jaccard(cands, sh, threshold)
 
