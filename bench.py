@@ -54,6 +54,15 @@ def main() -> None:
     )
     print(f"# vcf_parse: {parse}", file=sys.stderr)
 
+    # Same parse over ONE monolithic bgzipped file — the shape that is a
+    # one-core scan on vanilla Spark; the BGZF range reader keeps it wide.
+    from vcf_pg_loader_spark.parse_bench import parse_throughput_bgzf
+
+    parse_gz = parse_throughput_bgzf(
+        spark, int(os.environ.get("SPARK_GRAFT_PARSE_N", "2000000"))
+    )
+    print(f"# vcf_parse_bgzf: {parse_gz}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -65,6 +74,10 @@ def main() -> None:
                 "vcf_parse_variants_per_sec": parse["variants_per_sec"],
                 "vcf_parse_variants": parse["variants"],
                 "vcf_parse_rows": parse["rows_after_decomposition"],
+                "vcf_parse_bgzf_single_file_variants_per_sec": parse_gz[
+                    "variants_per_sec"
+                ],
+                "vcf_parse_bgzf_scan_tasks": parse_gz["scan_tasks"],
             }
         )
     )

@@ -52,6 +52,60 @@ def write_synthetic_vcf(dirpath: str, n_variants: int, shards: int = 16) -> str:
     return os.path.join(dirpath, "bench_*.vcf")
 
 
+def write_synthetic_vcf_bgzf(path: str, n_variants: int) -> None:
+    """ONE bgzipped VCF file with n_variants — the monolithic-`.vcf.gz`
+    shape that defeats vanilla Spark's gzip handling (one task)."""
+    import io
+
+    from vcf_pg_loader_spark.sources.bgzf import write_bgzf
+
+    buf = io.StringIO()
+    buf.write(_HEADER)
+    for i in range(n_variants):
+        ref = _BASES[i % 4]
+        alt = _BASES[(i + 1) % 4]
+        if i % 20 == 0:
+            alt = f"{alt},{_BASES[(i + 2) % 4]}"
+        if i % 6 == 5:
+            ref = ref + "TT"
+        buf.write(
+            f"chr{(i % 22) + 1}\t{1000 + i}\trs{i}\t{ref}\t{alt}\t50.0"
+            f"\tPASS\tDP={i % 100};AF=0.{i % 9 + 1}\n"
+        )
+    write_bgzf(path, buf.getvalue().encode())
+
+
+def parse_throughput_bgzf(spark, n_variants: int = 2_000_000) -> dict:
+    """Parse rate over ONE bgzipped file via the splittable BGZF reader.
+
+    The reference streams a single .vcf.gz at ~106k variants/s on one
+    core (vcf_parser.py:520-657); vanilla Spark would match its
+    one-core-ness.  The BGZF range reader instead scans with
+    default-parallelism tasks, so this number should track the multi-file
+    rate, not the single-core rate."""
+    import tempfile
+
+    from vcf_pg_loader_spark.sources.bgzf import bgzf_text
+    from vcf_pg_loader_spark.sources.vcf import read_vcf
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "bench.vcf.gz")
+        write_synthetic_vcf_bgzf(path, n_variants)
+        scan_tasks = bgzf_text(spark, path).rdd.getNumPartitions()  # rdd-ok (bench introspection)
+        mb = round(os.path.getsize(path) / 1e6, 1)
+        t0 = time.perf_counter()
+        rows = read_vcf(spark, path, normalize=True).count()
+        dt = time.perf_counter() - t0
+    return {
+        "variants": n_variants,
+        "rows_after_decomposition": rows,
+        "sec": round(dt, 3),
+        "variants_per_sec": round(n_variants / dt, 1),
+        "scan_tasks": scan_tasks,
+        "compressed_mb": mb,
+    }
+
+
 def parse_throughput(
     spark, n_variants: int = 2_000_000, shards: int = 16
 ) -> dict:

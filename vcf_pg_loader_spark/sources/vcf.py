@@ -6,8 +6,10 @@ KB), and the body is a distributed `spark.read.text` scan transformed
 entirely with Catalyst expressions — split / posexplode / element_at /
 higher-order functions.  No Python executes per record, so the scan stays
 in whole-stage codegen, parallelizes per file-split, and scales to any
-number of input files.  (Plain .gz is a single split; use bgzip or
-uncompressed inputs for large files — SURVEY §7.3.)
+number of input files.  A single bgzipped file routes through the
+splittable BGZF range reader (sources/bgzf.py) so even a monolithic
+.vcf.gz scans wide; only plain (non-BGZF) gzip remains a one-core
+stream — SURVEY §7.3.
 
 Semantics preserved from the reference (SURVEY §1.4):
   - multi-allelic decomposition: one output row per ALT
@@ -32,6 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vcf_pg_loader_spark.functions.genomics import normalize_clinvar_sig
+from vcf_pg_loader_spark.sources.bgzf import read_text_auto
 from vcf_pg_loader_spark.functions.normalize import (
     classify_variant_expr,
     needs_left_extension_expr,
@@ -323,7 +326,7 @@ def read_vcf(
     """
     hdr = header or read_header(path)
 
-    lines = spark.read.text(path).filter(~F.col("value").startswith("#"))
+    lines = read_text_auto(spark, path).filter(~F.col("value").startswith("#"))
     c = F.split(F.col("value"), "\t")
 
     # malformed/truncated rows are skipped, and F.get (not getItem) keeps
@@ -554,7 +557,7 @@ def read_genotypes(
     if not hdr.samples:
         raise ValueError(f"no samples in VCF header: {path}")
 
-    lines = spark.read.text(path).filter(~F.col("value").startswith("#"))
+    lines = read_text_auto(spark, path).filter(~F.col("value").startswith("#"))
     c = F.split(F.col("value"), "\t")
 
     sample_arr = F.array(
