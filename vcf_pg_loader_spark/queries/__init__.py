@@ -5,6 +5,7 @@ This is the declared operator surface the driver's DuckDB oracle checks
   core      — relational operators (scan/filter/join/agg/window/sort/setop)
   pipeline  — large-scale pipeline ops (dedup, similarity, text analysis)
   genomics  — genomics-domain operators expressed over the fixtures
+  exports   — PRS exporter frames + candidate view through the real ops
 """
 
 from __future__ import annotations
@@ -17,18 +18,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def all_queries() -> dict[str, QueryFn]:
-    from vcf_pg_loader_spark.queries import core, genomics, pipeline
+    from vcf_pg_loader_spark.queries import core, exports, genomics, pipeline
 
     merged: dict[str, QueryFn] = {}
-    for mod in (core, pipeline, genomics):
+    for mod in (core, pipeline, genomics, exports):
         merged.update(mod.QUERIES)
     return merged
 
 
 def all_oracles() -> dict[str, str]:
-    from vcf_pg_loader_spark.queries import core, genomics, pipeline
+    from vcf_pg_loader_spark.queries import core, exports, genomics, pipeline
 
     merged: dict[str, str] = {}
-    for mod in (core, pipeline, genomics):
+    for mod in (core, pipeline, genomics, exports):
         merged.update(mod.ORACLE)
     return merged
