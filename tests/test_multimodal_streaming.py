@@ -188,3 +188,80 @@ class TestStatefulSessionization:
             assert closed.get(k) == v, k
         # and every batch session that must have closed was emitted
         assert set(closed) == set(got)
+
+
+    def test_late_events_merge_into_held_sessions(self, spark, tmp_path):
+        """Round-2 ADVICE scenario: with a nonzero watermark (allowed
+        lateness), late events must merge into not-yet-emitted sessions —
+        lowering a session start (11:55 before the 12:00 event) and
+        bridging two sessions (12:20 joins [12:00] and [12:45]) — instead
+        of producing splits that diverge from sessionize_batch."""
+        import datetime
+        import shutil
+        import time as _time
+
+        from vcf_pg_loader_spark.streaming.events import (
+            read_events_stream,
+            run_available_now,
+            sessionize_batch,
+            sessionize_stream,
+        )
+
+        def ts(h, m):
+            return datetime.datetime(2024, 1, 1, h, m)
+
+        file_batches = [
+            # trigger 1: two sessions for user 1 + a 13:30 head event
+            [(1, ts(10, 0)), (1, ts(10, 10)), (1, ts(12, 0)),
+             (1, ts(12, 45)), (1, ts(13, 30))],
+            # trigger 2: LATE events (>= watermark 11:30): 11:55 lowers the
+            # 12:00 session start; 12:20 bridges [12:00] and [12:45]
+            [(1, ts(11, 55)), (1, ts(12, 20))],
+            # trigger 3: watermark pusher (user 2)
+            [(2, ts(18, 0))],
+        ]
+        src = tmp_path / "late_src"
+        src.mkdir()
+        all_rows = []
+        for i, batch in enumerate(file_batches):
+            rows = [
+                (100 * i + j, t, u, "click", 1.0, None)
+                for j, (u, t) in enumerate(batch)
+            ]
+            all_rows += rows
+            tmp = tmp_path / f"stage_{i}"
+            spark.createDataFrame(
+                rows, "event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string",
+            ).coalesce(1).write.parquet(str(tmp))
+            part = next(p for p in tmp.iterdir() if p.name.endswith(".parquet"))
+            shutil.copy(part, src / f"events_{i}.parquet")
+            _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+        stream = sessionize_stream(
+            read_events_stream(spark, str(src), max_files_per_trigger=1),
+            gap_minutes=30,
+            watermark="2 hours",
+        )
+        out = tmp_path / "late_out"
+        run_available_now(stream, str(tmp_path / "late_ckpt"), str(out))
+        got = {
+            (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+            for r in spark.read.parquet(str(out)).collect()
+        }
+
+        batch_df = spark.createDataFrame(
+            all_rows, "event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string",
+        )
+        gap = datetime.timedelta(minutes=30)
+        final_wm = ts(18, 0) - datetime.timedelta(hours=2)
+        closed = {
+            (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+            for r in sessionize_batch(batch_df, gap_minutes=30).collect()
+            if r.session_end + gap <= final_wm
+        }
+        assert got == closed
+        # the bridged session is present as ONE unsplit session
+        assert (1, ts(11, 55), ts(12, 45)) in got
+        assert got[(1, ts(11, 55), ts(12, 45))][0] == 4

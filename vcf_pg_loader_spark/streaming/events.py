@@ -97,7 +97,31 @@ SESSION_OUTPUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events bigint, total_value double"
 )
-SESSION_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint, tv double"
+# Parallel arrays of PENDING sessions (start_us, end_us, n, total_value):
+# a session stays in state until the watermark passes end + gap, so late
+# events inside the allowed lateness can still merge into (or bridge)
+# not-yet-emitted sessions.  State per user is bounded by the number of
+# sessions inside one watermark horizon, not by event count.
+SESSION_STATE_SCHEMA = (
+    "ss array<bigint>, es array<bigint>, ns array<bigint>, tvs array<double>"
+)
+
+
+def _merge_sessions(sessions: list[list], gap_us: int) -> list[list]:
+    """Interval-merge [start, end, n, tv] rows whose gap is <= gap_us.
+    Handles late events lowering a session start and bridging two
+    previously separate sessions."""
+    sessions.sort(key=lambda s: (s[0], s[1]))
+    merged: list[list] = []
+    for s in sessions:
+        if merged and s[0] - merged[-1][1] <= gap_us:
+            last = merged[-1]
+            last[1] = max(last[1], s[1])
+            last[2] += s[2]
+            last[3] += s[3]
+        else:
+            merged.append(list(s))
+    return merged
 
 
 def sessionize_stream(
@@ -106,8 +130,16 @@ def sessionize_stream(
     watermark: str = "0 seconds",
 ) -> DataFrame:
     """Closed sessions per user: events separated by more than
-    `gap_minutes` start a new session; a session is emitted when the
-    event-time watermark passes its last event + gap."""
+    `gap_minutes` start a new session.
+
+    A session is emitted ONLY once the event-time watermark passes its
+    last event + gap — never while a batch is being processed — so with
+    any `watermark` (allowed lateness), a late event arriving within
+    that lateness merges into the still-held session instead of
+    producing a split.  Emitted output therefore matches
+    :func:`sessionize_batch` exactly for every event no later than the
+    watermark (later-than-watermark rows are dropped by Spark's late
+    filter, as in any watermarked aggregation)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -115,50 +147,46 @@ def sessionize_stream(
 
     def fn(key, pdfs, state: GroupState):
         user_id = int(key[0])
-        out = []
-        if state.hasTimedOut:
-            start_us, last_us, n, tv = state.get
-            out.append((user_id, start_us, last_us, n, tv))
-            state.remove()
-        else:
-            frames = [pdf for pdf in pdfs if len(pdf)]
-            if frames:
-                data = pd.concat(frames).sort_values("ts")
-                if state.exists:
-                    start_us, last_us, n, tv = state.get
-                else:
-                    start_us = last_us = None
-                    n, tv = 0, 0.0
-                for ts, val in zip(data["ts"], data["value"]):
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        sessions: list[list] = []
+        if state.exists:
+            ss, es, ns, tvs = state.get
+            sessions = [list(t) for t in zip(ss, es, ns, tvs)]
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for ts, val in zip(pdf["ts"], pdf["value"]):
                     us = int(pd.Timestamp(ts).value // 1_000)
-                    if last_us is not None and us - last_us > gap_us:
-                        out.append((user_id, start_us, last_us, n, tv))
-                        start_us, n, tv = us, 0, 0.0
-                    if start_us is None:
-                        start_us = us
-                    last_us = max(last_us, us) if last_us is not None else us
-                    n += 1
-                    tv += float(val) if pd.notna(val) else 0.0
-                state.update((start_us, last_us, n, tv))
-                # close once the watermark passes last + gap; the timeout
-                # API is millisecond-granular and must sit strictly above
-                # the current watermark
-                state.setTimeoutTimestamp(
-                    max(
-                        (last_us + gap_us + 999) // 1000,
-                        state.getCurrentWatermarkMs() + 1000,
-                    )
+                    tv = float(val) if pd.notna(val) else 0.0
+                    sessions.append([us, us, 1, tv])
+            sessions = _merge_sessions(sessions, gap_us)
+        out = [s for s in sessions if s[1] + gap_us <= wm_us]
+        keep = [s for s in sessions if s[1] + gap_us > wm_us]
+        if keep:
+            state.update(
+                (
+                    [int(s[0]) for s in keep],
+                    [int(s[1]) for s in keep],
+                    [int(s[2]) for s in keep],
+                    [float(s[3]) for s in keep],
                 )
+            )
+            # wake when the earliest pending session becomes emittable;
+            # the timeout API is ms-granular and must sit strictly above
+            # the current watermark
+            deadline_ms = min(s[1] + gap_us for s in keep) // 1000 + 1
+            state.setTimeoutTimestamp(max(deadline_ms, wm_us // 1000 + 1000))
+        else:
+            state.remove()
         yield pd.DataFrame(
             [
                 (
-                    u,
+                    user_id,
                     pd.Timestamp(s, unit="us"),
                     pd.Timestamp(e, unit="us"),
-                    n_,
-                    tv_,
+                    int(n_),
+                    float(tv_),
                 )
-                for (u, s, e, n_, tv_) in out
+                for (s, e, n_, tv_) in out
             ],
             columns=[
                 "user_id", "session_start", "session_end", "n_events",
