@@ -63,6 +63,45 @@ def main() -> None:
     )
     print(f"# vcf_parse_bgzf: {parse_gz}", file=sys.stderr)
 
+    # Skewed-key join rehearsal: half of lineitem lands on ONE key, the
+    # other half spreads; compare a plain shuffle join vs the salted
+    # join (operators/skew.py) with auto-broadcast disabled so both run
+    # the sort-merge path that a 100 TB non-broadcastable dim would.
+    from pyspark.sql import functions as F
+
+    from vcf_pg_loader_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    big = li.select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(0))
+        .otherwise(F.col("l_partkey"))
+        .alias("k"),
+        "l_quantity",
+    )
+    small = (
+        li.select(F.col("l_partkey").alias("k")).distinct()
+        .union(spark.range(1).select(F.lit(0).alias("k")))
+        .distinct()
+        .withColumn("w", F.col("k") % 97)
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.perf_counter()
+        big.join(small, "k").agg(F.sum("l_quantity"), F.sum("w")).collect()
+        plain_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        salted_join(big, small, ["k"]).agg(
+            F.sum("l_quantity"), F.sum("w")
+        ).collect()
+        salted_s = time.perf_counter() - t0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    print(
+        f"# skew_join: plain={plain_s:.3f}s salted={salted_s:.3f}s",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
@@ -78,6 +117,8 @@ def main() -> None:
                     "variants_per_sec"
                 ],
                 "vcf_parse_bgzf_scan_tasks": parse_gz["scan_tasks"],
+                "skew_join_plain_sec": round(plain_s, 3),
+                "skew_join_salted_sec": round(salted_s, 3),
             }
         )
     )

@@ -265,3 +265,53 @@ class TestStatefulSessionization:
         # the bridged session is present as ONE unsplit session
         assert (1, ts(11, 55), ts(12, 45)) in got
         assert got[(1, ts(11, 55), ts(12, 45))][0] == 4
+
+
+class TestRealCodecs:
+    """Golden tests for the REAL decode path — skip-marked in containers
+    without the codec libraries, drop-in verified on images that have
+    them."""
+
+    @pytest.mark.skipif(
+        not M.HAVE_PIL, reason="PIL not installed in this container"
+    )
+    def test_pil_decode_golden(self, spark):
+        import io as _io
+
+        img = M._PILImage.new("RGB", (4, 2), color=(10, 20, 30))
+        buf = _io.BytesIO()
+        img.save(buf, format="PNG")
+        arr = M._decode_image(buf.getvalue())
+        assert arr.shape == (2, 4, 3)
+        assert (arr == [10, 20, 30]).all()
+        df = spark.createDataFrame(
+            [(1, "image", buf.getvalue(), "image/png", (4, 2, None, None))],
+            M.MEDIA_SCHEMA,
+        )
+        feats = M.image_features(df).collect()
+        assert len(feats) == 1 and len(feats[0]["feature"]) == 16
+
+    @pytest.mark.skipif(
+        not M.HAVE_SOUNDFILE, reason="soundfile not installed in this container"
+    )
+    def test_soundfile_decode_golden(self):
+        import io as _io
+
+        import numpy as np
+
+        sr = 16000
+        wave = np.sin(np.linspace(0, 440 * 2 * np.pi, sr)).astype("float32")
+        buf = _io.BytesIO()
+        M._soundfile.write(buf, wave, sr, format="WAV")
+        got = M._decode_audio(buf.getvalue(), sr)
+        assert got.shape == (sr,)
+        assert np.allclose(got, wave, atol=1e-3)
+
+    def test_fake_seams_active_without_libs(self):
+        # In this container the seams must be the deterministic fakes —
+        # and identical bytes must decode identically (dedup invariant).
+        if M.HAVE_PIL or M.HAVE_SOUNDFILE:
+            pytest.skip("real codecs present")
+        a = M._decode_image(b"payload-1")
+        b = M._decode_image(b"payload-1")
+        assert (a == b).all() and a.shape == (8, 8, 3)

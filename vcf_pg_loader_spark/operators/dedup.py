@@ -161,10 +161,23 @@ def prefix_filtered_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
             F.col("rn")
             <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 2
         )
-        .select("doc_id", "shingle")
+        .select("doc_id", "shingle", "rn", "n_sh")
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
+    an, bn = F.col("a.n_sh"), F.col("b.n_sh")
+    # PPJoin pruning on top of the shared-prefix-shingle condition — both
+    # prune-only (one unit of slack against rounding wobble), so exact
+    # verification below still decides every surviving pair:
+    #   length: Jaccard >= t forces t*|A| <= |B| (and symmetrically)
+    #   position: intersection can't exceed 1 + min remaining shingles
+    #     after this prefix position, and J >= t needs
+    #     I >= t/(1+t) * (|A|+|B|)
+    length_ok = (bn >= F.ceil(F.lit(threshold) * an) - 1) & (
+        an >= F.ceil(F.lit(threshold) * bn) - 1
+    )
+    ubound = F.lit(1) + F.least(an - F.col("a.rn"), bn - F.col("b.rn"))
+    minsize = F.ceil(F.lit(threshold / (1.0 + threshold)) * (an + bn)) - 1
     # groupBy instead of .distinct(): same single shuffle, and candidate
     # uniqueness is REQUIRED — duplicate (d1,d2) rows would multiply
     # every shingle match in verification and inflate n_inter.
@@ -172,7 +185,9 @@ def prefix_filtered_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & length_ok
+            & (ubound >= minsize),
         )
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count(F.lit(1)).alias("_n_prefix_shared"))

@@ -6,16 +6,19 @@ to object storage) beside a typed metadata struct; all per-item compute
 batched `mapInPandas` so bytes cross the JVM/Python boundary once per
 batch, not per row.  Partitioning is by content hash so hot items spread.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode kernels are deterministic fakes behind `_decode_*` seams, clearly
-marked; the Spark-side plumbing — schemas, batch iteration, UDF
-signatures, partitioning — is real and tested.  Swap the seam for the
-real library on a cluster image that has it.
+The codec libraries are OPTIONAL imports: when PIL / soundfile exist on
+the cluster image, `_decode_image` / `_decode_audio` use them; in this
+container (no imaging/audio libs) they fall back to clearly-marked
+deterministic fakes.  Either way the Spark-side plumbing — schemas,
+batch iteration, UDF signatures, partitioning — is identical, real, and
+tested; golden tests for the real path are skip-marked when the library
+is absent.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import numpy as np
@@ -23,6 +26,22 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # real image codec when the cluster image ships it
+    from PIL import Image as _PILImage
+
+    HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    HAVE_PIL = False
+
+try:  # real audio codec when the cluster image ships it
+    import soundfile as _soundfile
+
+    HAVE_SOUNDFILE = True
+except ImportError:
+    _soundfile = None
+    HAVE_SOUNDFILE = False
 
 # media row: bytes + typed metadata (the reference's JSONB-metadata idea,
 # schema.py:252, applied to media)
@@ -66,13 +85,11 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 
 
 def _decode_image(content: bytes) -> np.ndarray:
-    """DECODE SEAM — deterministic fake.
-
-    Real implementation: `PIL.Image.open(io.BytesIO(content))` →
-    np.asarray.  The container has no imaging libs, so we derive a
-    deterministic pseudo-pixel array from the byte stream; shape and
-    dtype match what a decoder would produce.
-    """
+    """DECODE SEAM: real PIL decode when available, deterministic fake
+    otherwise (shape and dtype match what a decoder would produce)."""
+    if HAVE_PIL:
+        with _PILImage.open(io.BytesIO(content)) as img:
+            return np.asarray(img.convert("RGB"))
     h = hashlib.sha256(content).digest()
     side = 8
     rng = np.frombuffer((h * ((side * side * 3) // len(h) + 1))[: side * side * 3],
@@ -164,13 +181,12 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def _decode_audio(content: bytes, sample_rate: int) -> np.ndarray:
-    """DECODE SEAM — deterministic fake.
-
-    Real implementation: `soundfile.read(io.BytesIO(content))` (or
-    librosa.load) → float32 waveform.  No audio libs in this container,
-    so derive a deterministic pseudo-waveform in [-1, 1) whose length
-    scales with the payload, as a real decode's would.
-    """
+    """DECODE SEAM: real soundfile decode when available, else a
+    deterministic pseudo-waveform in [-1, 1) whose length scales with
+    the payload, as a real decode's would."""
+    if HAVE_SOUNDFILE:
+        wave, _sr = _soundfile.read(io.BytesIO(content), dtype="float32")
+        return wave if wave.ndim == 1 else wave.mean(axis=1)
     h = hashlib.sha256(content).digest()
     n = max(256, min(len(content) * 4, 1 << 15))
     raw = np.frombuffer((h * (n // len(h) + 1))[:n], dtype=np.uint8)
