@@ -6,6 +6,7 @@ This is the declared operator surface the driver's DuckDB oracle checks
   pipeline  — large-scale pipeline ops (dedup, similarity, text analysis)
   genomics  — genomics-domain operators expressed over the fixtures
   exports   — PRS exporter frames + candidate view through the real ops
+  coverage  — LD-block stats, chrom counts, insert-only merge
 """
 
 from __future__ import annotations
@@ -18,18 +19,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def all_queries() -> dict[str, QueryFn]:
-    from vcf_pg_loader_spark.queries import core, exports, genomics, pipeline
+    from vcf_pg_loader_spark.queries import core, coverage, exports, genomics, pipeline
 
     merged: dict[str, QueryFn] = {}
-    for mod in (core, pipeline, genomics, exports):
+    for mod in (core, pipeline, genomics, exports, coverage):
         merged.update(mod.QUERIES)
     return merged
 
 
 def all_oracles() -> dict[str, str]:
-    from vcf_pg_loader_spark.queries import core, exports, genomics, pipeline
+    from vcf_pg_loader_spark.queries import core, coverage, exports, genomics, pipeline
 
     merged: dict[str, str] = {}
-    for mod in (core, pipeline, genomics, exports):
+    for mod in (core, pipeline, genomics, exports, coverage):
         merged.update(mod.ORACLE)
     return merged

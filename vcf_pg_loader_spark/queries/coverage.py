@@ -1,0 +1,143 @@
+"""Oracle coverage for operators previously exercised only by pytest:
+LD-block rollup, per-chromosome counts, insert-only merge.
+
+Same pattern as queries/genomics.py: deterministic synthetic frames from
+the fixtures feed the REAL engine operators, and a DuckDB twin validates
+the operator's algebra end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vcf_pg_loader_spark.queries.exports import (
+    SQL_EXPORT_VARIANTS,
+    export_variants,
+)
+from vcf_pg_loader_spark.sources.tables import load_table
+
+_POPS = ["AFR", "AMR", "EAS", "EUR", "SAS"]
+
+
+# ---------------------------------------------------------------------------
+# LD-block rollup through the real operator (operators/matching.py
+# ld_block_stats; reference references/ld_blocks.py:221-268)
+# ---------------------------------------------------------------------------
+def synth_ld_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    pops = F.array(*[F.lit(p) for p in _POPS])
+    return s.select(
+        F.element_at(pops, (k % 5 + 1).cast("int")).alias("population"),
+        F.concat(F.lit("GRCh"), (37 + k % 2).cast("string")).alias(
+            "genome_build"
+        ),
+        F.when(k % 3 == 0, "berisa_pickrell").otherwise("macld").alias("source"),
+        (k * 1000).cast("bigint").alias("start_pos"),
+        (k * 1000 + 500 + k % 100).cast("bigint").alias("end_pos"),
+        (k % 50).cast("bigint").alias("n_snps"),
+    )
+
+
+SQL_LD_BLOCKS = """
+  SELECT ['AFR','AMR','EAS','EUR','SAS'][CAST(s_suppkey % 5 AS INT) + 1]
+           AS population,
+         'GRCh' || CAST(37 + s_suppkey % 2 AS VARCHAR) AS genome_build,
+         CASE WHEN s_suppkey % 3 = 0 THEN 'berisa_pickrell'
+              ELSE 'macld' END AS source,
+         CAST(s_suppkey * 1000 AS BIGINT) AS start_pos,
+         CAST(s_suppkey * 1000 + 500 + s_suppkey % 100 AS BIGINT) AS end_pos,
+         CAST(s_suppkey % 50 AS BIGINT) AS n_snps
+  FROM supplier
+"""
+
+
+def q_gx_ld_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators.matching import ld_block_stats
+
+    return ld_block_stats(synth_ld_blocks(spark, sf_dir))
+
+
+Q_GX_LD_BLOCK_STATS_SQL = f"""
+SELECT population, genome_build, source,
+       COUNT(*) AS block_count,
+       MIN(start_pos) AS min_start,
+       MAX(end_pos) AS max_end,
+       AVG(n_snps) AS avg_snps
+FROM ({SQL_LD_BLOCKS})
+GROUP BY population, genome_build, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-chromosome counts through the real view op (plans/views.py
+# chromosome_variant_counts; reference views/prs_views.py:117-126)
+# ---------------------------------------------------------------------------
+def q_chrom_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.plans.views import chromosome_variant_counts
+
+    return chromosome_variant_counts(export_variants(spark, sf_dir))
+
+
+Q_CHROM_COUNTS_SQL = f"""
+SELECT chrom,
+       COUNT(*) AS n_variants,
+       COUNT(*) FILTER (WHERE in_hapmap3) AS n_hapmap3,
+       COUNT(*) FILTER (WHERE in_hapmap3 AND info_score >= 0.6)
+         AS n_prs_ready
+FROM ({SQL_EXPORT_VARIANTS})
+GROUP BY chrom
+"""
+
+
+# ---------------------------------------------------------------------------
+# insert-only merge (ON CONFLICT DO NOTHING) through the real operator
+# (operators/merge.py merge_insert_only; reference
+# annotation_loader.py:166-170).  Incoming keys are unique per batch by
+# construction — the operator's first-wins collapse of intra-batch dups
+# is partition-order-dependent and not oracle-comparable.
+# ---------------------------------------------------------------------------
+def q_merge_insert_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators.merge import merge_insert_only
+
+    cust = load_table(spark, sf_dir, "customer")
+    existing = cust.filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("val"),
+        F.lit("existing").alias("src"),
+    )
+    incoming = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("key"),
+        F.upper(F.col("c_name")).alias("val"),
+        F.lit("incoming").alias("src"),
+    )
+    return merge_insert_only(existing, incoming, ["key"])
+
+
+Q_MERGE_INSERT_ONLY_SQL = """
+WITH existing AS (
+  SELECT c_custkey AS key, c_name AS val, 'existing' AS src
+  FROM customer WHERE c_custkey % 3 <> 0
+),
+incoming AS (
+  SELECT c_custkey AS key, upper(c_name) AS val, 'incoming' AS src
+  FROM customer WHERE c_custkey % 2 = 0
+)
+SELECT * FROM existing
+UNION ALL
+SELECT i.* FROM incoming i ANTI JOIN existing e USING (key)
+"""
+
+
+QUERIES = {
+    "q_gx_ld_block_stats": q_gx_ld_block_stats,
+    "q_chrom_counts": q_chrom_counts,
+    "q_merge_insert_only": q_merge_insert_only,
+}
+
+ORACLE = {
+    "q_gx_ld_block_stats": Q_GX_LD_BLOCK_STATS_SQL,
+    "q_chrom_counts": Q_CHROM_COUNTS_SQL,
+    "q_merge_insert_only": Q_MERGE_INSERT_ONLY_SQL,
+}
