@@ -274,18 +274,18 @@ def lsh_candidate_pairs(sig: DataFrame, k: int = 8, bands: int = 4) -> DataFrame
 
     Equi-join on (band_id, band_key): this is the scale path — shuffle is
     proportional to docs×bands, and only colliding buckets produce pairs.
+    All band keys come out of ONE pass over the signature via posexplode
+    (a per-band union would recompute the signature aggregate `bands`
+    times).
     """
     rows_per_band = k // bands
-    band_frames = []
+    keys = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_key = F.md5(F.concat_ws("_", *[c.cast("string") for c in cols]))
-        band_frames.append(
-            sig.select(F.col("doc_id"), F.lit(b).alias("band_id"), band_key.alias("band_key"))
-        )
-    banded = band_frames[0]
-    for f in band_frames[1:]:
-        banded = banded.unionByName(f)
+        keys.append(F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])))
+    banded = sig.select(
+        "doc_id", F.posexplode(F.array(*keys)).alias("band_id", "band_key")
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
