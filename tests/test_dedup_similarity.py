@@ -199,3 +199,49 @@ class TestMultiProbeANN:
         base = buckets[0]
         assert buckets[1] == base ^ (1 << 1)
         assert buckets[2] == base ^ (1 << 4)
+
+
+class TestWinnowing:
+    def test_shared_passage_guarantees_shared_fingerprint(self, spark):
+        """Winnowing invariant: any shared substring of length
+        >= k + w - 1 chars must produce at least one shared fingerprint."""
+        from vcf_pg_loader_spark.operators.text import (
+            WINNOW_K,
+            WINNOW_W,
+            winnow_fingerprints,
+            winnow_overlap_pairs,
+        )
+
+        passage = "the quick brown fox jumps over the lazy dog repeatedly"
+        assert len(passage) >= WINNOW_K + WINNOW_W - 1
+        docs = spark.createDataFrame(
+            [
+                (1, "AAAA " + passage + " BBBB unique tail one xxxxxx"),
+                (2, "CCCC different head material " + passage + " DDDD"),
+                (3, "totally unrelated content with no overlap at all here"),
+            ],
+            ["doc_id", "text"],
+        )
+        fps = winnow_fingerprints(docs)
+        by_doc = {
+            r["doc_id"]: set()
+            for r in docs.select("doc_id").collect()
+        }
+        for r in fps.collect():
+            by_doc[r["doc_id"]].add(r["fp"])
+        assert by_doc[1] & by_doc[2], "shared passage must share a fingerprint"
+        pairs = winnow_overlap_pairs(fps, max_df=10, min_shared=1).collect()
+        assert {(r["d1"], r["d2"]) for r in pairs} == {(1, 2)}
+
+    def test_short_docs_degenerate_cases(self, spark):
+        from vcf_pg_loader_spark.operators.text import winnow_fingerprints
+
+        docs = spark.createDataFrame(
+            [(1, "tiny"), (2, "exactly8!"), (3, None)],
+            "doc_id long, text string",
+        )
+        rows = winnow_fingerprints(docs).collect()
+        # doc 1 (< k chars) and doc 3 (NULL) yield nothing; doc 2 yields
+        # its single global-min fingerprint
+        assert {r["doc_id"] for r in rows} == {2}
+        assert len(rows) == 1

@@ -60,7 +60,14 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     drops the same docs because its out-of-range t[i] makes the || chain
     NULL and list_distinct strips NULLs.
     """
-    toks = F.split(F.col(text_col), " ")
+    # materialize the token array before the gram transform: expression
+    # trees have no CSE store, so element_at over the raw split() chain
+    # would re-split the text once per gram element
+    tokenized = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    )
+    toks = F.col("_toks")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -70,9 +77,8 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    df = ensure_min_parallelism(df)
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    return tokenized.select(
+        "doc_id",
         F.explode(F.array_distinct(grams)).alias("shingle"),
     )
 

@@ -124,3 +124,90 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     document granularity)."""
     norm = F.regexp_replace(F.trim(F.col(text_col)), " +", " ")
     return df.withColumn("doc_fp", F.md5(norm))
+
+
+# --------------------------------------------------------------------------
+# winnowing (rolling-hash fingerprints; Schleimer/Wilkerson/Aiken's MOSS
+# algorithm): per-doc SET of selected k-gram hashes such that any shared
+# substring of length >= k + w - 1 is GUARANTEED to share a fingerprint —
+# partial-overlap / passage-reuse detection, which whole-doc hashing and
+# Jaccard-style dedup cannot do.
+# --------------------------------------------------------------------------
+WINNOW_K = 8  # k-gram length (chars)
+WINNOW_W = 4  # window size (hashes)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """(doc_id, fp) rows: the minimum hash of every w-hash window over
+    the doc's rolling char k-grams, deduplicated.
+
+    Pure column expressions (transform/slice/array_min) — no UDF, stays
+    in codegen; work is O(len * w) per document, the inherent winnowing
+    cost.  Docs shorter than k chars yield no fingerprints; docs with
+    fewer than w k-grams yield their single global minimum (one-window
+    degenerate case).
+    """
+    from vcf_pg_loader_spark.functions.hashing import h60
+    from vcf_pg_loader_spark.operators._parallel import ensure_min_parallelism
+
+    txt = F.lower(F.col(text_col))
+    n = F.length(txt)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: txt.substr(i, F.lit(k)),
+    )
+    hashes = F.when(
+        n >= k, F.transform(grams, lambda g: h60(g, salt="wn:"))
+    ).otherwise(F.array().cast("array<bigint>"))
+    # MATERIALIZE the hash array before windowing: expression trees have
+    # no common-subexpression store, so slicing the raw transform chain
+    # would recompute every md5 once per window (O(m^2) hashing).
+    hashed = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), hashes.alias("_hs")
+    )
+    hs = F.col("_hs")
+    m = F.size(hs)
+    sel = (
+        F.when(
+            m >= w,
+            F.transform(
+                F.sequence(F.lit(1), m - w + 1),
+                lambda j: F.array_min(F.slice(hs, j, w)),
+            ),
+        )
+        .when(m >= 1, F.array(F.array_min(hs)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return hashed.select(
+        "doc_id", F.explode(F.array_distinct(sel)).alias("fp")
+    )
+
+
+def winnow_overlap_pairs(
+    fps: DataFrame, max_df: int = 10, min_shared: int = 3
+) -> DataFrame:
+    """Doc pairs sharing >= min_shared winnowing fingerprints.
+
+    Scale guards: fingerprints appearing in more than `max_df` docs
+    (boilerplate) are dropped BEFORE the self-join, so no hot key can
+    explode the equi-join; pair aggregation is one shuffle on (d1, d2).
+    """
+    dfc = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+    rare = fps.join(dfc.filter(F.col("_df") <= max_df), "fp")
+    a, b = rare.alias("a"), rare.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -485,6 +485,57 @@ FROM customer FULL OUTER JOIN updates u ON c_custkey = u.key
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# winnowing fingerprints (rolling-hash, MOSS): passage-reuse pairs —
+# any shared substring of length >= K + W - 1 chars is guaranteed to
+# share a fingerprint; document-frequency cap keeps the join cold.
+# --------------------------------------------------------------------------
+WINNOW_MAX_DF = 10
+WINNOW_MIN_SHARED = 3
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fps = T.winnow_fingerprints(docs)
+    return T.winnow_overlap_pairs(fps, WINNOW_MAX_DF, WINNOW_MIN_SHARED)
+
+
+def _winnow_sql() -> str:
+    k, w = T.WINNOW_K, T.WINNOW_W
+    h = sql_h60("substr(t, i, %d)" % k, salt="wn:")
+    return f"""
+WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(t) - {k - 1}, 0) + 1),
+                        i -> {h}) AS hs
+  FROM t
+),
+sel AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= {w} THEN
+                list_transform(range(1, len(hs) - {w} + 2),
+                               j -> list_min(list_slice(hs, j, j + {w - 1})))
+              WHEN len(hs) >= 1 THEN [list_min(hs)]
+              ELSE [] END AS sels
+  FROM h
+),
+fps AS (SELECT doc_id, unnest(list_distinct(sels)) AS fp FROM sel),
+dfc AS (SELECT fp, COUNT(*) AS _df FROM fps GROUP BY fp),
+rare AS (SELECT fps.doc_id, fps.fp FROM fps JOIN dfc USING (fp)
+         WHERE _df <= {WINNOW_MAX_DF})
+SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+Q_WINNOW_SQL = _winnow_sql()
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_ngram_jaccard": q_ngram_jaccard,
@@ -498,6 +549,7 @@ QUERIES = {
     "q_ann_multiprobe": q_ann_multiprobe,
     "q_embed_neardup": q_embed_neardup,
     "q_trigram_sim": q_trigram_sim,
+    "q_winnow_overlap": q_winnow_overlap,
     "q_merge_upsert": q_merge_upsert,
 }
 
@@ -514,5 +566,6 @@ ORACLE = {
     "q_ann_multiprobe": Q_ANN_MULTIPROBE_SQL,
     "q_embed_neardup": Q_EMBED_NEARDUP_SQL,
     "q_trigram_sim": Q_TRIGRAM_SQL,
+    "q_winnow_overlap": Q_WINNOW_SQL,
     "q_merge_upsert": Q_MERGE_UPSERT_SQL,
 }
