@@ -245,3 +245,67 @@ class TestWinnowing:
         # its single global-min fingerprint
         assert {r["doc_id"] for r in rows} == {2}
         assert len(rows) == 1
+
+
+class TestConnectedComponents:
+    """Hash-min + pointer-jump label propagation (operators/dedup.py)."""
+
+    def _cc(self, spark, edges, **kw):
+        from vcf_pg_loader_spark.operators.dedup import connected_components
+
+        df = spark.createDataFrame(edges, "d1 bigint, d2 bigint")
+        rows = connected_components(df, "d1", "d2", **kw).collect()
+        return {r["node"]: r["comp"] for r in rows}
+
+    def test_chain_and_clique_and_pair(self, spark):
+        # chain 1-2-3-4, clique {10,11,12}, isolated pair (20,21)
+        got = self._cc(
+            spark,
+            [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        )
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    def test_long_path_converges_in_log_rounds(self, spark):
+        # pointer jumping: a 16-node path must converge well inside
+        # max_iter=6 (hash-min alone would need ~15 rounds)
+        edges = [(i, i + 1) for i in range(1, 16)]
+        got = self._cc(spark, edges, max_iter=6)
+        assert set(got.values()) == {1}
+        assert len(got) == 16
+
+    def test_duplicate_and_reversed_edges(self, spark):
+        got = self._cc(spark, [(2, 1), (1, 2), (2, 1), (3, 2)])
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_keep_canonical(self, spark):
+        from vcf_pg_loader_spark.operators.dedup import (
+            connected_components,
+            keep_canonical,
+        )
+
+        docs = _docs(spark, [(i, f"doc {i}") for i in range(1, 7)])
+        edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "d1 bigint, d2 bigint")
+        comps = connected_components(edges, "d1", "d2")
+        kept = sorted(r["doc_id"] for r in keep_canonical(docs, comps).collect())
+        # 2,3 fold into 1; 6 folds into 5; 4 untouched (no dup pair)
+        assert kept == [1, 4, 5]
+
+    def test_matches_duckdb_recursive_cte(self, spark):
+        edges = [(1, 5), (5, 9), (2, 9), (7, 8), (3, 4), (4, 12), (12, 3)]
+        got = sorted(self._cc(spark, edges).items())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e (s BIGINT, t BIGINT)")
+        con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+        want = con.execute(
+            """
+            WITH RECURSIVE und AS (SELECT s, t FROM e UNION SELECT t, s FROM e),
+            nodes AS (SELECT DISTINCT s AS node FROM und),
+            walk(node, reach) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT w.node, u.t FROM walk w JOIN und u ON u.s = w.reach
+            )
+            SELECT node, MIN(reach) FROM walk GROUP BY node ORDER BY node
+            """
+        ).fetchall()
+        assert got == [tuple(r) for r in want]

@@ -368,6 +368,92 @@ def minhash_lsh_dedup(
 
 
 # --------------------------------------------------------------------------
+# connected components — near-dup pairs -> cluster ids
+# --------------------------------------------------------------------------
+def connected_components(
+    edges: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Label every node with the minimum node id reachable from it.
+
+    Dedup pipelines need clusters, not pairs: LSH/Jaccard emit edges, and
+    the keep-one-per-cluster decision requires the transitive closure.
+    This is hash-min label propagation (Rastogi et al., "Finding Connected
+    Components in Map-Reduce") with pointer jumping — each round first
+    takes the min label over the 1-hop neighborhood, then replaces every
+    label by its label's label, so convergence is O(log diameter) rounds
+    rather than O(diameter).
+
+    Scale shape per round: one |E| equi-join + one (|V|+|E|) min-groupBy +
+    one |V| self-join — all key-partitioned shuffles, nothing quadratic.
+    `localCheckpoint(eager=True)` truncates lineage each round (the
+    standard iterative-Spark pattern; without it the plan doubles every
+    iteration).  The convergence probe is one tiny count action per round;
+    near-dup graphs are unions of near-cliques, so 2–3 rounds is typical.
+    Returns (node, comp).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    half = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        half.union(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr = und.join(labels, und["a"] == labels["node"]).select(
+            und["b"].alias("node"), "comp"
+        )
+        merged = (
+            labels.select("node", "comp")
+            .union(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        ptr = merged.select(F.col("node").alias("_n"), F.col("comp").alias("_c"))
+        jumped = (
+            merged.alias("m")
+            .join(ptr.alias("p"), F.col("m.comp") == F.col("p._n"), "left")
+            .select(
+                F.col("m.node").alias("node"),
+                F.coalesce(F.col("p._c"), F.col("m.comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select("node", "comp")
+
+
+def keep_canonical(
+    df: DataFrame, components: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop every clustered doc except its component's canonical (min-id)
+    member; docs in no dup pair pass through untouched.  One left join on
+    the (small) component table — the corpus itself never shuffles."""
+    losers = components.where(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
 # SimHash (16-bit portable variant)
 # --------------------------------------------------------------------------
 SIMHASH_BITS = 16

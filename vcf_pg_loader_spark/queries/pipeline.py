@@ -536,8 +536,39 @@ HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
 Q_WINNOW_SQL = _winnow_sql()
 
 
+# --------------------------------------------------------------------------
+# dedup clusters — transitive closure over MinHash-LSH near-dup pairs.
+# The DuckDB twin walks reachability with a recursive CTE and takes the
+# min reachable id per node; Spark side is hash-min label propagation
+# (operators/dedup.py connected_components).
+# --------------------------------------------------------------------------
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(
+        docs, "doc_id", "text", NGRAM, MINHASH_K, MINHASH_BANDS, JACCARD_T
+    )
+    cc = D.connected_components(pairs.select("d1", "d2"), "d1", "d2")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+
+
+Q_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({Q_MINHASH_LSH_SQL}),
+und AS (SELECT d1 AS s, d2 AS t FROM pairs UNION SELECT d2, d1 FROM pairs),
+nodes AS (SELECT DISTINCT s AS node FROM und),
+walk(node, reach) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT w.node, u.t FROM walk w JOIN und u ON u.s = w.reach
+)
+SELECT node AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY node
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
+    "q_dedup_clusters": q_dedup_clusters,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_minhash_lsh": q_minhash_lsh,
     "q_simhash": q_simhash,
@@ -555,6 +586,7 @@ QUERIES = {
 
 ORACLE = {
     "q_dedup_exact": Q_DEDUP_EXACT_SQL,
+    "q_dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
     "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "q_minhash_lsh": Q_MINHASH_LSH_SQL,
     "q_simhash": Q_SIMHASH_SQL,
