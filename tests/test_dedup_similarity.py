@@ -309,3 +309,56 @@ class TestConnectedComponents:
             """
         ).fetchall()
         assert got == [tuple(r) for r in want]
+
+
+class TestNgramRepetition:
+    """Gopher-style repetition signals (operators/text.py)."""
+
+    def _rep(self, spark, rows, n=2):
+        from vcf_pg_loader_spark.operators.text import ngram_repetition
+
+        df = _docs(spark, rows)
+        return {
+            r["doc_id"]: r.asDict()
+            for r in ngram_repetition(df, "doc_id", "text", n).collect()
+        }
+
+    def test_fractions(self, spark):
+        got = self._rep(
+            spark,
+            [
+                (1, "a b a b a b"),   # grams: ab ba ab ba ab -> 5 total, 2 distinct
+                (2, "w x y z"),        # 3 grams, all distinct
+                (3, "one"),            # too short: no grams, dropped
+                (4, ""),               # empty: dropped
+            ],
+        )
+        assert set(got) == {1, 2}
+        r1 = got[1]
+        assert (r1["n_grams"], r1["n_distinct"], r1["top_count"]) == (5, 2, 3)
+        assert abs(r1["dup_frac"] - 0.6) < 1e-12
+        assert abs(r1["top_frac"] - 0.6) < 1e-12
+        r2 = got[2]
+        assert r2["dup_frac"] == 0.0 and r2["top_count"] == 1
+
+    def test_case_folded(self, spark):
+        got = self._rep(spark, [(1, "The THE the")])
+        assert got[1]["n_distinct"] == 1 and got[1]["n_grams"] == 2
+
+    def test_matches_duckdb_twin(self, spark):
+        from vcf_pg_loader_spark.operators.text import sql_ngram_repetition
+
+        rows = [(1, "a b a b a"), (2, "repeat repeat repeat x"), (3, "q")]
+        got = sorted(
+            tuple(r)
+            for r in self._rep(spark, rows).values()
+            for r in [tuple(r.values())]
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        want = sorted(
+            tuple(r)
+            for r in con.execute(sql_ngram_repetition(2)).fetchall()
+        )
+        assert got == want

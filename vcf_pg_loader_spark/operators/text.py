@@ -211,3 +211,85 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# --------------------------------------------------------------------------
+# n-gram repetition (Gopher-style quality signals)
+# --------------------------------------------------------------------------
+def ngram_repetition(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Per-doc n-gram repetition signals (Rae et al. 2021, "Gopher",
+    App. A1.1: duplicate/top n-gram fractions flag machine-generated and
+    boilerplate text that length/stopword filters miss).
+
+    Returns (doc_id, n_grams, n_distinct, top_count, dup_frac, top_frac)
+    for every doc with at least one n-gram, where
+      dup_frac = 1 - n_distinct / n_grams   (fraction of repeated grams)
+      top_frac = top_count / n_grams        (mass of the single hottest gram)
+
+    Plan shape: one explode (rows ∝ tokens) feeding two hash aggregations
+    — (doc, gram) counts, then per-doc rollup.  Both partial-aggregate
+    map-side; no joins, nothing quadratic, fractions are exact int/int
+    divisions so the DuckDB twin matches bit-for-bit.
+    """
+    from vcf_pg_loader_spark.operators._parallel import ensure_min_parallelism
+
+    # materialize the token array first — no CSE across expression trees,
+    # so element_at over a raw split() chain would re-split per element
+    tokenized = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.col(text_col)), " ").alias("_toks"),
+    )
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        tokenized.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("_c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("_c").alias("top_count"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        "top_count",
+        (F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_grams")).alias(
+            "dup_frac"
+        ),
+        (F.col("top_count").cast("double") / F.col("n_grams")).alias("top_frac"),
+    )
+
+
+def sql_ngram_repetition(n: int = 2, table: str = "documents") -> str:
+    """DuckDB twin of :func:`ngram_repetition` (1-based list indexing)."""
+    concat = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+    return f"""
+      SELECT doc_id, n_grams, n_distinct, top_count,
+             1 - CAST(n_distinct AS DOUBLE) / n_grams AS dup_frac,
+             CAST(top_count AS DOUBLE) / n_grams AS top_frac
+      FROM (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+               COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_count
+        FROM (
+          SELECT doc_id, gram, COUNT(*) AS c
+          FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(tk) - {n - 1}, 0) + 1),
+                                         i -> {concat})) AS gram
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM {table})
+          ) GROUP BY doc_id, gram
+        ) GROUP BY doc_id
+      )
+    """

@@ -252,6 +252,44 @@ Q_TEXT_QUALITY_SQL = _quality_sql()
 
 
 # --------------------------------------------------------------------------
+# n-gram repetition (Gopher-style): per-source rollup of duplicate-bigram
+# and top-bigram fractions, plus a repetitive-doc count at the Gopher
+# dup_frac > 0.2 / top_frac > 0.18 thresholds.
+# --------------------------------------------------------------------------
+REP_DUP_T = 0.2
+REP_TOP_T = 0.18
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rep = T.ngram_repetition(docs, "doc_id", "text", n=2)
+    dec = "decimal(18,6)"
+    joined = rep.join(docs.select("doc_id", "source"), "doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").alias("total_grams"),
+        F.sum(F.col("dup_frac").cast(dec)).cast("double").alias("sum_dup_frac"),
+        F.sum(F.col("top_frac").cast(dec)).cast("double").alias("sum_top_frac"),
+        F.count(
+            F.when((F.col("dup_frac") > REP_DUP_T) | (F.col("top_frac") > REP_TOP_T), 1)
+        ).alias("n_repetitive"),
+    )
+
+
+Q_TEXT_REPETITION_SQL = f"""
+WITH rep AS ({T.sql_ngram_repetition(2)})
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+       CAST(SUM(CAST(dup_frac AS DECIMAL(18,6))) AS DOUBLE) AS sum_dup_frac,
+       CAST(SUM(CAST(top_frac AS DECIMAL(18,6))) AS DOUBLE) AS sum_top_frac,
+       COUNT(*) FILTER (WHERE dup_frac > {REP_DUP_T} OR top_frac > {REP_TOP_T})
+         AS n_repetitive
+FROM rep JOIN documents USING (doc_id)
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
 N_QUERY_VECS = 5
@@ -575,6 +613,7 @@ QUERIES = {
     "q_token_topk": q_token_topk,
     "q_lang_id": q_lang_id,
     "q_text_quality": q_text_quality,
+    "q_text_repetition": q_text_repetition,
     "q_cosine_topk": q_cosine_topk,
     "q_ann_bucketed": q_ann_bucketed,
     "q_ann_multiprobe": q_ann_multiprobe,
@@ -593,6 +632,7 @@ ORACLE = {
     "q_token_topk": Q_TOKEN_TOPK_SQL,
     "q_lang_id": Q_LANG_ID_SQL,
     "q_text_quality": Q_TEXT_QUALITY_SQL,
+    "q_text_repetition": Q_TEXT_REPETITION_SQL,
     "q_cosine_topk": Q_COSINE_TOPK_SQL,
     "q_ann_bucketed": Q_ANN_BUCKETED_SQL,
     "q_ann_multiprobe": Q_ANN_MULTIPROBE_SQL,
