@@ -362,3 +362,46 @@ class TestNgramRepetition:
             for r in con.execute(sql_ngram_repetition(2)).fetchall()
         )
         assert got == want
+
+
+class TestBpeIshTokens:
+    """BPE-ish regex tokenizer: Java regex and DuckDB RE2 must agree."""
+
+    ROWS = [
+        (1, "don't stop, it's 3.14!!!"),
+        (2, "hello   world"),
+        (3, "we'll they've i'm you're he'd"),
+        (4, "snake_case camelCase x2y 100km"),
+        (5, "résumé naïve café"),
+        (6, ""),
+    ]
+
+    def test_counts_match_duckdb(self, spark):
+        from vcf_pg_loader_spark.operators.text import (
+            bpe_ish_token_count,
+            sql_bpe_ish_count,
+        )
+
+        df = _docs(spark, self.ROWS)
+        got = {
+            r["doc_id"]: r["n"]
+            for r in df.select(
+                "doc_id", bpe_ish_token_count(F.col("text")).alias("n")
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", self.ROWS)
+        want = dict(
+            con.execute(
+                f"SELECT doc_id, {sql_bpe_ish_count()} FROM documents"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_contraction_split(self, spark):
+        from vcf_pg_loader_spark.operators.text import bpe_ish_tokens
+
+        df = _docs(spark, [(1, "don't stop, it's 3.14!!!")])
+        toks = df.select(bpe_ish_tokens(F.col("text")).alias("t")).head()["t"]
+        assert toks == ["don", "'t", "stop", ",", "it", "'s", "3", ".", "14", "!!!"]

@@ -293,3 +293,29 @@ def sql_ngram_repetition(n: int = 2, table: str = "documents") -> str:
         ) GROUP BY doc_id
       )
     """
+
+
+# --------------------------------------------------------------------------
+# BPE-ish regex tokenization
+# --------------------------------------------------------------------------
+# GPT-2-style pre-tokenizer, constrained to constructs Java regex and
+# DuckDB's RE2 interpret identically (leftmost-first alternation, no
+# lookahead, explicit ASCII classes): contractions, letter runs, digit
+# runs, punctuation runs.  This is the unit a BPE vocabulary would merge
+# over — counting it estimates LM token cost far better than whitespace.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Array of BPE-ish pre-tokens (JVM regex, no Python)."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(bpe_ish_tokens(text))
+
+
+def sql_bpe_ish_count(text: str = "text") -> str:
+    """DuckDB twin of :func:`bpe_ish_token_count` (RE2 engine)."""
+    quoted = BPE_ISH_PATTERN.replace("'", "''")
+    return f"len(regexp_extract_all({text}, '{quoted}'))"

@@ -164,6 +164,37 @@ LIMIT 20
 
 
 # --------------------------------------------------------------------------
+# BPE-ish token accounting: LM-token cost estimate per source, next to
+# the whitespace count it refines.  Pure regexp_extract_all — JVM-side,
+# narrow, no shuffle before the rollup.
+# --------------------------------------------------------------------------
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        T.bpe_ish_token_count(F.col("text")).alias("bpe"),
+        T.token_count(F.col("text")).alias("ws"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bpe").alias("bpe_tokens"),
+        F.sum("ws").alias("ws_tokens"),
+        (F.sum("bpe").cast("double") / F.sum("ws")).alias("bpe_per_ws"),
+    )
+
+
+Q_BPE_TOKEN_STATS_SQL = f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM({T.sql_bpe_ish_count()}) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       CAST(SUM({T.sql_bpe_ish_count()}) AS DOUBLE)
+         / SUM(len(string_split(text, ' '))) AS bpe_per_ws
+FROM documents
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # language ID heuristic
 # --------------------------------------------------------------------------
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -611,6 +642,7 @@ QUERIES = {
     "q_minhash_lsh": q_minhash_lsh,
     "q_simhash": q_simhash,
     "q_token_topk": q_token_topk,
+    "q_bpe_token_stats": q_bpe_token_stats,
     "q_lang_id": q_lang_id,
     "q_text_quality": q_text_quality,
     "q_text_repetition": q_text_repetition,
@@ -630,6 +662,7 @@ ORACLE = {
     "q_minhash_lsh": Q_MINHASH_LSH_SQL,
     "q_simhash": Q_SIMHASH_SQL,
     "q_token_topk": Q_TOKEN_TOPK_SQL,
+    "q_bpe_token_stats": Q_BPE_TOKEN_STATS_SQL,
     "q_lang_id": Q_LANG_ID_SQL,
     "q_text_quality": Q_TEXT_QUALITY_SQL,
     "q_text_repetition": Q_TEXT_REPETITION_SQL,
