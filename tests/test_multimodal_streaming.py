@@ -315,3 +315,30 @@ class TestRealCodecs:
         a = M._decode_image(b"payload-1")
         b = M._decode_image(b"payload-1")
         assert (a == b).all() and a.shape == (8, 8, 3)
+
+
+class TestStreamingDedup:
+    def test_replayed_rows_dropped_once(self, spark, tmp_path):
+        from vcf_pg_loader_spark.sources.tables import load_table
+        from vcf_pg_loader_spark.streaming.events import (
+            dedup_stream,
+            read_events_stream,
+            run_available_now,
+        )
+
+        events = load_table(spark, "/root/testdata/sf0.001", "events").limit(500)
+        src = str(tmp_path / "dedup_in")
+        # simulate at-least-once delivery: the whole drop arrives twice,
+        # plus a partial third replay
+        events.write.parquet(src)
+        events.write.mode("append").parquet(src)
+        events.limit(100).write.mode("append").parquet(src)
+
+        stream = dedup_stream(read_events_stream(spark, src), ["event_id"])
+        out = str(tmp_path / "dedup_out")
+        run_available_now(stream, str(tmp_path / "dedup_ckpt"), out)
+
+        got = spark.read.parquet(out)
+        n_distinct = events.select("event_id").distinct().count()
+        assert got.count() == n_distinct
+        assert got.select("event_id").distinct().count() == n_distinct

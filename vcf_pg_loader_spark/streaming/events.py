@@ -233,3 +233,29 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_value"),
     ).drop("_sid")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup on ingest
+# ---------------------------------------------------------------------------
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Keep the first arrival of each key; drop replays forever after
+    (within the watermark horizon).
+
+    At-least-once sources (Kafka redelivery, file-drop retries) make
+    ingest dedup the first stage of any streaming pipeline.
+    `dropDuplicatesWithinWatermark` keys state by `key_cols` and evicts
+    an entry once the event-time watermark passes its timestamp plus the
+    delay — state is bounded by the duplicate arrival horizon, not by
+    stream length, which is what lets this run forever at 100 TB/day.
+    (Plain `dropDuplicates` on a stream never evicts; never use it in
+    production streams.)
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols or ["event_id"]
+    )
