@@ -1186,8 +1186,60 @@ WHERE g.gnomad_af < 0.1
 """
 
 
+# ---------------------------------------------------------------------------
+# failed-sample listing + batch QC summary (reference sample_qc.py:318-325
+# returns samples_processed/samples_pass/samples_fail/mean_call_rate; the
+# CLI surfaces the failing samples' metrics for review).  Both ride the
+# real sample_qc operator; the summary's mean uses the decimal-sum
+# pattern so the double is partition-order independent.
+# ---------------------------------------------------------------------------
+def q_gx_failed_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.qc.sample_qc import sample_qc
+
+    out = sample_qc(synth_genotypes_rich(spark, sf_dir))
+    return out.filter(~F.col("qc_pass")).select(
+        "sample_id", "n_total", "n_called", "call_rate", "mean_dp", "mean_gq"
+    )
+
+
+Q_GX_FAILED_SAMPLES_SQL = f"""
+WITH qc AS ({Q_GX_SAMPLE_QC_SQL})
+SELECT sample_id, n_total, n_called, call_rate, mean_dp, mean_gq
+FROM qc WHERE NOT qc_pass
+"""
+
+
+def q_gx_qc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.qc.sample_qc import sample_qc
+
+    out = sample_qc(synth_genotypes_rich(spark, sf_dir))
+    dec = "decimal(18,12)"
+    return out.agg(
+        F.count(F.lit(1)).alias("samples_processed"),
+        F.count(F.when(F.col("qc_pass"), 1)).alias("samples_pass"),
+        F.count(F.when(~F.col("qc_pass"), 1)).alias("samples_fail"),
+        (
+            F.sum(F.col("call_rate").cast(dec))
+            / F.count(F.lit(1))
+        ).cast("double").alias("mean_call_rate"),
+    )
+
+
+Q_GX_QC_SUMMARY_SQL = f"""
+WITH qc AS ({Q_GX_SAMPLE_QC_SQL})
+SELECT COUNT(*) AS samples_processed,
+       COUNT(*) FILTER (WHERE qc_pass) AS samples_pass,
+       COUNT(*) FILTER (WHERE NOT qc_pass) AS samples_fail,
+       CAST(SUM(CAST(call_rate AS DECIMAL(18,12))) / COUNT(*) AS DOUBLE)
+         AS mean_call_rate
+FROM qc
+"""
+
+
 QUERIES = {
     "q_gx_variant_qc": q_gx_variant_qc,
+    "q_gx_failed_samples": q_gx_failed_samples,
+    "q_gx_qc_summary": q_gx_qc_summary,
     "q_gx_hwe": q_gx_hwe,
     "q_gx_harmonize": q_gx_harmonize,
     "q_gx_denovo": q_gx_denovo,
@@ -1208,6 +1260,8 @@ QUERIES = {
 
 ORACLE = {
     "q_gx_variant_qc": Q_GX_VARIANT_QC_SQL,
+    "q_gx_failed_samples": Q_GX_FAILED_SAMPLES_SQL,
+    "q_gx_qc_summary": Q_GX_QC_SUMMARY_SQL,
     "q_gx_hwe": Q_GX_HWE_SQL,
     "q_gx_harmonize": Q_GX_HARMONIZE_SQL,
     "q_gx_denovo": Q_GX_DENOVO_SQL,
