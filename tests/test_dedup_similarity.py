@@ -405,3 +405,39 @@ class TestBpeIshTokens:
         df = _docs(spark, [(1, "don't stop, it's 3.14!!!")])
         toks = df.select(bpe_ish_tokens(F.col("text")).alias("t")).head()["t"]
         assert toks == ["don", "'t", "stop", ",", "it", "'s", "3", ".", "14", "!!!"]
+
+
+class TestIvfAnn:
+    """IVF-Flat ANN (operators/similarity.py ivf_fit/ivf_topk)."""
+
+    def _emb(self, spark):
+        from vcf_pg_loader_spark.sources.tables import load_table
+
+        return load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def test_fit_is_deterministic(self, spark):
+        from vcf_pg_loader_spark.operators.similarity import ivf_fit
+
+        emb = self._emb(spark)
+        a = {r.cid: r.cvec for r in ivf_fit(emb, 8, 2).collect()}
+        b = {r.cid: r.cvec for r in ivf_fit(emb, 8, 2).collect()}
+        assert a == b
+        assert len(a) == 8
+        assert all(len(v) == 64 for v in a.values())
+
+    def test_recall_vs_bruteforce(self, spark):
+        from vcf_pg_loader_spark.operators.similarity import cosine_topk, ivf_topk
+
+        emb = self._emb(spark)
+        q = emb.filter(F.col("vec_id") < 20)
+        exact = {(r.query_id, r.cand_id) for r in cosine_topk(emb, q, 3).collect()}
+        approx = {(r.query_id, r.cand_id) for r in ivf_topk(emb, q, 3, 8, 2, 2).collect()}
+        # nprobe=2 of 8 cells scans ~1/4 of the corpus; on the random
+        # fixture this lands ~0.75 recall@3 — pin a floor well above the
+        # ~0.25 a random quarter-scan would give
+        assert len(exact & approx) / len(exact) >= 0.6
+        # every emitted neighbor list respects k
+        from collections import Counter
+
+        per_q = Counter(qid for qid, _ in approx)
+        assert all(n <= 3 for n in per_q.values())

@@ -242,3 +242,145 @@ def ann_bucketed_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "cand_id", "cos_sim", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-Flat ANN: deterministic k-means coarse quantizer + cluster-probed
+# exact search.  The third ANN path next to brute-force and sign-LSH:
+# LSH buckets are data-independent, IVF cells adapt to the data
+# distribution, so recall per candidate is higher on clustered corpora.
+#
+# Everything is deterministic so the DuckDB oracle can reproduce it
+# bit-for-bit: init = the k lowest-id vectors, a FIXED number of Lloyd
+# iterations (no convergence test), all distances via the decimal-sum
+# dot product, argmin tie-broken on centroid id, centroid means as
+# exact decimal sums divided as doubles.
+# ---------------------------------------------------------------------------
+def _sq_dist(v: Column, c: Column) -> Column:
+    """Squared L2 distance, written identically to the SQL twin:
+    (v.v - 2*v.c) + c.c so the double rounding sequence matches."""
+    return (dot_exact(v, v) - F.lit(2.0) * dot_exact(v, c)) + dot_exact(c, c)
+
+
+def sql_sq_dist(v: str, c: str) -> str:
+    return (
+        f"(({sql_dot_exact(v, v)}) - 2.0 * ({sql_dot_exact(v, c)})) "
+        f"+ ({sql_dot_exact(c, c)})"
+    )
+
+
+def _ivf_rank_centroids(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vid, vec, cid, rn): every vector's centroids ranked by distance.
+    Centroids broadcast — the corpus never shuffles for assignment; the
+    only exchange is the per-vector rank window, keyed on vid."""
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vid", "vec", "cid", _sq_dist(F.col("vec"), F.col("cvec")).alias("d")
+    )
+    w = Window.partitionBy("vid").orderBy(F.asc("d"), F.asc("cid"))
+    return scored.withColumn("rn", F.row_number().over(w))
+
+
+def ivf_fit(
+    corpus: DataFrame,
+    k_centroids: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-means: returns (cid, cvec) after `n_iter` Lloyd
+    steps from the k lowest-id seed vectors.
+
+    Per iteration: one broadcast assignment (no corpus shuffle) + one
+    posexplode/groupBy mean keyed on (cid, dim) — k×dim groups, tiny.
+    localCheckpoint truncates lineage between iterations; centroids
+    never route through the driver.  Empty cells keep no centroid (their
+    cid drops out), matching the SQL twin.
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    cents = (
+        vecs.orderBy("vid")
+        .limit(k_centroids)
+        .select(F.col("vid").alias("cid"), F.col("vec").alias("cvec"))
+    )
+    for _ in range(n_iter):
+        assigned = (
+            _ivf_rank_centroids(vecs, cents).filter(F.col("rn") == 1)
+            .select("vid", "vec", "cid")
+        )
+        dims = assigned.select("cid", F.posexplode(F.col("vec")).alias("i", "x"))
+        means = dims.groupBy("cid", "i").agg(
+            (
+                F.sum(F.col("x").cast(DOT_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        cents = (
+            means.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    k_centroids: int = 8,
+    n_iter: int = 2,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat search: assign the corpus to its cells once, probe each
+    query's `nprobe` nearest cells, exact cosine inside the probed cells.
+
+    Scale shape: centroids broadcast everywhere; the corpus is scanned
+    once for assignment (narrow); search is an equi-join on cid — shuffle
+    keys are cell ids, candidate volume ≈ nprobe/k_centroids of the
+    corpus per query.  Raising k_centroids shrinks cells (join cost falls
+    linearly); raising nprobe buys recall at linear candidate cost — same
+    trade documented for sign-LSH in docs/SCALE.md.
+    """
+    cents = ivf_fit(corpus, k_centroids, n_iter, id_col, vec_col)
+    vecs = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    cand = (
+        _ivf_rank_centroids(vecs, cents)
+        .filter(F.col("rn") == 1)
+        .select(F.col("vid").alias("cand_id"), F.col("vec").alias("c_vec"), "cid")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    probes = (
+        _ivf_rank_centroids(qv, cents)
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("vid").alias("query_id"), F.col("vec").alias("q_vec"), "cid")
+    )
+    scored = (
+        probes.join(cand, ["cid"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rn")
+    )

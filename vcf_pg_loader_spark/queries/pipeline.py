@@ -408,6 +408,95 @@ WHERE rn <= {TOP_K}
 
 
 # --------------------------------------------------------------------------
+# IVF-Flat ANN: deterministic k-means coarse quantizer (fixed Lloyd
+# iterations, lowest-id seeds) + nprobe-cell exact search.  The DuckDB
+# twin unrolls the same iterations as CTEs, so the whole index build is
+# oracle-checked bit-for-bit, not just the final ranking.
+# --------------------------------------------------------------------------
+IVF_CENTROIDS = 8
+IVF_ITER = 2
+IVF_NPROBE = 2
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return S.ivf_topk(
+        emb, queries, TOP_K, IVF_CENTROIDS, IVF_ITER, IVF_NPROBE
+    )
+
+
+def _ivf_sql() -> str:
+    dist = S.sql_sq_dist("vec", "cvec")
+    ctes = [
+        "v AS (SELECT vec_id AS vid,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec"
+        " FROM embeddings)",
+        f"c0 AS (SELECT vid AS cid, vec AS cvec FROM v"
+        f" ORDER BY vid LIMIT {IVF_CENTROIDS})",
+    ]
+    prev = "c0"
+    for it in range(1, IVF_ITER + 1):
+        ctes.append(
+            f"""a{it} AS (
+  SELECT vid, vec, cid FROM (
+    SELECT vid, vec, cid,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d ASC, cid ASC) AS rn
+    FROM (SELECT vid, vec, cid, {dist} AS d FROM v CROSS JOIN {prev})
+  ) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""m{it} AS (
+  SELECT cid, s.i AS i,
+         CAST(SUM(CAST(s.x AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*) AS m
+  FROM (SELECT cid, unnest(list_transform(range(1, len(vec) + 1),
+                                          i -> {{'i': i, 'x': vec[i]}})) AS s
+        FROM a{it})
+  GROUP BY cid, s.i)"""
+        )
+        ctes.append(
+            f"c{it} AS (SELECT cid, list(m ORDER BY i) AS cvec"
+            f" FROM m{it} GROUP BY cid)"
+        )
+        prev = f"c{it}"
+    ctes.append(
+        f"""cand AS (
+  SELECT vid AS cand_id, vec AS c_vec, cid FROM (
+    SELECT vid, vec, cid,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d ASC, cid ASC) AS rn
+    FROM (SELECT vid, vec, cid, {dist} AS d FROM v CROSS JOIN {prev})
+  ) WHERE rn = 1)"""
+    )
+    ctes.append(
+        f"""probes AS (
+  SELECT vid AS query_id, vec AS q_vec, cid FROM (
+    SELECT vid, vec, cid,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d ASC, cid ASC) AS rn
+    FROM (SELECT vid, vec, cid, {dist} AS d
+          FROM (SELECT * FROM v WHERE vid < {N_QUERY_VECS}) v CROSS JOIN {prev})
+  ) WHERE rn <= {IVF_NPROBE})"""
+    )
+    ctes.append(
+        f"""scored AS (
+  SELECT query_id, cand_id, {S.sql_cosine('q_vec', 'c_vec')} AS cos_sim
+  FROM probes JOIN cand USING (cid)
+  WHERE query_id <> cand_id)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT query_id, cand_id, cos_sim, rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, cand_id ASC) AS rn
+      FROM scored)
+WHERE rn <= {TOP_K}
+"""
+
+
+Q_ANN_IVF_SQL = _ivf_sql()
+
+
+# --------------------------------------------------------------------------
 # embedding-cosine near-dup detection (dedup track): all vector pairs
 # above a similarity threshold, restricted to same-sign-bucket candidates
 # (the scale path) — exact cosine verification inside the bucket
@@ -649,6 +738,7 @@ QUERIES = {
     "q_cosine_topk": q_cosine_topk,
     "q_ann_bucketed": q_ann_bucketed,
     "q_ann_multiprobe": q_ann_multiprobe,
+    "q_ann_ivf": q_ann_ivf,
     "q_embed_neardup": q_embed_neardup,
     "q_trigram_sim": q_trigram_sim,
     "q_winnow_overlap": q_winnow_overlap,
@@ -669,6 +759,7 @@ ORACLE = {
     "q_cosine_topk": Q_COSINE_TOPK_SQL,
     "q_ann_bucketed": Q_ANN_BUCKETED_SQL,
     "q_ann_multiprobe": Q_ANN_MULTIPROBE_SQL,
+    "q_ann_ivf": Q_ANN_IVF_SQL,
     "q_embed_neardup": Q_EMBED_NEARDUP_SQL,
     "q_trigram_sim": Q_TRIGRAM_SQL,
     "q_winnow_overlap": Q_WINNOW_SQL,
