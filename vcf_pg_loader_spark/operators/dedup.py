@@ -402,11 +402,32 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = (
-        und.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-    )
+
+    def _jump(lab: DataFrame) -> DataFrame:
+        # comp := comp's comp (path halving); labels are node ids, so the
+        # self-join resolves every label one more hop toward the root
+        ptr = lab.select(F.col("node").alias("_n"), F.col("comp").alias("_c"))
+        return (
+            lab.alias("m")
+            .join(ptr.alias("p"), F.col("m.comp") == F.col("p._n"), "left")
+            .select(
+                F.col("m.node").alias("node"),
+                F.coalesce(F.col("p._c"), F.col("m.comp")).alias("comp"),
+            )
+        )
+
+    # round 0 folded into initialization: against identity labels the
+    # neighbor-min message set IS the edge list, so min(self, neighbors)
+    # needs no join — one aggregation plus a jump
+    labels = _jump(
+        und.select(F.col("a").alias("node"), F.col("b").alias("comp"))
+        .union(
+            und.select(F.col("a").alias("node"), F.col("a").alias("comp")).distinct()
+        )
+        .groupBy("node")
+        .agg(F.min("comp").alias("comp"))
+    ).localCheckpoint(eager=True)
+
     for _ in range(max_iter):
         nbr = und.join(labels, und["a"] == labels["node"]).select(
             und["b"].alias("node"), "comp"
@@ -417,16 +438,7 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
         )
-        ptr = merged.select(F.col("node").alias("_n"), F.col("comp").alias("_c"))
-        jumped = (
-            merged.alias("m")
-            .join(ptr.alias("p"), F.col("m.comp") == F.col("p._n"), "left")
-            .select(
-                F.col("m.node").alias("node"),
-                F.coalesce(F.col("p._c"), F.col("m.comp")).alias("comp"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        jumped = _jump(merged).localCheckpoint(eager=True)
         changed = (
             jumped.alias("n")
             .join(labels.alias("o"), "node")
