@@ -441,3 +441,44 @@ class TestIvfAnn:
 
         per_q = Counter(qid for qid, _ in approx)
         assert all(n <= 3 for n in per_q.values())
+
+
+class TestSampling:
+    """Deterministic splits/sampling (operators/sampling.py)."""
+
+    def test_split_stable_under_corpus_growth(self, spark):
+        from vcf_pg_loader_spark.operators.sampling import assign_split
+
+        full = _docs(spark, [(i, f"d{i}") for i in range(200)])
+        half = _docs(spark, [(i, f"d{i}") for i in range(100)])
+        f = {r.doc_id: r.split for r in assign_split(full).collect()}
+        h = {r.doc_id: r.split for r in assign_split(half).collect()}
+        assert all(f[i] == h[i] for i in h)
+
+    def test_split_proportions_and_exhaustive(self, spark):
+        from vcf_pg_loader_spark.operators.sampling import assign_split
+
+        docs = _docs(spark, [(i, "x") for i in range(2000)])
+        counts = {
+            r.split: r.n
+            for r in assign_split(docs).groupBy("split").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        assert sum(counts.values()) == 2000
+        assert 0.75 <= counts["train"] / 2000 <= 0.85
+        assert 0.07 <= counts["val"] / 2000 <= 0.13
+        assert 0.07 <= counts["test"] / 2000 <= 0.13
+
+    def test_stratified_rates(self, spark):
+        from vcf_pg_loader_spark.operators.sampling import stratified_sample
+
+        rows = [(i, "t", "keepall" if i < 500 else "half") for i in range(1000)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+        kept = stratified_sample(df, {"keepall": 1.0, "half": 0.5}, default_rate=0.0)
+        counts = {
+            r.source: r.n
+            for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert counts["keepall"] == 500
+        assert 200 <= counts["half"] <= 300

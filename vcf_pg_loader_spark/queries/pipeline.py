@@ -408,6 +408,66 @@ WHERE rn <= {TOP_K}
 
 
 # --------------------------------------------------------------------------
+# deterministic dataset splitting + stratified sampling (training-data
+# mixing): membership is a pure function of doc_id, so splits survive
+# re-partitioning/re-runs and eval sets stay uncontaminated as the
+# corpus grows.  Narrow filters — no shuffle before the count rollup.
+# --------------------------------------------------------------------------
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+MIX_DEFAULT = 0.05
+
+
+def q_split_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators import sampling as SP
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        SP.assign_split(docs, "doc_id", SPLIT_WEIGHTS)
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _split_mix_sql() -> str:
+    from vcf_pg_loader_spark.operators import sampling as SP
+
+    case = SP.sql_assign_split("doc_id", SPLIT_WEIGHTS)
+    return f"""
+SELECT {case} AS split, source, COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+Q_SPLIT_MIX_SQL = _split_mix_sql()
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators import sampling as SP
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = SP.stratified_sample(docs, MIX_RATES, default_rate=MIX_DEFAULT)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),  # pins WHICH rows were kept
+    )
+
+
+def _stratified_sample_sql() -> str:
+    from vcf_pg_loader_spark.operators import sampling as SP
+
+    pred = SP.sql_stratified_sample_pred(MIX_RATES, default_rate=MIX_DEFAULT)
+    return f"""
+SELECT source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM documents WHERE {pred}
+GROUP BY source
+"""
+
+
+Q_STRATIFIED_SAMPLE_SQL = _stratified_sample_sql()
+
+
+# --------------------------------------------------------------------------
 # IVF-Flat ANN: deterministic k-means coarse quantizer (fixed Lloyd
 # iterations, lowest-id seeds) + nprobe-cell exact search.  The DuckDB
 # twin unrolls the same iterations as CTEs, so the whole index build is
@@ -739,6 +799,8 @@ QUERIES = {
     "q_ann_bucketed": q_ann_bucketed,
     "q_ann_multiprobe": q_ann_multiprobe,
     "q_ann_ivf": q_ann_ivf,
+    "q_split_mix": q_split_mix,
+    "q_stratified_sample": q_stratified_sample,
     "q_embed_neardup": q_embed_neardup,
     "q_trigram_sim": q_trigram_sim,
     "q_winnow_overlap": q_winnow_overlap,
@@ -760,6 +822,8 @@ ORACLE = {
     "q_ann_bucketed": Q_ANN_BUCKETED_SQL,
     "q_ann_multiprobe": Q_ANN_MULTIPROBE_SQL,
     "q_ann_ivf": Q_ANN_IVF_SQL,
+    "q_split_mix": Q_SPLIT_MIX_SQL,
+    "q_stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
     "q_embed_neardup": Q_EMBED_NEARDUP_SQL,
     "q_trigram_sim": Q_TRIGRAM_SQL,
     "q_winnow_overlap": Q_WINNOW_SQL,
