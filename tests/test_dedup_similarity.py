@@ -482,3 +482,65 @@ class TestSampling:
         }
         assert counts["keepall"] == 500
         assert 200 <= counts["half"] <= 300
+
+
+class TestPiiScrub:
+    """PII detection/redaction (operators/text.py PII_PATTERNS)."""
+
+    ROWS = [
+        (1, "mail me at jane.doe+spam@mail.example.org today"),
+        (2, "server at 192.168.0.1 and 10.0.255.7 replied"),
+        (3, "call +44 20 7946 0958 or +1 (555) 010-9999"),
+        (4, "no pii here at all"),
+        (5, "mixed: bob@x.io from 127.0.0.1 dials +1 555-010-1234"),
+    ]
+
+    def test_scrub_matches_duckdb(self, spark):
+        from vcf_pg_loader_spark.operators.text import scrub_pii, sql_scrub_pii
+
+        df = _docs(spark, self.ROWS)
+        got = {
+            r["doc_id"]: r["s"]
+            for r in df.select("doc_id", scrub_pii(F.col("text")).alias("s")).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", self.ROWS)
+        want = dict(
+            con.execute(
+                f"SELECT doc_id, {sql_scrub_pii()} FROM documents"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_scrub_removes_all_pii(self, spark):
+        from vcf_pg_loader_spark.operators.text import pii_counts, scrub_pii
+
+        df = _docs(spark, self.ROWS).select(
+            "doc_id", scrub_pii(F.col("text")).alias("text")
+        )
+        counts = pii_counts(F.col("text"))
+        leftover = df.select(
+            (counts["email"] + counts["ipv4"] + counts["phone"]).alias("n")
+        ).agg(F.sum("n").alias("total")).head()["total"]
+        assert leftover == 0
+
+    def test_detector_exactness(self, spark):
+        from vcf_pg_loader_spark.operators.text import pii_counts
+
+        df = _docs(spark, self.ROWS)
+        counts = pii_counts(F.col("text"))
+        got = {
+            r["doc_id"]: (r["e"], r["i"], r["p"])
+            for r in df.select(
+                "doc_id",
+                counts["email"].alias("e"),
+                counts["ipv4"].alias("i"),
+                counts["phone"].alias("p"),
+            ).collect()
+        }
+        assert got[1] == (1, 0, 0)
+        assert got[2] == (0, 2, 0)
+        assert got[3] == (0, 0, 2)
+        assert got[4] == (0, 0, 0)
+        assert got[5] == (1, 1, 1)

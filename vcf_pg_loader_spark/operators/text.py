@@ -319,3 +319,44 @@ def sql_bpe_ish_count(text: str = "text") -> str:
     """DuckDB twin of :func:`bpe_ish_token_count` (RE2 engine)."""
     quoted = BPE_ISH_PATTERN.replace("'", "''")
     return f"len(regexp_extract_all({text}, '{quoted}'))"
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction
+# --------------------------------------------------------------------------
+# Patterns constrained to constructs Java regex and RE2 share (no
+# lookaround, explicit ASCII classes).  Ordered: emails first so the
+# phone pattern never eats digits out of an address.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+",
+    "ipv4": r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+",
+    "phone": r"\+[0-9][0-9 ()-]{6,}[0-9]",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (JVM regexp, no Python)."""
+    return {
+        kind: F.regexp_count(text, F.lit(pat)) for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace every PII match with a <KIND> tag, in pattern order."""
+    out = text
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
+def sql_pii_count(kind: str, text: str = "text") -> str:
+    pat = PII_PATTERNS[kind].replace("'", "''")
+    return f"len(regexp_extract_all({text}, '{pat}'))"
+
+
+def sql_scrub_pii(text: str = "text") -> str:
+    out = text
+    for kind, pat in PII_PATTERNS.items():
+        quoted = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{quoted}', '<{kind.upper()}>', 'g')"
+    return out

@@ -468,6 +468,145 @@ Q_STRATIFIED_SAMPLE_SQL = _stratified_sample_sql()
 
 
 # --------------------------------------------------------------------------
+# PII detection + redaction: the fixture corpus carries no PII, so the
+# query plants it deterministically from doc_id (the same synthesize-
+# from-fixture pattern as the genomics queries) and then proves the
+# detectors find exactly what was planted and the scrubber removes it.
+# --------------------------------------------------------------------------
+def _with_planted_pii() -> "F.Column":
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(F.lit(" call +1 (555) 010-"), (did % 10000).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" ip 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (did % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+SQL_PLANTED_PII = """
+  text
+  || CASE WHEN doc_id % 7 = 0
+          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+          ELSE '' END
+  || CASE WHEN doc_id % 11 = 0
+          THEN ' call +1 (555) 010-' || CAST(doc_id % 10000 AS VARCHAR)
+          ELSE '' END
+  || CASE WHEN doc_id % 13 = 0
+          THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+               || CAST(doc_id % 256 AS VARCHAR)
+          ELSE '' END
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", _with_planted_pii().alias("text")
+    )
+    counts = T.pii_counts(F.col("text"))
+    per_doc = docs.select(
+        "source",
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+        F.length(T.scrub_pii(F.col("text"))).alias("scrubbed_len"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").alias("emails"),
+        F.sum("n_ipv4").alias("ipv4s"),
+        F.sum("n_phone").alias("phones"),
+        F.count(
+            F.when((F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0, 1)
+        ).alias("docs_with_pii"),
+        F.sum("scrubbed_len").alias("total_scrubbed_len"),
+    )
+
+
+Q_PII_SCRUB_SQL = f"""
+WITH d AS (SELECT doc_id, source, {SQL_PLANTED_PII} AS text FROM documents),
+m AS (
+  SELECT source,
+         {T.sql_pii_count('email')} AS n_email,
+         {T.sql_pii_count('ipv4')} AS n_ipv4,
+         {T.sql_pii_count('phone')} AS n_phone,
+         length({T.sql_scrub_pii()}) AS scrubbed_len
+  FROM d
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS emails,
+       CAST(SUM(n_ipv4) AS BIGINT) AS ipv4s,
+       CAST(SUM(n_phone) AS BIGINT) AS phones,
+       COUNT(*) FILTER (WHERE n_email + n_ipv4 + n_phone > 0) AS docs_with_pii,
+       CAST(SUM(scrubbed_len) AS BIGINT) AS total_scrubbed_len
+FROM m GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# train/eval decontamination: which eval-split docs share enough shingles
+# with a train-split doc to count as contaminated (the dedup machinery
+# applied across the deterministic split boundary).
+# --------------------------------------------------------------------------
+DECON_MIN_SHARED = 3
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators import sampling as SP
+
+    docs = SP.assign_split(
+        load_table(spark, sf_dir, "documents"), "doc_id", SPLIT_WEIGHTS
+    )
+    sh = D.shingles(docs, "doc_id", "text", NGRAM)
+    splits = docs.select("doc_id", "split")
+    sh = sh.join(splits, "doc_id")
+    train = sh.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_id"), "shingle"
+    )
+    evals = sh.filter(F.col("split") != "train").select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    return (
+        evals.join(train, "shingle")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= DECON_MIN_SHARED)
+    )
+
+
+def _decon_sql() -> str:
+    from vcf_pg_loader_spark.operators import sampling as SP
+
+    case = SP.sql_assign_split("doc_id", SPLIT_WEIGHTS)
+    return f"""
+WITH sp AS (SELECT doc_id, {case} AS split FROM documents),
+sh AS ({D.sql_shingles(NGRAM)}),
+j AS (SELECT sh.doc_id, sh.shingle, sp.split FROM sh JOIN sp USING (doc_id))
+SELECT e.doc_id AS eval_id, t.doc_id AS train_id, COUNT(*) AS n_shared
+FROM (SELECT * FROM j WHERE split <> 'train') e
+JOIN (SELECT * FROM j WHERE split = 'train') t USING (shingle)
+GROUP BY 1, 2
+HAVING COUNT(*) >= {DECON_MIN_SHARED}
+"""
+
+
+Q_DECONTAMINATE_SQL = _decon_sql()
+
+
+# --------------------------------------------------------------------------
 # IVF-Flat ANN: deterministic k-means coarse quantizer (fixed Lloyd
 # iterations, lowest-id seeds) + nprobe-cell exact search.  The DuckDB
 # twin unrolls the same iterations as CTEs, so the whole index build is
@@ -801,6 +940,8 @@ QUERIES = {
     "q_ann_ivf": q_ann_ivf,
     "q_split_mix": q_split_mix,
     "q_stratified_sample": q_stratified_sample,
+    "q_pii_scrub": q_pii_scrub,
+    "q_decontaminate": q_decontaminate,
     "q_embed_neardup": q_embed_neardup,
     "q_trigram_sim": q_trigram_sim,
     "q_winnow_overlap": q_winnow_overlap,
@@ -824,6 +965,8 @@ ORACLE = {
     "q_ann_ivf": Q_ANN_IVF_SQL,
     "q_split_mix": Q_SPLIT_MIX_SQL,
     "q_stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
+    "q_pii_scrub": Q_PII_SCRUB_SQL,
+    "q_decontaminate": Q_DECONTAMINATE_SQL,
     "q_embed_neardup": Q_EMBED_NEARDUP_SQL,
     "q_trigram_sim": Q_TRIGRAM_SQL,
     "q_winnow_overlap": Q_WINNOW_SQL,
