@@ -171,3 +171,41 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_sampling_is_narrow_codegen_filter(spark, sf):
+    """Split/sample predicates must stay narrow: no shuffle, no Python,
+    evaluated right above the scan."""
+    from vcf_pg_loader_spark.operators.sampling import stratified_sample
+    from vcf_pg_loader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf, "documents")
+    kept = stratified_sample(docs, {"src0": 0.5}, default_rate=0.1)
+    plan = plan_of(kept)
+    assert "Exchange" not in plan  # narrow: no shuffle anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_assignment_broadcasts_centroids(spark, sf):
+    """IVF corpus assignment must broadcast centroids — the corpus side
+    must never shuffle for a cross join against k centroids."""
+    from vcf_pg_loader_spark.operators.similarity import ivf_topk
+    from vcf_pg_loader_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    plan = plan_of(ivf_topk(emb, q, 3, 4, 1, 2))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_text_pipeline_has_no_python_udf(spark, sf):
+    """Repetition, BPE counting, PII scrubbing: all pure JVM expressions."""
+    from vcf_pg_loader_spark.queries.pipeline import (
+        q_bpe_token_stats,
+        q_pii_scrub,
+        q_text_repetition,
+    )
+
+    for qfn in (q_text_repetition, q_bpe_token_stats, q_pii_scrub):
+        plan = plan_of(qfn(spark, sf))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
