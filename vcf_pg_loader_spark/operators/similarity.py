@@ -256,6 +256,17 @@ def ann_bucketed_topk(
 # dot product, argmin tie-broken on centroid id, centroid means as
 # exact decimal sums divided as doubles.
 # ---------------------------------------------------------------------------
+def _prep_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vid, vec, vv): doubles + materialized self-dot-product.  Norms
+    are computed ONCE here because Catalyst has no expression CSE —
+    every downstream pairing reuses the column instead of re-running
+    the decimal aggregate per pair."""
+    return df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    ).withColumn("vv", dot_exact(F.col("vec"), F.col("vec")))
+
+
 def _sq_dist(v: Column, c: Column) -> Column:
     """Squared L2 distance, written identically to the SQL twin:
     (v.v - 2*v.c) + c.c so the double rounding sequence matches."""
@@ -270,11 +281,25 @@ def sql_sq_dist(v: str, c: str) -> str:
 
 
 def _ivf_rank_centroids(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vid, vec, cid, rn): every vector's centroids ranked by distance.
-    Centroids broadcast — the corpus never shuffles for assignment; the
-    only exchange is the per-vector rank window, keyed on vid."""
+    """(vid, vec, vv, cid, rn): every vector's centroids ranked by
+    distance.  Centroids broadcast — the corpus never shuffles for
+    assignment; the only exchange is the per-vector rank window.
+
+    Expects pre-materialized norms (`vv` on vecs, `cc` on cents): with no
+    CSE across expression trees, inlining _sq_dist would recompute the
+    v·v aggregate once per centroid and c·c once per VECTOR — k+1 of the
+    3 decimal aggregates per pair are redundant.  The double arithmetic
+    ((vv - 2*v·c) + cc) is written in the same order as sql_sq_dist, so
+    bit-exactness against the oracle is preserved."""
     scored = vecs.crossJoin(F.broadcast(cents)).select(
-        "vid", "vec", "cid", _sq_dist(F.col("vec"), F.col("cvec")).alias("d")
+        "vid",
+        "vec",
+        "vv",
+        "cid",
+        (
+            (F.col("vv") - F.lit(2.0) * dot_exact(F.col("vec"), F.col("cvec")))
+            + F.col("cc")
+        ).alias("d"),
     )
     w = Window.partitionBy("vid").orderBy(F.asc("d"), F.asc("cid"))
     return scored.withColumn("rn", F.row_number().over(w))
@@ -296,14 +321,17 @@ def ivf_fit(
     never route through the driver.  Empty cells keep no centroid (their
     cid drops out), matching the SQL twin.
     """
-    vecs = corpus.select(
-        F.col(id_col).alias("vid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
-    )
+    from vcf_pg_loader_spark.operators._parallel import ensure_min_parallelism
+
+    vecs = _prep_vectors(ensure_min_parallelism(corpus), id_col, vec_col)
     cents = (
         vecs.orderBy("vid")
         .limit(k_centroids)
-        .select(F.col("vid").alias("cid"), F.col("vec").alias("cvec"))
+        .select(
+            F.col("vid").alias("cid"),
+            F.col("vec").alias("cvec"),
+            F.col("vv").alias("cc"),
+        )
     )
     for _ in range(n_iter):
         assigned = (
@@ -325,6 +353,7 @@ def ivf_fit(
                     lambda s: s["m"],
                 ).alias("cvec")
             )
+            .withColumn("cc", dot_exact(F.col("cvec"), F.col("cvec")))
             .localCheckpoint(eager=True)
         )
     return cents
@@ -350,32 +379,45 @@ def ivf_topk(
     linearly); raising nprobe buys recall at linear candidate cost — same
     trade documented for sign-LSH in docs/SCALE.md.
     """
+    from vcf_pg_loader_spark.operators._parallel import ensure_min_parallelism
+
     cents = ivf_fit(corpus, k_centroids, n_iter, id_col, vec_col)
-    vecs = corpus.select(
-        F.col(id_col).alias("vid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
-    )
+    vecs = _prep_vectors(ensure_min_parallelism(corpus), id_col, vec_col)
     cand = (
         _ivf_rank_centroids(vecs, cents)
         .filter(F.col("rn") == 1)
-        .select(F.col("vid").alias("cand_id"), F.col("vec").alias("c_vec"), "cid")
+        .select(
+            F.col("vid").alias("cand_id"),
+            F.col("vec").alias("c_vec"),
+            F.col("vv").alias("c_vv"),
+            "cid",
+        )
     )
-    qv = queries.select(
-        F.col(id_col).alias("vid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
-    )
+    qv = _prep_vectors(queries, id_col, vec_col)
     probes = (
         _ivf_rank_centroids(qv, cents)
         .filter(F.col("rn") <= nprobe)
-        .select(F.col("vid").alias("query_id"), F.col("vec").alias("q_vec"), "cid")
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("vec").alias("q_vec"),
+            F.col("vv").alias("q_vv"),
+            "cid",
+        )
     )
+    # cosine from the materialized norms: identical doubles to cosine()
+    # (same dot products, same sqrt, same rounding), one aggregate per
+    # pair instead of three
     scored = (
         probes.join(cand, ["cid"])
         .filter(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",
             "cand_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+            F.round(
+                dot_exact(F.col("q_vec"), F.col("c_vec"))
+                / (F.sqrt(F.col("q_vv")) * F.sqrt(F.col("c_vv"))),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
