@@ -33,12 +33,18 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name, fn in all_queries().items():
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()  # full execution; result sizes vary, count avoids
-        # driver-collect skew for the large window outputs
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()  # full execution; result sizes vary, count
+            # avoids driver-collect skew for the large window outputs
+        except Exception as exc:  # one bad query must not zero the round
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
@@ -49,18 +55,27 @@ def main() -> None:
     # comparable reference number is tracked.
     from vcf_pg_loader_spark.parse_bench import parse_throughput
 
-    parse = parse_throughput(
-        spark, int(os.environ.get("SPARK_GRAFT_PARSE_N", "2000000"))
-    )
+    try:
+        parse = parse_throughput(
+            spark, int(os.environ.get("SPARK_GRAFT_PARSE_N", "2000000"))
+        )
+    except Exception as exc:
+        errors["_vcf_parse"] = f"{type(exc).__name__}: {exc}"[:500]
+        parse = {"variants_per_sec": None, "variants": None,
+                 "rows_after_decomposition": None}
     print(f"# vcf_parse: {parse}", file=sys.stderr)
 
     # Same parse over ONE monolithic bgzipped file — the shape that is a
     # one-core scan on vanilla Spark; the BGZF range reader keeps it wide.
     from vcf_pg_loader_spark.parse_bench import parse_throughput_bgzf
 
-    parse_gz = parse_throughput_bgzf(
-        spark, int(os.environ.get("SPARK_GRAFT_PARSE_N", "2000000"))
-    )
+    try:
+        parse_gz = parse_throughput_bgzf(
+            spark, int(os.environ.get("SPARK_GRAFT_PARSE_N", "2000000"))
+        )
+    except Exception as exc:
+        errors["_vcf_parse_bgzf"] = f"{type(exc).__name__}: {exc}"[:500]
+        parse_gz = {"variants_per_sec": None, "scan_tasks": None}
     print(f"# vcf_parse_bgzf: {parse_gz}", file=sys.stderr)
 
     # Skewed-key join rehearsal: half of lineitem lands on ONE key, the
@@ -86,6 +101,7 @@ def main() -> None:
     )
     prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    plain_s = salted_s = None
     try:
         t0 = time.perf_counter()
         big.join(small, "k").agg(F.sum("l_quantity"), F.sum("w")).collect()
@@ -95,10 +111,12 @@ def main() -> None:
             F.sum("l_quantity"), F.sum("w")
         ).collect()
         salted_s = time.perf_counter() - t0
+    except Exception as exc:
+        errors["_skew_join"] = f"{type(exc).__name__}: {exc}"[:500]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
     print(
-        f"# skew_join: plain={plain_s:.3f}s salted={salted_s:.3f}s",
+        f"# skew_join: plain={plain_s}s salted={salted_s}s",
         file=sys.stderr,
     )
 
@@ -109,6 +127,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": sf,
                 "vcf_parse_variants_per_sec": parse["variants_per_sec"],
                 "vcf_parse_variants": parse["variants"],
@@ -117,8 +136,8 @@ def main() -> None:
                     "variants_per_sec"
                 ],
                 "vcf_parse_bgzf_scan_tasks": parse_gz["scan_tasks"],
-                "skew_join_plain_sec": round(plain_s, 3),
-                "skew_join_salted_sec": round(salted_s, 3),
+                "skew_join_plain_sec": round(plain_s, 3) if plain_s else None,
+                "skew_join_salted_sec": round(salted_s, 3) if salted_s else None,
             }
         )
     )

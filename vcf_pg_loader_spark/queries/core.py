@@ -485,9 +485,12 @@ GROUP BY 1, 2
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    us = F.unix_micros(F.col("ts"))
-    prev = F.lag(us).over(w)
-    new_session = F.when(prev.isNull() | ((us - prev) > 1_800_000_000), 1).otherwise(0)
+    # Direct timestamp subtraction works for both TIMESTAMP and
+    # TIMESTAMP_NTZ (unix_micros rejects NTZ, which parquet scans infer).
+    ts = F.col("ts")
+    prev = F.lag(ts).over(w)
+    gap = F.expr("INTERVAL '1800' SECOND")
+    new_session = F.when(prev.isNull() | ((ts - prev) > gap), 1).otherwise(0)
     return (
         ev.select("user_id", new_session.alias("is_new"))
         .groupBy("user_id")

@@ -32,13 +32,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table; normalizes the events nanosecond timestamp.
+    """Read one fixture table; normalizes the events timestamp column.
 
-    The fixture writes `events.ts` as parquet TIMESTAMP(NANOS), which Spark
-    reads as a raw long (``spark.sql.legacy.parquet.nanosAsLong``). We
-    convert to a microsecond TimestampType by integer division — identical
-    to DuckDB's `CAST(ts AS TIMESTAMP)` truncation, so oracle comparisons
-    stay exact.
+    The fixture has written `events.ts` as parquet TIMESTAMP(NANOS) in
+    some generations and TIMESTAMP(MICROS) without timezone (Spark:
+    TIMESTAMP_NTZ) in others.  For the nanos shape Spark needs
+    ``spark.sql.legacy.parquet.nanosAsLong`` and we convert the raw long
+    to a microsecond TimestampType by integer division — identical to
+    DuckDB's `CAST(ts AS TIMESTAMP)` truncation, so oracle comparisons
+    stay exact; the micros/NTZ shape passes through unchanged (guarded
+    by the dtype check below).
 
     Defensive conf: callers may hand us a session built without our
     factory (the driver's harness does).  Both confs are runtime-settable

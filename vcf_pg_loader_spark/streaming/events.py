@@ -212,15 +212,14 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     the equivalence oracle for the stateful streaming operator."""
     from pyspark.sql.window import Window
 
-    gap_us = gap_minutes * 60 * 1_000_000
     w = Window.partitionBy("user_id").orderBy("ts")
+    # Timestamp subtraction yields a day-time interval for both TIMESTAMP
+    # and TIMESTAMP_NTZ; unix_micros would reject the NTZ type that
+    # parquet scans infer for tz-less columns.
+    gap = F.expr(f"INTERVAL '{int(gap_minutes) * 60}' SECOND")
     marked = events.withColumn(
         "_new",
-        (
-            F.unix_micros(F.col("ts"))
-            - F.lag(F.unix_micros(F.col("ts"))).over(w)
-            > gap_us
-        ).cast("int"),
+        (F.col("ts") - F.lag(F.col("ts")).over(w) > gap).cast("int"),
     ).withColumn(
         "_sid",
         F.sum(F.coalesce(F.col("_new"), F.lit(0))).over(
