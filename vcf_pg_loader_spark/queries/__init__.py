@@ -35,6 +35,9 @@ _FRONT = [
     "q_chrom_counts",
     "q_merge_insert_only",
     "q_events_sessions",
+    "q_chunk_windows",
+    "q_pack_sequences",
+    "q_quality_filter",
 ]
 
 

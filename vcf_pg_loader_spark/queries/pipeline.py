@@ -923,6 +923,113 @@ SELECT node AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY node
 """
 
 
+# --------------------------------------------------------------------------
+# sequence chunking & packing (operators/chunking.py): context-window
+# chunking with stride, and concat-and-cut packing per source shard.
+# --------------------------------------------------------------------------
+CHUNK_WINDOW = 32
+CHUNK_STRIDE = 24
+PACK_CAPACITY = 256
+
+
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators import chunking as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.chunk_token_windows(
+        docs, "doc_id", "text", CHUNK_WINDOW, CHUNK_STRIDE
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators import chunking as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.pack_contiguous(docs, PACK_CAPACITY)
+
+
+def _chunk_pack_sqls() -> tuple[str, str]:
+    from vcf_pg_loader_spark.operators import chunking as C
+
+    return (
+        C.sql_chunk_token_windows(
+            "documents", "doc_id", "text", CHUNK_WINDOW, CHUNK_STRIDE
+        ),
+        C.sql_pack_contiguous(PACK_CAPACITY),
+    )
+
+
+Q_CHUNK_WINDOWS_SQL, Q_PACK_SEQUENCES_SQL = _chunk_pack_sqls()
+
+
+# --------------------------------------------------------------------------
+# composite quality filter: per-document keep/drop verdict with the
+# C4/Gopher-style reasons that fired (too_short/too_long, word-length
+# band, vocabulary diversity, stopword presence).  concat_ws skips NULLs
+# identically in Spark and DuckDB, so the reasons string is exact.
+# --------------------------------------------------------------------------
+QF_MIN_TOKENS = 15
+QF_MAX_TOKENS = 1000
+QF_MIN_AVG_LEN = 3.0
+QF_MAX_AVG_LEN = 10.0
+QF_MIN_DISTINCT = 0.5
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T.quality_metrics(load_table(spark, sf_dir, "documents"))
+    reason = [
+        F.when(F.col("n_tokens") < QF_MIN_TOKENS, F.lit("too_short")),
+        F.when(F.col("n_tokens") > QF_MAX_TOKENS, F.lit("too_long")),
+        F.when(
+            (F.col("avg_token_len") < QF_MIN_AVG_LEN)
+            | (F.col("avg_token_len") > QF_MAX_AVG_LEN),
+            F.lit("word_len"),
+        ),
+        F.when(F.col("distinct_ratio") < QF_MIN_DISTINCT, F.lit("low_diversity")),
+        F.when(F.col("stopword_ratio") == 0, F.lit("no_stopwords")),
+    ]
+    reasons = F.concat_ws(",", *reason)
+    return docs.select(
+        "doc_id",
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
+def _quality_filter_sql() -> str:
+    toks = "string_split(text, ' ')"
+    n = f"len({toks})"
+    sw_sets = []
+    for lang in T.LANG_PRECEDENCE:
+        words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+        sw_sets.append(f"len(list_filter({toks}, t -> t IN ({words})))")
+    sw = " + ".join(sw_sets)
+    dr = f"CAST(len(list_distinct({toks})) AS DOUBLE) / {n}"
+    al = f"CAST(length(text) - ({n} - 1) AS DOUBLE) / {n}"
+    swr = f"CAST({sw} AS DOUBLE) / {n}"
+    return f"""
+WITH m AS (
+  SELECT doc_id, {n} AS n_tokens, {dr} AS distinct_ratio,
+         {al} AS avg_token_len, {swr} AS stopword_ratio
+  FROM documents
+),
+r AS (
+  SELECT doc_id, concat_ws(',',
+    CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short' END,
+    CASE WHEN n_tokens > {QF_MAX_TOKENS} THEN 'too_long' END,
+    CASE WHEN avg_token_len < {QF_MIN_AVG_LEN}
+           OR avg_token_len > {QF_MAX_AVG_LEN} THEN 'word_len' END,
+    CASE WHEN distinct_ratio < {QF_MIN_DISTINCT} THEN 'low_diversity' END,
+    CASE WHEN stopword_ratio = 0 THEN 'no_stopwords' END) AS reasons
+  FROM m
+)
+SELECT doc_id, reasons = '' AS keep, reasons FROM r
+"""
+
+
+Q_QUALITY_FILTER_SQL = _quality_filter_sql()
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_clusters": q_dedup_clusters,
@@ -946,6 +1053,9 @@ QUERIES = {
     "q_trigram_sim": q_trigram_sim,
     "q_winnow_overlap": q_winnow_overlap,
     "q_merge_upsert": q_merge_upsert,
+    "q_chunk_windows": q_chunk_windows,
+    "q_pack_sequences": q_pack_sequences,
+    "q_quality_filter": q_quality_filter,
 }
 
 ORACLE = {
@@ -971,4 +1081,7 @@ ORACLE = {
     "q_trigram_sim": Q_TRIGRAM_SQL,
     "q_winnow_overlap": Q_WINNOW_SQL,
     "q_merge_upsert": Q_MERGE_UPSERT_SQL,
+    "q_chunk_windows": Q_CHUNK_WINDOWS_SQL,
+    "q_pack_sequences": Q_PACK_SEQUENCES_SQL,
+    "q_quality_filter": Q_QUALITY_FILTER_SQL,
 }
