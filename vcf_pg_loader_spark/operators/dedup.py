@@ -396,7 +396,13 @@ def connected_components(
     """
     from pyspark.storagelevel import StorageLevel
 
-    half = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Persist the one-direction edge list BEFORE mirroring it: union
+    # evaluates each branch independently, so without this the (often
+    # expensive) upstream pair-generation lineage — e.g. the full
+    # MinHash-LSH pipeline — executes twice to build `und`.
+    half = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     und = (
         half.union(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
@@ -450,6 +456,7 @@ def connected_components(
         if changed == 0:
             break
     und.unpersist()
+    half.unpersist()
     return labels.select("node", "comp")
 
 

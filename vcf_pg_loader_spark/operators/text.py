@@ -197,7 +197,14 @@ def winnow_overlap_pairs(
     Scale guards: fingerprints appearing in more than `max_df` docs
     (boilerplate) are dropped BEFORE the self-join, so no hot key can
     explode the equi-join; pair aggregation is one shuffle on (d1, d2).
+
+    The fingerprint table feeds three plan branches (document-frequency
+    count + both self-join sides); persist it so the O(len·w) winnowing
+    expression runs once per document, not three times.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
     dfc = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
     rare = fps.join(dfc.filter(F.col("_df") <= max_df), "fp")
     a, b = rare.alias("a"), rare.alias("b")
