@@ -38,6 +38,7 @@ _FRONT = [
     "q_chunk_windows",
     "q_pack_sequences",
     "q_quality_filter",
+    "q_ann_recall",
 ]
 
 

@@ -1030,6 +1030,45 @@ SELECT doc_id, reasons = '' AS keep, reasons FROM r
 Q_QUALITY_FILTER_SQL = _quality_filter_sql()
 
 
+# --------------------------------------------------------------------------
+# ANN quality metric: recall@k of the IVF index against the exact
+# brute-force neighbors — the number an ANN deployment is tuned by
+# (nprobe/centroid sizing trades this against probe cost).  Composes the
+# two existing, independently-oracled top-k queries.
+# --------------------------------------------------------------------------
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brute = q_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    ivf = (
+        q_ann_ivf(spark, sf_dir)
+        .select("query_id", "cand_id")
+        .withColumn("_m", F.lit(1))
+    )
+    return (
+        brute.join(ivf, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.count("_m").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_hit",
+            (F.col("n_hit") / F.col("k")).alias("recall_at_k"),
+        )
+    )
+
+
+Q_ANN_RECALL_SQL = f"""
+WITH brute AS ({Q_COSINE_TOPK_SQL}),
+ivf AS ({Q_ANN_IVF_SQL})
+SELECT b.query_id, COUNT(i.cand_id) AS n_hit,
+       CAST(COUNT(i.cand_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+FROM brute b
+LEFT JOIN ivf i ON b.query_id = i.query_id AND b.cand_id = i.cand_id
+GROUP BY b.query_id
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_clusters": q_dedup_clusters,
@@ -1056,6 +1095,7 @@ QUERIES = {
     "q_chunk_windows": q_chunk_windows,
     "q_pack_sequences": q_pack_sequences,
     "q_quality_filter": q_quality_filter,
+    "q_ann_recall": q_ann_recall,
 }
 
 ORACLE = {
@@ -1084,4 +1124,5 @@ ORACLE = {
     "q_chunk_windows": Q_CHUNK_WINDOWS_SQL,
     "q_pack_sequences": Q_PACK_SEQUENCES_SQL,
     "q_quality_filter": Q_QUALITY_FILTER_SQL,
+    "q_ann_recall": Q_ANN_RECALL_SQL,
 }
