@@ -547,22 +547,32 @@ LIMIT 50
 def q_gx_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vcf_pg_loader_spark.qc.variant_qc import classify_gt
 
+    from pyspark.storagelevel import StorageLevel
+
     gts = synth_genotypes(spark, sf_dir)
-    # carrier predicate folded INTO the aggregate (countDistinct skips
-    # nulls) rather than a filter: a pre-aggregation filter would be
-    # pushed below the parallelism repartition and evaluate the classify
-    # expression on the narrow scan partition
+    # One (variant, sample) pre-aggregation feeds BOTH downstream
+    # aggregates: the naive plan (per-variant countDistinct + a global
+    # countDistinct) scans and fully reshuffles the genotype frame twice;
+    # here the raw frame shuffles once, and both countDistincts collapse
+    # to cheap counts over the already-distinct persisted pairs.
     cls = classify_gt(F.col("gt"))
-    carrier_sample = F.when(cls.isin("het", "hom_alt"), F.col("sample_id"))
+    pairs = (
+        gts.groupBy("chrom", "pos", "ref", "alt", "sample_id")
+        .agg(
+            F.max(
+                F.when(cls.isin("het", "hom_alt"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("is_carrier")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     per_variant = (
-        gts.groupBy("chrom", "pos", "ref", "alt")
-        .agg(F.countDistinct(carrier_sample).alias("n_carriers"))
+        pairs.groupBy("chrom", "pos", "ref", "alt")
+        .agg(F.sum("is_carrier").alias("n_carriers"))
         .filter(F.col("n_carriers") > 0)
     )
     # n_samples as a 1-row aggregate crossJoined broadcast (the
-    # q_gx_prs_score pattern) — no eager driver-side .count() mid-query,
-    # no second scheduled job over the genotype scan.
-    n = gts.agg(F.countDistinct("sample_id").alias("n_samples"))
+    # q_gx_prs_score pattern) — no eager driver-side .count() mid-query.
+    n = pairs.agg(F.countDistinct("sample_id").alias("n_samples"))
     return (
         per_variant.crossJoin(F.broadcast(n))
         .filter(F.col("n_carriers") <= F.floor(F.col("n_samples") * 0.6))
