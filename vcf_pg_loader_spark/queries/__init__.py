@@ -39,6 +39,7 @@ _FRONT = [
     "q_pack_sequences",
     "q_quality_filter",
     "q_ann_recall",
+    "q_multimodal_dedup",
 ]
 
 

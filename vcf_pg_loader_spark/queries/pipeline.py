@@ -1069,6 +1069,33 @@ GROUP BY b.query_id
 """
 
 
+# --------------------------------------------------------------------------
+# multimodal content dedup: the REAL binary-column operator
+# (operators/multimodal.py dedup_by_content) over fixture-derived binary
+# payloads — the fixtures carry no media columns, so the utf-8 bytes of
+# `text` stand in as the opaque content blob; the operator path (binary
+# column -> JVM sha2 -> hash-agg) is exactly what runs on real media.
+# --------------------------------------------------------------------------
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators.multimodal import dedup_by_content
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    return dedup_by_content(media)
+
+
+Q_MULTIMODAL_DEDUP_SQL = """
+SELECT sha256(text) AS content_sha256,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_clusters": q_dedup_clusters,
@@ -1096,6 +1123,7 @@ QUERIES = {
     "q_pack_sequences": q_pack_sequences,
     "q_quality_filter": q_quality_filter,
     "q_ann_recall": q_ann_recall,
+    "q_multimodal_dedup": q_multimodal_dedup,
 }
 
 ORACLE = {
@@ -1125,4 +1153,5 @@ ORACLE = {
     "q_pack_sequences": Q_PACK_SEQUENCES_SQL,
     "q_quality_filter": Q_QUALITY_FILTER_SQL,
     "q_ann_recall": Q_ANN_RECALL_SQL,
+    "q_multimodal_dedup": Q_MULTIMODAL_DEDUP_SQL,
 }
