@@ -40,6 +40,8 @@ _FRONT = [
     "q_quality_filter",
     "q_ann_recall",
     "q_multimodal_dedup",
+    "q_token_rarity",
+    "q_dedup_keep",
 ]
 
 

@@ -1096,6 +1096,72 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# token-rarity scoring: mean corpus-frequency of each document's tokens —
+# the frequency-based half of LM-proxy quality scoring (rare-token-heavy
+# docs are surprising; boilerplate scores high).  Mean PROBABILITY, not
+# log-prob, keeps the oracle exact: p = n/total is the same IEEE double
+# on both engines, while ln() may differ in the last ulp.
+# The token-frequency side is broadcast here; a web-scale vocabulary
+# (~10^7 types) still broadcasts, and beyond that the join flips to a
+# shuffle join on `token` with no other change.
+# --------------------------------------------------------------------------
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    tot = tf.agg(F.sum("n").alias("total"))
+    p = (
+        tok.join(F.broadcast(tf), "token")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", (F.col("n").cast("double") / F.col("total")).alias("p"))
+    )
+    # scale 12, not 18: at scale 18 the double->decimal conversion sits
+    # inside the double's ulp and the engines' rounding modes diverge
+    dec = "decimal(24,12)"
+    return p.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum(F.col("p").cast(dec)).cast("double") / F.count(F.lit(1))).alias(
+            "mean_token_p"
+        ),
+    )
+
+
+Q_TOKEN_RARITY_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+tf AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM tf),
+p AS (SELECT doc_id, CAST(n AS DOUBLE) / total AS p
+      FROM tok JOIN tf USING (token) CROSS JOIN tot)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CAST(p AS DECIMAL(24,12))) AS DOUBLE) / COUNT(*)
+         AS mean_token_p
+FROM p GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# cluster keep-decision: the corpus after near-dup collapse, through the
+# REAL keep_canonical operator (one left-anti join against the small
+# loser set — the corpus itself never shuffles).
+# --------------------------------------------------------------------------
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(
+        docs, "doc_id", "text", NGRAM, MINHASH_K, MINHASH_BANDS, JACCARD_T
+    )
+    cc = D.connected_components(pairs.select("d1", "d2"), "d1", "d2")
+    return D.keep_canonical(docs.select("doc_id"), cc, "doc_id")
+
+
+Q_DEDUP_KEEP_SQL = f"""
+WITH cc AS ({Q_DEDUP_CLUSTERS_SQL})
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_clusters": q_dedup_clusters,
@@ -1124,6 +1190,8 @@ QUERIES = {
     "q_quality_filter": q_quality_filter,
     "q_ann_recall": q_ann_recall,
     "q_multimodal_dedup": q_multimodal_dedup,
+    "q_token_rarity": q_token_rarity,
+    "q_dedup_keep": q_dedup_keep,
 }
 
 ORACLE = {
@@ -1154,4 +1222,6 @@ ORACLE = {
     "q_quality_filter": Q_QUALITY_FILTER_SQL,
     "q_ann_recall": Q_ANN_RECALL_SQL,
     "q_multimodal_dedup": Q_MULTIMODAL_DEDUP_SQL,
+    "q_token_rarity": Q_TOKEN_RARITY_SQL,
+    "q_dedup_keep": Q_DEDUP_KEEP_SQL,
 }
