@@ -209,3 +209,25 @@ def test_text_pipeline_has_no_python_udf(spark, sf):
     for qfn in (q_text_repetition, q_bpe_token_stats, q_pii_scrub):
         plan = plan_of(qfn(spark, sf))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cohort_single_exchange_of_raw_genotypes(spark, sf):
+    """q_gx_cohort must shuffle the raw genotype frame exactly once: the
+    (variant, sample) pre-agg feeds both the carrier count and the
+    sample count, so no second wide scan/exchange of the raw frame."""
+    from vcf_pg_loader_spark.queries.genomics import q_gx_cohort
+
+    plan = plan_of(q_gx_cohort(spark, sf), mode="simple")
+    # the persisted pre-agg appears as one InMemoryTableScan per consumer;
+    # the raw frame's hashpartitioning exchange on the 5 grouping keys
+    # must appear exactly once
+    assert plan.count("hashpartitioning(chrom") == 1
+
+
+def test_token_rarity_broadcasts_frequency_table(spark, sf):
+    """Token->frequency join must broadcast the (tiny) vocabulary side;
+    the exploded token stream itself must not shuffle for the join."""
+    from vcf_pg_loader_spark.queries.pipeline import q_token_rarity
+
+    plan = plan_of(q_token_rarity(spark, sf))
+    assert "BroadcastHashJoin" in plan
