@@ -93,12 +93,15 @@ def parse_throughput_bgzf(spark, n_variants: int = 2_000_000) -> dict:
         write_synthetic_vcf_bgzf(path, n_variants)
         scan_tasks = bgzf_text(spark, path).rdd.getNumPartitions()  # rdd-ok (bench introspection)
         mb = round(os.path.getsize(path) / 1e6, 1)
-        # Warm up codegen/JIT on a tiny same-shape input: the first
-        # execution of this plan pays ~35 s of Janino+JIT compilation,
-        # which is a per-plan constant, not parse throughput (the
-        # reference's 106k/s is likewise steady-state).
+        # Warm up on a same-shape input big enough to span EVERY core's
+        # range: besides the one-time codegen/JIT compile, each of the
+        # 32 Python workers pays a cold pandas/pyarrow import on its
+        # first mapInPandas task — a tiny warmup file (1-2 ranges) warms
+        # only 2 workers and the timed run still eats ~30 cold starts.
+        # 300k variants -> ~2.4 MB compressed -> >32 of the 64 KiB
+        # minimum ranges, so every worker is hot before the clock runs.
         warm = os.path.join(d, "warm.vcf.gz")
-        write_synthetic_vcf_bgzf(warm, 10_000)
+        write_synthetic_vcf_bgzf(warm, 300_000)
         read_vcf(spark, warm, normalize=True).count()
         t0 = time.perf_counter()
         rows = read_vcf(spark, path, normalize=True).count()
