@@ -42,6 +42,7 @@ _FRONT = [
     "q_multimodal_dedup",
     "q_token_rarity",
     "q_dedup_keep",
+    "q_gx_neff",
 ]
 
 

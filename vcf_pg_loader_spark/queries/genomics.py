@@ -1246,6 +1246,38 @@ FROM qc
 """
 
 
+# ---------------------------------------------------------------------------
+# effective sample size (reference validation/sql_functions.py:169-179):
+# the registered SQL function over a synthetic per-study case/control
+# frame, including the zero-side -> NULL contract
+# ---------------------------------------------------------------------------
+def q_gx_neff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.functions.genomics import n_eff
+
+    c = load_table(spark, sf_dir, "customer")
+    cases = (F.col("c_custkey") % 1000).cast("int")
+    controls = ((F.col("c_custkey") * 7) % 997).cast("int")
+    return c.select(
+        F.col("c_custkey").alias("study_id"),
+        cases.alias("n_cases"),
+        controls.alias("n_controls"),
+        n_eff(cases, controls).alias("n_eff"),
+    )
+
+
+Q_GX_NEFF_SQL = """
+SELECT c_custkey AS study_id,
+       CAST(c_custkey % 1000 AS INT) AS n_cases,
+       CAST((c_custkey * 7) % 997 AS INT) AS n_controls,
+       CASE WHEN c_custkey % 1000 = 0 OR (c_custkey * 7) % 997 = 0 THEN NULL
+            ELSE 4.0 * CAST(c_custkey % 1000 AS DOUBLE)
+                     * CAST((c_custkey * 7) % 997 AS DOUBLE)
+                 / CAST((c_custkey % 1000) + ((c_custkey * 7) % 997) AS DOUBLE)
+       END AS n_eff
+FROM customer
+"""
+
+
 QUERIES = {
     "q_gx_variant_qc": q_gx_variant_qc,
     "q_gx_failed_samples": q_gx_failed_samples,
@@ -1253,6 +1285,7 @@ QUERIES = {
     "q_gx_hwe": q_gx_hwe,
     "q_gx_harmonize": q_gx_harmonize,
     "q_gx_denovo": q_gx_denovo,
+    "q_gx_neff": q_gx_neff,
     "q_gx_compound_het": q_gx_compound_het,
     "q_gx_prs_score": q_gx_prs_score,
     "q_gx_popmax": q_gx_popmax,
@@ -1275,6 +1308,7 @@ ORACLE = {
     "q_gx_hwe": Q_GX_HWE_SQL,
     "q_gx_harmonize": Q_GX_HARMONIZE_SQL,
     "q_gx_denovo": Q_GX_DENOVO_SQL,
+    "q_gx_neff": Q_GX_NEFF_SQL,
     "q_gx_compound_het": Q_GX_COMPOUND_HET_SQL,
     "q_gx_prs_score": Q_GX_PRS_SCORE_SQL,
     "q_gx_popmax": Q_GX_POPMAX_SQL,
