@@ -1162,6 +1162,29 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
 """
 
 
+# --------------------------------------------------------------------------
+# chunk-level dedup classes: exact dedup at context-window granularity
+# (the passage-level analogue of q_dedup_exact) — group the chunk table
+# by chunk hash; shuffles 32-char hashes, never chunk text.
+# --------------------------------------------------------------------------
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = q_chunk_windows(spark, sf_dir)
+    return chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
+
+
+Q_CHUNK_DEDUP_SQL = f"""
+WITH c AS ({Q_CHUNK_WINDOWS_SQL})
+SELECT chunk_hash, COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(doc_id) AS canonical_doc
+FROM c GROUP BY 1
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_clusters": q_dedup_clusters,
@@ -1192,6 +1215,7 @@ QUERIES = {
     "q_multimodal_dedup": q_multimodal_dedup,
     "q_token_rarity": q_token_rarity,
     "q_dedup_keep": q_dedup_keep,
+    "q_chunk_dedup": q_chunk_dedup,
 }
 
 ORACLE = {
@@ -1224,4 +1248,5 @@ ORACLE = {
     "q_multimodal_dedup": Q_MULTIMODAL_DEDUP_SQL,
     "q_token_rarity": Q_TOKEN_RARITY_SQL,
     "q_dedup_keep": Q_DEDUP_KEEP_SQL,
+    "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
 }
