@@ -43,6 +43,7 @@ _FRONT = [
     "q_token_rarity",
     "q_dedup_keep",
     "q_gx_neff",
+    "q_chunk_dedup",
 ]
 
 
