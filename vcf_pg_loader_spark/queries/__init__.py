@@ -44,6 +44,8 @@ _FRONT = [
     "q_dedup_keep",
     "q_gx_neff",
     "q_chunk_dedup",
+    "q10_returned_items",
+    "q22_idle_accounts",
 ]
 
 

@@ -651,6 +651,85 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+# --------------------------------------------------------------------------
+# q10 shape: returned-item revenue by customer — fact-fact join restricted
+# by a selective fact-side predicate (l_returnflag = 'R'), dimension
+# broadcast, top-k on an exact-decimal revenue sum
+# --------------------------------------------------------------------------
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(22,6)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q22 shape: above-average-balance customers with no LARGE orders —
+# scalar aggregate as a broadcast (never a single-partition window),
+# then an anti join against the filtered fact table
+# --------------------------------------------------------------------------
+Q22_BIG_ORDER = 300_000.0
+
+
+def q22_idle_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > Q22_BIG_ORDER
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(davg("c_acctbal").alias("avg_bal"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(big, cust.c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+
+
+Q22_SQL = f"""
+WITH a AS (SELECT {sql_davg('c_acctbal')} AS avg_bal
+           FROM customer WHERE c_acctbal > 0)
+SELECT c_custkey, c_mktsegment, c_acctbal
+FROM customer, a
+WHERE c_acctbal > avg_bal
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_totalprice > {Q22_BIG_ORDER})
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -658,6 +737,8 @@ QUERIES = {
     "q05_local_supplier": q05_local_supplier,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q13_order_distribution": q13_order_distribution,
+    "q10_returned_items": q10_returned_items,
+    "q22_idle_accounts": q22_idle_accounts,
     "q_anti_join": q_anti_join,
     "q_top_customers": q_top_customers,
     "q_window_topk": q_window_topk,
@@ -683,6 +764,8 @@ ORACLE = {
     "q05_local_supplier": Q05_SQL,
     "q06_forecast_revenue": Q06_SQL,
     "q13_order_distribution": Q13_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q22_idle_accounts": Q22_SQL,
     "q_anti_join": Q_ANTI_SQL,
     "q_top_customers": Q_TOPCUST_SQL,
     "q_window_topk": Q_WINDOW_TOPK_SQL,
