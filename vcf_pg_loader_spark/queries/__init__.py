@@ -46,6 +46,9 @@ _FRONT = [
     "q_chunk_dedup",
     "q10_returned_items",
     "q22_idle_accounts",
+    "q14_promo_revenue",
+    "q17_small_quantity",
+    "q18_large_orders",
 ]
 
 

@@ -730,6 +730,123 @@ WHERE c_acctbal > avg_bal
 """
 
 
+# --------------------------------------------------------------------------
+# q14 shape: promo revenue share — broadcast dim join + conditional
+# aggregation ratio in one pass
+# --------------------------------------------------------------------------
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(22,6)"
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo_rev = F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
+    total_rev = F.sum(rev).cast("double")
+    return j.agg(
+        promo_rev.alias("promo_revenue"),
+        total_rev.alias("total_revenue"),
+        (F.lit(100.0) * promo_rev / total_rev).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q14_SQL = """
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(22,6)) END) AS DOUBLE)
+         AS promo_revenue,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+            AS DOUBLE) AS total_revenue,
+       100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(22,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(22,6))) AS DOUBLE) AS promo_pct,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q17 shape: small-quantity revenue — the correlated "below 0.2 * per-part
+# average" subquery rewritten as a per-part aggregate joined back
+# (broadcast), never a correlated per-row scan
+# --------------------------------------------------------------------------
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    avg_qty = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey")
+        .agg(davg("l_quantity").alias("avg_qty"))
+    )
+    return (
+        li.join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            dsum("l_extendedprice").alias("total_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q17_SQL = f"""
+WITH a AS (
+  SELECT l_partkey, {sql_davg('l_quantity')} AS avg_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#13'
+  GROUP BY l_partkey
+)
+SELECT {sql_dsum('l_extendedprice')} AS total_price,
+       COUNT(*) AS n_items
+FROM lineitem JOIN a USING (l_partkey)
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+# --------------------------------------------------------------------------
+# q18 shape: large-volume orders — HAVING over a fact aggregate, then
+# joined back to orders/customer for the top-k listing
+# --------------------------------------------------------------------------
+Q18_MIN_QTY = 150.0
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty"
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, {sql_dsum('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {sql_dsum('l_quantity')} > {Q18_MIN_QTY}
+)
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -739,6 +856,9 @@ QUERIES = {
     "q13_order_distribution": q13_order_distribution,
     "q10_returned_items": q10_returned_items,
     "q22_idle_accounts": q22_idle_accounts,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q17_small_quantity": q17_small_quantity,
+    "q18_large_orders": q18_large_orders,
     "q_anti_join": q_anti_join,
     "q_top_customers": q_top_customers,
     "q_window_topk": q_window_topk,
@@ -766,6 +886,9 @@ ORACLE = {
     "q13_order_distribution": Q13_SQL,
     "q10_returned_items": Q10_SQL,
     "q22_idle_accounts": Q22_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q17_small_quantity": Q17_SQL,
+    "q18_large_orders": Q18_SQL,
     "q_anti_join": Q_ANTI_SQL,
     "q_top_customers": Q_TOPCUST_SQL,
     "q_window_topk": Q_WINDOW_TOPK_SQL,
