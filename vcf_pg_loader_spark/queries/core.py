@@ -18,6 +18,9 @@ re-expressed as idiomatic Spark DataFrame plans:
   time bucketing         q_events_monthly (§2.8 date_trunc)
   sessionization (lag)   q_events_sessions
   broadcast range join   q_range_join     (§2.3 LD-block interval join)
+  fact-fact + dim top-k  q10 q18          (§2.3/§2.6)
+  scalar-agg thresholds  q17 q22          (§2.4 correlated-subquery rewrite)
+  conditional agg ratio  q14              (§2.4)
 
 Scale notes: joins against region/nation/supplier/bins are broadcast
 (dimension tables); fact-fact joins shuffle on their keys and rely on AQE
