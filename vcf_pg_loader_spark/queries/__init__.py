@@ -49,6 +49,8 @@ _FRONT = [
     "q14_promo_revenue",
     "q17_small_quantity",
     "q18_large_orders",
+    "q15_top_supplier",
+    "q07_volume_shipping",
 ]
 
 

@@ -850,6 +850,95 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# q15 shape: top supplier by revenue — argmax over an aggregate via a
+# broadcast scalar max, never a global window
+# --------------------------------------------------------------------------
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(22,6)"
+    )
+    by_sup = li.groupBy("l_suppkey").agg(
+        F.sum(rev).cast("double").alias("total_revenue")
+    )
+    mx = by_sup.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        by_sup.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(sup), by_sup.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = """
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+              AS DOUBLE) AS total_revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM r)
+"""
+
+
+# --------------------------------------------------------------------------
+# q07 shape: volume shipping between nation pairs — two dimension lookups
+# on different fact foreign keys (customer nation vs supplier nation),
+# grouped by the (n1, n2, year) pair
+# --------------------------------------------------------------------------
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(22,6)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), sup.s_nationkey == F.col("n2_key"))
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+        .groupBy(
+            "cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q07_SQL = """
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -862,6 +951,8 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q17_small_quantity": q17_small_quantity,
     "q18_large_orders": q18_large_orders,
+    "q15_top_supplier": q15_top_supplier,
+    "q07_volume_shipping": q07_volume_shipping,
     "q_anti_join": q_anti_join,
     "q_top_customers": q_top_customers,
     "q_window_topk": q_window_topk,
@@ -892,6 +983,8 @@ ORACLE = {
     "q14_promo_revenue": Q14_SQL,
     "q17_small_quantity": Q17_SQL,
     "q18_large_orders": Q18_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q07_volume_shipping": Q07_SQL,
     "q_anti_join": Q_ANTI_SQL,
     "q_top_customers": Q_TOPCUST_SQL,
     "q_window_topk": Q_WINDOW_TOPK_SQL,
