@@ -59,9 +59,21 @@ def salted_join(
             "the replicated small side would duplicate unmatched rows in "
             "right/full outer results"
         )
+    # Salt from a hash of the row PLUS a per-row id: hashing data columns
+    # alone lumps low-cardinality payloads (a hot key whose payload takes
+    # 50 distinct values lands on at most 50 salts, unevenly); mixing in
+    # monotonically_increasing_id spreads a hot key's rows near-uniformly.
+    # Join results are identical for ANY salt assignment — the small side
+    # is replicated across all salts — so the salt only shapes task sizes.
     big_salted = big.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salts)),
+        F.pmod(
+            F.xxhash64(
+                *[F.col(c) for c in big.columns],
+                F.monotonically_increasing_id(),
+            ),
+            F.lit(salts),
+        ),
     )
     small_replicated = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))

@@ -201,6 +201,12 @@ def winnow_overlap_pairs(
     The fingerprint table feeds three plan branches (document-frequency
     count + both self-join sides); persist it so the O(len·w) winnowing
     expression runs once per document, not three times.
+
+    Cache lifetime: the persisted blocks back the RETURNED (lazy) plan,
+    so this function cannot unpersist them itself — the caller owns the
+    lifetime (`spark.catalog.clearCache()` after materializing, as
+    bench.py does per query, or rely on the ContextCleaner once the
+    frame is unreachable).
     """
     from pyspark.storagelevel import StorageLevel
 

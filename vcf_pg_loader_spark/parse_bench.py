@@ -103,6 +103,9 @@ def parse_throughput_bgzf(spark, n_variants: int = 2_000_000) -> dict:
         warm = os.path.join(d, "warm.vcf.gz")
         write_synthetic_vcf_bgzf(warm, 300_000)
         read_vcf(spark, warm, normalize=True).count()
+        with open(path, "rb") as fh:  # page-cache prewarm (see above)
+            while fh.read(1 << 22):
+                pass
         t0 = time.perf_counter()
         rows = read_vcf(spark, path, normalize=True).count()
         dt = time.perf_counter() - t0
@@ -137,12 +140,30 @@ def parse_throughput(
         import tempfile as _tf
 
         with _tf.TemporaryDirectory() as wd:
-            read_vcf(
-                spark, write_synthetic_vcf(wd, 10_000, 2), normalize=True
-            ).count()
+            warm_glob = write_synthetic_vcf(wd, 10_000, 2)
+            read_vcf(spark, warm_glob, normalize=True).count()
+            read_vcf(spark, warm_glob, normalize=True, features="all").count()
+        # prewarm the OS page cache over the just-written shards so the
+        # timed windows measure parse throughput, not first-touch disk
+        # I/O (the reference's 106k/s number is likewise CPU-bound)
+        import glob as _glob
+
+        for f in _glob.glob(glob):
+            with open(f, "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+        # default ("auto") load: the bench header declares only DP and AF,
+        # so annotation/imputation/ClinVar projections are skipped — the
+        # rate a real load of an unannotated VCF pays
         t0 = time.perf_counter()
         rows = read_vcf(spark, glob, normalize=True).count()
         dt = time.perf_counter() - t0
+        # features="all": every derived-column group computed whether or
+        # not the header declares its fields — the round-3/4 regression
+        # shape, reported alongside so the feature tax stays visible
+        t0 = time.perf_counter()
+        read_vcf(spark, glob, normalize=True, features="all").count()
+        dt_full = time.perf_counter() - t0
     # rate is per INPUT variant (the reference's unit); decomposition
     # makes output rows a superset, reported separately.
     return {
@@ -150,4 +171,6 @@ def parse_throughput(
         "rows_after_decomposition": rows,
         "sec": round(dt, 3),
         "variants_per_sec": round(n_variants / dt, 1),
+        "full_features_sec": round(dt_full, 3),
+        "full_features_variants_per_sec": round(n_variants / dt_full, 1),
     }

@@ -555,6 +555,8 @@ def q_gx_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     # countDistinct) scans and fully reshuffles the genotype frame twice;
     # here the raw frame shuffles once, and both countDistincts collapse
     # to cheap counts over the already-distinct persisted pairs.
+    # Cache lifetime: the persist backs the returned lazy plan, so the
+    # caller owns it (bench.py clearCache()s after each query).
     cls = classify_gt(F.col("gt"))
     pairs = (
         gts.groupBy("chrom", "pos", "ref", "alt", "sample_id")

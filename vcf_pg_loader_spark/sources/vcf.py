@@ -309,6 +309,55 @@ def _field_of(best: Column, fields: list[str], name: str) -> Column:
 # ---------------------------------------------------------------------------
 # the reader
 # ---------------------------------------------------------------------------
+FEATURE_GROUPS = frozenset({"annotation", "imputation", "clinvar", "info_extras"})
+
+
+def _resolve_features(
+    features, hdr: VCFHeader, *,
+    min_info_score: float | None, imputation_source: str | None,
+) -> set[str]:
+    """Which derived-column groups to compute.
+
+    "auto" (the default) gates each group on whether the header declares
+    the INFO fields that back it — per the VCF spec an undeclared key
+    should not appear in INFO, so skipping the extraction loses nothing
+    on well-formed files and keeps the scan projection minimal (round-4
+    finding: unconditional CSQ/imputation/ClinVar extraction cost 3.5×
+    parse throughput on files that carry none of them).  "all" forces
+    every group (for lenient files with undeclared keys); an iterable of
+    group names forces exactly those.
+    """
+    declared = set(hdr.info_fields)
+    if features == "all":
+        enabled = set(FEATURE_GROUPS)
+    elif features == "auto":
+        enabled = set()
+        if hdr.csq_fields or hdr.ann_fields or (
+            declared & {"SYMBOL", "Consequence", "IMPACT"}
+        ):
+            enabled.add("annotation")
+        if declared & {"INFO", "R2", "DR2", "IMPUTED", "IMP", "TYPED",
+                       "GENOTYPED"}:
+            enabled.add("imputation")
+        if "CLNSIG" in declared:
+            enabled.add("clinvar")
+        if declared & {"END", "gnomAD_AF", "CADD_PHRED"}:
+            enabled.add("info_extras")
+    else:
+        enabled = set(features)
+        unknown = enabled - FEATURE_GROUPS
+        if unknown:
+            raise ValueError(
+                f"unknown read_vcf feature groups {sorted(unknown)}; "
+                f"valid: {sorted(FEATURE_GROUPS)}"
+            )
+    # the load filter and an explicit source both require the imputation
+    # columns regardless of what the header declares
+    if min_info_score is not None or imputation_source is not None:
+        enabled.add("imputation")
+    return enabled
+
+
 def read_vcf(
     spark: SparkSession,
     path: str,
@@ -318,13 +367,22 @@ def read_vcf(
     human_genome: bool = True,
     min_info_score: float | None = None,
     imputation_source: str | None = None,
+    features="auto",
 ) -> DataFrame:
     """Distributed VCF scan → decomposed, typed variants DataFrame.
 
     One output row per (input row, ALT allele); schema follows
-    schemas.VARIANTS_SCHEMA minus load bookkeeping columns.
+    schemas.VARIANTS_SCHEMA minus load bookkeeping columns.  `features`
+    ("auto" | "all" | iterable of FEATURE_GROUPS) controls which derived
+    column groups are computed; the schema is identical either way —
+    disabled groups project typed NULLs, so downstream plans never
+    change shape, only cost.
     """
     hdr = header or read_header(path)
+    enabled = _resolve_features(
+        features, hdr,
+        min_info_score=min_info_score, imputation_source=imputation_source,
+    )
 
     lines = read_text_auto(spark, path).filter(~F.col("value").startswith("#"))
     c = F.split(F.col("value"), "\t")
@@ -410,40 +468,46 @@ def read_vcf(
     # CSQ first, ANN as fallback (vcf_parser.py:345-364).  NB: the
     # reference matches annotation alleles against the ORIGINAL alt
     # (vcf_parser.py:347 passes the loop variable, not current_alt).
-    csq_best = (
-        _csq_best(F.col("info")["CSQ"], F.col("alt_raw"), hdr.csq_fields)
-        if hdr.csq_fields
-        else F.lit(None).cast("array<string>")
-    )
-    ann_best = (
-        _ann_best(F.col("info")["ANN"], F.col("alt_raw"), hdr.ann_fields)
-        if hdr.ann_fields
-        else F.lit(None).cast("array<string>")
-    )
-    df = df.withColumn("_csq", csq_best).withColumn("_ann", ann_best)
+    null_s = F.lit(None).cast("string")
+    if "annotation" in enabled:
+        csq_best = (
+            _csq_best(F.col("info")["CSQ"], F.col("alt_raw"), hdr.csq_fields)
+            if hdr.csq_fields
+            else F.lit(None).cast("array<string>")
+        )
+        ann_best = (
+            _ann_best(F.col("info")["ANN"], F.col("alt_raw"), hdr.ann_fields)
+            if hdr.ann_fields
+            else F.lit(None).cast("array<string>")
+        )
+        df = df.withColumn("_csq", csq_best).withColumn("_ann", ann_best)
 
-    def csq_f(name: str) -> Column:
-        return _field_of(F.col("_csq"), hdr.csq_fields, name)
+        def csq_f(name: str) -> Column:
+            return _field_of(F.col("_csq"), hdr.csq_fields, name)
 
-    def ann_f(name: str) -> Column:
-        return _field_of(F.col("_ann"), hdr.ann_fields, name)
+        def ann_f(name: str) -> Column:
+            return _field_of(F.col("_ann"), hdr.ann_fields, name)
 
-    gene = F.coalesce(csq_f("SYMBOL"), ann_f("Gene_Name"), F.col("info")["SYMBOL"])
-    use_ann = csq_f("SYMBOL").isNull()  # reference: ANN only if CSQ gave no gene
+        gene = F.coalesce(
+            csq_f("SYMBOL"), ann_f("Gene_Name"), F.col("info")["SYMBOL"]
+        )
+        use_ann = csq_f("SYMBOL").isNull()  # reference: ANN only if CSQ gave no gene
 
-    consequence = F.coalesce(
-        csq_f("Consequence"),
-        F.when(use_ann, ann_f("Annotation")),
-        F.col("info")["Consequence"],
-    )
-    impact = F.coalesce(
-        csq_f("IMPACT"),
-        F.when(use_ann, ann_f("Annotation_Impact")),
-        F.col("info")["IMPACT"],
-    )
-    hgvs_c = F.coalesce(csq_f("HGVSc"), F.when(use_ann, ann_f("HGVS.c")))
-    hgvs_p = F.coalesce(csq_f("HGVSp"), F.when(use_ann, ann_f("HGVS.p")))
-    transcript = F.when(use_ann, ann_f("Feature_ID"))
+        consequence = F.coalesce(
+            csq_f("Consequence"),
+            F.when(use_ann, ann_f("Annotation")),
+            F.col("info")["Consequence"],
+        )
+        impact = F.coalesce(
+            csq_f("IMPACT"),
+            F.when(use_ann, ann_f("Annotation_Impact")),
+            F.col("info")["IMPACT"],
+        )
+        hgvs_c = F.coalesce(csq_f("HGVSc"), F.when(use_ann, ann_f("HGVS.c")))
+        hgvs_p = F.coalesce(csq_f("HGVSp"), F.when(use_ann, ann_f("HGVS.p")))
+        transcript = F.when(use_ann, ann_f("Feature_ID"))
+    else:
+        gene = consequence = impact = hgvs_c = hgvs_p = transcript = null_s
 
     # imputation metrics: source-specific extraction when a source is
     # named or detectable from the header; generic fallback otherwise
@@ -454,39 +518,65 @@ def read_vcf(
         imputation_columns,
     )
 
-    if imputation_source == "auto":
-        src = detect_imputation_source(_header_text(path))
-    elif imputation_source is not None:
-        src = ImputationSource(imputation_source)
+    if "imputation" not in enabled:
+        info_score = F.lit(None).cast("float")
+        is_imputed = F.lit(False)
+        is_typed = F.lit(False)
     else:
-        src = None
+        if imputation_source == "auto":
+            src = detect_imputation_source(_header_text(path))
+        elif imputation_source is not None:
+            src = ImputationSource(imputation_source)
+        else:
+            src = None
 
-    if src is not None and src != ImputationSource.UNKNOWN:
-        imp = imputation_columns(F.col("info"), src)
-        info_score = imp["info_score"]
-        is_imputed = imp["is_imputed"]
-        is_typed = imp["is_typed"]
-    else:
-        info_score = (
-            F.coalesce(
-                F.col("info")["INFO"], F.col("info")["R2"], F.col("info")["DR2"]
+        if src is not None and src != ImputationSource.UNKNOWN:
+            imp = imputation_columns(F.col("info"), src)
+            info_score = imp["info_score"]
+            is_imputed = imp["is_imputed"]
+            is_typed = imp["is_typed"]
+        else:
+            info_score = (
+                F.coalesce(
+                    F.col("info")["INFO"], F.col("info")["R2"], F.col("info")["DR2"]
+                )
+                .try_cast("float")
             )
-            .try_cast("float")
+            is_imputed = (
+                F.map_contains_key(F.col("info"), "IMPUTED")
+                | F.map_contains_key(F.col("info"), "IMP")
+            )
+            is_typed = F.map_contains_key(
+                F.col("info"), "TYPED"
+            ) | F.map_contains_key(F.col("info"), "GENOTYPED")
+
+    if "info_extras" in enabled:
+        end_pos = F.coalesce(
+            F.col("info")["END"].try_cast("bigint"), pos + F.length(ref)
         )
-        is_imputed = (
-            F.map_contains_key(F.col("info"), "IMPUTED")
-            | F.map_contains_key(F.col("info"), "IMP")
+        af_gnomad = F.col("info")["gnomAD_AF"].try_cast("float")
+        cadd_phred = F.col("info")["CADD_PHRED"].try_cast("float")
+    else:
+        end_pos = pos + F.length(ref)
+        af_gnomad = F.lit(None).cast("float")
+        cadd_phred = F.lit(None).cast("float")
+
+    if "clinvar" in enabled:
+        # Normalized significance (type_mapping.py:106-138), NULL-gated:
+        # a variant with no ClinVar annotation stays NULL rather than
+        # asserting 'not_provided'; the raw CLNSIG rides alongside.
+        clinvar_sig = F.when(
+            F.col("info")["CLNSIG"].isNotNull(),
+            normalize_clinvar_sig(F.col("info")["CLNSIG"]),
         )
-        is_typed = F.map_contains_key(
-            F.col("info"), "TYPED"
-        ) | F.map_contains_key(F.col("info"), "GENOTYPED")
+        clinvar_sig_raw = F.col("info")["CLNSIG"]
+    else:
+        clinvar_sig = clinvar_sig_raw = null_s
 
     out = df.select(
         chrom.alias("chrom"),
         pos.cast("bigint").alias("pos"),
-        F.coalesce(
-            F.col("info")["END"].try_cast("bigint"), pos + F.length(ref)
-        ).alias("end_pos"),
+        end_pos.alias("end_pos"),
         ref.alias("ref"),
         alt.alias("alt"),
         F.when(F.col("qual_raw") == ".", F.lit(None))
@@ -510,16 +600,10 @@ def read_vcf(
         impact.alias("impact"),
         hgvs_c.alias("hgvs_c"),
         hgvs_p.alias("hgvs_p"),
-        F.col("info")["gnomAD_AF"].try_cast("float").alias("af_gnomad"),
-        F.col("info")["CADD_PHRED"].try_cast("float").alias("cadd_phred"),
-        # Normalized significance (type_mapping.py:106-138), NULL-gated:
-        # a variant with no ClinVar annotation stays NULL rather than
-        # asserting 'not_provided'; the raw CLNSIG rides alongside.
-        F.when(
-            F.col("info")["CLNSIG"].isNotNull(),
-            normalize_clinvar_sig(F.col("info")["CLNSIG"]),
-        ).alias("clinvar_sig"),
-        F.col("info")["CLNSIG"].alias("clinvar_sig_raw"),
+        af_gnomad.alias("af_gnomad"),
+        cadd_phred.alias("cadd_phred"),
+        clinvar_sig.alias("clinvar_sig"),
+        clinvar_sig_raw.alias("clinvar_sig_raw"),
         was_norm.alias("normalized"),
         needs_ext.alias("needs_left_extension"),
         original_pos.cast("bigint").alias("original_pos"),
