@@ -419,11 +419,33 @@ class TestIvfAnn:
         from vcf_pg_loader_spark.operators.similarity import ivf_fit
 
         emb = self._emb(spark)
-        a = {r.cid: r.cvec for r in ivf_fit(emb, 8, 2).collect()}
-        b = {r.cid: r.cvec for r in ivf_fit(emb, 8, 2).collect()}
+        cents_a, assigned_a = ivf_fit(emb, 8, 2)
+        cents_b, _ = ivf_fit(emb, 8, 2)
+        a = {r.cid: r.cvec for r in cents_a.collect()}
+        b = {r.cid: r.cvec for r in cents_b.collect()}
         assert a == b
         assert len(a) == 8
         assert all(len(v) == 64 for v in a.values())
+        # the returned assignment covers the full corpus against exactly
+        # the returned centroids
+        rows = assigned_a.collect()
+        assert len(rows) == emb.count()
+        assert {r.cid for r in rows} <= set(a)
+
+    def test_fast_kernel_matches_exact_candidates(self, spark):
+        """kernel="fast" (native-double dot products) must produce the
+        same neighbor SETS as the oracle-exact decimal kernel on the
+        fixture; scores may differ in the last ulp only."""
+        from vcf_pg_loader_spark.operators.similarity import ivf_topk
+
+        emb = self._emb(spark)
+        q = emb.filter(F.col("vec_id") < 20)
+        exact = {(r.query_id, r.cand_id) for r in ivf_topk(emb, q, 3, 8, 2, 2).collect()}
+        fast = {
+            (r.query_id, r.cand_id)
+            for r in ivf_topk(emb, q, 3, 8, 2, 2, kernel="fast").collect()
+        }
+        assert exact == fast
 
     def test_recall_vs_bruteforce(self, spark):
         from vcf_pg_loader_spark.operators.similarity import cosine_topk, ivf_topk

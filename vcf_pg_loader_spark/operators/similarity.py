@@ -27,7 +27,13 @@ ACC_DEC = "decimal(30,12)"
 
 def dot_exact(a: Column, b: Column) -> Column:
     """Order-independent dot product: double per-element products, exact
-    decimal accumulation, double result."""
+    decimal accumulation, double result.
+
+    This is the ORACLE kernel: the decimal fold exists solely so Spark
+    and DuckDB agree bit-for-bit (each engine's native double summation
+    orders/compensates differently).  It costs a decimal add per element;
+    production deployments that don't need cross-engine hashes should use
+    :func:`dot_fast` (docs/SCALE.md "exactness tax")."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     acc = F.aggregate(
         prods,
@@ -35,6 +41,30 @@ def dot_exact(a: Column, b: Column) -> Column:
         lambda s, v: (s + v.cast(DOT_DEC)).cast(ACC_DEC),
     )
     return acc.cast("double")
+
+
+def dot_fast(a: Column, b: Column) -> Column:
+    """Double-precision dot product — the production kernel.
+
+    A per-row left fold over the array, so it is deterministic run-to-run
+    and partition-independent WITHIN Spark; it is not bit-identical to
+    other engines (last-ulp summation differences), which only matters
+    for the DuckDB oracle harness.  ~2-4× cheaper than the decimal fold
+    on typical embedding widths."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda s, v: s + v)
+
+
+_DOT_KERNELS = {"exact": dot_exact, "fast": dot_fast}
+
+
+def _dot(kernel: str):
+    try:
+        return _DOT_KERNELS[kernel]
+    except KeyError:
+        raise ValueError(
+            f"unknown dot kernel {kernel!r}; valid: {sorted(_DOT_KERNELS)}"
+        ) from None
 
 
 def sql_dot_exact(a: str, b: str) -> str:
@@ -256,15 +286,18 @@ def ann_bucketed_topk(
 # dot product, argmin tie-broken on centroid id, centroid means as
 # exact decimal sums divided as doubles.
 # ---------------------------------------------------------------------------
-def _prep_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def _prep_vectors(
+    df: DataFrame, id_col: str, vec_col: str, kernel: str = "exact"
+) -> DataFrame:
     """(vid, vec, vv): doubles + materialized self-dot-product.  Norms
     are computed ONCE here because Catalyst has no expression CSE —
     every downstream pairing reuses the column instead of re-running
     the decimal aggregate per pair."""
+    dot = _dot(kernel)
     return df.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
-    ).withColumn("vv", dot_exact(F.col("vec"), F.col("vec")))
+    ).withColumn("vv", dot(F.col("vec"), F.col("vec")))
 
 
 def _sq_dist(v: Column, c: Column) -> Column:
@@ -280,7 +313,9 @@ def sql_sq_dist(v: str, c: str) -> str:
     )
 
 
-def _ivf_rank_centroids(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+def _ivf_rank_centroids(
+    vecs: DataFrame, cents: DataFrame, kernel: str = "exact"
+) -> DataFrame:
     """(vid, vec, vv, cid, rn): every vector's centroids ranked by
     distance.  Centroids broadcast — the corpus never shuffles for
     assignment; the only exchange is the per-vector rank window.
@@ -291,18 +326,48 @@ def _ivf_rank_centroids(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     3 decimal aggregates per pair are redundant.  The double arithmetic
     ((vv - 2*v·c) + cc) is written in the same order as sql_sq_dist, so
     bit-exactness against the oracle is preserved."""
+    dot = _dot(kernel)
     scored = vecs.crossJoin(F.broadcast(cents)).select(
         "vid",
         "vec",
         "vv",
         "cid",
         (
-            (F.col("vv") - F.lit(2.0) * dot_exact(F.col("vec"), F.col("cvec")))
+            (F.col("vv") - F.lit(2.0) * dot(F.col("vec"), F.col("cvec")))
             + F.col("cc")
         ).alias("d"),
     )
     w = Window.partitionBy("vid").orderBy(F.asc("d"), F.asc("cid"))
     return scored.withColumn("rn", F.row_number().over(w))
+
+
+def _ivf_assign(vecs: DataFrame, cents: DataFrame, kernel: str = "exact") -> DataFrame:
+    """(vid, vec, vv, cid): each vector's nearest centroid — the rn=1
+    slice of :func:`_ivf_rank_centroids`, computed as a hash-aggregate
+    argmin instead of a sort window.
+
+    MIN over a (d, cid) struct compares field-by-field, so the winner is
+    exactly ROW_NUMBER() ... ORDER BY d ASC, cid ASC = 1 — but a groupBy
+    gets a map-side partial aggregate: the corpus×centroids frame
+    collapses k× BEFORE the exchange, where the window must shuffle and
+    sort every scored pair.  first(vec)/first(vv) are deterministic here
+    because both are functions of the grouping key."""
+    dot = _dot(kernel)
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vid",
+        "vec",
+        "vv",
+        "cid",
+        (
+            (F.col("vv") - F.lit(2.0) * dot(F.col("vec"), F.col("cvec")))
+            + F.col("cc")
+        ).alias("d"),
+    )
+    return scored.groupBy("vid").agg(
+        F.first("vec").alias("vec"),
+        F.first("vv").alias("vv"),
+        F.min(F.struct("d", "cid")).alias("_m"),
+    ).select("vid", "vec", "vv", F.col("_m.cid").alias("cid"))
 
 
 def ivf_fit(
@@ -311,19 +376,40 @@ def ivf_fit(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Deterministic k-means: returns (cid, cvec) after `n_iter` Lloyd
-    steps from the k lowest-id seed vectors.
+    kernel: str = "exact",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic k-means: `n_iter` assignment rounds with n_iter-1
+    centroid mean updates between them, seeded from the k lowest-id
+    vectors.  Returns (centroids, assignment):
 
-    Per iteration: one broadcast assignment (no corpus shuffle) + one
+      centroids:  (cid, cvec, cc) — the routing table queries probe
+      assignment: (vid, vec, vv, cid) — the corpus assigned to THOSE
+                  centroids; this IS the stored IVF index
+
+    The last Lloyd round's assignment is computed against the final
+    centroids and returned rather than thrown away, so a caller building
+    the index (ivf_topk) never re-runs the corpus×centroids distance
+    pass — at N vectors × k centroids × d dims per pass, that redundant
+    pass was the single largest cost in the round-4 bench profile.
+
+    Per round: one broadcast assignment (no corpus shuffle) + one
     posexplode/groupBy mean keyed on (cid, dim) — k×dim groups, tiny.
-    localCheckpoint truncates lineage between iterations; centroids
-    never route through the driver.  Empty cells keep no centroid (their
-    cid drops out), matching the SQL twin.
+    localCheckpoint truncates lineage between rounds; centroids never
+    route through the driver.  Empty cells keep no centroid (their cid
+    drops out), matching the SQL twin.  The corpus prep (double cast +
+    norm) is persisted so the checkpoint actions and the final search
+    scan it once; the caller owns the cache lifetime (bench.py
+    clearCache()s per query).
     """
+    from pyspark.storagelevel import StorageLevel
+
     from vcf_pg_loader_spark.operators._parallel import ensure_min_parallelism
 
-    vecs = _prep_vectors(ensure_min_parallelism(corpus), id_col, vec_col)
+    if n_iter < 1:
+        raise ValueError("ivf_fit needs n_iter >= 1 (assignment rounds)")
+    vecs = _prep_vectors(
+        ensure_min_parallelism(corpus), id_col, vec_col, kernel
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cents = (
         vecs.orderBy("vid")
         .limit(k_centroids)
@@ -333,11 +419,12 @@ def ivf_fit(
             F.col("vv").alias("cc"),
         )
     )
-    for _ in range(n_iter):
-        assigned = (
-            _ivf_rank_centroids(vecs, cents).filter(F.col("rn") == 1)
-            .select("vid", "vec", "cid")
-        )
+    dot = _dot(kernel)
+    assigned = None
+    for it in range(1, n_iter + 1):
+        assigned = _ivf_assign(vecs, cents, kernel)
+        if it == n_iter:
+            break  # this assignment is against the FINAL centroids
         dims = assigned.select("cid", F.posexplode(F.col("vec")).alias("i", "x"))
         means = dims.groupBy("cid", "i").agg(
             (
@@ -353,10 +440,10 @@ def ivf_fit(
                     lambda s: s["m"],
                 ).alias("cvec")
             )
-            .withColumn("cc", dot_exact(F.col("cvec"), F.col("cvec")))
+            .withColumn("cc", dot(F.col("cvec"), F.col("cvec")))
             .localCheckpoint(eager=True)
         )
-    return cents
+    return cents, assigned
 
 
 def ivf_topk(
@@ -368,34 +455,38 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "exact",
 ) -> DataFrame:
-    """IVF-Flat search: assign the corpus to its cells once, probe each
-    query's `nprobe` nearest cells, exact cosine inside the probed cells.
+    """IVF-Flat search: fit returns the corpus already assigned to its
+    cells, probe each query's `nprobe` nearest cells, exact cosine inside
+    the probed cells.
 
     Scale shape: centroids broadcast everywhere; the corpus is scanned
-    once for assignment (narrow); search is an equi-join on cid — shuffle
-    keys are cell ids, candidate volume ≈ nprobe/k_centroids of the
-    corpus per query.  Raising k_centroids shrinks cells (join cost falls
-    linearly); raising nprobe buys recall at linear candidate cost — same
-    trade documented for sign-LSH in docs/SCALE.md.
-    """
-    from vcf_pg_loader_spark.operators._parallel import ensure_min_parallelism
+    once for assignment (narrow) and that assignment is REUSED from the
+    fit stage; search is an equi-join on cid — shuffle keys are cell ids,
+    candidate volume ≈ nprobe/k_centroids of the corpus per query.
+    Raising k_centroids shrinks cells (join cost falls linearly); raising
+    nprobe buys recall at linear candidate cost — same trade documented
+    for sign-LSH in docs/SCALE.md.
 
-    cents = ivf_fit(corpus, k_centroids, n_iter, id_col, vec_col)
-    vecs = _prep_vectors(ensure_min_parallelism(corpus), id_col, vec_col)
-    cand = (
-        _ivf_rank_centroids(vecs, cents)
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("vid").alias("cand_id"),
-            F.col("vec").alias("c_vec"),
-            F.col("vv").alias("c_vv"),
-            "cid",
-        )
+    `kernel="exact"` (decimal-fold dot products) reproduces the DuckDB
+    oracle bit-for-bit; `kernel="fast"` (native doubles) is the
+    production path — same candidate sets in practice, ~2-4× cheaper
+    distances (docs/SCALE.md "exactness tax").
+    """
+    cents, assigned = ivf_fit(
+        corpus, k_centroids, n_iter, id_col, vec_col, kernel
     )
-    qv = _prep_vectors(queries, id_col, vec_col)
+    dot = _dot(kernel)
+    cand = assigned.select(
+        F.col("vid").alias("cand_id"),
+        F.col("vec").alias("c_vec"),
+        F.col("vv").alias("c_vv"),
+        "cid",
+    )
+    qv = _prep_vectors(queries, id_col, vec_col, kernel)
     probes = (
-        _ivf_rank_centroids(qv, cents)
+        _ivf_rank_centroids(qv, cents, kernel)
         .filter(F.col("rn") <= nprobe)
         .select(
             F.col("vid").alias("query_id"),
@@ -414,7 +505,7 @@ def ivf_topk(
             "query_id",
             "cand_id",
             F.round(
-                dot_exact(F.col("q_vec"), F.col("c_vec"))
+                dot(F.col("q_vec"), F.col("c_vec"))
                 / (F.sqrt(F.col("q_vv")) * F.sqrt(F.col("c_vv"))),
                 6,
             ).alias("cos_sim"),

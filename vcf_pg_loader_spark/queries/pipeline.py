@@ -626,6 +626,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_sql() -> str:
+    # Mirrors operators/similarity.py ivf_fit: IVF_ITER assignment
+    # rounds with IVF_ITER-1 mean updates between them — the LAST
+    # assignment (against the final centroids) IS the stored index, so
+    # neither engine runs a redundant extra corpus×centroids pass.
     dist = S.sql_sq_dist("vec", "cvec")
     ctes = [
         "v AS (SELECT vec_id AS vid,"
@@ -644,6 +648,8 @@ def _ivf_sql() -> str:
     FROM (SELECT vid, vec, cid, {dist} AS d FROM v CROSS JOIN {prev})
   ) WHERE rn = 1)"""
         )
+        if it == IVF_ITER:
+            break
         ctes.append(
             f"""m{it} AS (
   SELECT cid, s.i AS i,
@@ -659,12 +665,8 @@ def _ivf_sql() -> str:
         )
         prev = f"c{it}"
     ctes.append(
-        f"""cand AS (
-  SELECT vid AS cand_id, vec AS c_vec, cid FROM (
-    SELECT vid, vec, cid,
-           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d ASC, cid ASC) AS rn
-    FROM (SELECT vid, vec, cid, {dist} AS d FROM v CROSS JOIN {prev})
-  ) WHERE rn = 1)"""
+        f"cand AS (SELECT vid AS cand_id, vec AS c_vec, cid"
+        f" FROM a{IVF_ITER})"
     )
     ctes.append(
         f"""probes AS (
