@@ -11,53 +11,73 @@ This is the declared operator surface the driver's DuckDB oracle checks
 
 from __future__ import annotations
 
+import glob as _glob
+import json as _json
+import os as _os
+import re as _re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# The driver's correctness gate checks the first 50 registry entries in
-# insertion order.  With 71 registered queries, rotate the window each
-# round: list first the queries no prior CORRECTNESS_r* artifact has
-# verified green (plus any whose latest run errored), so every query
-# accumulates a driver-verified result across rounds.  Local
-# tools/check_oracle.py still runs all of them regardless of order.
-_FRONT = [
-    "q_gx_hapmap3",
-    "q_gx_annotate",
-    "q_export_plink",
-    "q_export_prs_cs",
-    "q_export_ldpred2",
-    "q_export_prsice2",
-    "q_gx_prs_candidates",
-    "q_gx_ld_block_stats",
-    "q_chrom_counts",
-    "q_merge_insert_only",
-    "q_events_sessions",
-    "q_chunk_windows",
-    "q_pack_sequences",
-    "q_quality_filter",
-    "q_ann_recall",
-    "q_multimodal_dedup",
-    "q_token_rarity",
-    "q_dedup_keep",
-    "q_gx_neff",
-    "q_chunk_dedup",
-    "q10_returned_items",
-    "q22_idle_accounts",
-    "q14_promo_revenue",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q15_top_supplier",
-    "q07_volume_shipping",
-]
+# The driver's correctness gate checks only the FIRST 50 registry entries
+# in insertion order, while the registry holds ~87 queries.  Rotate the
+# window each round so every query accumulates driver-verified results:
+# order queries by how often and how recently a CORRECTNESS_r*.json
+# artifact has recorded them green — never-verified queries (and queries
+# whose most recent appearance failed) come first.  Derived from the
+# artifacts on disk rather than a hand-rotated list, so it cannot go
+# stale as queries are added.  Local tools/check_oracle.py still runs
+# ALL queries regardless of order — the rotation affects which subset
+# the driver re-verifies, not what is checked pre-commit.
+_REPO_ROOT = _os.path.dirname(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
+
+def _verification_history() -> dict[str, tuple[int, int]]:
+    """query -> (times_green, last_green_round) from CORRECTNESS_r*.json."""
+    hist: dict[str, tuple[int, int]] = {}
+    for path in sorted(_glob.glob(_os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, res in data.items():
+            if not isinstance(res, dict):
+                continue
+            green = bool(
+                res.get("rows_match")
+                and res.get("schema_match")
+                and res.get("hash_match", True)
+                and not res.get("err")
+            )
+            count, last = hist.get(name, (0, 0))
+            if green:
+                hist[name] = (count + 1, max(last, rnd))
+            elif rnd >= last:
+                # a failure in the latest appearance resets recency so
+                # the query rotates back into the next window
+                hist[name] = (count, 0)
+    return hist
 
 
 def _rotate(merged: dict) -> dict:
-    front = {k: merged[k] for k in _FRONT if k in merged}
-    front.update(merged)
-    return front
+    hist = _verification_history()
+
+    def key(name: str):
+        count, last = hist.get(name, (0, 0))
+        return (count, last, name)
+
+    return {k: merged[k] for k in sorted(merged, key=key)}
 
 
 def all_queries() -> dict[str, QueryFn]:
