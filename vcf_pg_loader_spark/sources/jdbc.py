@@ -71,10 +71,56 @@ class JdbcSinkConfig:
         return opts
 
 
+def serialize_complex_columns(df: DataFrame) -> tuple[DataFrame, dict[str, str]]:
+    """JSON-serialize every array/map/struct column for a JDBC target
+    without native complex types.
+
+    The reference's variants row carries `filter TEXT[]` and `info JSONB`
+    (reference schema.py:119,151); generic JDBC has neither, so complex
+    columns travel as JSON text — which is literally what JSONB stores,
+    and what Postgres casts server-side under stringtype=unspecified.
+    Returns (serialized_df, {column: original Spark DDL type}); feed the
+    mapping to :func:`restore_complex_columns` (or keep it in the load
+    audit) to get typed columns back on read.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    types: dict[str, str] = {}
+    out = df
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+            types[f.name] = f.dataType.simpleString()
+            out = out.withColumn(f.name, F.to_json(F.col(f.name)))
+    return out, types
+
+
+def restore_complex_columns(df: DataFrame, types: dict[str, str]) -> DataFrame:
+    """Inverse of :func:`serialize_complex_columns`: from_json each JSON
+    text column back to its recorded Spark type."""
+    from pyspark.sql import functions as F
+
+    out = df
+    for name, ddl in types.items():
+        out = out.withColumn(name, F.from_json(F.col(name), ddl))
+    return out
+
+
 def write_variants_jdbc(
-    df: DataFrame, cfg: JdbcSinkConfig, mode: str = "append"
-) -> None:
-    """Bulk-append a variants frame over `numPartitions` connections."""
+    df: DataFrame,
+    cfg: JdbcSinkConfig,
+    mode: str = "append",
+    serialize_complex: bool = False,
+) -> dict[str, str]:
+    """Bulk-append a variants frame over `numPartitions` connections.
+
+    With serialize_complex=True, array/map/struct columns are written as
+    JSON text (see :func:`serialize_complex_columns`); returns the
+    column->type mapping needed to restore them on read (empty when
+    nothing was serialized)."""
+    types: dict[str, str] = {}
+    if serialize_complex:
+        df, types = serialize_complex_columns(df)
     (
         df.repartition(cfg.num_partitions)
         .write.format("jdbc")
@@ -82,11 +128,20 @@ def write_variants_jdbc(
         .mode(mode)
         .save()
     )
+    return types
 
 
-def read_table_jdbc(spark: SparkSession, cfg: JdbcSinkConfig) -> DataFrame:
-    """Read the sink table back (verification / round-trip tests)."""
-    return spark.read.format("jdbc").options(**cfg.options()).load()
+def read_table_jdbc(
+    spark: SparkSession,
+    cfg: JdbcSinkConfig,
+    complex_types: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read the sink table back (verification / round-trip tests).
+    `complex_types` restores JSON-serialized array/map/struct columns."""
+    df = spark.read.format("jdbc").options(**cfg.options()).load()
+    if complex_types:
+        df = restore_complex_columns(df, complex_types)
+    return df
 
 
 def delete_batch_sql(table: str, batch_id: str) -> str:
