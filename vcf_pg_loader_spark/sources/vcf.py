@@ -217,7 +217,13 @@ def _extract_r(value: Column, alt_idx: Column) -> Column:
 
 def _extract_g(value: Column, alt_idx: Column) -> Column:
     """Number=G diploid: indices [0, i+1, (i+1)(i+2)/2 + i+1]
-    (vcf_parser.py:441-458)."""
+    (vcf_parser.py:441-458).
+
+    Reference parity note: the het index i+1 matches the reference's
+    idx_0alt (vcf_parser.py:449) but diverges from the VCF-spec genotype
+    ordering F(j,k) = k(k+1)/2 + j for ALTs beyond the first (spec puts
+    0/2 at index 3, not 2).  Parity wins; pinned by the golden-file test
+    (tests/test_golden_vcf.py)."""
     vals = _split_vals(value)
     idx_hom_alt = ((alt_idx + 1) * (alt_idx + 2)) / 2 + alt_idx + 1
     return F.concat_ws(
