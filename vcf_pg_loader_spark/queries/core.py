@@ -726,11 +726,15 @@ Q22_SQL = f"""
 WITH a AS (SELECT {sql_davg('c_acctbal')} AS avg_bal
            FROM customer WHERE c_acctbal > 0)
 SELECT c_custkey, c_mktsegment, c_acctbal
-FROM customer, a
+FROM customer c, a
 WHERE c_acctbal > avg_bal
-  AND c_custkey NOT IN (SELECT o_custkey FROM orders
-                        WHERE o_totalprice > {Q22_BIG_ORDER})
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > {Q22_BIG_ORDER})
 """
+# NOT EXISTS (not NOT IN): the Spark plan is a left_anti join, and NOT IN
+# returns zero rows if any o_custkey is NULL — fine on current fixtures,
+# divergent on a regen with nullable keys.
 
 
 # --------------------------------------------------------------------------
