@@ -1187,6 +1187,91 @@ FROM c GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# data mixing: temperature-scaled source weights (the standard
+# multi-source LLM pretraining mix: w_s ∝ n_s^τ with τ=0.5 damping
+# head-heavy sources).  One tiny groupBy + a 1-row broadcast total —
+# the plan is O(|sources|) after the first aggregate, so it costs the
+# same at 100 TB as at sf0.01.
+# --------------------------------------------------------------------------
+MIX_BUDGET = 10_000  # planned docs per epoch across all sources
+
+
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    scaled = counts.withColumn("_s", F.sqrt(F.col("n_docs")))
+    # decimal-sum the handful of sqrt weights so the total is the same
+    # double in both engines (queries/_util.py pattern)
+    tot = scaled.agg(
+        F.sum(F.col("_s").cast("decimal(20,12)")).cast("double").alias("_tot")
+    )
+    ratio = F.col("_s") / F.col("_tot")
+    return (
+        scaled.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(ratio, 6).alias("mix_weight"),
+            F.floor(F.lit(MIX_BUDGET) * ratio).cast("bigint").alias("planned_docs"),
+        )
+    )
+
+
+Q_MIX_TEMPERATURE_SQL = f"""
+WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+s AS (SELECT source, n_docs, sqrt(n_docs) AS sc FROM c),
+t AS (SELECT CAST(SUM(CAST(sc AS DECIMAL(20,12))) AS DOUBLE) AS tot FROM s)
+SELECT source, n_docs,
+       ROUND(sc / tot, 6) AS mix_weight,
+       CAST(FLOOR({MIX_BUDGET} * (sc / tot)) AS BIGINT) AS planned_docs
+FROM s, t
+"""
+
+
+# --------------------------------------------------------------------------
+# n-gram novelty: per document, the fraction of its distinct shingles
+# that no lower-id document contains — a cheap "how much new text does
+# this doc add" score for curriculum/dedup triage.  Shape: one explode,
+# a min-groupBy on shingle (combinable), and an equi-join back where the
+# grouped side carries ONE row per shingle — hot shingles cannot explode
+# the join.
+# --------------------------------------------------------------------------
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(docs, "doc_id", "text", NGRAM)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+    )
+
+
+Q_NGRAM_NOVELTY_SQL = f"""
+WITH sh AS ({_SH}),
+f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       ROUND(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS novelty
+FROM sh JOIN f USING (shingle)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_clusters": q_dedup_clusters,
@@ -1216,6 +1301,8 @@ QUERIES = {
     "q_ann_recall": q_ann_recall,
     "q_multimodal_dedup": q_multimodal_dedup,
     "q_token_rarity": q_token_rarity,
+    "q_mix_temperature": q_mix_temperature,
+    "q_ngram_novelty": q_ngram_novelty,
     "q_dedup_keep": q_dedup_keep,
     "q_chunk_dedup": q_chunk_dedup,
 }
@@ -1249,6 +1336,8 @@ ORACLE = {
     "q_ann_recall": Q_ANN_RECALL_SQL,
     "q_multimodal_dedup": Q_MULTIMODAL_DEDUP_SQL,
     "q_token_rarity": Q_TOKEN_RARITY_SQL,
+    "q_mix_temperature": Q_MIX_TEMPERATURE_SQL,
+    "q_ngram_novelty": Q_NGRAM_NOVELTY_SQL,
     "q_dedup_keep": Q_DEDUP_KEEP_SQL,
     "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
 }
