@@ -106,6 +106,14 @@ def parse_throughput_bgzf(spark, n_variants: int = 2_000_000) -> dict:
         with open(path, "rb") as fh:  # page-cache prewarm (see above)
             while fh.read(1 << 22):
                 pass
+        # one full-size untimed pass: the small warm file compiles the
+        # plan, but JIT of the chunk-split/explode path only stabilizes
+        # after a full-volume pass (observed ramp 175k -> 360k -> 555k
+        # v/s across identical passes); throughput benches report steady
+        # state per the docs/SCALE.md methodology note
+        first = time.perf_counter()
+        read_vcf(spark, path, normalize=True).count()
+        first_sec = time.perf_counter() - first
         t0 = time.perf_counter()
         rows = read_vcf(spark, path, normalize=True).count()
         dt = time.perf_counter() - t0
@@ -114,6 +122,7 @@ def parse_throughput_bgzf(spark, n_variants: int = 2_000_000) -> dict:
         "rows_after_decomposition": rows,
         "sec": round(dt, 3),
         "variants_per_sec": round(n_variants / dt, 1),
+        "first_pass_sec": round(first_sec, 3),
         "scan_tasks": scan_tasks,
         "compressed_mb": mb,
     }
