@@ -145,3 +145,49 @@ def test_genotype_long_format(spark, multiallelic_vcf):
     assert rows[(100, "father")].gt == "0/0"
     assert rows[(600, "proband")].gt == "./."
     assert rows[(300, "father")].gq is None  # FORMAT lacks GQ
+
+
+class TestFeatureGating:
+    """read_vcf(features=) — header-gated derived-column projection.
+
+    The schema is identical for every setting; only whether the derived
+    groups are COMPUTED changes (disabled groups project typed NULLs)."""
+
+    def test_schema_stable_across_feature_settings(self, spark, multiallelic_vcf):
+        full = read_vcf(spark, multiallelic_vcf, features="all")
+        minimal = read_vcf(spark, multiallelic_vcf, features=())
+        auto = read_vcf(spark, multiallelic_vcf)
+        assert full.schema == minimal.schema == auto.schema
+
+    def test_auto_enables_declared_groups(self, spark, multiallelic_vcf):
+        # fixture header declares CSQ/ANN (annotation), INFO (imputation),
+        # END (info_extras) — auto must populate all of them
+        rows = {(r.pos, r.alt): r for r in read_vcf(spark, multiallelic_vcf).collect()}
+        assert rows[(400, "T")].gene == "GENE2"          # annotation on
+        assert rows[(600, "T")].info_score is not None   # imputation on
+        assert rows[(600, "T")].clinvar_sig is None      # no CLNSIG declared
+
+    def test_disabled_groups_project_nulls(self, spark, multiallelic_vcf):
+        rows = {
+            (r.pos, r.alt): r
+            for r in read_vcf(spark, multiallelic_vcf, features=()).collect()
+        }
+        r = rows[(400, "T")]
+        assert r.gene is None and r.impact is None and r.consequence is None
+        assert rows[(600, "T")].info_score is None
+        # non-derived columns are untouched by the gating
+        assert r.chrom == "chr1" and r.variant_type == "snp"
+        # Number=A/R/G rewriting is correctness, not a feature group
+        assert rows[(200, "C")].info["AF"] == "0.3"
+
+    def test_min_info_score_forces_imputation_group(self, spark, multiallelic_vcf):
+        df = read_vcf(
+            spark, multiallelic_vcf, features=(), min_info_score=0.6
+        )
+        pos = {r.pos for r in df.collect()}
+        assert 600 not in pos  # info_score 0.4 filtered despite features=()
+        assert 100 in pos      # null info_score passes
+
+    def test_unknown_feature_group_rejected(self, spark, multiallelic_vcf):
+        with pytest.raises(ValueError, match="unknown read_vcf feature"):
+            read_vcf(spark, multiallelic_vcf, features=("bogus",))

@@ -555,6 +555,11 @@ def read_vcf(
             is_typed = F.map_contains_key(
                 F.col("info"), "TYPED"
             ) | F.map_contains_key(F.col("info"), "GENOTYPED")
+        # flags default to False, never NULL (reference semantics; also
+        # keeps the schema's nullability identical whether or not the
+        # imputation group is computed)
+        is_imputed = F.coalesce(is_imputed, F.lit(False))
+        is_typed = F.coalesce(is_typed, F.lit(False))
 
     if "info_extras" in enabled:
         end_pos = F.coalesce(
