@@ -8,6 +8,7 @@ mode (bare element_at throws there) and check the DuckDB twins agree.
 from __future__ import annotations
 
 import duckdb
+import pytest
 from pyspark.sql import functions as F
 
 from vcf_pg_loader_spark.operators.dedup import (
@@ -566,3 +567,43 @@ class TestPiiScrub:
         assert got[3] == (0, 0, 2)
         assert got[4] == (0, 0, 0)
         assert got[5] == (1, 1, 1)
+
+
+class TestFastKernelUniformity:
+    """kernel="fast" is accepted by every similarity entry point and
+    produces the same neighbor sets as the oracle-exact kernel on the
+    fixture (scores differ at most in the last ulp)."""
+
+    def _emb(self, spark):
+        from vcf_pg_loader_spark.sources.tables import load_table
+
+        return load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def test_cosine_topk_fast_matches_exact(self, spark):
+        from vcf_pg_loader_spark.operators.similarity import cosine_topk
+
+        emb = self._emb(spark)
+        q = emb.filter(F.col("vec_id") < 10)
+        exact = {(r.query_id, r.cand_id) for r in cosine_topk(emb, q, 3).collect()}
+        fast = {
+            (r.query_id, r.cand_id)
+            for r in cosine_topk(emb, q, 3, kernel="fast").collect()
+        }
+        assert exact == fast
+
+    def test_bucketed_and_multiprobe_accept_fast(self, spark):
+        from vcf_pg_loader_spark.operators.similarity import (
+            ann_bucketed_topk,
+            ann_multiprobe_topk,
+        )
+
+        emb = self._emb(spark)
+        assert ann_bucketed_topk(emb, 3, kernel="fast").count() > 0
+        assert ann_multiprobe_topk(emb, 3, kernel="fast").count() > 0
+
+    def test_unknown_kernel_rejected(self, spark):
+        from vcf_pg_loader_spark.operators.similarity import cosine_topk
+
+        emb = self._emb(spark)
+        with pytest.raises(ValueError, match="unknown dot kernel"):
+            cosine_topk(emb, emb, 3, kernel="float16").collect()

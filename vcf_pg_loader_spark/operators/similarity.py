@@ -76,9 +76,10 @@ def sql_dot_exact(a: str, b: str) -> str:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column, b: Column, kernel: str = "exact") -> Column:
+    dot = _dot(kernel)
     return F.round(
-        dot_exact(a, b) / (F.sqrt(dot_exact(a, a)) * F.sqrt(dot_exact(b, b))), 6
+        dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))), 6
     )
 
 
@@ -95,12 +96,14 @@ def cosine_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "exact",
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector (self excluded).
 
     The query side is broadcast — the corpus is scanned once and never
     shuffled in full; only (query, candidate, score) survivors reach the
-    ranking exchange.
+    ranking exchange.  kernel="fast" swaps the oracle-exact decimal dot
+    products for native doubles (docs/SCALE.md "exactness tax").
     """
     from vcf_pg_loader_spark.operators._parallel import ensure_min_parallelism
 
@@ -113,7 +116,11 @@ def cosine_topk(
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("q_vec"), F.col("c_vec"), kernel).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (
@@ -193,6 +200,7 @@ def ann_multiprobe_topk(
     probes: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "exact",
 ) -> DataFrame:
     """Multi-probe sign-LSH ANN: each query probes its own bucket plus
     `probes` least-confident single-bit flips.
@@ -222,7 +230,7 @@ def ann_multiprobe_topk(
         .select(
             "query_id",
             "cand_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+            cosine(F.col("q_vec"), F.col("c_vec"), kernel).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
@@ -239,6 +247,7 @@ def ann_bucketed_topk(
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "exact",
 ) -> DataFrame:
     """Approximate all-pairs top-k: candidates restricted to the same
     sign-LSH bucket, then exact cosine within the bucket.
@@ -263,7 +272,7 @@ def ann_bucketed_topk(
         .select(
             F.col("a.vid").alias("query_id"),
             F.col("b.vid").alias("cand_id"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
+            cosine(F.col("a.vec"), F.col("b.vec"), kernel).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
