@@ -109,3 +109,27 @@ def test_import_frequencies_and_ld_block_stats(spark, tmp_path, capsys):
     assert main(["ld-block-stats", str(bed), "--population", "EUR"]) == 0
     rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rows[0]["block_count"] == 1 and rows[0]["population"] == "EUR"
+
+
+def test_load_features_flag(spark, tmp_path, vcf_file, capsys):
+    """--features '' (minimal) and 'all' both load; comma lists parse."""
+    s1 = str(tmp_path / "store_min")
+    assert main(["load", vcf_file, "--store", s1, "--features", ""]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["variants_loaded"] == 2
+
+    s2 = str(tmp_path / "store_all")
+    assert main(["load", vcf_file, "--store", s2, "--features", "all"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["variants_loaded"] == 2
+
+    s3 = str(tmp_path / "store_groups")
+    assert (
+        main(
+            ["load", vcf_file, "--store", s3, "--features",
+             "imputation,clinvar"]
+        )
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["variants_loaded"] == 2

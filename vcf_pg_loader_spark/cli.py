@@ -30,12 +30,18 @@ def cmd_load(args) -> int:
 
     spark = _spark()
     store = VariantStore(spark, args.store)
+    features = (
+        args.features
+        if args.features in ("auto", "all")
+        else tuple(f for f in args.features.split(",") if f)
+    )
     df = read_vcf(
         spark,
         args.vcf,
         normalize=args.normalize,
         human_genome=not args.non_human,
         min_info_score=args.min_info_score,
+        features=features,
     )
     res = store.load(df, args.vcf, force=args.force)
     print(
@@ -354,6 +360,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--normalize", action="store_true")
     sp.add_argument("--non-human", action="store_true")
     sp.add_argument("--min-info-score", type=float)
+    sp.add_argument(
+        "--features",
+        default="auto",
+        help="derived-column groups: 'auto' (header-gated, default), "
+        "'all', '' (minimal), or a comma list of "
+        "annotation,imputation,clinvar,info_extras",
+    )
     sp.add_argument("--force", action="store_true")
 
     sp = add("validate", cmd_validate, help="duplicate/type report for a VCF")
