@@ -19,8 +19,12 @@ re-expressed as idiomatic Spark DataFrame plans:
   sessionization (lag)   q_events_sessions
   broadcast range join   q_range_join     (§2.3 LD-block interval join)
   fact-fact + dim top-k  q10 q18          (§2.3/§2.6)
-  scalar-agg thresholds  q17 q22          (§2.4 correlated-subquery rewrite)
-  conditional agg ratio  q14              (§2.4)
+  scalar-agg thresholds  q17 q22 q11      (§2.4 correlated-subquery rewrite)
+  conditional agg ratio  q14 q08 q12      (§2.4)
+  disjunctive predicate  q19              (§2.2 OR-block pushdown)
+  per-group argmin       q02              (§2.4 min-over-struct tie-break)
+  nested agg semi-join   q20 q21          (§2.3 EXISTS/NOT EXISTS collapse)
+  multi-dim profit agg   q09              (§2.4)
 
 Scale notes: joins against region/nation/supplier/bins are broadcast
 (dimension tables); fact-fact joins shuffle on their keys and rely on AQE
@@ -943,6 +947,452 @@ GROUP BY 1, 2, 3
 """
 
 
+# --------------------------------------------------------------------------
+# q19 shape: disjunctive multi-attribute predicate (brand/size/quantity
+# OR-blocks) over a broadcast part join — the pattern that exercises
+# predicate pushdown through a disjunction
+# --------------------------------------------------------------------------
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(22,6)"
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_type") == "ECONOMY")
+            & F.col("p_size").between(20, 50)
+            & (F.col("l_quantity") >= 25)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_type = 'ECONOMY' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 25)
+"""
+
+
+# --------------------------------------------------------------------------
+# q12 shape: fact-fact join + conditional priority counts per line status
+# (the fixture has no l_shipmode; l_linestatus plays its role)
+# --------------------------------------------------------------------------
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q11 shape: group revenue HAVING > multiple of the MEAN group revenue —
+# the global scalar rides a 1-row broadcast, never a global window.
+# Thresholding on the mean (not a fixed fraction of the total) keeps the
+# selectivity stable as the corpus grows: TPC-H's own fraction/total form
+# returns nothing once the part count scales up
+# --------------------------------------------------------------------------
+Q11_MULTIPLE = 1.5
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(22,6)"
+    )
+    by_part = li.groupBy("l_partkey").agg(
+        F.sum(rev).cast("double").alias("part_revenue")
+    )
+    stats = by_part.agg(
+        F.sum(F.col("part_revenue").cast("decimal(22,6)")).cast("double").alias("_tot"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        by_part.crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("part_revenue")
+            > F.lit(Q11_MULTIPLE) * (F.col("_tot") / F.col("_n"))
+        )
+        .select("l_partkey", "part_revenue")
+    )
+
+
+Q11_SQL = f"""
+WITH r AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+              AS DOUBLE) AS part_revenue
+  FROM lineitem GROUP BY l_partkey
+),
+t AS (SELECT CAST(SUM(CAST(part_revenue AS DECIMAL(22,6))) AS DOUBLE) AS tot,
+             COUNT(*) AS n
+      FROM r)
+SELECT l_partkey, part_revenue
+FROM r, t
+WHERE part_revenue > {Q11_MULTIPLE} * (tot / n)
+"""
+
+
+# --------------------------------------------------------------------------
+# q16 shape: distinct-supplier counts per part attribute, excluding a
+# blacklist via anti join (the NOT IN subquery)
+# --------------------------------------------------------------------------
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part ON l_partkey = p_partkey
+WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                  WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0)
+GROUP BY p_brand, p_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q21 shape: the sole failing supplier in a multi-supplier order.  TPC-H
+# phrases this as correlated EXISTS (another supplier in the order) +
+# NOT EXISTS (no OTHER failing supplier); both collapse into ONE
+# per-order aggregate over the distinct (order, supplier) pairs — same
+# semantics, one shuffle instead of two correlated self-joins
+# --------------------------------------------------------------------------
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("hr")
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("hr").alias("n_ret"),
+    )
+    return (
+        pairs.join(per_order, "l_orderkey")
+        .filter((F.col("hr") == 1) & (F.col("n_supp") > 1) & (F.col("n_ret") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH pairs AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS hr
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+),
+per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(hr) AS n_ret
+  FROM pairs GROUP BY l_orderkey
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM pairs JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE hr = 1 AND n_supp > 1 AND n_ret = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q20 shape: suppliers shipping an outsized share of a part family —
+# nested aggregate feeding a threshold semi-join
+# --------------------------------------------------------------------------
+# Threshold = a multiple of each part's FAIR share (total / its supplier
+# count): scale-stable where a fixed share fraction empties out as the
+# supplier pool grows with the corpus
+Q20_MULTIPLE = 3.0
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    small = li.join(
+        F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+    )
+    per_ps = small.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty")
+    )
+    per_part = per_ps.groupBy("l_partkey").agg(
+        F.sum(F.col("qty").cast("decimal(18,2)")).cast("double").alias("tot"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    excess = (
+        per_ps.join(per_part, "l_partkey")
+        .filter(
+            F.col("qty") > F.lit(Q20_MULTIPLE) * (F.col("tot") / F.col("n_supp"))
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        excess.join(F.broadcast(sup), excess.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = f"""
+WITH small AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'SMALL'
+),
+per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+  FROM small GROUP BY l_partkey, l_suppkey
+),
+per_part AS (
+  SELECT l_partkey, CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS tot,
+         COUNT(*) AS n_supp
+  FROM per_ps GROUP BY l_partkey
+)
+SELECT DISTINCT s_name, n_name AS nation
+FROM per_ps JOIN per_part USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE qty > {Q20_MULTIPLE} * (tot / n_supp)
+ORDER BY s_name
+"""
+
+
+# --------------------------------------------------------------------------
+# q02 shape: per-group argmin with a deterministic tie-break — for every
+# small part, the supplier selling it cheapest on average.  min over a
+# (price, key) struct == ROW_NUMBER ... ORDER BY price, key = 1, but the
+# aggregate gets map-side combine where the window must sort
+# --------------------------------------------------------------------------
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") < 25)
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    avgp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(davg("l_extendedprice", "decimal(18,2)").alias("avg_price"))
+    )
+    best = avgp.groupBy("p_partkey", "p_name").agg(
+        F.min(F.struct("avg_price", "l_suppkey")).alias("_m")
+    )
+    return (
+        best.select(
+            "p_partkey",
+            "p_name",
+            F.col("_m.l_suppkey").alias("l_suppkey"),
+            F.col("_m.avg_price").alias("avg_price"),
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "avg_price")
+        .orderBy("p_partkey")
+    )
+
+
+Q02_SQL = f"""
+WITH avgp AS (
+  SELECT p_partkey, p_name, l_suppkey,
+         {sql_davg('l_extendedprice', 'DECIMAL(18,2)')} AS avg_price
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'SMALL' AND p_size < 25
+  GROUP BY p_partkey, p_name, l_suppkey
+),
+best AS (
+  SELECT p_partkey, p_name, l_suppkey, avg_price,
+         ROW_NUMBER() OVER (PARTITION BY p_partkey
+                            ORDER BY avg_price ASC, l_suppkey ASC) AS rn
+  FROM avgp
+)
+SELECT p_partkey, p_name, s_name, avg_price
+FROM best JOIN supplier ON l_suppkey = s_suppkey
+WHERE rn = 1
+ORDER BY p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q08 shape: one nation's market share inside a region per order year —
+# conditional revenue ratio over a 5-way join, every dimension broadcast
+# --------------------------------------------------------------------------
+Q08_REGION = "ASIA"
+Q08_NATION = "NATION_2"
+
+
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    n_cust = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == Q08_REGION)),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    n_sup = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(22,6)"
+    )
+    target = F.when(F.col("supp_nation") == Q08_NATION, rev).otherwise(
+        F.lit(0).cast("decimal(22,6)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n_sup), sup.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(target).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("mkt_share"),
+            F.sum(rev).cast("double").alias("region_revenue"),
+        )
+    )
+
+
+Q08_SQL = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       ROUND(
+         CAST(SUM(CASE WHEN n2.n_name = '{Q08_NATION}'
+                       THEN CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(22,6))
+                       ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(22,6))) AS DOUBLE), 6) AS mkt_share,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+            AS DOUBLE) AS region_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = '{Q08_REGION}'
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q09 shape: profit by supplier nation and order year over a name-matched
+# part family (no ps_supplycost in the fixtures; a retail-price-derived
+# cost stands in, computed per row in the same order on both engines)
+# --------------------------------------------------------------------------
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.col("l_quantity") * F.col("p_retailprice") * F.lit(0.1)
+    ).cast("decimal(22,6)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+Q09_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     - l_quantity * p_retailprice * 0.1
+                     AS DECIMAL(22,6))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -957,6 +1407,15 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "q15_top_supplier": q15_top_supplier,
     "q07_volume_shipping": q07_volume_shipping,
+    "q02_min_cost_supplier": q02_min_cost_supplier,
+    "q08_market_share": q08_market_share,
+    "q09_product_profit": q09_product_profit,
+    "q11_important_parts": q11_important_parts,
+    "q12_priority_shipping": q12_priority_shipping,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q19_discounted_revenue": q19_discounted_revenue,
+    "q20_excess_suppliers": q20_excess_suppliers,
+    "q21_waiting_supplier": q21_waiting_supplier,
     "q_anti_join": q_anti_join,
     "q_top_customers": q_top_customers,
     "q_window_topk": q_window_topk,
@@ -989,6 +1448,15 @@ ORACLE = {
     "q18_large_orders": Q18_SQL,
     "q15_top_supplier": Q15_SQL,
     "q07_volume_shipping": Q07_SQL,
+    "q02_min_cost_supplier": Q02_SQL,
+    "q08_market_share": Q08_SQL,
+    "q09_product_profit": Q09_SQL,
+    "q11_important_parts": Q11_SQL,
+    "q12_priority_shipping": Q12_SQL,
+    "q16_supplier_part_counts": Q16_SQL,
+    "q19_discounted_revenue": Q19_SQL,
+    "q20_excess_suppliers": Q20_SQL,
+    "q21_waiting_supplier": Q21_SQL,
     "q_anti_join": Q_ANTI_SQL,
     "q_top_customers": Q_TOPCUST_SQL,
     "q_window_topk": Q_WINDOW_TOPK_SQL,
