@@ -130,14 +130,52 @@ SELECT i.* FROM incoming i ANTI JOIN existing e USING (key)
 """
 
 
+# ---------------------------------------------------------------------------
+# incremental rollup maintenance (operators/rollup.py): the events table
+# is split into two "arrival batches", each reduced to mergeable partial
+# state, and the folded result must equal a from-scratch aggregate over
+# everything — the continuous-aggregate correctness property, checked
+# bit-exact against a single-pass DuckDB aggregate (decimal accumulators
+# make the double sums order-independent; queries/_util.py).
+# ---------------------------------------------------------------------------
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators.rollup import (
+        event_rollup_partial,
+        merge_rollup,
+        rollup_final,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.filter(F.col("event_id") % 4 != 0)
+    late = ev.filter(F.col("event_id") % 4 == 0)
+    merged = merge_rollup(
+        event_rollup_partial(first, "hour"),
+        event_rollup_partial(late, "hour"),
+    )
+    return rollup_final(merged)
+
+
+Q_ROLLUP_INCREMENTAL_SQL = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS total_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q_gx_ld_block_stats": q_gx_ld_block_stats,
     "q_chrom_counts": q_chrom_counts,
     "q_merge_insert_only": q_merge_insert_only,
+    "q_rollup_incremental": q_rollup_incremental,
 }
 
 ORACLE = {
     "q_gx_ld_block_stats": Q_GX_LD_BLOCK_STATS_SQL,
     "q_chrom_counts": Q_CHROM_COUNTS_SQL,
     "q_merge_insert_only": Q_MERGE_INSERT_ONLY_SQL,
+    "q_rollup_incremental": Q_ROLLUP_INCREMENTAL_SQL,
 }

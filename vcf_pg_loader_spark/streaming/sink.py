@@ -1,0 +1,136 @@
+"""Streaming sinks with exactly-once table maintenance via foreachBatch.
+
+Structured Streaming's built-in file sink is append-only; upserts and
+rollup maintenance need `foreachBatch`, which hands each micro-batch to
+ordinary batch code together with a monotonically increasing batch id.
+The batch id is the exactly-once hook: after a crash the engine REPLAYS
+the last uncommitted batch (at-least-once), so the sink must make
+re-applying a batch a no-op.  Two layers of protection here:
+
+  1. a batch ledger — applied batch ids are recorded after the swap
+     completes; a replayed id short-circuits before any work;
+  2. the merge itself is idempotent — merge_upsert is deterministic and
+     keyed, so even a half-applied batch that re-runs converges to the
+     same table (operators/merge.py determinism note).
+
+The target is a plain-Parquet table maintained by stage-then-swap, the
+same pattern as VariantStore.delete_batch (sources/store.py:139-174); on
+a production cluster the swap is replaced by a transactional format's
+MERGE (Delta/Iceberg) with no change to the streaming topology.
+
+Reference parity: the reference's ON CONFLICT upserts are batch-only
+(gwas/loader.py:467-491); this module is the engine's extension that
+serves the same semantics from a live source.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+
+from vcf_pg_loader_spark.operators.merge import merge_upsert
+from vcf_pg_loader_spark.operators.rollup import (
+    event_rollup_partial,
+    merge_rollup,
+)
+
+
+class ParquetUpsertSink:
+    """Maintains a keyed parquet table from a stream of upserts.
+
+    One sink target is owned by ONE streaming query/checkpoint: the
+    micro-batch id sequence the ledger records is scoped to the
+    checkpoint, so restarts must reuse the same checkpointLocation
+    (standard Structured Streaming practice — a fresh checkpoint means a
+    fresh stream, and a fresh sink target should go with it)."""
+
+    def __init__(self, target: str, key: list[str], order_col: str | None = None):
+        self.target = target.rstrip("/")
+        self.key = key
+        self.order_col = order_col
+        self.ledger_dir = f"{self.target}_ledger"
+
+    # -- ledger ---------------------------------------------------------
+    def _ledger_path(self, batch_id: int) -> str:
+        return os.path.join(self.ledger_dir, f"{batch_id}.json")
+
+    def applied(self, batch_id: int) -> bool:
+        return os.path.exists(self._ledger_path(batch_id))
+
+    def _record(self, batch_id: int, n_rows: int) -> None:
+        os.makedirs(self.ledger_dir, exist_ok=True)
+        with open(self._ledger_path(batch_id), "w") as fh:
+            json.dump({"batch_id": batch_id, "n_rows": n_rows}, fh)
+
+    # -- merge ----------------------------------------------------------
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch body: merge one micro-batch into the target."""
+        if self.applied(batch_id):
+            return  # replayed batch after recovery — already visible
+        spark = batch_df.sparkSession
+        if os.path.exists(self.target):
+            existing = spark.read.parquet(self.target)
+            merged = merge_upsert(existing, batch_df, self.key, self.order_col)
+        else:
+            merged = batch_df.dropDuplicates(self.key)
+        n = self._swap_in(merged)
+        self._record(batch_id, n)
+
+    def _swap_in(self, df: DataFrame) -> int:
+        """Stage, count from the STAGED files (the merged plan reads the
+        pre-swap target lazily — re-counting it after the swap would scan
+        deleted files), then swap; returns the staged row count."""
+        staging = tempfile.mkdtemp(prefix="stream_upsert_")
+        df.write.mode("overwrite").parquet(staging)
+        n = df.sparkSession.read.parquet(staging).count()
+        old = f"{self.target}_old"
+        if os.path.exists(self.target):
+            shutil.move(self.target, old)
+        shutil.move(staging, self.target)
+        shutil.rmtree(old, ignore_errors=True)
+        return n
+
+    def read(self, spark) -> DataFrame:
+        return spark.read.parquet(self.target)
+
+    # -- wiring ---------------------------------------------------------
+    def start(self, stream_df: DataFrame, checkpoint: str, available_now: bool = True):
+        """Attach the sink to a streaming frame and start the query."""
+        writer = (
+            stream_df.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+class RollupMaintenanceSink(ParquetUpsertSink):
+    """Continuous-aggregate maintenance: each micro-batch's events fold
+    into a persistent time-bucketed rollup (operators/rollup.py).
+
+    Unlike the upsert sink, a REPLAYED batch must not double-count, so
+    the ledger short-circuit is load-bearing here (the fold itself is
+    additive, not idempotent) — which is why the ledger write happens
+    only after the swapped-in table is durable.
+    """
+
+    def __init__(self, target: str, bucket: str = "hour"):
+        super().__init__(target, key=["bucket", "event_type"])
+        self.bucket = bucket
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.applied(batch_id):
+            return
+        spark = batch_df.sparkSession
+        delta = event_rollup_partial(batch_df, self.bucket)
+        if os.path.exists(self.target):
+            merged = merge_rollup(spark.read.parquet(self.target), delta)
+        else:
+            merged = delta
+        n = self._swap_in(merged)
+        self._record(batch_id, n)
