@@ -161,6 +161,12 @@ def parse_throughput(
             with open(f, "rb") as fh:
                 while fh.read(1 << 22):
                     pass
+        # one full-size untimed pass: the 10k warmup compiles the plan but
+        # JIT of the parse/explode path only stabilizes after a
+        # full-volume pass (same ramp as parse_throughput_bgzf — without
+        # this the "minimal" window reads slower than the full-features
+        # window that runs after it, purely from JIT ordering)
+        read_vcf(spark, glob, normalize=True).count()
         # default ("auto") load: the bench header declares only DP and AF,
         # so annotation/imputation/ClinVar projections are skipped — the
         # rate a real load of an unannotated VCF pays

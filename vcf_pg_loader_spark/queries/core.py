@@ -1393,6 +1393,104 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# as-of join (operators/asof.py): each click event joined to the user's
+# most recent prior-or-simultaneous purchase.  The Spark side is the
+# union-sort operator (one shuffle on user_id, no candidate-pair blowup);
+# the DuckDB twin is the engine-native ASOF LEFT JOIN — two entirely
+# different physical algorithms that must agree row-for-row.  The right
+# side is deduped to one row per (user, ts) first: simultaneous-purchase
+# ties are otherwise ambiguous in both engines.
+# --------------------------------------------------------------------------
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value", "event_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "event_id")
+    )
+    return asof_join(
+        clicks, purchases, "ts", ["user_id"], prefix="last_purchase_"
+    ).withColumnRenamed("last_purchase_ts", "last_purchase_at")
+
+
+Q_ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rn = 1
+)
+SELECT c.event_id, c.user_id, c.ts,
+       p.ts AS last_purchase_at, p.value AS last_purchase_value
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+# --------------------------------------------------------------------------
+# pivot: monthly revenue per event type as columns.  The pivot VALUES are
+# passed explicitly — without them Spark runs an extra distinct-scan job
+# to discover the column set, and the output schema becomes data-dependent
+# (both wrong at scale; the value list is a catalog-level contract).
+# Oracle twin is the standard conditional-aggregation unrolling.
+# --------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.trunc(F.col("ts"), "month").alias("month"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(dsum("value"))
+    )
+
+
+Q_PIVOT_SQL = f"""
+SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS month,
+       {", ".join(sql_dsum(f"CASE WHEN event_type = '{t}' THEN value END")
+                  + f" AS {t}" for t in _EVENT_TYPES)}
+FROM events
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# CUBE grouping sets: order counts/revenue by (priority, status) with all
+# subtotal combinations — one pass producing 2^2 grouping sets, Spark's
+# native `cube` vs DuckDB's GROUP BY CUBE.
+# --------------------------------------------------------------------------
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+
+
+Q_CUBE_SQL = f"""
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice")} AS revenue
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -1432,6 +1530,9 @@ QUERIES = {
     "q_rollup": q_rollup,
     "q_events_hourly_window": q_events_hourly_window,
     "q_sql_passthrough": q_sql_passthrough,
+    "q_asof_join": q_asof_join,
+    "q_pivot_monthly": q_pivot_monthly,
+    "q_cube_orders": q_cube_orders,
 }
 
 ORACLE = {
@@ -1473,4 +1574,7 @@ ORACLE = {
     "q_rollup": Q_ROLLUP_SQL,
     "q_events_hourly_window": Q_EVENTS_HOURLY_SQL,
     "q_sql_passthrough": _PASSTHROUGH_SQL,
+    "q_asof_join": Q_ASOF_SQL,
+    "q_pivot_monthly": Q_PIVOT_SQL,
+    "q_cube_orders": Q_CUBE_SQL,
 }
