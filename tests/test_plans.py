@@ -231,3 +231,22 @@ def test_token_rarity_broadcasts_frequency_table(spark, sf):
 
     plan = plan_of(q_token_rarity(spark, sf))
     assert "BroadcastHashJoin" in plan
+
+
+def test_asof_join_single_shuffle_no_pairs(spark, sf):
+    """asof_join must cost exactly one exchange of (left ∪ right) keyed
+    on the group column — the union-sort form — and must contain no
+    theta-join node that would materialize candidate pairs."""
+    from vcf_pg_loader_spark.operators.asof import asof_join
+    from vcf_pg_loader_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    plan = plan_of(asof_join(left, right, "ts", ["user_id"]), mode="simple")
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "Join" not in plan  # no join operator at all: window-carried

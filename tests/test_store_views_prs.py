@@ -197,3 +197,32 @@ class TestAnnotate:
 
         limited = annotate(qc_variants, reg, limit=2)
         assert limited.count() == 2
+
+
+class TestCompaction:
+    def test_compact_reduces_files_preserves_rows(self, spark, tmp_path):
+        from tests.vcf_fixtures import write_vcf
+        from vcf_pg_loader_spark.sources.vcf import read_vcf
+
+        store = VariantStore(spark, str(tmp_path / "cstore"))
+        # five small loads of distinct content -> many tiny files
+        for i in range(5):
+            rows = [
+                f"chr1\t{100 + 10 * i + j}\trs{i}_{j}\tA\tG\t50.0\tPASS\tDP=30"
+                for j in range(3)
+            ]
+            vcf = write_vcf(str(tmp_path / f"c{i}.vcf"), rows)
+            store.load(read_vcf(spark, vcf), vcf)
+        before_files = store.file_count()
+        before = {
+            (r.pos, r.load_batch_id) for r in store.read().collect()
+        }
+        assert before_files >= 5  # at least one file per append
+
+        res = store.compact()
+        assert res == {"partitions": 1, "rows": 15}
+        assert store.file_count() < before_files
+        after = {(r.pos, r.load_batch_id) for r in store.read().collect()}
+        assert after == before  # row identity (incl. batch ids) untouched
+        # range pruning still works on the compacted layout
+        assert store.query_region("chr1", 100, 102).count() == 3

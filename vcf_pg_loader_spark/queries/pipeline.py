@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from vcf_pg_loader_spark.functions.hashing import sql_h60
 from vcf_pg_loader_spark.operators import dedup as D
@@ -1272,6 +1273,47 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# deterministic epoch shuffle: reproducible global training order as
+# (shard, position) — shard from the first hex digit of a seeded md5, so
+# shard ASSIGNMENT is itself pseudorandom, and position from ordering by
+# the full digest inside the shard.  The scale property: there is no
+# global sort — the only wide ops are a hash exchange on `shard` and a
+# per-shard sort, so epoch N of a 100 TB corpus is 16 independent sorted
+# shards (data-parallel writers, no range-exchange sampling pass).
+# Changing the seed string re-deals the entire order.
+# --------------------------------------------------------------------------
+EPOCH_SEED = "epoch0"
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat_ws("|", F.col("doc_id").cast("string"), F.lit(EPOCH_SEED))
+    )
+    keyed = docs.select(
+        "doc_id",
+        key.alias("shuffle_key"),
+        F.substring(key, 1, 1).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return keyed.withColumn("position", F.row_number().over(w))
+
+
+Q_EPOCH_SHUFFLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5(concat_ws('|', CAST(doc_id AS VARCHAR), '{EPOCH_SEED}'))
+           AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, shuffle_key, substr(shuffle_key, 1, 1) AS shard,
+       ROW_NUMBER() OVER (PARTITION BY substr(shuffle_key, 1, 1)
+                          ORDER BY shuffle_key, doc_id) AS position
+FROM keyed
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_clusters": q_dedup_clusters,
@@ -1305,6 +1347,7 @@ QUERIES = {
     "q_ngram_novelty": q_ngram_novelty,
     "q_dedup_keep": q_dedup_keep,
     "q_chunk_dedup": q_chunk_dedup,
+    "q_epoch_shuffle": q_epoch_shuffle,
 }
 
 ORACLE = {
@@ -1340,4 +1383,5 @@ ORACLE = {
     "q_ngram_novelty": Q_NGRAM_NOVELTY_SQL,
     "q_dedup_keep": Q_DEDUP_KEEP_SQL,
     "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
+    "q_epoch_shuffle": Q_EPOCH_SHUFFLE_SQL,
 }

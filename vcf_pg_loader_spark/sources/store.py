@@ -198,6 +198,59 @@ class VariantStore:
             .saveAsTable(table)
         )
 
+    # -- maintenance ----------------------------------------------------
+    def compact(self, target_rows_per_file: int = 1_000_000) -> dict:
+        """Rewrite each chromosome partition into ~target-sized, pos-sorted
+        files — the small-files compaction every append-heavy parquet
+        table needs (each `load` appends its own files; a thousand loads
+        otherwise mean a thousand tiny footers per partition, and scan
+        task scheduling degenerates to file-open overhead at 100 TB).
+
+        Row identity is untouched (same rows, same batch ids); only the
+        physical layout changes, restoring the pos-sort that gives range
+        queries their row-group skipping after interleaved appends.
+        Stage-then-swap per partition, like delete_batch; a transactional
+        format's OPTIMIZE/rewrite_data_files is the cluster-native twin.
+        """
+        import math
+        import shutil
+        import tempfile
+
+        df = self.read()
+        counts = {
+            r["chrom"]: r["n"]
+            for r in df.groupBy("chrom").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        if not counts:
+            return {"partitions": 0, "rows": 0}
+        staging = tempfile.mkdtemp(prefix="variant_store_compact_")
+        (
+            df.repartition("chrom")
+            .sortWithinPartitions("pos")
+            .write.mode("overwrite")
+            .option(
+                "maxRecordsPerFile", str(max(1, int(target_rows_per_file)))
+            )
+            .partitionBy("chrom")
+            .parquet(staging)
+        )
+        for chrom in counts:
+            dst = os.path.join(self.variants_path, f"chrom={chrom}")
+            src = os.path.join(staging, f"chrom={chrom}")
+            if os.path.isdir(src):
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
+                shutil.move(src, dst)
+        shutil.rmtree(staging, ignore_errors=True)
+        return {"partitions": len(counts), "rows": sum(counts.values())}
+
+    def file_count(self) -> int:
+        """Data files currently backing the store (compaction metric)."""
+        n = 0
+        for root, _dirs, files in os.walk(self.variants_path):
+            n += sum(f.endswith(".parquet") for f in files)
+        return n
+
     # -- query surface (reference latency tests, test_query_latency.py) --
     def query_region(self, chrom: str, start: int, end: int) -> DataFrame:
         """Region query: partition pruning on chrom + row-group min/max
