@@ -133,3 +133,17 @@ def test_load_features_flag(spark, tmp_path, vcf_file, capsys):
     )
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["variants_loaded"] == 2
+
+
+def test_compact_command(spark, tmp_path, capsys):
+    store = str(tmp_path / "cstore")
+    for i in range(3):
+        rows = [f"chr1\t{100 + 10 * i + j}\trsc{i}_{j}\tA\tG\t50.0\tPASS\tDP=9"
+                for j in range(2)]
+        vcf = write_vcf(str(tmp_path / f"cc{i}.vcf"), rows)
+        assert main(["load", vcf, "--store", store]) == 0
+    capsys.readouterr()
+    assert main(["compact", "--store", store]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 6 and out["partitions"] == 1
+    assert out["files_after"] < out["files_before"]

@@ -345,6 +345,22 @@ def cmd_benchmark(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Rewrite append-fragmented store partitions into pos-sorted
+    target-size files (small-files maintenance; row identity preserved)."""
+    from vcf_pg_loader_spark.sources.store import VariantStore
+
+    store = VariantStore(_spark(), args.store)
+    before = store.file_count()
+    res = store.compact(target_rows_per_file=args.target_rows)
+    print(
+        json.dumps(
+            {**res, "files_before": before, "files_after": store.file_count()}
+        )
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="vcf-pg-loader-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -439,6 +455,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = add("benchmark", cmd_benchmark)
     sp.add_argument("--variants", type=int, default=10000)
+
+    sp = add("compact", cmd_compact,
+             help="compact store partitions into target-size sorted files")
+    sp.add_argument("--store", required=True)
+    sp.add_argument("--target-rows", type=int, default=1_000_000)
 
     return p
 
