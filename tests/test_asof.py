@@ -88,3 +88,37 @@ class TestAsofJoin:
         left, right = frames
         with pytest.raises(ValueError):
             asof_join(left, right, "ts", ["u"], direction="nearest")
+
+
+class TestAsofRandomized:
+    def test_matches_brute_force_on_random_data(self, spark):
+        """Seeded random streams, operator vs an O(n^2) Python reference —
+        covers interleavings/boundaries a hand-built fixture misses."""
+        import random
+
+        rng = random.Random(42)
+        n_users = 7
+        left_rows = [
+            (i, f"u{rng.randrange(n_users)}", _ts(rng.randrange(60)))
+            for i in range(200)
+        ]
+        right_rows = []
+        used = set()
+        for j in range(150):
+            key = (f"u{rng.randrange(n_users)}", rng.randrange(60))
+            if key in used:  # unique (group, ts): no ambiguous ties
+                continue
+            used.add(key)
+            right_rows.append((key[0], _ts(key[1]), float(j)))
+        left = spark.createDataFrame(left_rows, "id int, u string, ts timestamp")
+        right = spark.createDataFrame(right_rows, "u string, ts timestamp, v double")
+
+        got = {
+            r.id: r.asof_v
+            for r in asof_join(left, right, "ts", ["u"]).collect()
+        }
+        for i, u, ts in left_rows:
+            cands = [(rts, v) for (ru, rts, v) in right_rows
+                     if ru == u and rts <= ts]
+            want = max(cands)[1] if cands else None
+            assert got[i] == want, (i, u, ts, got[i], want)
