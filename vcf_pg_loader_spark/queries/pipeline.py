@@ -1314,6 +1314,53 @@ FROM keyed
 """
 
 
+# --------------------------------------------------------------------------
+# end-to-end curation funnel: quality filter -> exact-dedup keep ->
+# deterministic split -> per-(split, source) doc/token rollup — the four
+# stages every pretraining corpus passes through, composed from the REAL
+# operators (quality_metrics, fingerprint, assign_split) in one plan so
+# the oracle checks the composition, not just each stage in isolation.
+# Per-stage plans stay narrow until the final tiny rollup; the only wide
+# ops are the fingerprint groupBy (32-char keys) and the final count.
+# --------------------------------------------------------------------------
+def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators import sampling as SP
+
+    docs = load_table(spark, sf_dir, "documents")
+    qual = q_quality_filter(spark, sf_dir)
+    kept = docs.join(qual.filter(F.col("keep")).select("doc_id"), "doc_id")
+    fp = T.fingerprint(kept)
+    canon = fp.groupBy("doc_fp").agg(F.min("doc_id").alias("doc_id"))
+    surviving = fp.join(canon.select("doc_id"), "doc_id")
+    split = SP.assign_split(surviving, "doc_id", SPLIT_WEIGHTS)
+    return split.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(T.tokens(F.col("text")))).alias("total_tokens"),
+    )
+
+
+def _pipeline_funnel_sql() -> str:
+    from vcf_pg_loader_spark.operators import sampling as SP
+
+    case = SP.sql_assign_split("doc_id", SPLIT_WEIGHTS)
+    return f"""
+WITH q AS ({Q_QUALITY_FILTER_SQL}),
+kept AS (SELECT d.* FROM documents d JOIN q USING (doc_id) WHERE q.keep),
+fp AS (SELECT doc_id, source, text,
+              md5(regexp_replace(trim(text), ' +', ' ', 'g')) AS doc_fp
+       FROM kept),
+canon AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY doc_fp),
+surv AS (SELECT f.* FROM fp f JOIN canon USING (doc_id))
+SELECT {case} AS split, source, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM surv
+GROUP BY 1, 2
+"""
+
+
+Q_PIPELINE_FUNNEL_SQL = _pipeline_funnel_sql()
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_clusters": q_dedup_clusters,
@@ -1348,6 +1395,7 @@ QUERIES = {
     "q_dedup_keep": q_dedup_keep,
     "q_chunk_dedup": q_chunk_dedup,
     "q_epoch_shuffle": q_epoch_shuffle,
+    "q_pipeline_funnel": q_pipeline_funnel,
 }
 
 ORACLE = {
@@ -1384,4 +1432,5 @@ ORACLE = {
     "q_dedup_keep": Q_DEDUP_KEEP_SQL,
     "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
     "q_epoch_shuffle": Q_EPOCH_SHUFFLE_SQL,
+    "q_pipeline_funnel": Q_PIPELINE_FUNNEL_SQL,
 }
