@@ -1361,6 +1361,33 @@ GROUP BY 1, 2
 Q_PIPELINE_FUNNEL_SQL = _pipeline_funnel_sql()
 
 
+# --------------------------------------------------------------------------
+# KMV distinct sketch (operators/sketch.py): estimated distinct users
+# per event type — the deterministic, mergeable alternative to HLL whose
+# estimate the DuckDB oracle reproduces bit-for-bit (HLL register
+# layouts are engine-private; md5-derived KMV order statistics are not).
+# --------------------------------------------------------------------------
+KMV_K = 64
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_estimate(
+        kmv_sketch(ev, ["event_type"], "user_id", KMV_K), KMV_K
+    )
+
+
+def _kmv_sql() -> str:
+    from vcf_pg_loader_spark.operators.sketch import sql_kmv_estimate
+
+    return sql_kmv_estimate("events", ["event_type"], "user_id", KMV_K)
+
+
+Q_KMV_DISTINCT_SQL = _kmv_sql()
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_clusters": q_dedup_clusters,
@@ -1396,6 +1423,7 @@ QUERIES = {
     "q_chunk_dedup": q_chunk_dedup,
     "q_epoch_shuffle": q_epoch_shuffle,
     "q_pipeline_funnel": q_pipeline_funnel,
+    "q_kmv_distinct": q_kmv_distinct,
 }
 
 ORACLE = {
@@ -1433,4 +1461,5 @@ ORACLE = {
     "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
     "q_epoch_shuffle": Q_EPOCH_SHUFFLE_SQL,
     "q_pipeline_funnel": Q_PIPELINE_FUNNEL_SQL,
+    "q_kmv_distinct": Q_KMV_DISTINCT_SQL,
 }
