@@ -410,6 +410,64 @@ GROUP BY o_orderpriority
 
 
 # --------------------------------------------------------------------------
+# sampled quantiles: exact percentiles over a DETERMINISTIC 10% hash
+# sample of the fact table.  Exact global quantiles at 100 TB cost a
+# per-group sort of everything; a hash-predicate sample is a narrow
+# codegen filter (no shuffle, no RNG-vs-partitioning hazard), the same
+# rows on every engine/run, and sub-samples merge by construction
+# (h < t1 ∧ h < t2 ⇒ nested).  Both engines quantile the identical
+# sampled multiset, so even the ESTIMATE is oracle-exact.
+# --------------------------------------------------------------------------
+QS_RATE = 0.10
+_QS_THRESHOLD = int(QS_RATE * (1 << 60))
+
+
+def q_quantile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.functions.hashing import h60
+
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return (
+        li.filter(h60(key) < _QS_THRESHOLD)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+                "median_price"
+            ),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias(
+                "p99_price"
+            ),
+            F.count(F.lit(1)).alias("n_sampled"),
+        )
+    )
+
+
+def _quantile_sampled_sql() -> str:
+    from vcf_pg_loader_spark.functions.hashing import sql_h60
+
+    h = sql_h60(
+        "concat_ws('|', CAST(l_orderkey AS VARCHAR),"
+        " CAST(l_linenumber AS VARCHAR))"
+    )
+    return f"""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price,
+       COUNT(*) AS n_sampled
+FROM lineitem
+WHERE {h} < {_QS_THRESHOLD}
+GROUP BY 1
+"""
+
+
+Q_QUANTILE_SAMPLED_SQL = _quantile_sampled_sql()
+
+
+# --------------------------------------------------------------------------
 # conditional counts (§2.4 QC summary COUNT(*) FILTER (WHERE ...))
 # --------------------------------------------------------------------------
 def q_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1533,6 +1591,7 @@ QUERIES = {
     "q_asof_join": q_asof_join,
     "q_pivot_monthly": q_pivot_monthly,
     "q_cube_orders": q_cube_orders,
+    "q_quantile_sampled": q_quantile_sampled,
 }
 
 ORACLE = {
@@ -1577,4 +1636,5 @@ ORACLE = {
     "q_asof_join": Q_ASOF_SQL,
     "q_pivot_monthly": Q_PIVOT_SQL,
     "q_cube_orders": Q_CUBE_SQL,
+    "q_quantile_sampled": Q_QUANTILE_SAMPLED_SQL,
 }
