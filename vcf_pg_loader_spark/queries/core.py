@@ -1549,6 +1549,84 @@ GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
 
 
+# --------------------------------------------------------------------------
+# forward as-of: each click joined to the user's NEXT purchase (at or
+# after the click) — the other direction of operators/asof.py, against
+# DuckDB's ASOF with the inequality flipped.
+# --------------------------------------------------------------------------
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value", "event_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "event_id")
+    )
+    return asof_join(
+        clicks, purchases, "ts", ["user_id"],
+        direction="forward", prefix="next_purchase_",
+    ).withColumnRenamed("next_purchase_ts", "next_purchase_at")
+
+
+Q_ASOF_FORWARD_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rn = 1
+)
+SELECT c.event_id, c.user_id, c.ts,
+       p.ts AS next_purchase_at, p.value AS next_purchase_value
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
+# --------------------------------------------------------------------------
+# attribution rollup through the interval-join operator
+# (streaming/joins.py — the same code is the streaming stream-stream
+# join): purchases within 1 hour AFTER a click, per user.
+# --------------------------------------------------------------------------
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.streaming.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = interval_join(clicks, purchases, "user_id", within="1 hour")
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        dsum("r_value").alias("attributed_value"),
+    )
+
+
+Q_ATTRIBUTION_SQL = f"""
+SELECT c.user_id, COUNT(*) AS n_attributed,
+       {sql_dsum('p.value')} AS attributed_value
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts, value FROM events
+      WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -1592,6 +1670,8 @@ QUERIES = {
     "q_pivot_monthly": q_pivot_monthly,
     "q_cube_orders": q_cube_orders,
     "q_quantile_sampled": q_quantile_sampled,
+    "q_asof_forward": q_asof_forward,
+    "q_attribution": q_attribution,
 }
 
 ORACLE = {
@@ -1637,4 +1717,6 @@ ORACLE = {
     "q_pivot_monthly": Q_PIVOT_SQL,
     "q_cube_orders": Q_CUBE_SQL,
     "q_quantile_sampled": Q_QUANTILE_SAMPLED_SQL,
+    "q_asof_forward": Q_ASOF_FORWARD_SQL,
+    "q_attribution": Q_ATTRIBUTION_SQL,
 }
