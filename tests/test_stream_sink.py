@@ -119,3 +119,39 @@ class TestRollupMaintenanceSink:
         sink.apply_batch(batch, batch_id=7)  # replay
         n2 = rollup_final(sink.read(spark)).agg(F.sum("n_events")).first()[0]
         assert n1 == n2 == 500
+
+
+class TestVCFIngestStream:
+    def test_watch_dir_loads_new_files_once(self, spark, tmp_path):
+        from tests.vcf_fixtures import write_vcf
+        from vcf_pg_loader_spark.sources.store import VariantStore
+        from vcf_pg_loader_spark.streaming.ingest import VCFIngestStream
+
+        watch = tmp_path / "inbox"
+        watch.mkdir()
+        store = VariantStore(spark, str(tmp_path / "vstore"))
+        ing = VCFIngestStream(spark, store, str(watch))
+        ck = str(tmp_path / "ck")
+
+        write_vcf(
+            str(watch / "a.vcf"),
+            ["chr1\t100\trsA\tA\tG\t50.0\tPASS\tDP=30"],
+        )
+        ing.start(ck).awaitTermination()
+        assert store.read().count() == 1
+
+        # second drop: one new file + the old one still present — only
+        # the new file loads (source checkpoint), and re-running with
+        # nothing new is a no-op
+        write_vcf(
+            str(watch / "b.vcf"),
+            ["chr2\t200\trsB\tT\tC\t60.0\tPASS\tDP=20",
+             "chr2\t300\trsC\tG\tA\t70.0\tPASS\tDP=10"],
+        )
+        ing.start(ck).awaitTermination()
+        assert store.read().count() == 3
+        ing.start(ck).awaitTermination()
+        assert store.read().count() == 3
+        assert [r.variants_loaded for r in ing.loaded] == [1, 2]
+        # audit trail: one completed batch per file
+        assert len({r.batch_id for r in ing.loaded}) == 2
