@@ -226,3 +226,28 @@ class TestCompaction:
         assert after == before  # row identity (incl. batch ids) untouched
         # range pruning still works on the compacted layout
         assert store.query_region("chr1", 100, 102).count() == 3
+
+
+class TestRsidIndex:
+    def test_lookup_served_from_sorted_copy(self, spark, tmp_path):
+        from tests.vcf_fixtures import write_vcf
+        from vcf_pg_loader_spark.sources.vcf import read_vcf
+
+        store = VariantStore(spark, str(tmp_path / "rstore"))
+        rows = [
+            f"chr1\t{100 + i}\trs{i:04d}\tA\tG\t50.0\tPASS\tDP=30"
+            for i in range(50)
+        ]
+        vcf = write_vcf(str(tmp_path / "r.vcf"), rows)
+        store.load(read_vcf(spark, vcf), vcf)
+
+        # before the index: full-scan path still answers correctly
+        assert store.lookup_rsid("rs0007").count() == 1
+
+        store.build_rsid_index(files=4)
+        hit = store.lookup_rsid("rs0007")
+        assert hit.count() == 1 and hit.first().pos == 107
+        assert store.lookup_rsid("rs9999").count() == 0
+        # the secondary copy carries every row of the primary
+        n = spark.read.parquet(store.rsid_index_path).count()
+        assert n == store.read().count() == 50

@@ -268,9 +268,43 @@ class VariantStore:
         return self.query_region(chrom, pos, pos)
 
     def lookup_rsid(self, rs_id: str) -> DataFrame:
-        """rsid lookup (reference hash index; full column scan here —
-        point-lookup workloads should keep a secondary rsid-sorted copy)."""
+        """rsid lookup: served from the rsid-sorted secondary copy when
+        one has been built (row-group min/max prune to ~one group — the
+        reference's HASH-index analogue, schema.py:272), else a full
+        column scan of the primary."""
+        if os.path.isdir(self.rsid_index_path):
+            return self.spark.read.parquet(self.rsid_index_path).filter(
+                F.col("rs_id") == rs_id
+            )
         return self.read().filter(F.col("rs_id") == rs_id)
+
+    @property
+    def rsid_index_path(self) -> str:
+        return f"{self.root}/variants_by_rsid"
+
+    def build_rsid_index(self, files: int = 32) -> None:
+        """Materialize the rsid-sorted secondary copy (a "covering
+        index": same rows, different sort).  `repartitionByRange` makes
+        file-level min/max DISJOINT across files, so an rs_id equality
+        prunes to one file and one row group inside it; rebuild after
+        loads the way the reference recreates indexes post-COPY
+        (loader.py:393-395).  Cost: one range exchange + sort — at
+        100 TB run it per-partition-group or move to a transactional
+        format's clustering."""
+        import shutil
+        import tempfile
+
+        staging = tempfile.mkdtemp(prefix="variant_store_rsid_")
+        (
+            self.read()
+            .repartitionByRange(files, "rs_id")
+            .sortWithinPartitions("rs_id")
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        if os.path.isdir(self.rsid_index_path):
+            shutil.rmtree(self.rsid_index_path)
+        shutil.move(staging, self.rsid_index_path)
 
     def partition_stats(self) -> DataFrame:
         """Row counts per chromosome partition (reference
