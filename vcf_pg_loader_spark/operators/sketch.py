@@ -86,6 +86,21 @@ def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
     return sketch.withColumn("n_distinct_est", est).drop("hashes")
 
 
+def kmv_rollup_partial(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Alias of kmv_sketch with the rollup-partial naming: the sketch
+    table IS mergeable partial state, so distinct-count rollups fold
+    incrementally exactly like operators/rollup.py's sums — `merge =
+    kmv_merge`, `final = kmv_estimate`, and
+    estimate(merge(partial(a), partial(b))) == estimate(partial(a ∪ b))
+    holds EXACTLY (the merged sketch is identical, not just close)."""
+    return kmv_sketch(df, group_cols, value_col, k)
+
+
 def sql_kmv_estimate(
     table_expr: str, group_cols: list[str], value_expr: str, k: int = 64
 ) -> str:

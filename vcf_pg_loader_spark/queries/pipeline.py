@@ -1388,6 +1388,48 @@ def _kmv_sql() -> str:
 Q_KMV_DISTINCT_SQL = _kmv_sql()
 
 
+# --------------------------------------------------------------------------
+# incremental distinct-count rollup: KMV partials per (hour, event_type)
+# folded across two arrival batches must estimate exactly what a
+# from-scratch sketch of everything estimates — COUNT(DISTINCT) is not
+# mergeable, the KMV sketch is; this is how per-bucket distinct-user
+# rollups stay incremental at 100 TB.  The DuckDB twin computes the
+# single-pass sketch estimate directly (the merged sketch is IDENTICAL
+# to the from-scratch sketch, so one oracle covers both).
+# --------------------------------------------------------------------------
+def q_kmv_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_rollup_partial,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "bucket", F.date_trunc("hour", F.col("ts"))
+    )
+    keys = ["bucket", "event_type"]
+    a = kmv_rollup_partial(
+        ev.filter(F.col("event_id") % 3 != 0), keys, "user_id", KMV_K
+    )
+    b = kmv_rollup_partial(
+        ev.filter(F.col("event_id") % 3 == 0), keys, "user_id", KMV_K
+    )
+    return kmv_estimate(kmv_merge(a, b, keys, KMV_K), KMV_K)
+
+
+def _kmv_rollup_sql() -> str:
+    from vcf_pg_loader_spark.operators.sketch import sql_kmv_estimate
+
+    src = (
+        "(SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,"
+        " event_type, user_id FROM events)"
+    )
+    return sql_kmv_estimate(src, ["bucket", "event_type"], "user_id", KMV_K)
+
+
+Q_KMV_ROLLUP_SQL = _kmv_rollup_sql()
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_clusters": q_dedup_clusters,
@@ -1424,6 +1466,7 @@ QUERIES = {
     "q_epoch_shuffle": q_epoch_shuffle,
     "q_pipeline_funnel": q_pipeline_funnel,
     "q_kmv_distinct": q_kmv_distinct,
+    "q_kmv_rollup_incremental": q_kmv_rollup_incremental,
 }
 
 ORACLE = {
@@ -1462,4 +1505,5 @@ ORACLE = {
     "q_epoch_shuffle": Q_EPOCH_SHUFFLE_SQL,
     "q_pipeline_funnel": Q_PIPELINE_FUNNEL_SQL,
     "q_kmv_distinct": Q_KMV_DISTINCT_SQL,
+    "q_kmv_rollup_incremental": Q_KMV_ROLLUP_SQL,
 }
