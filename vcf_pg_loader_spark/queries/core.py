@@ -580,6 +580,43 @@ GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
+# built-in session windows: the same per-user sessionization served by
+# Spark's native session_window aggregation (JVM-side merging state,
+# the streaming-capable path) instead of the lag-gap window above.
+# Boundary semantics differ from lag-gap by design: session_window
+# merges an event only while it lands STRICTLY before prev + gap, so
+# the DuckDB twin uses `>= gap` where the lag-gap twin uses `> gap` —
+# both engines then agree exactly.
+# --------------------------------------------------------------------------
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_session = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+    )
+
+
+Q_SESSION_WINDOW_SQL = """
+SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM (
+    SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+             (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC) AS prev_us
+    FROM events
+  )
+)
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
 # broadcast range join (§2.3 LD-block interval-assignment shape):
 # tiny bins table broadcast, theta-join on containment
 # --------------------------------------------------------------------------
@@ -1672,6 +1709,7 @@ QUERIES = {
     "q_quantile_sampled": q_quantile_sampled,
     "q_asof_forward": q_asof_forward,
     "q_attribution": q_attribution,
+    "q_session_window": q_session_window,
 }
 
 ORACLE = {
@@ -1719,4 +1757,5 @@ ORACLE = {
     "q_quantile_sampled": Q_QUANTILE_SAMPLED_SQL,
     "q_asof_forward": Q_ASOF_FORWARD_SQL,
     "q_attribution": Q_ATTRIBUTION_SQL,
+    "q_session_window": Q_SESSION_WINDOW_SQL,
 }
