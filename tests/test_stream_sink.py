@@ -155,3 +155,40 @@ class TestVCFIngestStream:
         assert [r.variants_loaded for r in ing.loaded] == [1, 2]
         # audit trail: one completed batch per file
         assert len({r.batch_id for r in ing.loaded}) == 2
+
+
+class TestKMVDistinctSink:
+    def test_maintained_sketch_equals_from_scratch(self, spark, events, tmp_path):
+        from vcf_pg_loader_spark.operators.sketch import kmv_sketch
+        from vcf_pg_loader_spark.streaming.sink import KMVDistinctSink
+
+        src = str(tmp_path / "in")
+        sink = KMVDistinctSink(
+            str(tmp_path / "kmv"), ["event_type"], "user_id", k=32
+        )
+        _drop(events.filter(F.col("event_id") % 2 == 0), src)
+        _drop(events.filter(F.col("event_id") % 2 == 1), src)
+        sink.start(
+            read_events_stream(spark, src, max_files_per_trigger=1),
+            str(tmp_path / "ck"),
+        ).awaitTermination()
+
+        got = {r.event_type: r.hashes for r in sink.read(spark).collect()}
+        want = {
+            r.event_type: r.hashes
+            for r in kmv_sketch(events, ["event_type"], "user_id", 32).collect()
+        }
+        assert got == want
+
+    def test_replay_is_noop(self, spark, events, tmp_path):
+        from vcf_pg_loader_spark.streaming.sink import KMVDistinctSink
+
+        sink = KMVDistinctSink(
+            str(tmp_path / "kmv"), ["event_type"], "user_id", k=32
+        )
+        batch = events.limit(400)
+        sink.apply_batch(batch, batch_id=3)
+        first = {r.event_type: r.hashes for r in sink.read(spark).collect()}
+        sink.apply_batch(batch, batch_id=3)
+        again = {r.event_type: r.hashes for r in sink.read(spark).collect()}
+        assert first == again

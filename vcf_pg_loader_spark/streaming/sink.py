@@ -37,6 +37,7 @@ from vcf_pg_loader_spark.operators.rollup import (
     event_rollup_partial,
     merge_rollup,
 )
+from vcf_pg_loader_spark.operators.sketch import kmv_merge, kmv_sketch
 
 
 class ParquetUpsertSink:
@@ -130,6 +131,37 @@ class RollupMaintenanceSink(ParquetUpsertSink):
         delta = event_rollup_partial(batch_df, self.bucket)
         if os.path.exists(self.target):
             merged = merge_rollup(spark.read.parquet(self.target), delta)
+        else:
+            merged = delta
+        n = self._swap_in(merged)
+        self._record(batch_id, n)
+
+
+class KMVDistinctSink(ParquetUpsertSink):
+    """Streaming distinct-count rollup: each micro-batch's KMV sketch
+    (operators/sketch.py) merges into a persistent per-group sketch
+    table; `kmv_estimate` over the table serves distinct counts at any
+    moment.  COUNT(DISTINCT) cannot be maintained incrementally; the
+    sketch can, and merging is deterministic — the maintained table is
+    IDENTICAL to a from-scratch sketch of everything ingested.  Like
+    the rollup sink, the fold is additive, so the replay ledger is
+    load-bearing."""
+
+    def __init__(self, target: str, group_cols: list[str], value_col: str, k: int = 64):
+        super().__init__(target, key=list(group_cols))
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self.k = k
+
+    def apply_batch(self, batch_df, batch_id: int) -> None:
+        if self.applied(batch_id):
+            return
+        spark = batch_df.sparkSession
+        delta = kmv_sketch(batch_df, self.group_cols, self.value_col, self.k)
+        if os.path.exists(self.target):
+            merged = kmv_merge(
+                spark.read.parquet(self.target), delta, self.group_cols, self.k
+            )
         else:
             merged = delta
         n = self._swap_in(merged)
