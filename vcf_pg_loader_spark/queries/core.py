@@ -1664,6 +1664,31 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# explicit GROUPING SETS (beyond cube/rollup): the two one-dimensional
+# marginals in a single pass — Spark 4's native groupingSets API vs
+# DuckDB's GROUP BY GROUPING SETS.
+# --------------------------------------------------------------------------
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"]],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+
+
+Q_GROUPING_SETS_SQL = f"""
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice")} AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -1710,6 +1735,7 @@ QUERIES = {
     "q_asof_forward": q_asof_forward,
     "q_attribution": q_attribution,
     "q_session_window": q_session_window,
+    "q_grouping_sets": q_grouping_sets,
 }
 
 ORACLE = {
@@ -1758,4 +1784,5 @@ ORACLE = {
     "q_asof_forward": Q_ASOF_FORWARD_SQL,
     "q_attribution": Q_ATTRIBUTION_SQL,
     "q_session_window": Q_SESSION_WINDOW_SQL,
+    "q_grouping_sets": Q_GROUPING_SETS_SQL,
 }
