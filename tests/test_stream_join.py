@@ -76,3 +76,47 @@ class TestIntervalJoin:
             | (F.col("r_ts") > F.col("l_ts") + F.expr("INTERVAL 1 HOUR"))
         )
         assert bad.count() == 0
+
+
+class TestStreamingSessionWindow:
+    def test_native_session_window_stream_equals_batch(self, spark, events, tmp_path):
+        """Spark's built-in session_window on a watermarked stream emits
+        exactly the batch sessions once the watermark passes (the JVM
+        twin of the applyInPandasWithState equivalence proof)."""
+        src = str(tmp_path / "in")
+        events.write.parquet(src)
+        stream = read_events_stream(spark, src)
+        agg = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("user_id", "w.start", "w.end", "n")
+        )
+        out = str(tmp_path / "out")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r.user_id, r.start, r.n)
+            for r in spark.read.parquet(out).collect()
+        }
+        batch = {
+            (r.user_id, r.w.start, r.n)
+            for r in events.groupBy(
+                "user_id", F.session_window("ts", "30 minutes").alias("w")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # append mode holds back sessions not yet closed by the final
+        # watermark; everything emitted must match the batch sessions,
+        # and the holdback is bounded by the last gap horizon
+        assert got <= batch
+        assert len(batch) - len(got) <= events.select("user_id").distinct().count()
+        assert len(got) > 0
