@@ -250,3 +250,26 @@ def test_asof_join_single_shuffle_no_pairs(spark, sf):
     plan = plan_of(asof_join(left, right, "ts", ["user_id"]), mode="simple")
     assert plan.count("hashpartitioning(user_id") == 1
     assert "Join" not in plan  # no join operator at all: window-carried
+
+
+def test_kmv_sketch_stays_jvm_side(spark, sf):
+    """The KMV sketch is hashing + order statistics — pure JVM: no
+    Python nodes, and only key-partitioned exchanges (the value dedup
+    and the per-group top-k)."""
+    from vcf_pg_loader_spark.operators.sketch import kmv_sketch
+    from vcf_pg_loader_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf, "events")
+    plan = plan_of(kmv_sketch(ev, ["event_type"], "user_id", 64))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_epoch_shuffle_no_global_sort(spark, sf):
+    """Epoch shuffling must never range-exchange the whole corpus: one
+    hash exchange on the shard key, per-shard sorts only."""
+    from vcf_pg_loader_spark.queries.pipeline import q_epoch_shuffle
+
+    plan = plan_of(q_epoch_shuffle(spark, sf), mode="simple")
+    assert "rangepartitioning" not in plan.lower()
+    assert plan.count("Exchange hashpartitioning") == 1
