@@ -1,0 +1,100 @@
+"""Product quantization: encode determinism, reconstruction sanity, and
+ADC search recall against exact brute force.
+
+Random fixture embeddings are PQ's hardest case (no cluster structure
+for codebooks to exploit), so the recall bound is deliberately modest —
+the point is that compressed-domain ranking carries real signal (far
+above chance) while never touching a corpus vector at search time.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vcf_pg_loader_spark.operators.pq import pq_encode, pq_fit, pq_topk
+from vcf_pg_loader_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+M = 4
+K_SUB = 16
+TOP_K = 10
+N_Q = 5
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def fitted(spark, emb):
+    books = pq_fit(emb, M, K_SUB)
+    codes = pq_encode(emb, books, M)
+    return books, codes
+
+
+class TestPQ:
+    def test_codebook_shape(self, spark, emb, fitted):
+        books, _ = fitted
+        rows = books.groupBy("sub").count().collect()
+        assert {r.sub for r in rows} == set(range(M))
+        for r in rows:
+            assert r["count"] <= K_SUB  # empty cells may drop
+        dim = len(emb.first().embedding)
+        assert len(books.first().cvec) == dim // M
+
+    def test_codes_cover_corpus_deterministically(self, spark, emb, fitted):
+        books, codes = fitted
+        assert codes.count() == emb.count()
+        assert codes.filter(F.size("codes") != M).count() == 0
+        again = pq_encode(emb, books, M)
+        diff = (
+            codes.alias("a")
+            .join(again.alias("b"), "vid")
+            .filter(F.col("a.codes") != F.col("b.codes"))
+            .count()
+        )
+        assert diff == 0  # encoding is a pure function
+
+    def test_adc_recall_beats_chance(self, spark, emb, fitted):
+        from pyspark.sql.window import Window
+
+        from vcf_pg_loader_spark.operators.similarity import dot_fast
+
+        books, codes = fitted
+        queries = emb.filter(F.col("vec_id") < N_Q)
+        got = pq_topk(codes, queries, books, TOP_K, M)
+        assert got.groupBy("query_id").count().filter(
+            F.col("count") != TOP_K
+        ).count() == 0
+
+        # exact L2 top-k (PQ approximates L2, not cosine)
+        q = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+        )
+        c = emb.select(
+            F.col("vec_id").alias("cand_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+        )
+        d = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .withColumn(
+                "dist",
+                dot_fast(F.col("cv"), F.col("cv"))
+                - 2.0 * dot_fast(F.col("cv"), F.col("qv"))
+                + dot_fast(F.col("qv"), F.col("qv")),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cand_id"))
+        exact = d.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= TOP_K
+        )
+        g = {(r.query_id, r.cand_id) for r in got.collect()}
+        e = {(r.query_id, r.cand_id) for r in exact.collect()}
+        n_corpus = emb.count()
+        recall = len(g & e) / len(e)
+        chance = TOP_K / n_corpus
+        assert recall >= max(0.15, 10 * chance), (recall, chance)

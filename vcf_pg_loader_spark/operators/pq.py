@@ -1,0 +1,203 @@
+"""Product quantization (PQ): compressed-domain ANN search.
+
+IVF-Flat (operators/similarity.py) stores full vectors and prunes by
+cell; at 10^10 vectors the vectors themselves are the cost (a 768-dim
+float corpus is ~30 TB).  PQ stores an m-byte CODE per vector instead:
+the dimension axis is split into m subspaces, each subspace gets its own
+small codebook (k_sub centroids, fit with the same deterministic Lloyd
+recipe as ivf_fit: lowest-id seeds, fixed iterations, id tie-breaks),
+and a vector's code is its per-subspace nearest-codeword ids.  Search
+runs in the compressed domain (asymmetric distance computation): per
+query, a m×k_sub table of exact subspace distances is built once, and
+every corpus distance is m table lookups + adds — no corpus vector is
+ever touched.
+
+Scale shape: codebooks are tiny (m × k_sub × d/m doubles) and broadcast;
+the per-query distance tables are a broadcast too (queries × m × k_sub);
+scoring is a narrow map over the codes column (aggregate over a zipped
+array — whole-stage codegen) followed by the usual per-query top-k
+window.  The corpus shuffles only for that final top-k, as 8-byte ids +
+codes + one double.  Compose with IVF cells for the standard
+IVF-PQ layout (coarse cell prune, then compressed-domain rank).
+
+Everything is deterministic (reuses the decimal dot kernel for
+codebook fitting), so encodings are reproducible across runs/engines;
+search quality is checked against exact brute-force recall in
+tests/test_pq.py rather than a SQL oracle — the unrolled m×k-means CTE
+would be the one oracle in the registry measured in pages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _subvector(vec, m: int, sub: int):
+    """Slice subspace `sub` (0-based) of an m-way split; dims must divide
+    evenly (callers pad upstream otherwise)."""
+    seg = F.size(vec) / m
+    return F.slice(vec, (F.lit(sub) * seg + 1).cast("int"), seg.cast("int"))
+
+
+def pq_fit(
+    corpus: DataFrame,
+    m: int = 4,
+    k_sub: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fit per-subspace codebooks; returns (sub, cid, cvec) with cid in
+    [0, k_sub) per subspace.  One ivf_fit-shaped Lloyd loop per
+    subspace over the m-way sliced corpus — the slicing is a narrow
+    projection, so the m fits scan the corpus m times but never
+    shuffle it (assignment is a broadcast argmin; means group on
+    (cid, dim), a k_sub×d/m keyspace)."""
+    from vcf_pg_loader_spark.operators.similarity import ivf_fit
+
+    books = []
+    for sub in range(m):
+        sliced = corpus.select(
+            F.col(id_col).alias("vid"),
+            _subvector(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")), m, sub
+            ).alias("svec"),
+        )
+        cents, _assign = ivf_fit(
+            sliced, k_sub, n_iter, id_col="vid", vec_col="svec", kernel="fast"
+        )
+        # re-key centroid ids to dense [0, k_sub) in cid order so codes
+        # are stable small ints regardless of which seed ids survived
+        w = Window.orderBy("cid")
+        books.append(
+            cents.withColumn("code", F.row_number().over(w) - 1).select(
+                F.lit(sub).alias("sub"), "code", "cvec"
+            )
+        )
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, codes array<int>): per subspace, the nearest codeword id.
+    Codebooks broadcast; the corpus never shuffles — one argmin
+    aggregation per subspace keyed on (vid, sub) after a broadcast
+    cross join against the k_sub codewords of that subspace."""
+    from vcf_pg_loader_spark.operators.similarity import dot_fast
+
+    vecs = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    parts = None
+    for sub in range(int(m)):
+        sv = vecs.select("vid", _subvector(F.col("vec"), m, sub).alias("sv"))
+        scored = sv.join(
+            F.broadcast(codebooks.filter(F.col("sub") == sub)), how="cross"
+        ).select(
+            "vid",
+            F.lit(sub).alias("sub"),
+            "code",
+            (
+                dot_fast(F.col("sv"), F.col("sv"))
+                - 2.0 * dot_fast(F.col("sv"), F.col("cvec"))
+                + dot_fast(F.col("cvec"), F.col("cvec"))
+            ).alias("d"),
+        )
+        best = scored.groupBy("vid", "sub").agg(
+            F.min(F.struct("d", "code")).alias("_m")
+        )
+        part = best.select("vid", "sub", F.col("_m.code").alias("code"))
+        parts = part if parts is None else parts.unionByName(part)
+    return (
+        parts.groupBy("vid")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("_sc"))
+        .select("vid", F.transform(F.col("_sc"), lambda s: s.code).alias("codes"))
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: exact per-subspace query↔codeword distance tables
+    (built on the tiny broadcastable query set), then every corpus
+    candidate's distance is m lookups + adds over its codes column —
+    the corpus contributes only (vid, codes) to the plan."""
+    from vcf_pg_loader_spark.operators.similarity import dot_fast
+
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qvec"),
+    )
+    # (query_id, sub, code, d) exact subspace distances
+    table = None
+    for sub in range(int(m)):
+        qs = qvecs.select(
+            "query_id", _subvector(F.col("qvec"), m, sub).alias("qs")
+        )
+        part = qs.join(
+            F.broadcast(codebooks.filter(F.col("sub") == sub)), how="cross"
+        ).select(
+            "query_id",
+            F.lit(sub).alias("sub"),
+            "code",
+            (
+                dot_fast(F.col("qs"), F.col("qs"))
+                - 2.0 * dot_fast(F.col("qs"), F.col("cvec"))
+                + dot_fast(F.col("cvec"), F.col("cvec"))
+            ).alias("d"),
+        )
+        table = part if table is None else table.unionByName(part)
+    # dense per-query lookup arrays: d_flat[sub * k_sub + code]
+    flat = table.groupBy("query_id").agg(
+        F.array_sort(F.collect_list(F.struct("sub", "code", "d"))).alias("_t")
+    ).select(
+        "query_id", F.transform(F.col("_t"), lambda t: t.d).alias("d_flat")
+    )
+    scored = codes.crossJoin(F.broadcast(flat)).filter(
+        F.col("vid") != F.col("query_id")
+    )
+    # dist = Σ_sub d_flat[sub * k_sub + codes[sub]] — m lookups per
+    # candidate, fully inside codegen (zip_with + aggregate)
+    scored = scored.withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.sequence(F.lit(0), F.size(F.col("codes")) - 1),
+                lambda c, s: F.struct(c.alias("c"), s.alias("s")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + F.element_at(
+                F.col("d_flat"),
+                (
+                    x["s"] * (F.size(F.col("d_flat")) / m).cast("int")
+                    + x["c"]
+                    + 1
+                ).cast("int"),
+            ),
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col("vid").alias("cand_id"), "dist", "rn")
+    )
