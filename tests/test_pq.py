@@ -98,3 +98,28 @@ class TestPQ:
         recall = len(g & e) / len(e)
         chance = TOP_K / n_corpus
         assert recall >= max(0.15, 10 * chance), (recall, chance)
+
+
+class TestIVFPQ:
+    def test_composed_prune_and_rank(self, spark, emb):
+        from vcf_pg_loader_spark.operators.pq import ivf_pq_topk
+
+        queries = emb.filter(F.col("vec_id") < N_Q)
+        got = ivf_pq_topk(emb, queries, TOP_K, k_centroids=8, nprobe=2, m=M)
+        rows = got.collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r.query_id, []).append(r)
+        assert set(per_q) == set(range(N_Q))
+        for q, rs in per_q.items():
+            assert len(rs) == TOP_K
+            assert sorted(r.rn for r in rs) == list(range(1, TOP_K + 1))
+            assert all(r.cand_id != q for r in rs)
+        # determinism: same fit/encode/search twice -> same pairs
+        again = {
+            (r.query_id, r.cand_id)
+            for r in ivf_pq_topk(
+                emb, queries, TOP_K, k_centroids=8, nprobe=2, m=M
+            ).collect()
+        }
+        assert {(r.query_id, r.cand_id) for r in rows} == again

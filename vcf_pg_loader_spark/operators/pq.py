@@ -126,26 +126,21 @@ def pq_encode(
     )
 
 
-def pq_topk(
-    codes: DataFrame,
+def _adc_tables(
     queries: DataFrame,
     codebooks: DataFrame,
-    k: int,
-    m: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    m: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """ADC top-k: exact per-subspace query↔codeword distance tables
-    (built on the tiny broadcastable query set), then every corpus
-    candidate's distance is m lookups + adds over its codes column —
-    the corpus contributes only (vid, codes) to the plan."""
+    """(query_id, d_flat): per query, the dense lookup array of exact
+    subspace distances, laid out d_flat[sub * k_sub + code]."""
     from vcf_pg_loader_spark.operators.similarity import dot_fast
 
     qvecs = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qvec"),
     )
-    # (query_id, sub, code, d) exact subspace distances
     table = None
     for sub in range(int(m)):
         qs = qvecs.select(
@@ -164,36 +159,120 @@ def pq_topk(
             ).alias("d"),
         )
         table = part if table is None else table.unionByName(part)
-    # dense per-query lookup arrays: d_flat[sub * k_sub + code]
-    flat = table.groupBy("query_id").agg(
-        F.array_sort(F.collect_list(F.struct("sub", "code", "d"))).alias("_t")
-    ).select(
-        "query_id", F.transform(F.col("_t"), lambda t: t.d).alias("d_flat")
+    return (
+        table.groupBy("query_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("sub", "code", "d"))).alias(
+                "_t"
+            )
+        )
+        .select(
+            "query_id", F.transform(F.col("_t"), lambda t: t.d).alias("d_flat")
+        )
     )
+
+
+def _adc_dist(m: int):
+    """dist = Σ_sub d_flat[sub * k_sub + codes[sub]] — m lookups per
+    candidate, fully inside codegen (zip_with + aggregate)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.size(F.col("codes")) - 1),
+            lambda c, s: F.struct(c.alias("c"), s.alias("s")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.element_at(
+            F.col("d_flat"),
+            (
+                x["s"] * (F.size(F.col("d_flat")) / m).cast("int")
+                + x["c"]
+                + 1
+            ).cast("int"),
+        ),
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: exact per-subspace query↔codeword distance tables
+    (built on the tiny broadcastable query set), then every corpus
+    candidate's distance is m lookups + adds over its codes column —
+    the corpus contributes only (vid, codes) to the plan."""
+    flat = _adc_tables(queries, codebooks, m, id_col, vec_col)
     scored = codes.crossJoin(F.broadcast(flat)).filter(
         F.col("vid") != F.col("query_id")
     )
-    # dist = Σ_sub d_flat[sub * k_sub + codes[sub]] — m lookups per
-    # candidate, fully inside codegen (zip_with + aggregate)
-    scored = scored.withColumn(
-        "dist",
-        F.aggregate(
-            F.zip_with(
-                F.col("codes"),
-                F.sequence(F.lit(0), F.size(F.col("codes")) - 1),
-                lambda c, s: F.struct(c.alias("c"), s.alias("s")),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc
-            + F.element_at(
-                F.col("d_flat"),
-                (
-                    x["s"] * (F.size(F.col("d_flat")) / m).cast("int")
-                    + x["c"]
-                    + 1
-                ).cast("int"),
-            ),
-        ),
+    scored = scored.withColumn("dist", _adc_dist(m))
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col("vid").alias("cand_id"), "dist", "rn")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    k_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    k_sub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The standard IVF-PQ layout: an IVF coarse quantizer prunes the
+    corpus to the query's nprobe nearest cells, then PQ's ADC ranks the
+    survivors in the compressed domain — the two prunings compose, so
+    search touches ~(nprobe/k_centroids) of the corpus and reads only
+    codes, never vectors.  This is the 10^10-vector serving shape:
+    cells bound the candidate count, codes bound the bytes.
+
+    Fit + encode run here for self-containment; a production index
+    persists (centroids, codebooks, codes-with-cid) once and serves
+    many query batches.
+    """
+    from vcf_pg_loader_spark.operators.similarity import (
+        _ivf_rank_centroids,
+        _prep_vectors,
+        ivf_fit,
+    )
+
+    cents, assign = ivf_fit(
+        corpus, k_centroids, 2, id_col=id_col, vec_col=vec_col, kernel="fast"
+    )
+    books = pq_fit(corpus, m, k_sub, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(corpus, books, m, id_col=id_col, vec_col=vec_col).join(
+        assign.select("vid", "cid"), "vid"
+    )
+    probes = (
+        _ivf_rank_centroids(
+            _prep_vectors(queries, id_col, vec_col, "fast"), cents, "fast"
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("vid").alias("query_id"), "cid")
+    )
+    # candidates: codes in probed cells only — equi-join on cell id
+    # keeps (query, candidate) pairs, so scoring and ranking are
+    # per-query over exactly that query's probed cells
+    cand = codes.join(F.broadcast(probes), "cid").select(
+        "vid", "codes", "query_id"
+    )
+    flat = _adc_tables(queries, books, m, id_col, vec_col)
+    scored = (
+        cand.join(F.broadcast(flat), "query_id")
+        .filter(F.col("vid") != F.col("query_id"))
+        .withColumn("dist", _adc_dist(m))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vid"))
     return (
