@@ -123,3 +123,35 @@ class TestIVFPQ:
             ).collect()
         }
         assert {(r.query_id, r.cand_id) for r in rows} == again
+
+
+class TestVectorIndex:
+    def test_persisted_index_matches_direct_search(self, spark, emb, tmp_path):
+        from vcf_pg_loader_spark.operators.pq import ivf_pq_topk
+        from vcf_pg_loader_spark.sources.vector_index import VectorIndex
+
+        idx = VectorIndex(spark, str(tmp_path / "vidx"))
+        idx.build(emb, k_centroids=8, m=M, k_sub=K_SUB)
+
+        queries = emb.filter(F.col("vec_id") < N_Q)
+        served = {
+            (r.query_id, r.cand_id, r.rn)
+            for r in idx.search(queries, TOP_K, nprobe=2).collect()
+        }
+        direct = {
+            (r.query_id, r.cand_id, r.rn)
+            for r in ivf_pq_topk(
+                emb, queries, TOP_K, k_centroids=8, nprobe=2, m=M
+            ).collect()
+        }
+        assert served == direct  # deterministic build: byte-equal artifacts
+
+    def test_codes_partitioned_by_cell(self, spark, emb, tmp_path):
+        import glob as g
+
+        from vcf_pg_loader_spark.sources.vector_index import VectorIndex
+
+        idx = VectorIndex(spark, str(tmp_path / "vidx"))
+        idx.build(emb, k_centroids=8, m=M, k_sub=K_SUB)
+        cells = g.glob(str(tmp_path / "vidx" / "codes" / "cid=*"))
+        assert len(cells) >= 2  # nprobe pruning maps to directory pruning

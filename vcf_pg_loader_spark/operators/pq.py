@@ -255,6 +255,30 @@ def ivf_pq_topk(
     codes = pq_encode(corpus, books, m, id_col=id_col, vec_col=vec_col).join(
         assign.select("vid", "cid"), "vid"
     )
+    return ivf_pq_search(
+        cents, books, codes, queries, k, nprobe, m, id_col, vec_col
+    )
+
+
+def ivf_pq_search(
+    cents: DataFrame,
+    books: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search over PREBUILT index artifacts (centroids, codebooks, coded
+    corpus with cell ids) — what a persisted index serves per query
+    batch without refitting anything."""
+    from vcf_pg_loader_spark.operators.similarity import (
+        _ivf_rank_centroids,
+        _prep_vectors,
+    )
+
     probes = (
         _ivf_rank_centroids(
             _prep_vectors(queries, id_col, vec_col, "fast"), cents, "fast"

@@ -1689,6 +1689,61 @@ GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
 """
 
 
+# --------------------------------------------------------------------------
+# as-of with a tolerance window: like q_asof_join but matches farther
+# than 2 hours back are nulled — the operator's tolerance path, mirrored
+# in SQL as ASOF + a gap guard.
+# --------------------------------------------------------------------------
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value", "event_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "event_id")
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        "ts",
+        ["user_id"],
+        tolerance=F.expr("INTERVAL '2' HOUR"),
+        prefix="recent_purchase_",
+    ).withColumnRenamed("recent_purchase_ts", "recent_purchase_at")
+
+
+Q_ASOF_TOLERANCE_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rn = 1
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN ok THEN m_ts END AS recent_purchase_at,
+       CASE WHEN ok THEN m_value END AS recent_purchase_value
+FROM (
+  SELECT c.event_id, c.user_id, c.ts, p.ts AS m_ts, p.value AS m_value,
+         c.ts - p.ts <= INTERVAL 2 HOUR AS ok
+  FROM clicks c
+  ASOF LEFT JOIN purchases p
+    ON c.user_id = p.user_id AND c.ts >= p.ts
+)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -1736,6 +1791,7 @@ QUERIES = {
     "q_attribution": q_attribution,
     "q_session_window": q_session_window,
     "q_grouping_sets": q_grouping_sets,
+    "q_asof_tolerance": q_asof_tolerance,
 }
 
 ORACLE = {
@@ -1785,4 +1841,5 @@ ORACLE = {
     "q_attribution": Q_ATTRIBUTION_SQL,
     "q_session_window": Q_SESSION_WINDOW_SQL,
     "q_grouping_sets": Q_GROUPING_SETS_SQL,
+    "q_asof_tolerance": Q_ASOF_TOLERANCE_SQL,
 }

@@ -1,0 +1,92 @@
+"""Persisted IVF-PQ vector index: build once, serve many query batches.
+
+The ANN operators (operators/similarity.py, operators/pq.py) fit their
+structures per call for oracle self-containment; a production index is
+the opposite shape — fitting scans the corpus, serving must not.  This
+store persists the three artifacts to parquet:
+
+  centroids/  (cid, cvec, cc)        — the IVF routing table (tiny)
+  codebooks/  (sub, code, cvec)      — PQ subspace codewords (tiny)
+  codes/      (vid, codes, cid)      — the compressed corpus,
+                                       partitioned by cell id so a
+                                       query's nprobe cells prune to
+                                       nprobe directories on disk
+
+Search = load (centroids/codebooks broadcast themselves) + the
+cell-pruned compressed-domain rank of ivf_pq_search.  Rebuild after
+corpus changes, like any secondary structure (VariantStore's
+index-rebuild-after-load stance).  Everything is deterministic, so a
+rebuilt index over the same corpus is byte-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vcf_pg_loader_spark.operators.pq import ivf_pq_search, pq_encode, pq_fit
+
+
+class VectorIndex:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+
+    def _p(self, name: str) -> str:
+        return f"{self.root}/{name}"
+
+    # -- build ----------------------------------------------------------
+    def build(
+        self,
+        corpus: DataFrame,
+        k_centroids: int = 8,
+        m: int = 4,
+        k_sub: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        from vcf_pg_loader_spark.operators.similarity import ivf_fit
+
+        cents, assign = ivf_fit(
+            corpus, k_centroids, 2, id_col=id_col, vec_col=vec_col,
+            kernel="fast",
+        )
+        books = pq_fit(corpus, m, k_sub, id_col=id_col, vec_col=vec_col)
+        codes = pq_encode(
+            corpus, books, m, id_col=id_col, vec_col=vec_col
+        ).join(assign.select("vid", "cid"), "vid")
+        cents.write.mode("overwrite").parquet(self._p("centroids"))
+        books.write.mode("overwrite").parquet(self._p("codebooks"))
+        (
+            codes.repartition("cid")
+            .sortWithinPartitions("vid")
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(self._p("codes"))
+        )
+        # record the geometry the index was built with
+        meta = self.spark.createDataFrame(
+            [(k_centroids, m, k_sub)], "k_centroids int, m int, k_sub int"
+        )
+        meta.write.mode("overwrite").json(self._p("meta"))
+
+    # -- serve ----------------------------------------------------------
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int = 2,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        meta = self.spark.read.json(self._p("meta")).first()
+        return ivf_pq_search(
+            self.spark.read.parquet(self._p("centroids")),
+            self.spark.read.parquet(self._p("codebooks")),
+            self.spark.read.parquet(self._p("codes")),
+            queries,
+            k,
+            nprobe,
+            int(meta.m),
+            id_col,
+            vec_col,
+        )
