@@ -1430,6 +1430,54 @@ def _kmv_rollup_sql() -> str:
 Q_KMV_ROLLUP_SQL = _kmv_rollup_sql()
 
 
+# --------------------------------------------------------------------------
+# corpus snapshot diff: what changed between two dataset versions — the
+# release-gating report every training-data pipeline runs before
+# swapping corpora.  v1/v2 are deterministic slices of the fixture;
+# per source: doc deltas (anti-join semantics via FULL OUTER on
+# content fingerprint) and token-volume shift.  Anti-joins shuffle
+# 32-char fingerprints, never text.
+# --------------------------------------------------------------------------
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T.fingerprint(load_table(spark, sf_dir, "documents"))
+    v1 = docs.filter(F.col("doc_id") % 5 != 0)
+    v2 = docs.filter(F.col("doc_id") % 7 != 0)
+    n_tok = F.size(T.tokens(F.col("text")))
+    a = v1.select("source", F.col("doc_fp").alias("fp"), n_tok.alias("t1"))
+    b = v2.select("source", F.col("doc_fp").alias("fp"), n_tok.alias("t2"))
+    j = a.join(b, ["source", "fp"], "full_outer")
+    return j.groupBy("source").agg(
+        F.count("t1").alias("n_v1"),
+        F.count("t2").alias("n_v2"),
+        F.count(F.when(F.col("t1").isNull(), 1)).alias("n_added"),
+        F.count(F.when(F.col("t2").isNull(), 1)).alias("n_removed"),
+        (F.coalesce(F.sum("t2"), F.lit(0)) - F.coalesce(F.sum("t1"), F.lit(0))
+         ).alias("token_delta"),
+    )
+
+
+Q_CORPUS_DIFF_SQL = """
+WITH d AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(trim(text), ' +', ' ', 'g')) AS fp,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+a AS (SELECT source, fp, n_tok AS t1 FROM d WHERE doc_id % 5 <> 0),
+b AS (SELECT source, fp, n_tok AS t2 FROM d WHERE doc_id % 7 <> 0),
+j AS (SELECT COALESCE(a.source, b.source) AS source, t1, t2
+      FROM a FULL OUTER JOIN b ON a.source = b.source AND a.fp = b.fp)
+SELECT source,
+       COUNT(t1) AS n_v1,
+       COUNT(t2) AS n_v2,
+       COUNT(CASE WHEN t1 IS NULL THEN 1 END) AS n_added,
+       COUNT(CASE WHEN t2 IS NULL THEN 1 END) AS n_removed,
+       CAST(COALESCE(SUM(t2), 0) - COALESCE(SUM(t1), 0) AS BIGINT)
+         AS token_delta
+FROM j GROUP BY source
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_clusters": q_dedup_clusters,
@@ -1467,6 +1515,7 @@ QUERIES = {
     "q_pipeline_funnel": q_pipeline_funnel,
     "q_kmv_distinct": q_kmv_distinct,
     "q_kmv_rollup_incremental": q_kmv_rollup_incremental,
+    "q_corpus_diff": q_corpus_diff,
 }
 
 ORACLE = {
@@ -1506,4 +1555,5 @@ ORACLE = {
     "q_pipeline_funnel": Q_PIPELINE_FUNNEL_SQL,
     "q_kmv_distinct": Q_KMV_DISTINCT_SQL,
     "q_kmv_rollup_incremental": Q_KMV_ROLLUP_SQL,
+    "q_corpus_diff": Q_CORPUS_DIFF_SQL,
 }
