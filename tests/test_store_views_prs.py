@@ -251,3 +251,31 @@ class TestRsidIndex:
         # the secondary copy carries every row of the primary
         n = spark.read.parquet(store.rsid_index_path).count()
         assert n == store.read().count() == 50
+
+
+class TestSnapshotRead:
+    def test_read_as_of_excludes_later_batches(self, spark, tmp_path):
+        import time as _time
+
+        from tests.vcf_fixtures import write_vcf
+        from vcf_pg_loader_spark.sources.vcf import read_vcf
+
+        store = VariantStore(spark, str(tmp_path / "tstore"))
+        v1 = write_vcf(
+            str(tmp_path / "t1.vcf"),
+            ["chr1\t100\trsT1\tA\tG\t50.0\tPASS\tDP=30"],
+        )
+        store.load(read_vcf(spark, v1), v1)
+        cut = _time.time()
+        _time.sleep(0.05)
+        v2 = write_vcf(
+            str(tmp_path / "t2.vcf"),
+            ["chr2\t200\trsT2\tT\tC\t60.0\tPASS\tDP=20",
+             "chr2\t300\trsT3\tG\tA\t70.0\tPASS\tDP=10"],
+        )
+        store.load(read_vcf(spark, v2), v2)
+
+        assert store.read().count() == 3
+        assert store.read_as_of(cut).count() == 1
+        assert store.read_as_of(cut).first().rs_id == "rsT1"
+        assert store.read_as_of(0.0).count() == 0

@@ -1478,6 +1478,37 @@ FROM j GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# sequence-length distribution: the histogram every pretraining dataset
+# card reports (and packing/chunking parameters are tuned by).  Bucketed
+# per source; one narrow projection + hash agg.
+# --------------------------------------------------------------------------
+LEN_BUCKET = 10
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(T.tokens(F.col("text")))
+    bucket = (F.floor(n_tok / LEN_BUCKET) * LEN_BUCKET).cast("bigint")
+    return docs.groupBy(
+        "source", bucket.alias("len_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok.cast("bigint")).alias("n_tokens"),
+    )
+
+
+Q_LENGTH_HISTOGRAM_SQL = f"""
+SELECT source,
+       CAST(FLOOR(len(string_split(text, ' ')) / {LEN_BUCKET})
+            * {LEN_BUCKET} AS BIGINT) AS len_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_clusters": q_dedup_clusters,
@@ -1516,6 +1547,7 @@ QUERIES = {
     "q_kmv_distinct": q_kmv_distinct,
     "q_kmv_rollup_incremental": q_kmv_rollup_incremental,
     "q_corpus_diff": q_corpus_diff,
+    "q_length_histogram": q_length_histogram,
 }
 
 ORACLE = {
@@ -1556,4 +1588,5 @@ ORACLE = {
     "q_kmv_distinct": Q_KMV_DISTINCT_SQL,
     "q_kmv_rollup_incremental": Q_KMV_ROLLUP_SQL,
     "q_corpus_diff": Q_CORPUS_DIFF_SQL,
+    "q_length_histogram": Q_LENGTH_HISTOGRAM_SQL,
 }

@@ -198,6 +198,25 @@ class VariantStore:
             .saveAsTable(table)
         )
 
+    def read_as_of(self, ts: float) -> DataFrame:
+        """Snapshot read: only rows from batches whose load COMPLETED at
+        or before `ts` (epoch seconds) — time travel over the audit
+        trail, since every row carries its load_batch_id.
+
+        Holds as long as history is append-only; `delete_batch`/`force`
+        reloads physically remove rows, so a snapshot older than the
+        earliest surviving batch is partial (the audit records what was
+        deleted).  A transactional table format's version travel is the
+        production twin."""
+        batches = [
+            r["batch_id"]
+            for r in self._read_audit()
+            if r["status"] == "completed" and r["completed_at"] <= ts
+        ]
+        if not batches:
+            return self.read().limit(0)
+        return self.read().filter(F.col("load_batch_id").isin(batches))
+
     # -- maintenance ----------------------------------------------------
     def compact(self, target_rows_per_file: int = 1_000_000) -> dict:
         """Rewrite each chromosome partition into ~target-sized, pos-sorted
