@@ -607,3 +607,35 @@ class TestFastKernelUniformity:
         emb = self._emb(spark)
         with pytest.raises(ValueError, match="unknown dot kernel"):
             cosine_topk(emb, emb, 3, kernel="float16").collect()
+
+
+class TestWeightedSample:
+    def test_biased_toward_heavy_and_deterministic(self, spark):
+        from vcf_pg_loader_spark.operators.sampling import weighted_sample
+        from vcf_pg_loader_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        weighted = docs.withColumn("w", F.size(F.split(F.col("text"), " ")))
+        got = weighted_sample(weighted, "doc_id", "w", 200)
+        assert got.count() == 200
+
+        mean_all = weighted.agg(F.avg("w")).first()[0]
+        mean_sampled = got.agg(F.avg("w")).first()[0]
+        # E-S inclusion prob ∝ weight: sampled docs skew heavier
+        assert mean_sampled > mean_all * 1.05
+
+        again = {
+            r.doc_id for r in weighted_sample(weighted, "doc_id", "w", 200)
+            .select("doc_id").collect()
+        }
+        assert {r.doc_id for r in got.select("doc_id").collect()} == again
+
+    def test_plan_is_take_ordered(self, spark):
+        from tests.test_plans import plan_of
+        from vcf_pg_loader_spark.operators.sampling import weighted_sample
+        from vcf_pg_loader_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        weighted = docs.withColumn("w", F.size(F.split(F.col("text"), " ")))
+        plan = plan_of(weighted_sample(weighted, "doc_id", "w", 50), "simple")
+        assert "TakeOrderedAndProject" in plan  # top-n, not a global sort

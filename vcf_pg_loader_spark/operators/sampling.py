@@ -128,3 +128,36 @@ def sql_stratified_sample_pred(
     )
     rate = f"CASE {arms} ELSE {int(round(default_rate * BUCKETS))} END"
     return f"{bucket} < {rate}"
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    n: int,
+    salt: str = "ws:",
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement of n rows, where a
+    row's inclusion probability is proportional to its weight —
+    Efraimidis–Spirakis A-Res: rank every row by u^(1/w) with u a
+    uniform derived from the deterministic row hash, keep the top n.
+
+    Deterministic like everything in this module (same corpus + salt →
+    same sample, any partitioning), which makes weighted data mixes
+    reproducible across reruns.  Plan shape: a narrow key expression,
+    then TakeOrdered(n) — per-partition top-n merged on the driver-side
+    reducer, never a global sort.  Cross-engine oracle parity is NOT
+    claimed here: pow() may differ in the last ulp between engines, so
+    the selection boundary could flip; within Spark it is exact.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (h60(F.col(id_col).cast("string"), salt) + F.lit(1)).cast(
+        "double"
+    ) / F.lit(float(1 << 60))
+    key = F.pow(u, F.lit(1.0) / w.cast("double"))
+    return (
+        df.withColumn("_ws_key", key)
+        .orderBy(F.desc("_ws_key"), F.asc(id_col))
+        .limit(n)
+        .drop("_ws_key")
+    )
