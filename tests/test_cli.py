@@ -147,3 +147,15 @@ def test_compact_command(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows"] == 6 and out["partitions"] == 1
     assert out["files_after"] < out["files_before"]
+
+
+def test_build_rsid_index_command(spark, tmp_path, capsys):
+    store_path = str(tmp_path / "ristore")
+    rows = [f"chr1\t{100 + j}\trsX{j}\tA\tG\t50.0\tPASS\tDP=9" for j in range(5)]
+    vcf = write_vcf(str(tmp_path / "ri.vcf"), rows)
+    assert main(["load", vcf, "--store", store_path]) == 0
+    capsys.readouterr()
+    assert main(["build-rsid-index", "--store", store_path, "--files", "2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    import os
+    assert os.path.isdir(out["rsid_index"])

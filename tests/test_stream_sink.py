@@ -192,3 +192,30 @@ class TestKMVDistinctSink:
         sink.apply_batch(batch, batch_id=3)
         again = {r.event_type: r.hashes for r in sink.read(spark).collect()}
         assert first == again
+
+
+class TestRollupKWayMerge:
+    def test_any_split_folds_to_the_same_rollup(self, spark, events):
+        """Associativity/commutativity in practice: a random 4-way split
+        folded in arbitrary order equals the single-pass rollup."""
+        from functools import reduce
+
+        from vcf_pg_loader_spark.operators.rollup import merge_rollup
+
+        parts = [
+            event_rollup_partial(
+                events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i), "hour"
+            )
+            for i in (2, 0, 3, 1)  # deliberately out of order
+        ]
+        merged = rollup_final(reduce(merge_rollup, parts))
+        whole = rollup_final(event_rollup_partial(events, "hour"))
+        m = {
+            (r.bucket, r.event_type): (r.n_events, r.total_value, r.min_value, r.max_value)
+            for r in merged.collect()
+        }
+        w = {
+            (r.bucket, r.event_type): (r.n_events, r.total_value, r.min_value, r.max_value)
+            for r in whole.collect()
+        }
+        assert m == w

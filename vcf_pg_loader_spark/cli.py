@@ -345,6 +345,17 @@ def cmd_benchmark(args) -> int:
     return 0
 
 
+def cmd_build_rsid_index(args) -> int:
+    """Materialize the rsid-sorted secondary copy for point lookups
+    (rebuild after loads, like the reference's index recreation)."""
+    from vcf_pg_loader_spark.sources.store import VariantStore
+
+    store = VariantStore(_spark(), args.store)
+    store.build_rsid_index(files=args.files)
+    print(json.dumps({"rsid_index": store.rsid_index_path}))
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Rewrite append-fragmented store partitions into pos-sorted
     target-size files (small-files maintenance; row identity preserved)."""
@@ -460,6 +471,11 @@ def build_parser() -> argparse.ArgumentParser:
              help="compact store partitions into target-size sorted files")
     sp.add_argument("--store", required=True)
     sp.add_argument("--target-rows", type=int, default=1_000_000)
+
+    sp = add("build-rsid-index", cmd_build_rsid_index,
+             help="materialize the rsid-sorted point-lookup copy")
+    sp.add_argument("--store", required=True)
+    sp.add_argument("--files", type=int, default=32)
 
     return p
 
