@@ -84,3 +84,45 @@ class TestZorderPruning:
                 touched += 1
         # a 5% band on either dimension touches well under half the files
         assert touched <= len(files) // 2, (col, touched, len(files))
+
+
+class TestNDimZorder:
+    def test_three_way_interleave_matches_reference(self, spark):
+        from vcf_pg_loader_spark.operators.layout import interleave_bits_n
+
+        def ref(vals, bits, n):
+            out = 0
+            for i in range(bits):
+                for j, v in enumerate(vals):
+                    out |= ((v >> i) & 1) << (i * n + (n - 1 - j))
+            return out
+
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            tuple(rng.randrange(1 << 10) for _ in range(3)) for _ in range(100)
+        ]
+        df = spark.createDataFrame(rows, "a long, b long, c long")
+        got = df.select(
+            "a", "b", "c",
+            interleave_bits_n([F.col("a"), F.col("b"), F.col("c")], 10).alias("z"),
+        ).collect()
+        for r in got:
+            assert r.z == ref((r.a, r.b, r.c), 10, 3)
+
+    def test_overflow_guard(self, spark):
+        from vcf_pg_loader_spark.operators.layout import interleave_bits_n
+
+        with pytest.raises(ValueError):
+            interleave_bits_n([F.col("a")] * 4, 21)  # 84 bits > 62
+
+    def test_three_column_write(self, spark, tmp_path):
+        from vcf_pg_loader_spark.operators.layout import write_zordered
+
+        li = load_table(spark, SF_DIR, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey"
+        )
+        path = str(tmp_path / "z3")
+        write_zordered(li, path, "l_orderkey", "l_partkey", "l_suppkey", files=8)
+        assert spark.read.parquet(path).count() == li.count()

@@ -29,33 +29,47 @@ from pyspark.sql import functions as F
 _BITS = 21
 
 
-def interleave_bits(a: Column, b: Column, bits: int = _BITS) -> Column:
-    """Morton code of two non-negative ints in [0, 2^bits): a's bit i
-    lands at position 2i+1, b's at 2i."""
+def interleave_bits_n(cols: list[Column], bits: int) -> Column:
+    """Morton code of n non-negative ints in [0, 2^bits): bit i of
+    column j lands at position i*n + (n-1-j), so earlier columns take
+    the more significant position within each bit group.  n*bits must
+    stay under 63 (signed bigint)."""
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(f"{n} dims x {bits} bits overflows bigint")
     terms = []
     for i in range(bits):
-        terms.append(
-            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
-        terms.append(
-            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i)
-        )
+        for j, c in enumerate(cols):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(c, i).bitwiseAND(F.lit(1)),
+                    i * n + (n - 1 - j),
+                )
+            )
     return reduce(lambda x, y: x.bitwiseOR(y), terms)
 
 
+def interleave_bits(a: Column, b: Column, bits: int = _BITS) -> Column:
+    """Morton code of two non-negative ints in [0, 2^bits): a's bit i
+    lands at position 2i+1, b's at 2i."""
+    return interleave_bits_n([a, b], bits)
+
+
 def zorder_key(
-    df: DataFrame, col_a: str, col_b: str, bits: int = _BITS
+    df: DataFrame, *cols: str, bits: int | None = None
 ) -> DataFrame:
-    """Adds `_z`: the Morton code of the two columns min/max-scaled to
-    [0, 2^bits).  The min/max pass is a scalar aggregate broadcast back
-    (never a window); constant columns collapse to 0 safely."""
-    stats = df.agg(
-        F.min(col_a).alias("_amin"),
-        F.max(col_a).alias("_amax"),
-        F.min(col_b).alias("_bmin"),
-        F.max(col_b).alias("_bmax"),
-    )
-    top = float((1 << bits) - 1)
+    """Adds `_z`: the Morton code of n columns min/max-scaled to
+    [0, 2^bits).  The min/max pass is ONE scalar aggregate broadcast
+    back (never a window); constant columns collapse to 0 safely.
+    Default bits split the 62-bit budget evenly (21 at n=2, 15 at n=4)."""
+    n = len(cols)
+    b = bits if bits is not None else min(_BITS, 62 // n)
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(F.min(c).alias(f"_lo{i}"))
+        aggs.append(F.max(c).alias(f"_hi{i}"))
+    stats = df.agg(*aggs)
+    top = float((1 << b) - 1)
 
     def scale(c, lo, hi):
         span = F.when(hi > lo, (hi - lo).cast("double")).otherwise(F.lit(1.0))
@@ -64,27 +78,29 @@ def zorder_key(
         ).cast("bigint")
 
     with_stats = df.crossJoin(F.broadcast(stats))
-    a = scale(F.col(col_a), F.col("_amin"), F.col("_amax"))
-    b = scale(F.col(col_b), F.col("_bmin"), F.col("_bmax"))
-    return with_stats.withColumn("_z", interleave_bits(a, b, bits)).drop(
-        "_amin", "_amax", "_bmin", "_bmax"
+    scaled = [
+        scale(F.col(c), F.col(f"_lo{i}"), F.col(f"_hi{i}"))
+        for i, c in enumerate(cols)
+    ]
+    drop = [f"_{p}{i}" for i in range(n) for p in ("lo", "hi")]
+    return with_stats.withColumn("_z", interleave_bits_n(scaled, b)).drop(
+        *drop
     )
 
 
 def write_zordered(
     df: DataFrame,
     path: str,
-    col_a: str,
-    col_b: str,
+    *cols: str,
     files: int = 32,
-    bits: int = _BITS,
+    bits: int | None = None,
 ) -> None:
-    """Write `df` as parquet laid out along the Z-curve of (col_a,
-    col_b): range-partitioned and sorted by the Morton code, so each
-    output file covers a compact rectangle of the 2-D space and
-    min/max stats prune on either column."""
+    """Write `df` as parquet laid out along the Z-curve of `cols`:
+    range-partitioned and sorted by the Morton code, so each output
+    file covers a compact hyper-rectangle and min/max stats prune
+    selective filters on ANY of the interleaved columns."""
     (
-        zorder_key(df, col_a, col_b, bits)
+        zorder_key(df, *cols, bits=bits)
         .repartitionByRange(files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
