@@ -114,9 +114,14 @@ def parse_throughput_bgzf(spark, n_variants: int = 2_000_000) -> dict:
         first = time.perf_counter()
         read_vcf(spark, path, normalize=True).count()
         first_sec = time.perf_counter() - first
-        t0 = time.perf_counter()
-        rows = read_vcf(spark, path, normalize=True).count()
-        dt = time.perf_counter() - t0
+        # best-of-two timed passes (steady state; the JIT ramp can still
+        # eat the first — same policy as parse_throughput)
+        dt = float("inf")
+        rows = 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = read_vcf(spark, path, normalize=True).count()
+            dt = min(dt, time.perf_counter() - t0)
     return {
         "variants": n_variants,
         "rows_after_decomposition": rows,
