@@ -1509,6 +1509,60 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# dataset-card summary pair: corpus duplication rate (one row) and
+# per-source keep rate through the REAL quality filter — the two
+# headline numbers of any corpus release note.
+# --------------------------------------------------------------------------
+def q_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T.fingerprint(load_table(spark, sf_dir, "documents"))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("doc_fp").alias("n_unique"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("doc_fp") / F.count(F.lit(1)), 6
+        ).alias("dup_ratio"),
+    )
+
+
+Q_DUP_RATE_SQL = """
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(regexp_replace(trim(text), ' +', ' ', 'g')))
+         AS n_unique,
+       ROUND(1.0 - COUNT(DISTINCT
+                md5(regexp_replace(trim(text), ' +', ' ', 'g')))
+              * 1.0 / COUNT(*), 6) AS dup_ratio
+FROM documents
+"""
+
+
+def q_source_keep_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    qual = q_quality_filter(spark, sf_dir).select("doc_id", "keep")
+    return (
+        docs.join(qual, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+            F.round(
+                F.count(F.when(F.col("keep"), 1)) / F.count(F.lit(1)), 6
+            ).alias("keep_rate"),
+        )
+    )
+
+
+Q_SOURCE_KEEP_RATE_SQL = f"""
+WITH q AS ({Q_QUALITY_FILTER_SQL})
+SELECT d.source, COUNT(*) AS n_docs,
+       COUNT(CASE WHEN q.keep THEN 1 END) AS n_kept,
+       ROUND(COUNT(CASE WHEN q.keep THEN 1 END) * 1.0 / COUNT(*), 6)
+         AS keep_rate
+FROM documents d JOIN q USING (doc_id)
+GROUP BY d.source
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_clusters": q_dedup_clusters,
@@ -1548,6 +1602,8 @@ QUERIES = {
     "q_kmv_rollup_incremental": q_kmv_rollup_incremental,
     "q_corpus_diff": q_corpus_diff,
     "q_length_histogram": q_length_histogram,
+    "q_dup_rate": q_dup_rate,
+    "q_source_keep_rate": q_source_keep_rate,
 }
 
 ORACLE = {
@@ -1589,4 +1645,6 @@ ORACLE = {
     "q_kmv_rollup_incremental": Q_KMV_ROLLUP_SQL,
     "q_corpus_diff": Q_CORPUS_DIFF_SQL,
     "q_length_histogram": Q_LENGTH_HISTOGRAM_SQL,
+    "q_dup_rate": Q_DUP_RATE_SQL,
+    "q_source_keep_rate": Q_SOURCE_KEEP_RATE_SQL,
 }
