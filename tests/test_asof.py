@@ -122,3 +122,16 @@ class TestAsofRandomized:
                      if ru == u and rts <= ts]
             want = max(cands)[1] if cands else None
             assert got[i] == want, (i, u, ts, got[i], want)
+
+
+class TestAsofEdges:
+    def test_empty_right_preserves_left_with_nulls(self, spark, frames):
+        left, right = frames
+        empty = right.limit(0)
+        got = asof_join(left, empty, "ts", ["u"]).collect()
+        assert len(got) == 4
+        assert all(r.asof_v is None and r.asof_ts is None for r in got)
+
+    def test_empty_left_yields_empty(self, spark, frames):
+        left, right = frames
+        assert asof_join(left.limit(0), right, "ts", ["u"]).count() == 0

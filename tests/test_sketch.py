@@ -71,3 +71,18 @@ class TestKMV:
             for r in kmv_sketch(events, ["event_type"], "user_id", K).collect()
         }
         assert merged == whole  # sketch(a ∪ b) == merge(sketch(a), sketch(b))
+
+
+class TestKMVEdges:
+    def test_empty_input_yields_empty_sketch(self, spark):
+        df = spark.createDataFrame([], "g string, v string")
+        assert kmv_sketch(df, ["g"], "v", K).count() == 0
+
+    def test_null_values_hash_distinctly_from_absent(self, spark):
+        df = spark.createDataFrame(
+            [("g", None), ("g", "a"), ("g", "a")], "g string, v string"
+        )
+        est = kmv_estimate(kmv_sketch(df, ["g"], "v", K), K).first()
+        # CAST(NULL AS STRING) hashes to null -> dropped by h60's md5;
+        # only 'a' counts (matching COUNT(DISTINCT v) null semantics)
+        assert est.n_distinct_est == 1.0

@@ -46,9 +46,16 @@ def kmv_sketch(
 ) -> DataFrame:
     """Per-group KMV state: (group..., hashes array<bigint> ascending,
     n_distinct_seen capped at k)."""
-    hashed = df.select(
-        *group_cols, h60(F.col(value_col).cast("string")).alias("_h")
-    ).dropDuplicates([*group_cols, "_h"])
+    # nulls drop BEFORE ranking: COUNT(DISTINCT) ignores them, and a
+    # null hash must not consume a top-k slot (Spark ascending sorts
+    # nulls first, DuckDB last — at the k boundary that would diverge)
+    hashed = (
+        df.select(
+            *group_cols, h60(F.col(value_col).cast("string")).alias("_h")
+        )
+        .filter(F.col("_h").isNotNull())
+        .dropDuplicates([*group_cols, "_h"])
+    )
     w = Window.partitionBy(*group_cols).orderBy("_h")
     return (
         hashed.withColumn("_rn", F.row_number().over(w))
@@ -110,6 +117,7 @@ def sql_kmv_estimate(
 WITH hashed AS (
   SELECT DISTINCT {g}, {sql_h60(f"CAST({value_expr} AS VARCHAR)")} AS h
   FROM {table_expr}
+  WHERE {value_expr} IS NOT NULL
 ),
 ranked AS (
   SELECT {g}, h,
