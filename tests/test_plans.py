@@ -273,3 +273,40 @@ def test_epoch_shuffle_no_global_sort(spark, sf):
     plan = plan_of(q_epoch_shuffle(spark, sf), mode="simple")
     assert "rangepartitioning" not in plan.lower()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_funnel_single_pass_per_stage(spark, sf):
+    """The curation funnel must stay JVM-side end to end and join the
+    quality verdict/canonical sets without Python or cartesian nodes."""
+    from vcf_pg_loader_spark.queries.pipeline import q_pipeline_funnel
+
+    plan = plan_of(q_pipeline_funnel(spark, sf), mode="simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rollup_merge_shuffles_only_bucket_keyspace(spark, sf):
+    """Folding a delta into a rollup must never re-shuffle raw events:
+    exchanges are keyed on the (bucket, event_type) rollup keyspace."""
+    from vcf_pg_loader_spark.operators.rollup import (
+        event_rollup_partial,
+        merge_rollup,
+    )
+    from vcf_pg_loader_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf, "events")
+    merged = merge_rollup(
+        event_rollup_partial(ev.filter(F.col("event_id") % 2 == 0), "hour"),
+        event_rollup_partial(ev.filter(F.col("event_id") % 2 == 1), "hour"),
+    )
+    plan = plan_of(merged, mode="simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # every exchange is on the rollup keys (Catalyst may alias the
+    # date_trunc key to _groupingexpression); none carries raw event
+    # columns
+    import re
+
+    for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "event_type" in m, m
+        for raw in ("event_id", "user_id", "value#", "ts#"):
+            assert raw not in m, m
