@@ -1744,6 +1744,45 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# RANGE window frame: per customer, trailing-30-day order count and
+# revenue at each order — a VALUE-based frame (peers by day distance),
+# not the row-based frames used elsewhere.  Both engines frame over
+# days-since-epoch integers so the peer sets match exactly.
+# --------------------------------------------------------------------------
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.count(F.lit(1)).over(w).alias("n_recent"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("recent_revenue"),
+    )
+
+
+Q_WINDOW_RANGE_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       COUNT(*) OVER w AS n_recent,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS recent_revenue
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY datediff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE))
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -1792,6 +1831,7 @@ QUERIES = {
     "q_session_window": q_session_window,
     "q_grouping_sets": q_grouping_sets,
     "q_asof_tolerance": q_asof_tolerance,
+    "q_window_range_frame": q_window_range_frame,
 }
 
 ORACLE = {
@@ -1842,4 +1882,5 @@ ORACLE = {
     "q_session_window": Q_SESSION_WINDOW_SQL,
     "q_grouping_sets": Q_GROUPING_SETS_SQL,
     "q_asof_tolerance": Q_ASOF_TOLERANCE_SQL,
+    "q_window_range_frame": Q_WINDOW_RANGE_SQL,
 }
