@@ -155,3 +155,30 @@ class TestVectorIndex:
         idx.build(emb, k_centroids=8, m=M, k_sub=K_SUB)
         cells = g.glob(str(tmp_path / "vidx" / "codes" / "cid=*"))
         assert len(cells) >= 2  # nprobe pruning maps to directory pruning
+        # the flat-serving corpus shares the same cid directory layout
+        vcells = g.glob(str(tmp_path / "vidx" / "vectors" / "cid=*"))
+        assert sorted(vcells) == sorted(
+            c.replace("/codes/", "/vectors/") for c in cells
+        )
+
+    def test_flat_serving_matches_direct_ivf(self, spark, emb, tmp_path):
+        """search_flat from the persisted index == ivf_topk run fresh
+        over the corpus with the same params — the read-from-disk path
+        q_ann_ivf_served puts under the driver's oracle."""
+        from vcf_pg_loader_spark.operators.similarity import ivf_topk
+        from vcf_pg_loader_spark.sources.vector_index import VectorIndex
+
+        idx = VectorIndex(spark, str(tmp_path / "vidx"))
+        idx.build(emb, k_centroids=8, m=M, k_sub=K_SUB, kernel="exact")
+        queries = emb.filter(F.col("vec_id") < N_Q)
+        served = {
+            (r.query_id, r.cand_id, r.cos_sim, r.rn)
+            for r in idx.search_flat(queries, TOP_K, nprobe=2).collect()
+        }
+        direct = {
+            (r.query_id, r.cand_id, r.cos_sim, r.rn)
+            for r in ivf_topk(
+                emb, queries, TOP_K, k_centroids=8, n_iter=2, nprobe=2
+            ).collect()
+        }
+        assert served == direct  # exact ranks AND exact doubles

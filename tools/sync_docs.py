@@ -1,0 +1,138 @@
+"""Guard the docs against drifting from the driver artifacts.
+
+Round-5 lesson: the changelog quoted an interim local parse rate (1.95M
+variants/s) and query count (116) that the authoritative BENCH_r05.json
+contradicted (1.32M/s, 117).  This tool makes that drift mechanical to
+catch: it loads the LATEST BENCH_r*.json `parsed` contract plus the live
+registry, then scans docs/ and README.md for quantitative claims of the
+guarded kinds and fails (exit 1) on any number that contradicts the
+artifact.
+
+Guarded claims:
+  - "N oracled queries" / "N queries" style registry counts: must match
+    the live registry size (the registry is the source of truth between
+    bench runs; the artifact's queries_total is also accepted for docs
+    describing a past round).
+  - "X.YZM variants/s" parse-rate claims: must match one of the
+    artifact's three parse rates within 10% (minimal / full-featured /
+    BGZF single-file) — the tolerance absorbs run-to-run jitter while
+    catching the 1.5× overclaim class.
+
+Run: python tools/sync_docs.py   (repo root; exits 0 = in sync)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def latest_bench() -> dict | None:
+    paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    for path in reversed(paths):
+        try:
+            with open(path) as fh:
+                parsed = json.load(fh).get("parsed")
+        except (OSError, ValueError):
+            continue
+        if parsed:
+            parsed["_path"] = os.path.basename(path)
+            return parsed
+    return None
+
+
+def registry_size() -> int:
+    from vcf_pg_loader_spark.queries import all_queries
+
+    return len(all_queries())
+
+
+def doc_files() -> list[str]:
+    return [os.path.join(REPO, "README.md")] + sorted(
+        glob.glob(os.path.join(REPO, "docs", "*.md"))
+    )
+
+
+def check(path: str, bench: dict | None, n_registry: int) -> list[str]:
+    errors: list[str] = []
+    with open(path) as fh:
+        text = fh.read()
+    rel = os.path.relpath(path, REPO)
+
+    # registry-count claims: "117 oracled queries", "(117 queries)", ...
+    ok_counts = {n_registry}
+    if bench and bench.get("queries_total"):
+        ok_counts.add(int(bench["queries_total"]))
+    for m in re.finditer(r"\b(\d{2,4})\s+(?:oracled\s+)?quer(?:y|ies)", text):
+        n = int(m.group(1))
+        if n not in ok_counts:
+            errors.append(
+                f"{rel}: claims {n} queries; registry has {n_registry}"
+                + (
+                    f", latest artifact {bench['queries_total']}"
+                    if bench and bench.get("queries_total")
+                    else ""
+                )
+            )
+
+    # parse-rate claims: "1.32M variants/s", "903k/s", "1,320,841 variants/s"
+    if bench:
+        rates = [
+            bench.get("vcf_parse_variants_per_sec"),
+            bench.get("vcf_parse_full_features_variants_per_sec"),
+            bench.get("vcf_parse_bgzf_single_file_variants_per_sec"),
+        ]
+        rates = [r for r in rates if r]
+        pat = re.compile(
+            r"\b(\d+(?:[.,]\d+)*)\s*([MkK])?\s*(?:variants)?/s", re.ASCII
+        )
+        for m in pat.finditer(text):
+            line = text[text.rfind("\n", 0, m.start()) + 1 : m.start()]
+            # exempt the reference's published baseline and "≥ target"
+            # phrasings — those cite OTHER numbers, not this engine's
+            if "reference" in line.lower() or line.rstrip().endswith(
+                ("≥", ">=", "~106k", "(≥")
+            ) or "≥" in line[-8:]:
+                continue
+            num = float(m.group(1).replace(",", ""))
+            unit = (m.group(2) or "").upper()
+            value = num * (1e6 if unit == "M" else 1e3 if unit == "K" else 1)
+            if value < 50_000:  # not a parse-rate claim (e.g. "5 rows/s")
+                continue
+            if not any(abs(value - r) / r <= 0.10 for r in rates):
+                errors.append(
+                    f"{rel}: parse-rate claim {m.group(0)!r} matches no "
+                    f"artifact rate within 10% ({bench['_path']}: "
+                    + ", ".join(f"{r:,.0f}" for r in rates)
+                    + ")"
+                )
+    return errors
+
+
+def main() -> int:
+    bench = latest_bench()
+    n_registry = registry_size()
+    all_errors: list[str] = []
+    for path in doc_files():
+        all_errors.extend(check(path, bench, n_registry))
+    if all_errors:
+        print(f"DOCS OUT OF SYNC ({len(all_errors)}):")
+        for e in all_errors:
+            print(f"  - {e}")
+        return 1
+    src = bench["_path"] if bench else "no parsed bench artifact"
+    print(
+        f"docs in sync: registry={n_registry} queries, artifact={src}, "
+        f"{len(doc_files())} files checked"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -54,7 +54,11 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward: {direction}")
 
     payload_cols = [c for c in right.columns if c not in (*by, ts_col)]
-    r = right.select(
+    # Null timestamps never participate in an as-of match (DuckDB ASOF
+    # semantics): a null right ts would otherwise sort first under asc
+    # nulls-first and leak its payload into early left rows; a null left
+    # ts is guarded below.  Same null-drop rationale as kmv_sketch.
+    r = right.filter(F.col(ts_col).isNotNull()).select(
         *by,
         F.col(ts_col),
         F.struct(
@@ -76,6 +80,12 @@ def asof_join(
     carried = both.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
 
     out = carried.filter(F.col("_side") == 1)
+    # A left row with a null ts has no well-defined "as of" point: null
+    # the match out (under forward/desc it would sort nulls-last and
+    # wrongly inherit the running payload).
+    out = out.withColumn(
+        "_m", F.when(F.col(ts_col).isNotNull(), F.col("_m"))
+    )
     if tolerance is not None:
         gap = (
             F.col(ts_col) - F.col("_m._ts")

@@ -9,10 +9,13 @@ batch, not per row.  Partitioning is by content hash so hot items spread.
 The codec libraries are OPTIONAL imports: when PIL / soundfile exist on
 the cluster image, `_decode_image` / `_decode_audio` use them; in this
 container (no imaging/audio libs) they fall back to clearly-marked
-deterministic fakes.  Either way the Spark-side plumbing — schemas,
-batch iteration, UDF signatures, partitioning — is identical, real, and
-tested; golden tests for the real path are skip-marked when the library
-is absent.
+deterministic fakes — EXCEPT PCM WAV audio, which decodes for real
+everywhere via the stdlib `wave`/`struct` modules (no dependency), so
+the audio feature path is live, not stubbed, for the most common raw
+format.  Either way the Spark-side plumbing — schemas, batch iteration,
+UDF signatures, partitioning — is identical, real, and tested; golden
+tests for the remaining gated paths are skip-marked when the library is
+absent.
 """
 
 from __future__ import annotations
@@ -180,10 +183,47 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _decode_wav_pcm(content: bytes) -> np.ndarray | None:
+    """Pure-stdlib PCM WAV decode (`wave` module, no codec library):
+    integer PCM at 8/16/32-bit widths -> float32 in [-1, 1), channels
+    downmixed by mean.  Returns None for anything the stdlib reader
+    rejects (compressed WAV, float WAV, non-RIFF) so the caller can
+    fall through to soundfile / the fake seam."""
+    import wave as _wave
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    try:
+        with _wave.open(io.BytesIO(content), "rb") as wf:
+            n_ch = wf.getnchannels()
+            width = wf.getsampwidth()
+            frames = wf.readframes(wf.getnframes())
+    except (_wave.Error, EOFError):
+        return None
+    if width == 1:  # unsigned 8-bit PCM
+        samples = np.frombuffer(frames, dtype=np.uint8).astype(np.float32)
+        samples = (samples - 128.0) / 128.0
+    elif width == 2:
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        samples = (
+            np.frombuffer(frames, dtype="<i4").astype(np.float32) / 2147483648.0
+        )
+    else:  # 24-bit et al.: rare enough to route to the library path
+        return None
+    if n_ch > 1:
+        samples = samples.reshape(-1, n_ch).mean(axis=1)
+    return samples.astype(np.float32)
+
+
 def _decode_audio(content: bytes, sample_rate: int) -> np.ndarray:
-    """DECODE SEAM: real soundfile decode when available, else a
-    deterministic pseudo-waveform in [-1, 1) whose length scales with
-    the payload, as a real decode's would."""
+    """DECODE SEAM: PCM WAV decodes everywhere via the stdlib (first —
+    deterministic and dependency-free); soundfile handles other formats
+    when available; else a deterministic pseudo-waveform in [-1, 1)
+    whose length scales with the payload, as a real decode's would."""
+    wav = _decode_wav_pcm(content)
+    if wav is not None:
+        return wav
     if HAVE_SOUNDFILE:
         wave, _sr = _soundfile.read(io.BytesIO(content), dtype="float32")
         return wave if wave.ndim == 1 else wave.mean(axis=1)

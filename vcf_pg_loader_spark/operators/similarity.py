@@ -486,6 +486,26 @@ def ivf_topk(
     cents, assigned = ivf_fit(
         corpus, k_centroids, n_iter, id_col, vec_col, kernel
     )
+    return ivf_search(cents, assigned, queries, k, nprobe, id_col, vec_col, kernel)
+
+
+def ivf_search(
+    cents: DataFrame,
+    assigned: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kernel: str = "exact",
+) -> DataFrame:
+    """The serve half of IVF-Flat, decoupled from the fit: rank each
+    query's nprobe cells against the (tiny, broadcast) centroid table,
+    equi-join on cid into the pre-assigned corpus, exact cosine inside
+    the probed cells.  `assigned` is (vid, vec, vv, cid) — either fresh
+    from ivf_fit or read back from a persisted VectorIndex
+    (sources/vector_index.py), which is the build-once/serve-many
+    production shape: serving never re-scans or re-fits the corpus."""
     dot = _dot(kernel)
     cand = assigned.select(
         F.col("vid").alias("cand_id"),

@@ -1166,6 +1166,79 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
 
 
 # --------------------------------------------------------------------------
+# SERVED variants: the production build-once/serve-many shape.  The
+# expensive structure (LSH+CC cluster table, IVF index) is materialized
+# to disk on first call and every later call serves from it — the serve
+# path is one broadcast anti-join / one cell-pruned scan, never a
+# corpus re-scan.  Everything is deterministic, so cold (build+serve)
+# and warm (serve-only) calls produce identical, oracle-exact output.
+# --------------------------------------------------------------------------
+def _served_root(sf_dir: str, name: str, fixture: str) -> str:
+    """Deterministic per-corpus location for a persisted structure,
+    keyed on the fixture's identity (path + mtime + size) so a
+    regenerated corpus invalidates — never serves — a stale index."""
+    import hashlib
+    import os
+    import tempfile
+
+    p = os.path.join(sf_dir, fixture)
+    st = os.stat(p)
+    ident = f"{os.path.abspath(p)}:{st.st_mtime_ns}:{st.st_size}"
+    key = hashlib.sha256(ident.encode()).hexdigest()[:16]
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_served", f"{name}_{key}"
+    )
+
+
+def q_dedup_keep_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_keep's answer served from the materialized cluster table
+    (sources/cluster_store.py): first call pays the LSH+CC build and
+    persists (node, comp); every call after is ONE broadcast left-anti
+    join.  Oracle twin is the same Q_DEDUP_KEEP_SQL."""
+    from vcf_pg_loader_spark.sources.cluster_store import DedupClusterStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = DedupClusterStore(
+        spark, _served_root(sf_dir, "dedup_clusters", "documents.parquet")
+    )
+    if not store.exists():
+        pairs = D.minhash_lsh_dedup(
+            docs, "doc_id", "text", NGRAM, MINHASH_K, MINHASH_BANDS, JACCARD_T
+        )
+        cc = D.connected_components(pairs.select("d1", "d2"), "d1", "d2")
+        store.write(cc)
+    return store.serve_keep(docs.select("doc_id"), "doc_id")
+
+
+def q_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ann_ivf's answer served from the persisted VectorIndex
+    (sources/vector_index.py): first call fits and persists centroids +
+    cid-partitioned vectors; every call after routes queries against the
+    read-back centroids and scans only the probed cells' directories.
+    Built with kernel="exact" so the served ranks are bit-identical to
+    the same Q_ANN_IVF_SQL oracle."""
+    import os
+
+    from vcf_pg_loader_spark.sources.vector_index import VectorIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = VectorIndex(
+        spark, _served_root(sf_dir, "ivf_index", "embeddings.parquet")
+    )
+    # meta/ is written last in build(), so its presence marks a
+    # complete index; a half-built one (crash mid-build) rebuilds
+    if not os.path.isdir(f"{idx.root}/meta"):
+        idx.build(
+            emb,
+            k_centroids=IVF_CENTROIDS,
+            n_iter=IVF_ITER,
+            kernel="exact",
+        )
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return idx.search_flat(queries, TOP_K, IVF_NPROBE)
+
+
+# --------------------------------------------------------------------------
 # chunk-level dedup classes: exact dedup at context-window granularity
 # (the passage-level analogue of q_dedup_exact) — group the chunk table
 # by chunk hash; shuffles 32-char hashes, never chunk text.
@@ -1595,6 +1668,8 @@ QUERIES = {
     "q_mix_temperature": q_mix_temperature,
     "q_ngram_novelty": q_ngram_novelty,
     "q_dedup_keep": q_dedup_keep,
+    "q_dedup_keep_served": q_dedup_keep_served,
+    "q_ann_ivf_served": q_ann_ivf_served,
     "q_chunk_dedup": q_chunk_dedup,
     "q_epoch_shuffle": q_epoch_shuffle,
     "q_pipeline_funnel": q_pipeline_funnel,
@@ -1638,6 +1713,8 @@ ORACLE = {
     "q_mix_temperature": Q_MIX_TEMPERATURE_SQL,
     "q_ngram_novelty": Q_NGRAM_NOVELTY_SQL,
     "q_dedup_keep": Q_DEDUP_KEEP_SQL,
+    "q_dedup_keep_served": Q_DEDUP_KEEP_SQL,
+    "q_ann_ivf_served": Q_ANN_IVF_SQL,
     "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
     "q_epoch_shuffle": Q_EPOCH_SHUFFLE_SQL,
     "q_pipeline_funnel": Q_PIPELINE_FUNNEL_SQL,

@@ -1,0 +1,77 @@
+"""Persisted dedup cluster assignments: compute once, serve keep-decisions
+many times.
+
+The near-dup pipeline (operators/dedup.py) is two very different costs
+glued together: MinHash-LSH + connected components is the expensive,
+iterative, corpus-scanning half; the keep-decision is one left-anti join
+against the (small) loser set.  Recomputing the first half on every
+keep-decision call — what q_dedup_keep necessarily does for oracle
+self-containment — is not what a production pipeline does: it
+materializes the cluster table after each dedup run and serves every
+downstream consumer (keep filters, cluster stats, dup-rate dashboards)
+from the table.  Same build-once/serve-many shape as the IVF index in
+sources/vector_index.py, applied to the other expensive structure.
+
+Layout:
+  clusters/  (node, comp)  — one row per doc that appears in ANY
+                             near-dup pair; docs absent from the table
+                             are singletons and always kept.  Tiny
+                             relative to the corpus (only clustered
+                             docs), so the serve join broadcasts.
+
+Rebuild after corpus changes, like any secondary structure.  The write
+is stage-then-swap (sources/store.py _swap_dir), so readers never see a
+half-written table and a crash mid-swap is recoverable.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vcf_pg_loader_spark.sources.store import _heal_dir, _swap_dir
+
+
+class DedupClusterStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.clusters_path = f"{self.root}/clusters"
+
+    def exists(self) -> bool:
+        _heal_dir(self.clusters_path)
+        return os.path.isdir(self.clusters_path)
+
+    # -- build ----------------------------------------------------------
+    def write(self, components: DataFrame) -> None:
+        """Persist a (node, comp) component labelling — the output of
+        operators/dedup.py connected_components — atomically."""
+        os.makedirs(self.root, exist_ok=True)
+        staging = tempfile.mkdtemp(prefix="dedup_clusters_")
+        components.select("node", "comp").write.mode("overwrite").parquet(
+            staging
+        )
+        _heal_dir(self.clusters_path)
+        _swap_dir(staging, self.clusters_path)
+
+    # -- serve ----------------------------------------------------------
+    def read(self) -> DataFrame:
+        _heal_dir(self.clusters_path)
+        return self.spark.read.parquet(self.clusters_path)
+
+    def losers(self) -> DataFrame:
+        """Docs to drop: every clustered doc except its component's
+        canonical (min-id) member."""
+        cc = self.read()
+        return cc.where(F.col("node") != F.col("comp")).select("node")
+
+    def serve_keep(self, df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+        """The keep-decision served from the persisted table: ONE
+        broadcast left-anti join — the corpus never shuffles and the
+        LSH/CC pipeline never re-runs.  Identical output to
+        keep_canonical(df, <the components written>, id_col)."""
+        losers = F.broadcast(self.losers().withColumnRenamed("node", id_col))
+        return df.join(losers, id_col, "left_anti")

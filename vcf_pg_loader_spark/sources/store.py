@@ -25,6 +25,40 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _swap_dir(src: str, dst: str) -> None:
+    """Crash-safe directory swap: move `dst` aside before moving `src`
+    in, so no instant exists where the data is gone.  The aside name is
+    dot-prefixed — Spark/parquet discovery skips hidden dirs, so a
+    reader mid-swap never sees a phantom `chrom=1_old` partition.  A
+    crash between the two moves leaves `.{base}.old` restorable (see
+    `_heal_dir`); a crash after leaves only stale cleanup."""
+    import shutil
+
+    parent, base = os.path.split(dst.rstrip("/"))
+    old = os.path.join(parent, f".{base}.old")
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(dst):
+        shutil.move(dst, old)
+    shutil.move(src, dst)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _heal_dir(dst: str) -> None:
+    """Recover from a crash mid-`_swap_dir`: if `dst` is missing but its
+    aside copy exists, restore it; if both exist the swap completed and
+    the aside is stale — drop it."""
+    import shutil
+
+    parent, base = os.path.split(dst.rstrip("/"))
+    old = os.path.join(parent, f".{base}.old")
+    if not os.path.isdir(old):
+        return
+    if os.path.isdir(dst):
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        shutil.move(old, dst)
+
+
 def compute_file_hash(path: str, chunk_size: int = 1 << 20) -> str:
     """Streaming SHA-256 of an input file (loader.py:73-83)."""
     h = hashlib.sha256()
@@ -167,10 +201,12 @@ class VariantStore:
         for chrom in touched:
             dst = os.path.join(self.variants_path, f"chrom={chrom}")
             src = os.path.join(staging, f"chrom={chrom}")
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
+            _heal_dir(dst)
             if os.path.isdir(src):
-                shutil.move(src, dst)
+                _swap_dir(src, dst)
+            elif os.path.isdir(dst):
+                # every row in this partition belonged to the batch
+                shutil.rmtree(dst)
         shutil.rmtree(staging, ignore_errors=True)
 
     def read(self) -> DataFrame:
@@ -257,9 +293,8 @@ class VariantStore:
             dst = os.path.join(self.variants_path, f"chrom={chrom}")
             src = os.path.join(staging, f"chrom={chrom}")
             if os.path.isdir(src):
-                if os.path.isdir(dst):
-                    shutil.rmtree(dst)
-                shutil.move(src, dst)
+                _heal_dir(dst)
+                _swap_dir(src, dst)
         shutil.rmtree(staging, ignore_errors=True)
         return {"partitions": len(counts), "rows": sum(counts.values())}
 
@@ -321,9 +356,8 @@ class VariantStore:
             .write.mode("overwrite")
             .parquet(staging)
         )
-        if os.path.isdir(self.rsid_index_path):
-            shutil.rmtree(self.rsid_index_path)
-        shutil.move(staging, self.rsid_index_path)
+        _heal_dir(self.rsid_index_path)
+        _swap_dir(staging, self.rsid_index_path)
 
     def partition_stats(self) -> DataFrame:
         """Row counts per chromosome partition (reference

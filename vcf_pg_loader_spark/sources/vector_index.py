@@ -11,6 +11,11 @@ store persists the three artifacts to parquet:
                                        partitioned by cell id so a
                                        query's nprobe cells prune to
                                        nprobe directories on disk
+  vectors/    (vid, vec, vv, cid)    — the full-precision corpus with
+                                       precomputed norms, same cid
+                                       partitioning: the IVF-FLAT
+                                       index `search_flat` serves from
+                                       (exact ranks, no PQ error)
 
 Search = load (centroids/codebooks broadcast themselves) + the
 cell-pruned compressed-domain rank of ivf_pq_search.  Rebuild after
@@ -43,12 +48,18 @@ class VectorIndex:
         k_sub: int = 16,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        n_iter: int = 2,
+        kernel: str = "fast",
     ) -> None:
+        """kernel="fast" (double dots) is the production default;
+        kernel="exact" (decimal-fold) makes the persisted index — and
+        every search served from it — bit-identical to the DuckDB
+        oracle, which is how q_ann_ivf_served is verified."""
         from vcf_pg_loader_spark.operators.similarity import ivf_fit
 
         cents, assign = ivf_fit(
-            corpus, k_centroids, 2, id_col=id_col, vec_col=vec_col,
-            kernel="fast",
+            corpus, k_centroids, n_iter, id_col=id_col, vec_col=vec_col,
+            kernel=kernel,
         )
         books = pq_fit(corpus, m, k_sub, id_col=id_col, vec_col=vec_col)
         codes = pq_encode(
@@ -63,9 +74,17 @@ class VectorIndex:
             .partitionBy("cid")
             .parquet(self._p("codes"))
         )
+        (
+            assign.repartition("cid")
+            .sortWithinPartitions("vid")
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(self._p("vectors"))
+        )
         # record the geometry the index was built with
         meta = self.spark.createDataFrame(
-            [(k_centroids, m, k_sub)], "k_centroids int, m int, k_sub int"
+            [(k_centroids, m, k_sub, kernel)],
+            "k_centroids int, m int, k_sub int, kernel string",
         )
         meta.write.mode("overwrite").json(self._p("meta"))
 
@@ -89,4 +108,33 @@ class VectorIndex:
             int(meta.m),
             id_col,
             vec_col,
+        )
+
+    def search_flat(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int = 2,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        kernel: str | None = None,
+    ) -> DataFrame:
+        """Exact IVF-Flat serving from the persisted index: centroids
+        route, `vectors/` supplies the pre-assigned full-precision
+        corpus — the cid partitioning means nprobe cells prune to
+        nprobe directories at the scan.  No fit, no corpus re-scan:
+        identical output to ivf_topk over the same corpus/params (and
+        to the DuckDB oracle when built with kernel="exact")."""
+        from vcf_pg_loader_spark.operators.similarity import ivf_search
+
+        meta = self.spark.read.json(self._p("meta")).first()
+        return ivf_search(
+            self.spark.read.parquet(self._p("centroids")),
+            self.spark.read.parquet(self._p("vectors")),
+            queries,
+            k,
+            nprobe,
+            id_col,
+            vec_col,
+            kernel or str(meta.kernel),
         )

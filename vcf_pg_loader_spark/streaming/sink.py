@@ -9,9 +9,16 @@ re-applying a batch a no-op.  Two layers of protection here:
 
   1. a batch ledger — applied batch ids are recorded after the swap
      completes; a replayed id short-circuits before any work;
-  2. the merge itself is idempotent — merge_upsert is deterministic and
-     keyed, so even a half-applied batch that re-runs converges to the
-     same table (operators/merge.py determinism note).
+  2. a marker INSIDE the swapped-in table (`_applied_batch.json`, the
+     `_` prefix keeps parquet readers blind to it) that lands atomically
+     WITH the data: a crash after the swap but before the ledger write
+     is detected on replay (marker == batch_id) and finished without
+     re-merging — load-bearing for the ADDITIVE folds (rollup, KMV)
+     where a re-fold would double-count;
+  3. crash recovery for the two-move swap — if a crash lands between
+     "move target aside" and "move staging in", the target is missing
+     and `<target>_old` holds the accumulated state; apply_batch
+     restores it before doing any work.
 
 The target is a plain-Parquet table maintained by stage-then-swap, the
 same pattern as VariantStore.delete_batch (sources/store.py:139-174); on
@@ -67,28 +74,66 @@ class ParquetUpsertSink:
         with open(self._ledger_path(batch_id), "w") as fh:
             json.dump({"batch_id": batch_id, "n_rows": n_rows}, fh)
 
+    # -- crash recovery --------------------------------------------------
+    def _old_path(self) -> str:
+        return f"{self.target}_old"
+
+    def _recover(self) -> None:
+        """Heal the two interruptible swap states before touching data:
+        target missing + _old present (crash between the two moves) →
+        restore the accumulated state; both present (crash before the
+        final cleanup) → the swap completed, drop the stale _old."""
+        old = self._old_path()
+        if not os.path.exists(old):
+            return
+        if os.path.exists(self.target):
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            shutil.move(old, self.target)
+
+    def _read_marker(self) -> dict | None:
+        p = os.path.join(self.target, "_applied_batch.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
     # -- merge ----------------------------------------------------------
+    def _merge(self, spark, batch_df: DataFrame) -> DataFrame:
+        """Combine one micro-batch with the current target; subclasses
+        override (this base is the keyed upsert)."""
+        if os.path.exists(self.target):
+            existing = spark.read.parquet(self.target)
+            return merge_upsert(existing, batch_df, self.key, self.order_col)
+        return batch_df.dropDuplicates(self.key)
+
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body: merge one micro-batch into the target."""
         if self.applied(batch_id):
             return  # replayed batch after recovery — already visible
-        spark = batch_df.sparkSession
-        if os.path.exists(self.target):
-            existing = spark.read.parquet(self.target)
-            merged = merge_upsert(existing, batch_df, self.key, self.order_col)
-        else:
-            merged = batch_df.dropDuplicates(self.key)
-        n = self._swap_in(merged)
+        self._recover()
+        marker = self._read_marker()
+        if marker is not None and marker["batch_id"] == batch_id:
+            # Swap landed but the crash beat the ledger write: the data
+            # already contains this batch — just finish the bookkeeping.
+            self._record(batch_id, marker["n_rows"])
+            return
+        merged = self._merge(batch_df.sparkSession, batch_df)
+        n = self._swap_in(merged, batch_id)
         self._record(batch_id, n)
 
-    def _swap_in(self, df: DataFrame) -> int:
+    def _swap_in(self, df: DataFrame, batch_id: int) -> int:
         """Stage, count from the STAGED files (the merged plan reads the
         pre-swap target lazily — re-counting it after the swap would scan
-        deleted files), then swap; returns the staged row count."""
+        deleted files), embed the batch marker so data+provenance move as
+        one unit, then swap; returns the staged row count."""
         staging = tempfile.mkdtemp(prefix="stream_upsert_")
         df.write.mode("overwrite").parquet(staging)
         n = df.sparkSession.read.parquet(staging).count()
-        old = f"{self.target}_old"
+        with open(os.path.join(staging, "_applied_batch.json"), "w") as fh:
+            json.dump({"batch_id": batch_id, "n_rows": n}, fh)
+        old = self._old_path()
+        shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(self.target):
             shutil.move(self.target, old)
         shutil.move(staging, self.target)
@@ -114,27 +159,20 @@ class RollupMaintenanceSink(ParquetUpsertSink):
     """Continuous-aggregate maintenance: each micro-batch's events fold
     into a persistent time-bucketed rollup (operators/rollup.py).
 
-    Unlike the upsert sink, a REPLAYED batch must not double-count, so
-    the ledger short-circuit is load-bearing here (the fold itself is
-    additive, not idempotent) — which is why the ledger write happens
-    only after the swapped-in table is durable.
+    Unlike the upsert sink, a REPLAYED batch must not double-count: the
+    fold is additive, not idempotent, so BOTH replay guards (ledger +
+    in-target batch marker) are load-bearing here.
     """
 
     def __init__(self, target: str, bucket: str = "hour"):
         super().__init__(target, key=["bucket", "event_type"])
         self.bucket = bucket
 
-    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        if self.applied(batch_id):
-            return
-        spark = batch_df.sparkSession
+    def _merge(self, spark, batch_df: DataFrame) -> DataFrame:
         delta = event_rollup_partial(batch_df, self.bucket)
         if os.path.exists(self.target):
-            merged = merge_rollup(spark.read.parquet(self.target), delta)
-        else:
-            merged = delta
-        n = self._swap_in(merged)
-        self._record(batch_id, n)
+            return merge_rollup(spark.read.parquet(self.target), delta)
+        return delta
 
 
 class KMVDistinctSink(ParquetUpsertSink):
@@ -144,8 +182,8 @@ class KMVDistinctSink(ParquetUpsertSink):
     moment.  COUNT(DISTINCT) cannot be maintained incrementally; the
     sketch can, and merging is deterministic — the maintained table is
     IDENTICAL to a from-scratch sketch of everything ingested.  Like
-    the rollup sink, the fold is additive, so the replay ledger is
-    load-bearing."""
+    the rollup sink, the fold is additive, so both replay guards
+    (ledger + in-target marker) are load-bearing."""
 
     def __init__(self, target: str, group_cols: list[str], value_col: str, k: int = 64):
         super().__init__(target, key=list(group_cols))
@@ -153,16 +191,10 @@ class KMVDistinctSink(ParquetUpsertSink):
         self.value_col = value_col
         self.k = k
 
-    def apply_batch(self, batch_df, batch_id: int) -> None:
-        if self.applied(batch_id):
-            return
-        spark = batch_df.sparkSession
+    def _merge(self, spark, batch_df: DataFrame) -> DataFrame:
         delta = kmv_sketch(batch_df, self.group_cols, self.value_col, self.k)
         if os.path.exists(self.target):
-            merged = kmv_merge(
+            return kmv_merge(
                 spark.read.parquet(self.target), delta, self.group_cols, self.k
             )
-        else:
-            merged = delta
-        n = self._swap_in(merged)
-        self._record(batch_id, n)
+        return delta
