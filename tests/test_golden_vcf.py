@@ -215,3 +215,92 @@ class TestGoldenBgzf:
         rows = _rows(spark, BGZF, normalize=True)
         assert ("chr1", 40102, "C") in rows
         assert rows[("chr1", 40102, "C")].ref == "A"
+
+
+# ---------------------------------------------------------------------------
+# Golden fixture #2: annotated VCF pinning worst-consequence CSQ/ANN
+# selection (reference vcf_parser.py:460-508) the way the multiallelic
+# fixture pins decomposition — static bytes, exact per-ALT picks.
+# ---------------------------------------------------------------------------
+ANNOT = os.path.join(FIXTURES, "golden_annotated.vcf")
+ANNOT_BGZF = os.path.join(FIXTURES, "golden_annotated.vcf.gz")
+
+# (pos, alt) -> (gene, transcript, consequence, impact, hgvs_c, hgvs_p)
+# Each row pins one selection behavior, see the fixture's INFO payloads:
+#   100/C  per-ALT match in a multiallelic (worst of C's two entries)
+#   100/T  the sibling ALT picks ITS worst entry (HIGH beats MODIFIER)
+#   200/A  equal-impact tie -> FIRST entry in CSQ order wins
+#   300/G  HIGH listed AFTER MODIFIER still wins (order-independent)
+#   400/G  malformed entry (wrong field count) is dropped, not picked
+#   500/G  ANN-only: worst-impact across transcripts + Feature_ID kept
+#   600/T  CSQ allele matches nothing -> ANN fallback supplies all
+#   700/A  ANN empty-allele entry matches any ALT; MODERATE beats it
+#   800/T  unknown impact string ranks LAST (LOW entry wins)
+#   1000/C no CSQ/ANN at all -> INFO scalar SYMBOL/Consequence/IMPACT
+PINNED_PICKS = {
+    (100, "C"): ("GENEA", None, "missense_variant", "MODERATE", "c.1A>C", "p.T1P"),
+    (100, "T"): ("GENEB", None, "stop_gained", "HIGH", "c.3C>T", "p.R3*"),
+    (200, "A"): ("GENEC", None, "missense_variant", "MODERATE", "c.10G>A", "p.V4M"),
+    (300, "G"): ("GENED", None, "splice_donor_variant", "HIGH", "c.20+1C>G", None),
+    (400, "G"): ("GENEE", None, "5_prime_UTR_variant", "LOW", None, None),
+    (500, "G"): ("GENEF", "ENST0006.2", "stop_gained", "HIGH", "c.31", "p.Q11*"),
+    (600, "T"): ("GENEH", "ENST0008", "downstream_gene_variant", "MODIFIER", "c.35", None),
+    (700, "A"): ("GENEI", "ENST0009.2", "missense_variant", "MODERATE", None, None),
+    (800, "T"): ("GENEJ", None, "3_prime_UTR_variant", "LOW", None, None),
+    (1000, "C"): ("GENEL", None, "regulatory_region_variant", "MODIFIER", None, None),
+}
+
+
+def _annotation_picks(spark, path):
+    return {
+        (r.pos, r.alt): (
+            r.gene, r.transcript, r.consequence, r.impact, r.hgvs_c, r.hgvs_p
+        )
+        for r in read_vcf(spark, path, normalize=True).collect()
+        if r.pos != 900
+    }
+
+
+class TestGoldenAnnotation:
+    def test_header_declares_both_formats(self):
+        hdr = read_header(ANNOT)
+        assert hdr.csq_fields == [
+            "Allele", "Consequence", "IMPACT", "SYMBOL", "Gene", "HGVSc", "HGVSp"
+        ]
+        assert hdr.ann_fields[:3] == ["Allele", "Annotation", "Annotation_Impact"]
+
+    def test_worst_consequence_picks_pinned(self, spark):
+        assert _annotation_picks(spark, ANNOT) == PINNED_PICKS
+
+    def test_normalized_alt_keeps_original_allele_match(self, spark):
+        """The reference matches annotation alleles against the ORIGINAL
+        alt (vcf_parser.py:347), so normalization must not detach the
+        CSQ entry: CAA>CA normalizes to CA>C yet still carries the
+        CA-allele annotation; the literal-C ALT carries the C one."""
+        rows = {
+            (r.ref, r.alt): r
+            for r in read_vcf(spark, ANNOT, normalize=True)
+            .filter("pos = 900")
+            .collect()
+        }
+        norm = rows[("CA", "C")]
+        assert norm.normalized and norm.original_alt == "CA"
+        assert (norm.gene, norm.consequence, norm.impact, norm.hgvs_c) == (
+            "GENEK", "inframe_deletion", "MODERATE", "c.40del"
+        )
+        plain = rows[("CAA", "C")]
+        assert not plain.normalized
+        assert (plain.consequence, plain.impact, plain.hgvs_c) == (
+            "frameshift_variant", "HIGH", "c.41del"
+        )
+
+    def test_bgzf_reader_identical_picks(self, spark):
+        assert _annotation_picks(spark, ANNOT_BGZF) == PINNED_PICKS
+        plain = sorted(
+            tuple(r) for r in read_vcf(spark, ANNOT, normalize=True).collect()
+        )
+        gz = sorted(
+            tuple(r)
+            for r in read_vcf(spark, ANNOT_BGZF, normalize=True).collect()
+        )
+        assert plain == gz
