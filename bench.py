@@ -123,6 +123,172 @@ def skew_rehearsal(spark, sf_dir: str) -> dict:
     return out
 
 
+def scaling_curve(spark, sf_dir: str, factors=(1, 2)) -> dict:
+    """Empirical scale check: the headline pipeline queries re-run on a
+    GENERATED 2× corpus (originals + id-offset, text-perturbed copies —
+    growth-stable: new doc ids / new users, per-key sizes unchanged, the
+    way a corpus actually grows).  Wall-time ratio at 2× data ≈ 2 means
+    the plan scales linearly; a ratio blowing past ~2.5 would expose an
+    accidental all-pairs / driver bottleneck that plan-shape assertions
+    alone can miss.  Fixtures are written to a temp dir and deleted —
+    nothing under /root/testdata is touched.
+
+    Both factor variants are read from freshly written parquet (factor 1
+    too) so layout effects cancel; each timing is best-of-two to shed
+    first-run compilation noise.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vcf_pg_loader_spark.queries import core as QC
+    from vcf_pg_loader_spark.queries import pipeline as QP
+    from vcf_pg_loader_spark.sources.tables import load_table
+
+    headline = [
+        ("q_minhash_lsh", QP.QUERIES["q_minhash_lsh"]),
+        ("q_ngram_jaccard", QP.QUERIES["q_ngram_jaccard"]),
+        ("q_dedup_clusters", QP.QUERIES["q_dedup_clusters"]),
+        ("q_winnow_overlap", QP.QUERIES["q_winnow_overlap"]),
+        ("q_pipeline_funnel", QP.QUERIES["q_pipeline_funnel"]),
+        ("q_events_sessions", QC.QUERIES["q_events_sessions"]),
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    events = load_table(spark, sf_dir, "events")
+    doc_stride = docs.agg(F.max("doc_id")).first()[0] + 1
+    ev = events.agg(F.max("event_id"), F.max("user_id")).first()
+    ev_stride, user_stride = ev[0] + 1, ev[1] + 1
+
+    out: dict = {"factors": list(factors), "queries": {}}
+    tmp_root = tempfile.mkdtemp(prefix="bench_scale_")
+    dirs: dict[int, str] = {}
+    try:
+        for f in factors:
+            d = os.path.join(tmp_root, f"x{f}")
+            os.makedirs(d)
+            d_parts, e_parts = [docs], [events]
+            for i in range(1, f):
+                d_parts.append(
+                    docs.select(
+                        (F.col("doc_id") + doc_stride * i).alias("doc_id"),
+                        F.concat(F.lit(f"c{i} "), F.col("text")).alias("text"),
+                        "lang",
+                        "source",
+                        (F.col("n_chars") + 3).alias("n_chars"),
+                    )
+                )
+                e_parts.append(
+                    events.select(
+                        (F.col("event_id") + ev_stride * i).alias("event_id"),
+                        "ts",
+                        (F.col("user_id") + user_stride * i).alias("user_id"),
+                        "event_type",
+                        "value",
+                        "props",
+                    )
+                )
+            du, eu = d_parts[0], e_parts[0]
+            for p in d_parts[1:]:
+                du = du.unionByName(p)
+            for p in e_parts[1:]:
+                eu = eu.unionByName(p)
+            du.write.parquet(os.path.join(d, "documents.parquet"))
+            eu.write.parquet(os.path.join(d, "events.parquet"))
+            dirs[f] = d
+        for name, fn in headline:
+            times: dict[str, float] = {}
+            for f in factors:
+                best = None
+                for _ in range(2):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    fn(spark, dirs[f]).count()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None or dt < best else best
+                times[str(f)] = round(best, 3)
+            lo, hi = times[str(factors[0])], times[str(factors[-1])]
+            out["queries"][name] = {
+                "sec": times,
+                "ratio": round(hi / lo, 2) if lo else None,
+            }
+    except Exception as exc:  # pragma: no cover - defensive bench path
+        out["error"] = f"{type(exc).__name__}: {exc}"[:500]
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+    return out
+
+
+def served_paths(spark, sf_dir: str) -> dict:
+    """Build-vs-serve split for the persisted-structure queries.  The
+    main timing loop charges q_*_served their one-time build on a cold
+    cache (fresh container each round); this section shows what the
+    serve ACTUALLY costs once the structure exists — the number that
+    amortizes over every downstream consumer.  The structures are
+    already on disk here (the main loop built them), so each timing is
+    a pure serve."""
+    from vcf_pg_loader_spark.queries import pipeline as QP
+
+    out: dict = {}
+    for name in ("q_dedup_keep_served", "q_ann_ivf_served"):
+        try:
+            fn = QP.QUERIES[name]
+            fn(spark, sf_dir).count()  # ensure built + warm
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            out[name] = {"serve_sec": round(best, 3)}
+        except Exception as exc:  # pragma: no cover - defensive bench path
+            out[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+    return out
+
+
+def ivf_kernel_compare(spark, sf_dir: str) -> dict:
+    """Decimal-oracle vs production-double IVF search timing: the benched
+    ANN queries pay the `kernel="exact"` decimal fold for bit-exact
+    oracle parity (docs/SCALE.md "exactness tax"); this records what the
+    production `kernel="fast"` path costs on the same search so the
+    swap's payoff is a measured number, not a claim.  Best-of-two each.
+    """
+    from pyspark.sql import functions as F
+
+    from vcf_pg_loader_spark.operators import similarity as S
+    from vcf_pg_loader_spark.queries.pipeline import (
+        IVF_CENTROIDS,
+        IVF_ITER,
+        IVF_NPROBE,
+        N_QUERY_VECS,
+        TOP_K,
+    )
+    from vcf_pg_loader_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    out: dict = {}
+    try:
+        for kernel in ("exact", "fast"):
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                S.ivf_topk(
+                    emb, queries, TOP_K, IVF_CENTROIDS, IVF_ITER, IVF_NPROBE,
+                    kernel=kernel,
+                ).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            out[kernel] = round(best, 3)
+        if out.get("fast"):
+            out["exact_over_fast"] = round(out["exact"] / out["fast"], 2)
+    except Exception as exc:  # pragma: no cover - defensive bench path
+        out["error"] = f"{type(exc).__name__}: {exc}"[:500]
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -197,6 +363,15 @@ def main() -> None:
     skew = skew_rehearsal(spark, sf_dir)
     print(f"# skew_join: {skew}", file=sys.stderr)
 
+    curve = scaling_curve(spark, sf_dir)
+    print(f"# scaling_curve: {curve}", file=sys.stderr)
+
+    kernels = ivf_kernel_compare(spark, sf_dir)
+    print(f"# ivf_kernels: {kernels}", file=sys.stderr)
+
+    served = served_paths(spark, sf_dir)
+    print(f"# served_paths: {served}", file=sys.stderr)
+
     detail = {
         "sf": sf,
         "sf_dir": sf_dir,
@@ -206,6 +381,9 @@ def main() -> None:
         "vcf_parse": parse,
         "vcf_parse_bgzf": parse_gz,
         "skew_rehearsal": skew,
+        "scaling_curve": curve,
+        "ivf_kernel_compare": kernels,
+        "served_paths": served,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -243,6 +421,15 @@ def main() -> None:
                 ],
                 "skew_max_task_rows_plain": plain.get("max_task_rows"),
                 "skew_max_task_rows_salted": salted.get("max_task_rows"),
+                "scaling_2x_max_ratio": max(
+                    (
+                        q["ratio"]
+                        for q in curve.get("queries", {}).values()
+                        if q.get("ratio")
+                    ),
+                    default=None,
+                ),
+                "ivf_exact_over_fast": kernels.get("exact_over_fast"),
                 "detail": "BENCH_DETAIL.json",
             }
         )

@@ -1,0 +1,154 @@
+"""Sparse retrieval (BM25 / TF-IDF), PMI collocations, and Bloom-pruned
+joins: correctness against hand-computed values and plain-join ground
+truth, plus the plan properties that carry the 100 TB story (no Python
+in any plan, bloom bitmap broadcast, real pruning before the shuffle).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vcf_pg_loader_spark.operators import retrieval as R
+from vcf_pg_loader_spark.operators.bloom import (
+    bloom_build,
+    bloom_might_contain,
+    bloom_prefilter_join,
+)
+from vcf_pg_loader_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (1, "spark shuffle join shuffle"),
+        (2, "broadcast join"),
+        (3, "spark spark spark"),
+        (4, "window sort merge"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+class TestBM25:
+    def test_hand_computed_score(self, spark, tiny_docs):
+        got = {
+            r.doc_id: r.score
+            for r in R.bm25_topk(tiny_docs, ["shuffle"], k=4).collect()
+        }
+        # only doc 1 contains "shuffle": tf=2, df=1, N=4, dl=4, avgdl=12/4
+        n, df, tf, dl, avgdl, k1, b = 4, 1, 2, 4, 3.0, 1.2, 0.75
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        want = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1 - b + b * dl / avgdl))
+        assert set(got) == {1}
+        assert abs(got[1] - want) < 1e-6
+
+    def test_multi_term_docs_outrank(self, spark, tiny_docs):
+        rows = R.bm25_topk(tiny_docs, ["spark", "join"], k=4).collect()
+        by_rank = [r.doc_id for r in sorted(rows, key=lambda r: r.rn)]
+        # doc 1 matches BOTH terms and leads; 3 (spark×3) and 2 (join×1)
+        # match one term each; 4 matches nothing and is absent entirely
+        assert by_rank == [1, 3, 2]
+
+    def test_no_python_in_plan(self, spark):
+        docs = load_table(spark, SF_DIR, "documents")
+        plan = R.bm25_topk(docs, ["vector", "merge"], 10)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan and "Arrow" not in plan
+        # top-k is a TakeOrdered merge, not a global single-partition sort
+        assert "TakeOrderedAndProject" in plan
+
+    def test_scoring_only_touches_query_term_postings(self, spark, tiny_docs):
+        # a term absent from every doc scores nothing and breaks nothing
+        assert R.bm25_topk(tiny_docs, ["zzz_absent"], k=3).count() == 0
+
+
+class TestTFIDF:
+    def test_per_doc_rank_bounded_and_deterministic(self, spark):
+        docs = load_table(spark, SF_DIR, "documents")
+        out = R.tfidf_top_terms(docs, per_doc=3)
+        counts = out.groupBy("doc_id").count().agg(F.max("count")).first()[0]
+        assert counts <= 3
+        a = sorted(map(tuple, out.collect()))
+        b = sorted(map(tuple, R.tfidf_top_terms(docs, per_doc=3).collect()))
+        assert a == b
+
+    def test_rare_term_beats_common(self, spark, tiny_docs):
+        out = {
+            (r.doc_id, r.rn): r.term
+            for r in R.tfidf_top_terms(tiny_docs, per_doc=1).collect()
+        }
+        # doc 1's top term is "shuffle" (tf=2, df=1), not "join" (df=2)
+        assert out[(1, 1)] == "shuffle"
+
+
+class TestBloom:
+    def test_no_false_negatives(self, spark):
+        keys = spark.range(0, 2000).select(F.col("id").alias("k"))
+        bloom = bloom_build(keys, "k")
+        n_hit = (
+            keys.crossJoin(F.broadcast(bloom))
+            .filter(bloom_might_contain(F.col("k"), F.col("words")))
+            .count()
+        )
+        assert n_hit == 2000  # a Bloom filter can NEVER miss a member
+
+    def test_false_positive_rate_sane(self, spark):
+        keys = spark.range(0, 2000).select(F.col("id").alias("k"))
+        probe = spark.range(1_000_000, 1_020_000).select(F.col("id").alias("k"))
+        bloom = bloom_build(keys, "k")
+        fp = (
+            probe.crossJoin(F.broadcast(bloom))
+            .filter(bloom_might_contain(F.col("k"), F.col("words")))
+            .count()
+        )
+        # m=2^16, k=3, n=2000 -> theoretical fpr ~7e-4; allow 10x slack
+        assert fp < 20000 * 0.01
+
+    def test_join_results_exact(self, spark):
+        li = load_table(spark, SF_DIR, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        urgent = (
+            load_table(spark, SF_DIR, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey", "o_orderpriority")
+        )
+        got = sorted(
+            map(tuple, bloom_prefilter_join(li, urgent, "o_orderkey").collect())
+        )
+        want = sorted(map(tuple, li.join(urgent, "o_orderkey").collect()))
+        assert got == want and len(want) > 0
+
+    def test_prefilter_actually_prunes(self, spark):
+        li = load_table(spark, SF_DIR, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        urgent = (
+            load_table(spark, SF_DIR, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        bloom = bloom_build(urgent.distinct(), "o_orderkey")
+        kept = (
+            li.crossJoin(F.broadcast(bloom))
+            .filter(bloom_might_contain(F.col("o_orderkey"), F.col("words")))
+            .count()
+        )
+        total = li.count()
+        matched = li.join(urgent, "o_orderkey", "left_semi").count()
+        # pruned to (matches + false positives), far below the full scan
+        assert matched <= kept < total * 0.5
+
+    def test_plan_broadcasts_bitmap_no_python(self, spark):
+        li = load_table(spark, SF_DIR, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        urgent = load_table(spark, SF_DIR, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        plan = bloom_prefilter_join(li, urgent, "o_orderkey")._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+        assert "BroadcastNestedLoopJoin" in plan  # the 1-row bitmap frame

@@ -1783,6 +1783,43 @@ WINDOW w AS (PARTITION BY o_custkey
 """
 
 
+# --------------------------------------------------------------------------
+# Bloom-pruned join (operators/bloom.py): lineitem is Bloom-filtered on
+# the urgent orders' keys before its shuffle — the explicit runtime-
+# filter / semi-join reduction.  False positives die in the real join,
+# so the oracle is the PLAIN join: any bitmap bug (wrong word index,
+# bad mask, dropped true key) shows up as a row-count or value diff.
+# --------------------------------------------------------------------------
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators.bloom import bloom_prefilter_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    joined = bloom_prefilter_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        urgent.select("o_orderkey", "o_orderpriority"),
+        "o_orderkey",
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "decimal(22,6)",
+        ).alias("revenue"),
+    )
+
+
+Q_BLOOM_JOIN_SQL = f"""
+SELECT l_returnflag, COUNT(*) AS n_items,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'DECIMAL(22,6)')} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -1823,6 +1860,7 @@ QUERIES = {
     "q_events_hourly_window": q_events_hourly_window,
     "q_sql_passthrough": q_sql_passthrough,
     "q_asof_join": q_asof_join,
+    "q_bloom_join": q_bloom_join,
     "q_pivot_monthly": q_pivot_monthly,
     "q_cube_orders": q_cube_orders,
     "q_quantile_sampled": q_quantile_sampled,
@@ -1874,6 +1912,7 @@ ORACLE = {
     "q_events_hourly_window": Q_EVENTS_HOURLY_SQL,
     "q_sql_passthrough": _PASSTHROUGH_SQL,
     "q_asof_join": Q_ASOF_SQL,
+    "q_bloom_join": Q_BLOOM_JOIN_SQL,
     "q_pivot_monthly": Q_PIVOT_SQL,
     "q_cube_orders": Q_CUBE_SQL,
     "q_quantile_sampled": Q_QUANTILE_SAMPLED_SQL,

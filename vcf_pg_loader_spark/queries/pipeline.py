@@ -1233,9 +1233,147 @@ def q_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             k_centroids=IVF_CENTROIDS,
             n_iter=IVF_ITER,
             kernel="exact",
+            pq=False,  # flat-only serving; skip the PQ artifacts
         )
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return idx.search_flat(queries, TOP_K, IVF_NPROBE)
+
+
+# --------------------------------------------------------------------------
+# sparse lexical retrieval (operators/retrieval.py): BM25 top-k for a
+# bag-of-terms query and per-doc TF-IDF keywords — the inverted-index
+# probe expressed relationally (postings pruned by the term list before
+# any join; corpus scalars broadcast).
+# --------------------------------------------------------------------------
+BM25_TERMS = ["vector", "merge", "window", "shuffle", "broadcast"]
+BM25_K = 15
+TFIDF_PER_DOC = 3
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators import retrieval as R
+
+    docs = load_table(spark, sf_dir, "documents")
+    return R.bm25_topk(docs, BM25_TERMS, BM25_K)
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators import retrieval as R
+
+    docs = load_table(spark, sf_dir, "documents")
+    return R.tfidf_top_terms(docs, TFIDF_PER_DOC)
+
+
+def _retrieval_sqls() -> tuple[str, str]:
+    from vcf_pg_loader_spark.operators import retrieval as R
+
+    return (
+        R.sql_bm25_topk("documents", BM25_TERMS, BM25_K),
+        R.sql_tfidf_top_terms("documents", TFIDF_PER_DOC),
+    )
+
+
+Q_BM25_SQL, Q_TFIDF_SQL = _retrieval_sqls()
+
+
+# --------------------------------------------------------------------------
+# PMI bigram collocations: pointwise mutual information over adjacent
+# token pairs — the standard phrase-mining / tokenizer-vocabulary signal.
+# All counts are exact integers; the single ln() on identical doubles is
+# rounded to 6 dp and ranked AFTER rounding, so both engines order
+# identically.  Plan: one explode for bigrams, one for unigrams, two
+# keyed aggregations, two broadcast scalars — no all-pairs anything.
+# --------------------------------------------------------------------------
+PMI_MIN_COUNT = 20
+PMI_TOP = 25
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bi = (
+        docs.select(F.explode(grams).alias("g"))
+        .select("g.w1", "g.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t_bi = bi.agg(F.sum("c_xy").alias("t_bi"))
+    t_uni = uni.agg(F.sum("c").alias("t_uni"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_xy") / F.col("t_bi"))
+            / (
+                (F.col("c1") / F.col("t_uni"))
+                * (F.col("c2") / F.col("t_uni"))
+            )
+        ),
+        6,
+    )
+    scored = (
+        bi.filter(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(t_bi))
+        .crossJoin(F.broadcast(t_uni))
+        .select("w1", "w2", "c_xy", pmi.alias("pmi"))
+    )
+    top = scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(PMI_TOP)
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return top.withColumn("rn", F.row_number().over(w))
+
+
+Q_PMI_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+bi AS (
+  SELECT g[1] AS w1, g[2] AS w2, COUNT(*) AS c_xy FROM (
+    SELECT unnest(list_transform(range(1, len(ts)),
+                                 i -> [ts[i], ts[i + 1]])) AS g
+    FROM toks
+  ) GROUP BY 1, 2
+),
+uni AS (
+  SELECT w, COUNT(*) AS c FROM (
+    SELECT unnest(ts) AS w FROM toks
+  ) GROUP BY 1
+),
+tb AS (SELECT SUM(c_xy) AS t_bi FROM bi),
+tu AS (SELECT SUM(c) AS t_uni FROM uni),
+scored AS (
+  SELECT w1, w2, c_xy,
+         ROUND(ln((c_xy / t_bi) / ((u1.c / t_uni) * (u2.c / t_uni))), 6)
+           AS pmi
+  FROM bi
+  JOIN uni u1 ON u1.w = bi.w1
+  JOIN uni u2 ON u2.w = bi.w2, tb, tu
+  WHERE c_xy >= {PMI_MIN_COUNT}
+)
+SELECT w1, w2, c_xy, pmi, rn FROM (
+  SELECT w1, w2, c_xy, pmi,
+         ROW_NUMBER() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rn
+  FROM scored
+) WHERE rn <= {PMI_TOP}
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1670,6 +1808,9 @@ QUERIES = {
     "q_dedup_keep": q_dedup_keep,
     "q_dedup_keep_served": q_dedup_keep_served,
     "q_ann_ivf_served": q_ann_ivf_served,
+    "q_bm25_topk": q_bm25_topk,
+    "q_tfidf_terms": q_tfidf_terms,
+    "q_pmi_bigrams": q_pmi_bigrams,
     "q_chunk_dedup": q_chunk_dedup,
     "q_epoch_shuffle": q_epoch_shuffle,
     "q_pipeline_funnel": q_pipeline_funnel,
@@ -1715,6 +1856,9 @@ ORACLE = {
     "q_dedup_keep": Q_DEDUP_KEEP_SQL,
     "q_dedup_keep_served": Q_DEDUP_KEEP_SQL,
     "q_ann_ivf_served": Q_ANN_IVF_SQL,
+    "q_bm25_topk": Q_BM25_SQL,
+    "q_tfidf_terms": Q_TFIDF_SQL,
+    "q_pmi_bigrams": Q_PMI_SQL,
     "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
     "q_epoch_shuffle": Q_EPOCH_SHUFFLE_SQL,
     "q_pipeline_funnel": Q_PIPELINE_FUNNEL_SQL,

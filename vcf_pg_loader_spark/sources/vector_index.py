@@ -50,30 +50,34 @@ class VectorIndex:
         vec_col: str = "embedding",
         n_iter: int = 2,
         kernel: str = "fast",
+        pq: bool = True,
     ) -> None:
         """kernel="fast" (double dots) is the production default;
         kernel="exact" (decimal-fold) makes the persisted index — and
         every search served from it — bit-identical to the DuckDB
-        oracle, which is how q_ann_ivf_served is verified."""
+        oracle, which is how q_ann_ivf_served is verified.  pq=False
+        skips the PQ codebook/codes artifacts for an IVF-Flat-only
+        index (halves the build when only search_flat will serve)."""
         from vcf_pg_loader_spark.operators.similarity import ivf_fit
 
         cents, assign = ivf_fit(
             corpus, k_centroids, n_iter, id_col=id_col, vec_col=vec_col,
             kernel=kernel,
         )
-        books = pq_fit(corpus, m, k_sub, id_col=id_col, vec_col=vec_col)
-        codes = pq_encode(
-            corpus, books, m, id_col=id_col, vec_col=vec_col
-        ).join(assign.select("vid", "cid"), "vid")
         cents.write.mode("overwrite").parquet(self._p("centroids"))
-        books.write.mode("overwrite").parquet(self._p("codebooks"))
-        (
-            codes.repartition("cid")
-            .sortWithinPartitions("vid")
-            .write.mode("overwrite")
-            .partitionBy("cid")
-            .parquet(self._p("codes"))
-        )
+        if pq:
+            books = pq_fit(corpus, m, k_sub, id_col=id_col, vec_col=vec_col)
+            codes = pq_encode(
+                corpus, books, m, id_col=id_col, vec_col=vec_col
+            ).join(assign.select("vid", "cid"), "vid")
+            books.write.mode("overwrite").parquet(self._p("codebooks"))
+            (
+                codes.repartition("cid")
+                .sortWithinPartitions("vid")
+                .write.mode("overwrite")
+                .partitionBy("cid")
+                .parquet(self._p("codes"))
+            )
         (
             assign.repartition("cid")
             .sortWithinPartitions("vid")
