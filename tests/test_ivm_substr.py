@@ -1,0 +1,135 @@
+"""Incremental join-view maintenance (operators/ivm.py) and exact-
+substring duplication spans (operators/dedup.py substring_dup_stats):
+fold-order invariance, delta disjointness, and planted-duplicate
+detection with the stride guarantee.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vcf_pg_loader_spark.operators import dedup as D
+from vcf_pg_loader_spark.operators.ivm import join_delta, maintain_join_view
+from vcf_pg_loader_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .withColumnRenamed("l_orderkey", "k")
+    )
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumnRenamed("o_orderkey", "k")
+    )
+
+
+def _fold(li, orders, n_batches: int, order: list[int]):
+    view = None
+    l_old, r_old = li.limit(0), orders.limit(0)
+    for i in order:
+        dl = li.filter(F.col("k") % n_batches == i)
+        dr = orders.filter(F.col("k") % n_batches == i)
+        view = maintain_join_view(view, l_old, dl, r_old, dr, "k")
+        l_old = l_old.unionByName(dl)
+        r_old = r_old.unionByName(dr)
+    return view
+
+
+class TestIVM:
+    def test_fold_equals_recompute(self, spark, li, orders):
+        got = _fold(li, orders, 3, [0, 1, 2])
+        want = li.join(orders, "k")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        assert want.count() > 0
+
+    def test_fold_order_free(self, spark, li, orders):
+        a = sorted(map(tuple, _fold(li, orders, 4, [0, 1, 2, 3]).collect()))
+        b = sorted(map(tuple, _fold(li, orders, 4, [3, 1, 0, 2]).collect()))
+        assert a == b
+
+    def test_deltas_are_disjoint(self, spark, li, orders):
+        """dL⋈R, L⋈dR, dL⋈dR never produce the same row twice: the three
+        terms partition the new rows (L,R exclude the deltas), so the
+        fold total equals the plain-join total with no dedup step."""
+        mid_l = li.filter(F.col("k") % 2 == 0)
+        mid_r = orders.filter(F.col("k") % 2 == 0)
+        dl = li.filter(F.col("k") % 2 == 1)
+        dr = orders.filter(F.col("k") % 2 == 1)
+        delta = join_delta(mid_l, dl, mid_r, dr, "k")
+        full = li.join(orders, "k")
+        base = mid_l.join(mid_r, "k")
+        assert delta.count() == full.count() - base.count()
+
+    def test_uneven_arrival(self, spark, li, orders):
+        """Left rows may arrive long before their right match (and vice
+        versa) — the L⋈dR term picks them up on the later batch."""
+        view = None
+        l_old, r_old = li.limit(0), orders.limit(0)
+        # all lineitems first, then all orders
+        for dl, dr in ((li, orders.limit(0)), (li.limit(0), orders)):
+            view = maintain_join_view(view, l_old, dl, r_old, dr, "k")
+            l_old = l_old.unionByName(dl)
+            r_old = r_old.unionByName(dr)
+        assert view.count() == li.join(orders, "k").count()
+
+
+class TestSubstringDedup:
+    GRAM, STRIDE = 20, 4
+
+    def _stats(self, spark, rows):
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        return {
+            r.doc_id: r
+            for r in D.substring_dup_stats(
+                df, gram_len=self.GRAM, stride=self.STRIDE
+            ).collect()
+        }
+
+    def test_planted_cross_doc_duplicate(self, spark):
+        shared = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (1, "unique opening text here " + shared),
+            (2, shared + " entirely different tail content follows here"),
+            (3, "this document shares nothing with any of the others at all"),
+        ]
+        got = self._stats(spark, rows)
+        assert 1 in got and 2 in got
+        assert 3 not in got  # no duplicated region -> absent entirely
+        # the shared region is ~60 chars; spans must cover most of it
+        assert got[1].dup_chars >= len(shared) - self.GRAM
+        assert got[2].dup_chars >= len(shared) - self.GRAM
+
+    def test_intra_doc_repetition_detected(self, spark):
+        loop = "spam and eggs and spam " * 6
+        got = self._stats(spark, [(1, loop), (2, "completely unrelated words")])
+        assert 1 in got and got[1].dup_frac > 0.8
+        assert 2 not in got
+
+    def test_short_docs_yield_no_grams(self, spark):
+        got = self._stats(spark, [(1, "tiny"), (2, "tiny")])
+        assert got == {}  # shorter than gram_len: no positions at all
+
+    def test_spans_merge_contiguously(self, spark):
+        """One long shared region must merge into ONE span per doc, not a
+        chain of per-gram islands."""
+        shared = "x" * 5 + " shared shared shared shared shared shared " + "y" * 5
+        rows = [(1, "aaa " + shared), (2, "bbb " + shared)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        spans = D.duplicated_substring_spans(
+            df, gram_len=self.GRAM, stride=self.STRIDE
+        )
+        per_doc = {r[0]: r for r in spans.collect()}
+        assert spans.count() == 2  # exactly one merged span per doc

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vcf_pg_loader_spark.functions.hashing import h60
+from vcf_pg_loader_spark.functions.hashing import h60, sql_h60
 from vcf_pg_loader_spark.operators._parallel import ensure_min_parallelism
 
 
@@ -499,3 +499,172 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for j in range(SIMHASH_BITS):
         fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return per_doc.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# exact-substring duplication spans (ExactSubstr, Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better"):
+# character L-grams whose hash repeats ANYWHERE in the corpus mark their
+# covering positions as duplicated text; overlapping marks merge into
+# per-doc spans.  The reference ExactSubstr builds a corpus-wide suffix
+# array; relationally the same signal is one gram explode + one
+# frequency aggregation + a gaps-and-islands window — every stage keyed,
+# nothing quadratic, hashes (not text) on the shuffle wire.
+#
+# `stride` trades resolution for shuffle volume via CONTENT-DEFINED
+# sampling: only grams whose hash ≡ 0 (mod stride) survive, so the same
+# substring selects the same grams in every document regardless of its
+# byte offset (position-strided sampling would misalign: two copies at
+# offsets differing mod stride share no sampled gram).  Every position
+# is hashed (that CPU is inherent to ExactSubstr) but only ~1/stride of
+# the rows reach the explode/shuffle — the knob that makes 100 TB
+# affordable.  A duplicated region of length >= L + a few strides
+# contains a selected gram with probability 1 - (1-1/s)^(region-L+1) —
+# deterministic per content, overwhelmingly close to 1 for s << region.
+# --------------------------------------------------------------------------
+def char_gram_positions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_len: int = 40,
+    stride: int = 4,
+) -> DataFrame:
+    """(id, pos, gh): hash of the lowercased L-char gram at each selected
+    1-based position (content-defined selection: gh % stride == 0)."""
+    t = F.lower(F.col(text_col))
+    n = F.length(t)
+    idx = F.when(
+        n >= gram_len,
+        F.sequence(F.lit(1), n - gram_len + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    hashed = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            h60(F.substring(t, i, gram_len), salt="ss:").alias("gh"),
+        ),
+    )
+    selected = F.filter(hashed, lambda s: s["gh"] % stride == 0)
+    return (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), F.explode(selected).alias("_s"))
+        .select(id_col, F.col("_s.pos").alias("pos"), F.col("_s.gh").alias("gh"))
+    )
+
+
+def duplicated_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_len: int = 40,
+    stride: int = 4,
+) -> DataFrame:
+    """Per-doc merged duplicated-text spans: (id, span_start, span_end)
+    half-open char ranges covered by grams whose corpus frequency > 1."""
+    from pyspark.sql.window import Window
+
+    grams = char_gram_positions(df, id_col, text_col, gram_len, stride)
+    freq = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("n"))
+    dup = grams.join(freq.filter(F.col("n") > 1), "gh").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # sorted same-length intervals [pos, pos+L): a new island starts when
+    # the gap to the previous start exceeds L (no overlap possible)
+    flagged = dup.withColumn(
+        "_new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > gram_len),
+            1,
+        ).otherwise(0),
+    ).withColumn("_island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        flagged.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + gram_len).alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_len: int = 40,
+    stride: int = 4,
+) -> DataFrame:
+    """Per-doc duplicated-text accounting over the merged spans:
+    (id, n_spans, dup_chars, dup_frac) for docs with any duplication."""
+    spans = duplicated_substring_spans(df, id_col, text_col, gram_len, stride)
+    sized = spans.join(
+        df.select(F.col(id_col), F.length(F.col(text_col)).alias("_len")),
+        id_col,
+    )
+    return (
+        sized.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.least(F.col("span_end"), F.col("_len") + 1)
+                - F.col("span_start")
+            ).alias("dup_chars"),
+            F.round(
+                F.sum(
+                    F.least(F.col("span_end"), F.col("_len") + 1)
+                    - F.col("span_start")
+                )
+                / F.max("_len"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def sql_substring_dup_stats(
+    table: str, gram_len: int = 40, stride: int = 4
+) -> str:
+    """DuckDB twin of substring_dup_stats (same hash, windows, merging)."""
+    gh = sql_h60(f"substr(t, i, {gram_len})", salt="ss:")
+    return f"""
+WITH t0 AS (SELECT doc_id, lower(text) AS t FROM {table}),
+grams AS (
+  SELECT doc_id, pos, gh FROM (
+    SELECT doc_id, i AS pos, {gh} AS gh FROM (
+      SELECT doc_id, t,
+             unnest(range(1, greatest(length(t) - {gram_len} + 1, 0) + 1))
+               AS i
+      FROM t0
+    )
+  ) WHERE gh % {stride} = 0
+),
+freq AS (SELECT gh, COUNT(*) AS n FROM grams GROUP BY 1),
+dup AS (SELECT doc_id, pos FROM grams JOIN freq USING (gh) WHERE n > 1),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos - lag(pos) OVER w > {gram_len}
+              THEN 1 ELSE 0 END AS _new
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(_new) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS _island
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {gram_len} AS span_end
+  FROM islands GROUP BY doc_id, _island
+),
+sized AS (
+  SELECT s.doc_id, s.span_start, s.span_end, length(t0.t) AS _len
+  FROM spans s JOIN t0 USING (doc_id)
+)
+SELECT doc_id, COUNT(*) AS n_spans,
+       CAST(SUM(least(span_end, _len + 1) - span_start) AS BIGINT)
+         AS dup_chars,
+       ROUND(SUM(least(span_end, _len + 1) - span_start) / MAX(_len), 6)
+         AS dup_frac
+FROM sized GROUP BY 1
+"""

@@ -1820,6 +1820,44 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Incremental join-view maintenance (operators/ivm.py): lineitem and
+# orders arrive in 3 interleaved insert batches; the join view folds
+# each batch via the delta rule (dL⋈R ∪ L⋈dR ∪ dL⋈dR) and the final
+# maintained view must equal the one-shot join — the oracle IS the
+# plain join aggregate, so any lost/duplicated delta shows up.
+# --------------------------------------------------------------------------
+def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators.ivm import maintain_join_view
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    view = None
+    l_old, r_old = li.limit(0), orders.limit(0)
+    for i in range(3):
+        dl = li.filter(F.col("o_orderkey") % 3 == i)
+        dr = orders.filter(F.col("o_orderkey") % 3 == i)
+        view = maintain_join_view(view, l_old, dl, r_old, dr, "o_orderkey")
+        l_old = l_old.unionByName(dl)
+        r_old = r_old.unionByName(dr)
+    return view.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_quantity", "decimal(20,2)").alias("total_qty"),
+    )
+
+
+Q_IVM_JOIN_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       {sql_dsum('l_quantity', 'DECIMAL(20,2)')} AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -1861,6 +1899,7 @@ QUERIES = {
     "q_sql_passthrough": q_sql_passthrough,
     "q_asof_join": q_asof_join,
     "q_bloom_join": q_bloom_join,
+    "q_ivm_join": q_ivm_join,
     "q_pivot_monthly": q_pivot_monthly,
     "q_cube_orders": q_cube_orders,
     "q_quantile_sampled": q_quantile_sampled,
@@ -1913,6 +1952,7 @@ ORACLE = {
     "q_sql_passthrough": _PASSTHROUGH_SQL,
     "q_asof_join": Q_ASOF_SQL,
     "q_bloom_join": Q_BLOOM_JOIN_SQL,
+    "q_ivm_join": Q_IVM_JOIN_SQL,
     "q_pivot_monthly": Q_PIVOT_SQL,
     "q_cube_orders": Q_CUBE_SQL,
     "q_quantile_sampled": Q_QUANTILE_SAMPLED_SQL,

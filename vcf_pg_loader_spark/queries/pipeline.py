@@ -1377,6 +1377,54 @@ SELECT w1, w2, c_xy, pmi, rn FROM (
 
 
 # --------------------------------------------------------------------------
+# exact-substring duplication (ExactSubstr, Lee et al. 2022): per-doc
+# merged duplicated-text spans from corpus-repeated char L-grams —
+# operators/dedup.py substring_dup_stats.  The suffix-array method's
+# signal, produced by explode + frequency + gaps-and-islands windows.
+# --------------------------------------------------------------------------
+SUBSTR_GRAM_LEN = 40
+SUBSTR_STRIDE = 4
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.substring_dup_stats(
+        docs, "doc_id", "text", SUBSTR_GRAM_LEN, SUBSTR_STRIDE
+    )
+
+
+Q_SUBSTRING_DEDUP_SQL = D.sql_substring_dup_stats(
+    "documents", SUBSTR_GRAM_LEN, SUBSTR_STRIDE
+)
+
+
+# --------------------------------------------------------------------------
+# HDR-histogram quantile sketch (operators/histogram.py): mergeable
+# log-bucketed quantile estimates per event type.  The estimator is a
+# deterministic integer function of the data, so the oracle pins it
+# bit-for-bit even though it approximates the true quantile.
+# --------------------------------------------------------------------------
+HDR_QS = [0.5, 0.9, 0.99]
+
+
+def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators import histogram as H
+
+    ev = load_table(spark, sf_dir, "events")
+    partials = H.hdr_partial(ev, ["event_type"], "value")
+    return H.hdr_quantiles(partials, ["event_type"], HDR_QS)
+
+
+def _hdr_sql() -> str:
+    from vcf_pg_loader_spark.operators import histogram as H
+
+    return H.sql_hdr_quantiles("events", "event_type", "value", HDR_QS)
+
+
+Q_HDR_QUANTILES_SQL = _hdr_sql()
+
+
+# --------------------------------------------------------------------------
 # chunk-level dedup classes: exact dedup at context-window granularity
 # (the passage-level analogue of q_dedup_exact) — group the chunk table
 # by chunk hash; shuffles 32-char hashes, never chunk text.
@@ -1811,6 +1859,8 @@ QUERIES = {
     "q_bm25_topk": q_bm25_topk,
     "q_tfidf_terms": q_tfidf_terms,
     "q_pmi_bigrams": q_pmi_bigrams,
+    "q_substring_dedup": q_substring_dedup,
+    "q_hdr_quantiles": q_hdr_quantiles,
     "q_chunk_dedup": q_chunk_dedup,
     "q_epoch_shuffle": q_epoch_shuffle,
     "q_pipeline_funnel": q_pipeline_funnel,
@@ -1859,6 +1909,8 @@ ORACLE = {
     "q_bm25_topk": Q_BM25_SQL,
     "q_tfidf_terms": Q_TFIDF_SQL,
     "q_pmi_bigrams": Q_PMI_SQL,
+    "q_substring_dedup": Q_SUBSTRING_DEDUP_SQL,
+    "q_hdr_quantiles": Q_HDR_QUANTILES_SQL,
     "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
     "q_epoch_shuffle": Q_EPOCH_SHUFFLE_SQL,
     "q_pipeline_funnel": Q_PIPELINE_FUNNEL_SQL,
