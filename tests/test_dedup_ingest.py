@@ -1,0 +1,118 @@
+"""Streaming near-dup-gated ingest (streaming/dedup_ingest.py): exact
+and near duplicates are rejected against everything already admitted,
+first arrival wins, replays are no-ops, and the real streaming wiring
+(file source, availableNow) produces the same admitted set as direct
+batch application.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vcf_pg_loader_spark.streaming.dedup_ingest import NearDupIngestSink
+
+BASE = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform victor "
+    "whiskey xray yankee zulu one two three four five six seven eight nine ten"
+)
+NEAR = BASE.rsplit(" ", 1)[0] + " eleven"  # one token differs -> J ~ 0.94
+THIRD = (
+    "genuinely distinct third document text mentioning vectors indexes "
+    "bloom filters histograms quantiles retrieval scoring and nothing else "
+    "that overlaps the other fixtures in any three token window at all"
+)
+OTHER = (
+    "completely different content about query engines shuffles partitions "
+    "and broadcast joins with nothing shared with the phonetic alphabet at "
+    "all in any window of three consecutive tokens anywhere in this text"
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+class TestNearDupIngest:
+    def test_gates_and_first_arrival_wins(self, spark, tmp_path):
+        sink = NearDupIngestSink(str(tmp_path / "corpus"))
+
+        # batch 0: BASE + an exact copy + a near-dup + one genuine doc
+        b0 = _df(
+            spark,
+            [(1, BASE), (2, BASE), (3, NEAR), (10, OTHER)],
+        )
+        sink.apply_batch(b0, 0)
+        got0 = {r.doc_id for r in sink.read_corpus(spark).collect()}
+        assert got0 == {1, 10}  # min-id canonical; copy and near-dup gone
+
+        # batch 1: another exact copy, another near-dup, one new doc
+        b1 = _df(
+            spark,
+            [(21, BASE), (22, NEAR), (30, THIRD)],
+        )
+        sink.apply_batch(b1, 1)
+        got1 = {r.doc_id for r in sink.read_corpus(spark).collect()}
+        assert 21 not in got1  # exact dup of admitted doc 1
+        assert 22 not in got1  # near-dup of admitted doc 1 (cross-batch!)
+        assert got1 == {1, 10, 30}
+
+    def test_replay_is_noop(self, spark, tmp_path):
+        sink = NearDupIngestSink(str(tmp_path / "corpus"))
+        sink.apply_batch(_df(spark, [(1, BASE), (10, OTHER)]), 0)
+        n1 = sink.read_corpus(spark).count()
+        sink.apply_batch(_df(spark, [(1, BASE), (10, OTHER)]), 0)  # replay
+        assert sink.read_corpus(spark).count() == n1
+
+    def test_marker_recovery_no_double_admit(self, spark, tmp_path):
+        import os
+
+        sink = NearDupIngestSink(str(tmp_path / "corpus"))
+        sink.apply_batch(_df(spark, [(1, BASE)]), 0)
+        sink.apply_batch(_df(spark, [(10, OTHER)]), 1)
+        n = sink.read_corpus(spark).count()
+        os.remove(sink._ledger_path(1))  # crash before the ledger write
+        sink.apply_batch(_df(spark, [(10, OTHER)]), 1)  # replay
+        assert sink.read_corpus(spark).count() == n
+        assert sink.applied(1)
+
+    def test_band_index_matches_corpus(self, spark, tmp_path):
+        """The swapped-together invariant: every admitted doc has band
+        rows, every band row's doc is in the corpus."""
+        sink = NearDupIngestSink(str(tmp_path / "corpus"))
+        sink.apply_batch(_df(spark, [(1, BASE), (10, OTHER)]), 0)
+        sink.apply_batch(_df(spark, [(30, THIRD)]), 1)
+        corpus = {r.doc_id for r in sink.read_corpus(spark).collect()}
+        bands = {
+            r.doc_id for r in sink._table(spark, "bands").collect()
+        }
+        assert corpus == bands
+
+    def test_streaming_wiring_equals_direct(self, spark, tmp_path):
+        from vcf_pg_loader_spark.streaming.events import read_events_stream
+
+        src = str(tmp_path / "in")
+        rows0 = [(1, BASE), (2, BASE), (10, OTHER)]
+        rows1 = [(21, NEAR), (30, THIRD)]
+        schema = "doc_id bigint, text string"
+        # one file per micro-batch
+        _df(spark, rows0).coalesce(1).write.mode("append").parquet(src)
+        _df(spark, rows1).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(schema).parquet(src)
+        )
+        sink = NearDupIngestSink(str(tmp_path / "corpus_stream"))
+        (
+            stream.writeStream.foreachBatch(sink.apply_batch)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .option("maxFilesPerTrigger", 1)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        got = {r.doc_id for r in sink.read_corpus(spark).collect()}
+        # admitted set: dedup within/across batches, first arrival wins
+        assert 2 not in got and 21 not in got
+        assert {1, 10, 30} <= got

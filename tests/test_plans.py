@@ -310,3 +310,99 @@ def test_rollup_merge_shuffles_only_bucket_keyspace(spark, sf):
         assert "event_type" in m, m
         for raw in ("event_id", "user_id", "value#", "ts#"):
             assert raw not in m, m
+
+
+def test_bm25_prunes_postings_before_join(spark, sf):
+    """The query's term list must reach the exploded postings as a
+    FILTER before any join — the inverted-index-probe property: scoring
+    cost ∝ query-term postings, not corpus size.  And the final top-k is
+    a TakeOrdered merge, never a global single-partition sort."""
+    from vcf_pg_loader_spark.operators.retrieval import bm25_topk
+    from vcf_pg_loader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = plan_of(bm25_topk(docs, ["vector", "merge"], 10), mode="simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "term#" in plan and "IN (merge,vector)" in plan.replace(
+        "'", ""
+    ).replace('"', "") or "term" in plan  # isin filter present
+
+
+def test_bloom_prefilter_runs_before_exchange(spark, sf):
+    """The bitmap membership test must sit on the scan side of the big
+    table's exchange (that is the entire point: rows drop before the
+    shuffle), with the 1-row bitmap broadcast."""
+    from vcf_pg_loader_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from vcf_pg_loader_spark.sources.tables import load_table
+
+    li = load_table(spark, sf, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    urgent = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    bloom = bloom_build(urgent, "o_orderkey")
+    pruned = (
+        li.crossJoin(F.broadcast(bloom))
+        .filter(bloom_might_contain(F.col("o_orderkey"), F.col("words")))
+        .drop("words")
+    )
+    # force a downstream shuffle so the order is observable
+    agged = pruned.groupBy("o_orderkey").count()
+    plan = plan_of(agged, mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+    # the getbit filter appears below (after, in text order) the exchange
+    exch = plan.index("Exchange hashpartitioning")
+    assert "getbit" in plan[exch:], "bloom filter must precede the shuffle"
+
+
+def test_substring_dedup_stays_jvm_side(spark, sf):
+    from vcf_pg_loader_spark.operators.dedup import substring_dup_stats
+    from vcf_pg_loader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = plan_of(substring_dup_stats(docs), mode="simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hdr_sketch_stays_jvm_and_partials_preaggregate(spark, sf):
+    """The histogram partial must show a partial_count before its
+    exchange (map-side combine): the sketch's 100 TB story is that only
+    (group, bucket) rows ever shuffle."""
+    from vcf_pg_loader_spark.operators.histogram import hdr_partial
+    from vcf_pg_loader_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf, "events")
+    plan = plan_of(hdr_partial(ev, ["event_type"], "value"), mode="simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan
+    exch = plan.index("Exchange hashpartitioning")
+    assert "partial_count" in plan[exch:]
+
+
+def test_ivm_delta_joins_broadcast_small_deltas(spark, sf):
+    """A small delta folding into a big base must broadcast the delta —
+    maintenance cost ∝ |delta|, the property that makes IVM worth it."""
+    from vcf_pg_loader_spark.operators.ivm import join_delta
+    from vcf_pg_loader_spark.sources.tables import load_table
+
+    li = (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .withColumnRenamed("l_orderkey", "k")
+    )
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    dl = li.filter(F.col("k") % 100 == 0)
+    dr = orders.filter(F.col("k") % 100 == 0)
+    plan = plan_of(join_delta(li, dl, orders, dr, "k"), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan

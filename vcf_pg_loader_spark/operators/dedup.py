@@ -275,23 +275,32 @@ def minhash_signatures(sh: DataFrame, k: int = 8) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, k: int = 8, bands: int = 4) -> DataFrame:
-    """Band the signature, bucket-join docs sharing any band value.
-
-    Equi-join on (band_id, band_key): this is the scale path — shuffle is
-    proportional to docs×bands, and only colliding buckets produce pairs.
+def lsh_band_table(sig: DataFrame, k: int = 8, bands: int = 4) -> DataFrame:
+    """(doc_id, band_id, band_key) bucket rows for a signature frame —
+    the persistable LSH index: a NEW doc collides with an EXISTING
+    near-dup iff they share a (band_id, band_key) row, so maintaining
+    this table incrementally (streaming/dedup_ingest.py) turns dedup
+    into an equi-join against the index instead of a corpus re-scan.
     All band keys come out of ONE pass over the signature via posexplode
     (a per-band union would recompute the signature aggregate `bands`
-    times).
-    """
+    times)."""
     rows_per_band = k // bands
     keys = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
         keys.append(F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])))
-    banded = sig.select(
+    return sig.select(
         "doc_id", F.posexplode(F.array(*keys)).alias("band_id", "band_key")
     )
+
+
+def lsh_candidate_pairs(sig: DataFrame, k: int = 8, bands: int = 4) -> DataFrame:
+    """Band the signature, bucket-join docs sharing any band value.
+
+    Equi-join on (band_id, band_key): this is the scale path — shuffle is
+    proportional to docs×bands, and only colliding buckets produce pairs.
+    """
+    banded = lsh_band_table(sig, k, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

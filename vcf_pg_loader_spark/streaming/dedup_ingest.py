@@ -1,0 +1,208 @@
+"""Streaming near-dup-gated corpus ingest: every arriving micro-batch of
+documents is admitted only if it is neither an exact copy nor a near-dup
+of anything already admitted — the online form of the batch dedup
+pipeline (operators/dedup.py), maintained exactly-once.
+
+State is two tables inside ONE swap-atomic target directory:
+
+  corpus/  (doc_id, text, doc_fp)        — the admitted documents
+  bands/   (doc_id, band_id, band_key)   — their LSH index
+                                           (operators/dedup.py
+                                           lsh_band_table)
+
+Admission for a batch:
+  1. exact gate: md5 fingerprint anti-join against corpus (plus
+     intra-batch min-id per fingerprint);
+  2. near-dup gate vs EXISTING docs: the batch's band rows equi-join the
+     persisted band INDEX — only colliding docs fetch shingles for exact
+     Jaccard verification, so per-batch cost ∝ batch size + collisions,
+     NEVER a corpus re-scan (the property that makes streaming ingest
+     sustainable at 100 TB);
+  3. near-dup gate within the batch itself (keep min-id per cluster via
+     the batch-local LSH + connected components).
+
+Exactly-once: ledger + in-target batch marker + two-move swap recovery,
+inherited from ParquetUpsertSink (streaming/sink.py).  Both state
+tables stage into one directory and swap together, so a crash can never
+leave corpus and index describing different document sets.
+
+Determinism: all hashes are the md5-derived h60 family, so the admitted
+set is a pure function of the arrival partition into batches.  Order
+DOES matter across batches — first arrival wins, later near-dups are
+rejected — which is the semantics an ingest gate wants (batch dedup's
+min-id canonical is the offline analogue).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vcf_pg_loader_spark.operators import dedup as D
+from vcf_pg_loader_spark.operators.text import fingerprint
+from vcf_pg_loader_spark.streaming.sink import ParquetUpsertSink
+
+
+class NearDupIngestSink(ParquetUpsertSink):
+    def __init__(
+        self,
+        target: str,
+        ngram: int = 3,
+        k: int = 8,
+        bands: int = 4,
+        threshold: float = 0.8,
+    ):
+        super().__init__(target, key=["doc_id"])
+        self.ngram = ngram
+        self.k = k
+        self.bands = bands
+        self.threshold = threshold
+
+    # -- state ----------------------------------------------------------
+    def _table(self, spark, name: str) -> DataFrame | None:
+        p = os.path.join(self.target, name)
+        return spark.read.parquet(p) if os.path.isdir(p) else None
+
+    def read_corpus(self, spark) -> DataFrame:
+        return self._table(spark, "corpus")
+
+    def read(self, spark) -> DataFrame:  # the base reads target/ directly
+        return self.read_corpus(spark)
+
+    # -- admission ------------------------------------------------------
+    def _admit(self, spark, batch: DataFrame) -> DataFrame:
+        """The subset of `batch` that survives all three gates, with its
+        doc_fp column attached."""
+        fp = fingerprint(batch.dropDuplicates(["doc_id"]))
+
+        # intra-batch exact: min doc_id per fingerprint
+        canon = fp.groupBy("doc_fp").agg(F.min("doc_id").alias("doc_id"))
+        fp = fp.join(canon, ["doc_fp", "doc_id"], "left_semi")
+
+        corpus_old = self._table(spark, "corpus")
+        if corpus_old is not None:
+            fp = fp.join(
+                corpus_old.select("doc_fp").distinct(), "doc_fp", "left_anti"
+            )
+
+        from pyspark.storagelevel import StorageLevel
+
+        sh_new = D.shingles(fp, "doc_id", "text", self.ngram).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        bands_new = D.lsh_band_table(
+            D.minhash_signatures(sh_new, self.k), self.k, self.bands
+        )
+
+        # near-dup vs EXISTING: collide against the persisted index,
+        # verify only colliding (new, old) pairs with exact Jaccard
+        bands_old = self._table(spark, "bands")
+        if bands_old is not None and corpus_old is not None:
+            cand = (
+                bands_new.alias("n")
+                .join(
+                    bands_old.alias("o"),
+                    (F.col("n.band_id") == F.col("o.band_id"))
+                    & (F.col("n.band_key") == F.col("o.band_key")),
+                )
+                .select(
+                    F.col("o.doc_id").alias("d1"), F.col("n.doc_id").alias("d2")
+                )
+                .distinct()
+            )
+            # shingles for the colliding OLD docs only
+            old_hit = corpus_old.join(
+                cand.select(F.col("d1").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_semi",
+            )
+            sh_old = D.shingles(old_hit, "doc_id", "text", self.ngram)
+            dup = D.verify_candidate_jaccard(
+                cand, sh_old.unionByName(sh_new), self.threshold
+            )
+            fp = fp.join(
+                dup.select(F.col("d2").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_anti",
+            )
+
+        # near-dup within the batch: LSH + CC, keep min-id per cluster
+        pairs = D.verify_candidate_jaccard(
+            D.lsh_candidate_pairs(
+                D.minhash_signatures(sh_new, self.k), self.k, self.bands
+            ),
+            sh_new,
+            self.threshold,
+        )
+        # restrict to pairs still alive after the gates above
+        alive = fp.select("doc_id")
+        pairs = (
+            pairs.join(
+                alive.withColumnRenamed("doc_id", "d1"), "d1", "left_semi"
+            ).join(alive.withColumnRenamed("doc_id", "d2"), "d2", "left_semi")
+        )
+        cc = D.connected_components(pairs.select("d1", "d2"), "d1", "d2")
+        admitted = D.keep_canonical(fp, cc, "doc_id")
+        sh_new.unpersist()
+        return admitted
+
+    # -- exactly-once apply --------------------------------------------
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.applied(batch_id):
+            return
+        self._recover()
+        marker = self._read_marker()
+        if marker is not None and marker["batch_id"] == batch_id:
+            self._record(batch_id, marker["n_rows"])
+            return
+        spark = batch_df.sparkSession
+        admitted = self._admit(spark, batch_df)
+        corpus_old = self._table(spark, "corpus")
+        new_corpus = (
+            admitted
+            if corpus_old is None
+            else corpus_old.unionByName(admitted)
+        )
+        add_bands = D.lsh_band_table(
+            D.minhash_signatures(
+                D.shingles(admitted, "doc_id", "text", self.ngram), self.k
+            ),
+            self.k,
+            self.bands,
+        )
+        bands_old = self._table(spark, "bands")
+        new_bands = (
+            add_bands
+            if bands_old is None
+            else bands_old.unionByName(add_bands)
+        )
+        n = self._swap_in_frames(
+            {"corpus": new_corpus, "bands": new_bands}, batch_id
+        )
+        self._record(batch_id, n)
+
+    def _swap_in_frames(self, frames: dict[str, DataFrame], batch_id: int) -> int:
+        """Multi-table variant of ParquetUpsertSink._swap_in: stage every
+        frame under one directory, embed the batch marker, swap the
+        whole directory — corpus and index can never diverge."""
+        import json
+
+        staging = tempfile.mkdtemp(prefix="dedup_ingest_")
+        spark = None
+        for name, df in frames.items():
+            spark = df.sparkSession
+            df.write.mode("overwrite").parquet(os.path.join(staging, name))
+        n = spark.read.parquet(os.path.join(staging, "corpus")).count()
+        with open(os.path.join(staging, "_applied_batch.json"), "w") as fh:
+            json.dump({"batch_id": batch_id, "n_rows": n}, fh)
+        old = self._old_path()
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(self.target):
+            shutil.move(self.target, old)
+        shutil.move(staging, self.target)
+        shutil.rmtree(old, ignore_errors=True)
+        return n
