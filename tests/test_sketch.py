@@ -86,3 +86,65 @@ class TestKMVEdges:
         # CAST(NULL AS STRING) hashes to null -> dropped by h60's md5;
         # only 'a' counts (matching COUNT(DISTINCT v) null semantics)
         assert est.n_distinct_est == 1.0
+
+
+class TestCountMin:
+    def test_one_sided_error_and_bound(self, spark):
+        """est >= true ALWAYS (collisions only over-count); and with
+        width >> distinct items the estimate is exact."""
+        from vcf_pg_loader_spark.operators import sketch as SK
+        from vcf_pg_loader_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_DIR, "documents")
+        toks = docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        true = {
+            r.token: r.n
+            for r in toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n")).limit(10).collect()
+        }
+        probes = spark.createDataFrame(
+            [(t,) for t in true], "token string"
+        )
+        sk = SK.cms_partial(toks, "token")
+        est = {
+            r.token: r.cms_est
+            for r in SK.cms_estimate(sk, probes, "token").collect()
+        }
+        n_total = toks.count()
+        for t, n in true.items():
+            assert est[t] >= n  # never under-counts
+            # expected overshoot n_total/width per row; min over 4 rows —
+            # allow a generous 4x slack on the single-row expectation
+            assert est[t] - n <= 4 * n_total / SK.CMS_WIDTH + 1, (t, est[t], n)
+
+    def test_absent_item_small_estimate(self, spark):
+        from vcf_pg_loader_spark.operators import sketch as SK
+
+        df = spark.createDataFrame([(f"v{i}",) for i in range(500)], "v string")
+        sk = SK.cms_partial(df, "v")
+        probes = spark.createDataFrame([("never_seen",)], "v string")
+        est = SK.cms_estimate(sk, probes, "v").first().cms_est
+        assert 0 <= est <= 4  # collisions only; 500 items over 1024 slots
+
+    def test_merge_law(self, spark):
+        from vcf_pg_loader_spark.operators import sketch as SK
+
+        df = spark.createDataFrame(
+            [(f"v{i % 40}",) for i in range(400)], "v string"
+        )
+        whole = SK.cms_partial(df, "v")
+        parts = [
+            SK.cms_partial(
+                df.withColumn("_r", F.monotonically_increasing_id()).filter(
+                    F.col("_r") % 3 == i
+                ),
+                "v",
+            )
+            for i in range(3)
+        ]
+        merged = SK.cms_merge(SK.cms_merge(parts[1], parts[2]), parts[0])
+        a = sorted(map(tuple, whole.collect()))
+        b = sorted(map(tuple, merged.collect()))
+        assert a == b  # counts add exactly, any order

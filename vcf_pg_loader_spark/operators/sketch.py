@@ -134,3 +134,140 @@ SELECT {g},
        END AS n_distinct_est
 FROM sk
 """
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): frequency estimation
+# in fixed space, expressed relationally.  The sketch is a (row, pos,
+# cnt) table — `rows` independent hash rows of `width` counters — built
+# with one explode + one keyed aggregation; it merges by ADDING counts
+# (k-way, out-of-order, exact), and serving an estimate is a join of
+# the probe items' positions against the table with a min over rows.
+#
+# Guarantees (deterministic, not probabilistic-per-run, because the
+# hash family is fixed): est >= true ALWAYS (counters only ever
+# over-count via collisions); est - true <= total_items / width per row
+# in expectation, and taking the min over `rows` independent rows makes
+# a large overshoot require colliding in EVERY row.  All arithmetic is
+# exact integers on md5-derived hashes, so Spark and DuckDB build the
+# IDENTICAL sketch — the estimator itself is oracle-checkable.
+#
+# 100 TB shape: the sketch table is rows×width counters regardless of
+# data volume (4×1024 = 4096 rows here); partials pre-aggregate
+# map-side; probes broadcast against it.
+# --------------------------------------------------------------------------
+CMS_ROWS = 4
+CMS_WIDTH = 1024
+
+
+def _cms_positions(value: Column, rows: int, width: int) -> list[Column]:
+    return [
+        F.pmod(h60(value, salt=f"cms{i}:"), F.lit(width))
+        for i in range(rows)
+    ]
+
+
+def cms_partial(
+    df: DataFrame,
+    value_col: str,
+    rows: int = CMS_ROWS,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(row, pos, cnt) sketch of the multiset in `value_col` (nulls are
+    out of domain, as in kmv_sketch)."""
+    pos = _cms_positions(F.col(value_col), rows, width)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("row"), p.alias("pos"))
+            for i, p in enumerate(pos)
+        ]
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.explode(pairs).alias("_rp"))
+        .select(F.col("_rp.row").alias("row"), F.col("_rp.pos").alias("pos"))
+        .groupBy("row", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Counts add — the same fold law as the rollup/KMV partials."""
+    return (
+        a.unionByName(b).groupBy("row", "pos").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    rows: int = CMS_ROWS,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point estimates for each probe value: min over hash rows of the
+    addressed counter (0 when a counter was never touched).  The probe
+    frame is small by construction; the sketch is tiny — both sides of
+    the join broadcast naturally."""
+    pos = _cms_positions(F.col(value_col), rows, width)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("row"), p.alias("pos"))
+            for i, p in enumerate(pos)
+        ]
+    )
+    addressed = probes.select(
+        F.col(value_col), F.explode(pairs).alias("_rp")
+    ).select(
+        value_col,
+        F.col("_rp.row").alias("row"),
+        F.col("_rp.pos").alias("pos"),
+    )
+    return (
+        addressed.join(F.broadcast(sketch), ["row", "pos"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+
+
+def sql_cms_estimate(
+    source_select: str,
+    probe_select: str,
+    value_col: str,
+    rows: int = CMS_ROWS,
+    width: int = CMS_WIDTH,
+) -> str:
+    """DuckDB twin: `source_select` yields the multiset (column
+    `value_col`), `probe_select` the probe values (same column name)."""
+    src_pos = ",\n    ".join(
+        f"({sql_h60(value_col, salt=f'cms{i}:')}) % {width} AS p{i}"
+        for i in range(rows)
+    )
+    probe_pos = ",\n    ".join(
+        f"({sql_h60(value_col, salt=f'cms{i}:')}) % {width} AS p{i}"
+        for i in range(rows)
+    )
+    src_unions = " UNION ALL ".join(
+        f"SELECT {i} AS row, p{i} AS pos FROM src_h" for i in range(rows)
+    )
+    probe_unions = " UNION ALL ".join(
+        f"SELECT {value_col}, {i} AS row, p{i} AS pos FROM probe_h"
+        for i in range(rows)
+    )
+    return f"""
+WITH src AS ({source_select}),
+src_h AS (SELECT {value_col},
+    {src_pos}
+  FROM src WHERE {value_col} IS NOT NULL),
+cells AS ({src_unions}),
+sk AS (SELECT row, pos, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+probe AS ({probe_select}),
+probe_h AS (SELECT {value_col},
+    {probe_pos}
+  FROM probe),
+addressed AS ({probe_unions})
+SELECT a.{value_col},
+       MIN(COALESCE(sk.cnt, 0)) AS cms_est
+FROM addressed a LEFT JOIN sk USING (row, pos)
+GROUP BY 1
+"""

@@ -1425,6 +1425,66 @@ Q_HDR_QUANTILES_SQL = _hdr_sql()
 
 
 # --------------------------------------------------------------------------
+# Count-Min frequency sketch (operators/sketch.py): token-frequency
+# estimates from a fixed 4×1024-counter sketch, probed for a literal
+# term set beside the exact counts — est >= true always; the whole
+# estimator is integer-deterministic and oracle-checked bit-for-bit.
+# --------------------------------------------------------------------------
+CMS_PROBES = [
+    "join", "hash", "row", "batch", "scan", "vector", "merge",
+    "window", "zzz_absent_token",
+]
+
+
+def q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators import sketch as SK
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    sk = SK.cms_partial(toks, "token")
+    probes = spark.createDataFrame(
+        [(t,) for t in CMS_PROBES], "token string"
+    )
+    est = SK.cms_estimate(sk, probes, "token")
+    true_cnt = (
+        toks.filter(F.col("token").isin(CMS_PROBES))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    return est.join(true_cnt, "token", "left").select(
+        "token",
+        "cms_est",
+        F.coalesce(F.col("true_cnt"), F.lit(0).cast("bigint")).alias(
+            "true_cnt"
+        ),
+    )
+
+
+def _cms_sql() -> str:
+    from vcf_pg_loader_spark.operators import sketch as SK
+
+    probe_list = ", ".join(f"'{t}'" for t in CMS_PROBES)
+    est = SK.sql_cms_estimate(
+        "SELECT unnest(string_split(text, ' ')) AS token FROM documents",
+        f"SELECT unnest([{probe_list}]) AS token",
+        "token",
+    )
+    return f"""
+WITH est AS ({est}),
+tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+tc AS (SELECT token, COUNT(*) AS true_cnt FROM tok
+       WHERE token IN ({probe_list}) GROUP BY 1)
+SELECT est.token, est.cms_est, COALESCE(tc.true_cnt, 0) AS true_cnt
+FROM est LEFT JOIN tc USING (token)
+"""
+
+
+Q_CMS_TOKENS_SQL = _cms_sql()
+
+
+# --------------------------------------------------------------------------
 # chunk-level dedup classes: exact dedup at context-window granularity
 # (the passage-level analogue of q_dedup_exact) — group the chunk table
 # by chunk hash; shuffles 32-char hashes, never chunk text.
@@ -1861,6 +1921,7 @@ QUERIES = {
     "q_pmi_bigrams": q_pmi_bigrams,
     "q_substring_dedup": q_substring_dedup,
     "q_hdr_quantiles": q_hdr_quantiles,
+    "q_cms_tokens": q_cms_tokens,
     "q_chunk_dedup": q_chunk_dedup,
     "q_epoch_shuffle": q_epoch_shuffle,
     "q_pipeline_funnel": q_pipeline_funnel,
@@ -1911,6 +1972,7 @@ ORACLE = {
     "q_pmi_bigrams": Q_PMI_SQL,
     "q_substring_dedup": Q_SUBSTRING_DEDUP_SQL,
     "q_hdr_quantiles": Q_HDR_QUANTILES_SQL,
+    "q_cms_tokens": Q_CMS_TOKENS_SQL,
     "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
     "q_epoch_shuffle": Q_EPOCH_SHUFFLE_SQL,
     "q_pipeline_funnel": Q_PIPELINE_FUNNEL_SQL,
