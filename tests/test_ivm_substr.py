@@ -133,3 +133,45 @@ class TestSubstringDedup:
         )
         per_doc = {r[0]: r for r in spans.collect()}
         assert spans.count() == 2  # exactly one merged span per doc
+
+
+class TestStripSpans:
+    def test_exact_surgery(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "abcdefghij"), (2, "0123456789")],
+            "doc_id bigint, text string",
+        )
+        spans = spark.createDataFrame(
+            [(1, 3, 6), (1, 8, 10)],  # cut cde (3..5) and hi (8..9)
+            "doc_id bigint, span_start int, span_end int",
+        )
+        got = {
+            r.doc_id: (r.clean_text, r.removed_chars)
+            for r in D.strip_spans(docs, spans).collect()
+        }
+        assert got[1] == ("abfgj", 5)
+        assert got[2] == ("0123456789", 0)  # no spans: untouched
+
+    def test_span_overrunning_end_clamps(self, spark):
+        docs = spark.createDataFrame([(1, "abcdef")], "doc_id bigint, text string")
+        spans = spark.createDataFrame(
+            [(1, 4, 99)], "doc_id bigint, span_start int, span_end int"
+        )
+        row = D.strip_spans(docs, spans).first()
+        assert row.clean_text == "abc" and row.removed_chars == 3
+
+    def test_round_trip_with_detected_spans(self, spark):
+        """Cut the detected duplicated region: the two copies lose their
+        shared text, and re-running detection on the cleaned corpus
+        finds nothing."""
+        shared = "shared boilerplate text repeated across documents " * 2
+        docs = spark.createDataFrame(
+            [(1, "intro one " + shared), (2, "different intro " + shared)],
+            "doc_id bigint, text string",
+        )
+        spans = D.duplicated_substring_spans(docs, gram_len=20, stride=4)
+        cleaned = D.strip_spans(docs, spans).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+        again = D.duplicated_substring_spans(cleaned, gram_len=20, stride=4)
+        assert again.count() == 0

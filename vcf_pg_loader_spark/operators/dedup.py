@@ -677,3 +677,116 @@ SELECT doc_id, COUNT(*) AS n_spans,
          AS dup_frac
 FROM sized GROUP BY 1
 """
+
+
+def strip_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove char ranges from each doc's text: `spans` is (id,
+    span_start, span_end) half-open 1-based ranges, non-overlapping per
+    doc (duplicated_substring_spans emits exactly that).  Returns every
+    input doc with `clean_text` (untouched docs pass through) and
+    `removed_chars`.
+
+    The surgery is pure column expressions: spans collect per doc (a
+    keyed aggregation of a FEW ints per doc — never text), sort in the
+    array domain, and the kept segments concat via zip_with over the
+    boundary arrays.  Text itself never shuffles: the span table joins
+    TO the corpus broadcast-style and each doc is rewritten in place in
+    the scan stage.  This is span-granular dedup — the curation step
+    between "drop the whole near-dup doc" (keep_canonical) and keeping
+    boilerplate: repeated regions vanish, unique prose stays.
+    """
+    from pyspark.sql.window import Window  # noqa: F401  (parity w/ siblings)
+
+    collected = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans")
+    )
+    t = F.col(text_col)
+    n = F.length(t)
+    arr = F.col("_spans")
+    prev_ends = F.concat(
+        F.array(F.lit(1)), F.transform(arr, lambda s: s["span_end"])
+    )
+    next_starts = F.concat(
+        F.transform(arr, lambda s: s["span_start"]), F.array(n + 1)
+    )
+    segments = F.zip_with(
+        prev_ends,
+        next_starts,
+        lambda a, b: F.substring(t, a, F.greatest(b - a, F.lit(0))),
+    )
+    clean = F.when(arr.isNull(), t).otherwise(F.concat_ws("", segments))
+    return (
+        df.join(collected, id_col, "left")
+        .withColumn("clean_text", clean)
+        .withColumn("removed_chars", n - F.length(F.col("clean_text")))
+        .drop("_spans")
+    )
+
+
+def sql_strip_spans_stats(table: str, gram_len: int = 40, stride: int = 4) -> str:
+    """DuckDB twin of substring spans |> strip_spans, reduced to the
+    stable per-doc accounting (md5 of the cleaned text + sizes)."""
+    gh = sql_h60(f"substr(t, i, {gram_len})", salt="ss:")
+    return f"""
+WITH t0 AS (SELECT doc_id, lower(text) AS t FROM {table}),
+grams AS (
+  SELECT doc_id, pos, gh FROM (
+    SELECT doc_id, i AS pos, {gh} AS gh FROM (
+      SELECT doc_id, t,
+             unnest(range(1, greatest(length(t) - {gram_len} + 1, 0) + 1))
+               AS i
+      FROM t0
+    )
+  ) WHERE gh % {stride} = 0
+),
+freq AS (SELECT gh, COUNT(*) AS n FROM grams GROUP BY 1),
+dup AS (SELECT doc_id, pos FROM grams JOIN freq USING (gh) WHERE n > 1),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos - lag(pos) OVER w > {gram_len}
+              THEN 1 ELSE 0 END AS _new
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(_new) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS _island
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s,
+         least(MAX(pos) + {gram_len}, MIN(length(t0.t)) + 1) AS e
+  FROM islands JOIN t0 USING (doc_id) GROUP BY doc_id, _island
+),
+coll AS (
+  SELECT doc_id,
+         list_sort(list(struct_pack(s := s, e := e))) AS sp
+  FROM spans GROUP BY 1
+),
+cleaned AS (
+  SELECT d.doc_id,
+         CASE WHEN c.sp IS NULL THEN d.text ELSE
+           list_aggregate(
+             list_transform(
+               list_zip(
+                 list_prepend(1, list_transform(c.sp, x -> x.e)),
+                 list_append(list_transform(c.sp, x -> x.s),
+                             length(d.text) + 1)),
+               p -> substr(d.text, p[1], greatest(p[2] - p[1], 0))),
+             'string_agg', '')
+         END AS clean_text,
+         length(d.text) AS orig_len
+  FROM {table} d LEFT JOIN coll c USING (doc_id)
+)
+SELECT doc_id, md5(clean_text) AS clean_fp,
+       CAST(orig_len - length(clean_text) AS BIGINT) AS removed_chars
+FROM cleaned
+"""

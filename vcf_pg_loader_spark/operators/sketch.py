@@ -271,3 +271,57 @@ SELECT a.{value_col},
 FROM addressed a LEFT JOIN sk USING (row, pos)
 GROUP BY 1
 """
+
+
+def cms_join_size(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two Count-Min sketches built
+    over the join keys: per hash row, the inner product of the counter
+    vectors; the estimate is the MIN over rows (AGMS/CMS join-size
+    estimation — Cormode & Muthukrishnan §4.2).  est >= |A ⋈ B| always
+    (collisions only add cross terms); expected overshoot
+    ||A||₁·||B||₁ / width per row.  The planner use-case: decide
+    broadcast vs shuffle vs salting from KB-sized sketches, without
+    touching either table again."""
+    prod = (
+        a.alias("a")
+        .join(b.alias("b"), ["row", "pos"])
+        .groupBy("row")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("s"))
+    )
+    return prod.agg(F.min("s").alias("join_size_est"))
+
+
+def sql_cms_join_size(
+    source_a: str,
+    source_b: str,
+    value_col: str,
+    rows: int = CMS_ROWS,
+    width: int = CMS_WIDTH,
+) -> str:
+    """DuckDB twin of cms_partial(a) x cms_partial(b) |> cms_join_size."""
+
+    def sketch(src: str, tag: str) -> str:
+        pos = ",\n      ".join(
+            f"({sql_h60(value_col, salt=f'cms{i}:')}) % {width} AS p{i}"
+            for i in range(rows)
+        )
+        unions = " UNION ALL ".join(
+            f"SELECT {i} AS row, p{i} AS pos FROM {tag}_h" for i in range(rows)
+        )
+        return f"""{tag} AS ({src}),
+{tag}_h AS (SELECT {value_col},
+      {pos}
+  FROM {tag} WHERE {value_col} IS NOT NULL),
+{tag}_cells AS ({unions}),
+{tag}_sk AS (SELECT row, pos, COUNT(*) AS cnt FROM {tag}_cells GROUP BY 1, 2)"""
+
+    return f"""
+WITH {sketch(source_a, "sa")},
+{sketch(source_b, "sb")},
+prod AS (
+  SELECT sa_sk.row, SUM(sa_sk.cnt * sb_sk.cnt) AS s
+  FROM sa_sk JOIN sb_sk USING (row, pos)
+  GROUP BY 1
+)
+SELECT CAST(MIN(s) AS BIGINT) AS join_size_est FROM prod
+"""

@@ -1398,6 +1398,28 @@ Q_SUBSTRING_DEDUP_SQL = D.sql_substring_dup_stats(
 )
 
 
+def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-granular dedup: duplicated regions are CUT from each doc's
+    text (operators/dedup.py strip_spans) — repeated boilerplate
+    vanishes, unique prose stays.  Output is the per-doc accounting
+    (md5 of the cleaned text + removed chars) so the oracle pins the
+    exact surgery, not just sizes."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = D.duplicated_substring_spans(
+        docs, "doc_id", "text", SUBSTR_GRAM_LEN, SUBSTR_STRIDE
+    )
+    return D.strip_spans(docs, spans).select(
+        "doc_id",
+        F.md5(F.col("clean_text")).alias("clean_fp"),
+        F.col("removed_chars").cast("bigint").alias("removed_chars"),
+    )
+
+
+Q_STRIP_SPANS_SQL = D.sql_strip_spans_stats(
+    "documents", SUBSTR_GRAM_LEN, SUBSTR_STRIDE
+)
+
+
 # --------------------------------------------------------------------------
 # HDR-histogram quantile sketch (operators/histogram.py): mergeable
 # log-bucketed quantile estimates per event type.  The estimator is a
@@ -1482,6 +1504,42 @@ FROM est LEFT JOIN tc USING (token)
 
 
 Q_CMS_TOKENS_SQL = _cms_sql()
+
+
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimate for lineitem ⋈ orders from KB-sized
+    sketches, beside the true size — the broadcast-vs-shuffle planning
+    signal, oracle-checked exactly."""
+    from vcf_pg_loader_spark.operators import sketch as SK
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("k")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k")
+    )
+    est = SK.cms_join_size(SK.cms_partial(li, "k"), SK.cms_partial(orders, "k"))
+    true = li.join(orders, "k").agg(F.count(F.lit(1)).alias("true_size"))
+    return est.crossJoin(F.broadcast(true))
+
+
+def _cms_join_sql() -> str:
+    from vcf_pg_loader_spark.operators import sketch as SK
+
+    est = SK.sql_cms_join_size(
+        "SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem",
+        "SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders",
+        "k",
+    )
+    return f"""
+WITH est AS ({est}),
+tj AS (SELECT COUNT(*) AS true_size
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT est.join_size_est, tj.true_size FROM est, tj
+"""
+
+
+Q_CMS_JOIN_SIZE_SQL = _cms_join_sql()
 
 
 # --------------------------------------------------------------------------
@@ -1920,8 +1978,10 @@ QUERIES = {
     "q_tfidf_terms": q_tfidf_terms,
     "q_pmi_bigrams": q_pmi_bigrams,
     "q_substring_dedup": q_substring_dedup,
+    "q_strip_dup_spans": q_strip_dup_spans,
     "q_hdr_quantiles": q_hdr_quantiles,
     "q_cms_tokens": q_cms_tokens,
+    "q_cms_join_size": q_cms_join_size,
     "q_chunk_dedup": q_chunk_dedup,
     "q_epoch_shuffle": q_epoch_shuffle,
     "q_pipeline_funnel": q_pipeline_funnel,
@@ -1971,8 +2031,10 @@ ORACLE = {
     "q_tfidf_terms": Q_TFIDF_SQL,
     "q_pmi_bigrams": Q_PMI_SQL,
     "q_substring_dedup": Q_SUBSTRING_DEDUP_SQL,
+    "q_strip_dup_spans": Q_STRIP_SPANS_SQL,
     "q_hdr_quantiles": Q_HDR_QUANTILES_SQL,
     "q_cms_tokens": Q_CMS_TOKENS_SQL,
+    "q_cms_join_size": Q_CMS_JOIN_SIZE_SQL,
     "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
     "q_epoch_shuffle": Q_EPOCH_SHUFFLE_SQL,
     "q_pipeline_funnel": Q_PIPELINE_FUNNEL_SQL,
