@@ -88,3 +88,44 @@ class TestErrorBound:
         a = _serve(H.hdr_partial(events.repartition(32), ["event_type"], "value"))
         b = _serve(H.hdr_partial(events.coalesce(1), ["event_type"], "value"))
         assert a == b
+
+
+class TestRangeBounds:
+    def test_bounds_balance_partitions(self, spark, events):
+        """Partitioning by the sketch-derived bounds yields ranges whose
+        counts stay near ideal — the sampling-free repartitionByRange."""
+        n = 8
+        partials = H.hdr_partial(events, [], "value")
+        bounds = sorted(
+            r.bound for r in H.hdr_range_bounds(partials, n).collect()
+        )
+        assert len(bounds) == n - 1
+        assert bounds == sorted(set(bounds))  # strictly increasing here
+        expr = sum(
+            (F.col("value") > F.lit(b)).cast("int") for b in bounds
+        )
+        counts = [
+            r.c
+            for r in events.filter(F.col("value").isNotNull())
+            .select(expr.alias("p"))
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ]
+        total = sum(counts)
+        ideal = total / n
+        assert len(counts) == n
+        assert max(counts) <= 2.0 * ideal  # log-bucket granularity bound
+
+    def test_bounds_from_merged_partials_identical(self, spark, events):
+        whole = H.hdr_partial(events, [], "value")
+        parts = [
+            H.hdr_partial(
+                events.filter(F.col("event_id") % 2 == i), [], "value"
+            )
+            for i in range(2)
+        ]
+        merged = H.hdr_merge(parts[0], parts[1], [])
+        a = sorted(r.bound for r in H.hdr_range_bounds(whole, 8).collect())
+        b = sorted(r.bound for r in H.hdr_range_bounds(merged, 8).collect())
+        assert a == b

@@ -169,3 +169,25 @@ SELECT g AS {group_col}, q, CAST(n AS BIGINT) AS n,
            / {scale}, 6) AS quantile_est
 FROM hit
 """
+
+
+def hdr_range_bounds(
+    partials: DataFrame,
+    n_buckets: int,
+    sub_bits: int = SUB_BITS,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Balanced range-partition bounds from the sketch: the (i/n)-quantile
+    estimates for i = 1..n-1 — what `repartitionByRange` samples the data
+    to discover, served instead from KB-sized mergeable partials.  The
+    production use: pick range bounds for a sorted write / range join
+    WITHOUT a sampling pass over 100 TB, with balance bounded by the
+    sketch's relative error (2^-sub_bits per octave).
+
+    `partials` must be ungrouped (built with group_cols=[]); the serve
+    runs over O(buckets) rows, so its single-partition window is free.
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    return hdr_quantiles(partials, [], qs, sub_bits, scale).select(
+        F.col("q"), F.col("quantile_est").alias("bound")
+    )

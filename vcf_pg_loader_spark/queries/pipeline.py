@@ -626,11 +626,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_sql() -> str:
-    # Mirrors operators/similarity.py ivf_fit: IVF_ITER assignment
-    # rounds with IVF_ITER-1 mean updates between them — the LAST
-    # assignment (against the final centroids) IS the stored index, so
-    # neither engine runs a redundant extra corpus×centroids pass.
+def _ivf_assignment_ctes() -> tuple[list[str], str, str]:
+    """The k-means assignment CTE chain shared by the IVF oracle and
+    SemDeDup: IVF_ITER assignment rounds with IVF_ITER-1 mean updates
+    between them — the LAST assignment (against the final centroids) IS
+    the stored index.  Returns (ctes, final_assignment_name,
+    final_centroids_name)."""
     dist = S.sql_sq_dist("vec", "cvec")
     ctes = [
         "v AS (SELECT vec_id AS vid,"
@@ -665,6 +666,12 @@ def _ivf_sql() -> str:
             f" FROM m{it} GROUP BY cid)"
         )
         prev = f"c{it}"
+    return ctes, f"a{IVF_ITER}", prev
+
+
+def _ivf_sql() -> str:
+    ctes, _assign, prev = _ivf_assignment_ctes()
+    dist = S.sql_sq_dist("vec", "cvec")
     ctes.append(
         f"cand AS (SELECT vid AS cand_id, vec AS c_vec, cid"
         f" FROM a{IVF_ITER})"
@@ -746,6 +753,84 @@ scored AS (
 )
 SELECT v1, v2, cos_sim FROM scored WHERE cos_sim >= {NEARDUP_T}
 """
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication"): k-means-cluster the
+# embeddings, then within each cluster drop all but one of every group
+# of semantically near-identical vectors (cosine >= tau, transitive
+# closure, keep min id).  Clusters bound the quadratic — pair cost is
+# sum of cell², never corpus² — which is the paper's own scale design;
+# the engine composes it entirely from already-oracled pieces: ivf_fit
+# (deterministic k-means), within-cell pairwise cosine (exact decimal
+# kernel), connected_components, keep_canonical.
+# --------------------------------------------------------------------------
+SEMDEDUP_TAU = 0.35
+
+
+def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    _cents, assigned = S.ivf_fit(emb, IVF_CENTROIDS, IVF_ITER)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = F.round(
+        S.dot_exact(F.col("a.vec"), F.col("b.vec"))
+        / (F.sqrt(F.col("a.vv")) * F.sqrt(F.col("b.vv"))),
+        6,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("d1"),
+            F.col("b.vid").alias("d2"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= SEMDEDUP_TAU)
+    )
+    cc = D.connected_components(pairs.select("d1", "d2"), "d1", "d2")
+    return D.keep_canonical(
+        emb.select(F.col("vec_id")), cc, "vec_id"
+    )
+
+
+def _semdedup_sql() -> str:
+    ctes, assign, _prev = _ivf_assignment_ctes()
+    ctes.append(
+        f"""pairs AS (
+  SELECT d1, d2 FROM (
+    SELECT a.vid AS d1, b.vid AS d2,
+           {S.sql_cosine('a.vec', 'b.vec')} AS cos_sim
+    FROM {assign} a JOIN {assign} b
+      ON a.cid = b.cid AND a.vid < b.vid
+  ) WHERE cos_sim >= {SEMDEDUP_TAU})"""
+    )
+    ctes.append(
+        "und AS (SELECT d1 AS s, d2 AS t FROM pairs"
+        " UNION SELECT d2, d1 FROM pairs)"
+    )
+    ctes.append("nodes AS (SELECT DISTINCT s AS node FROM und)")
+    ctes.append(
+        """walk(node, reach) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT w.node, u.t FROM walk w JOIN und u ON u.s = w.reach)"""
+    )
+    ctes.append(
+        "cc AS (SELECT node, MIN(reach) AS comp FROM walk GROUP BY node)"
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH RECURSIVE {body}
+SELECT e.vec_id FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT node FROM cc WHERE node <> comp)
+"""
+
+
+Q_SEMDEDUP_SQL = _semdedup_sql()
 
 
 # --------------------------------------------------------------------------
@@ -1960,6 +2045,7 @@ QUERIES = {
     "q_pii_scrub": q_pii_scrub,
     "q_decontaminate": q_decontaminate,
     "q_embed_neardup": q_embed_neardup,
+    "q_semdedup_keep": q_semdedup_keep,
     "q_trigram_sim": q_trigram_sim,
     "q_winnow_overlap": q_winnow_overlap,
     "q_merge_upsert": q_merge_upsert,
@@ -2013,6 +2099,7 @@ ORACLE = {
     "q_pii_scrub": Q_PII_SCRUB_SQL,
     "q_decontaminate": Q_DECONTAMINATE_SQL,
     "q_embed_neardup": Q_EMBED_NEARDUP_SQL,
+    "q_semdedup_keep": Q_SEMDEDUP_SQL,
     "q_trigram_sim": Q_TRIGRAM_SQL,
     "q_winnow_overlap": Q_WINNOW_SQL,
     "q_merge_upsert": Q_MERGE_UPSERT_SQL,
