@@ -286,3 +286,41 @@ class TestRollupKWayMerge:
             for r in whole.collect()
         }
         assert m == w
+
+
+class TestHDRAndCMSSinks:
+    def test_hdr_sink_maintained_equals_from_scratch(self, spark, events, tmp_path):
+        from vcf_pg_loader_spark.operators.histogram import (
+            hdr_partial,
+            hdr_quantiles,
+        )
+        from vcf_pg_loader_spark.streaming.sink import HDRHistogramSink
+
+        sink = HDRHistogramSink(
+            str(tmp_path / "hdr"), ["event_type"], "value"
+        )
+        sink.apply_batch(events.filter(F.col("event_id") % 2 == 0), 0)
+        sink.apply_batch(events.filter(F.col("event_id") % 2 == 1), 1)
+        got = sorted(map(tuple, sink.read(spark).collect()))
+        want = sorted(
+            map(tuple, hdr_partial(events, ["event_type"], "value").collect())
+        )
+        assert got == want  # maintained table == one-shot sketch
+        served = hdr_quantiles(sink.read(spark), ["event_type"], [0.5])
+        assert served.count() > 0
+        # replay must not double-count (additive fold)
+        n0 = sink.read(spark).agg(F.sum("cnt")).first()[0]
+        sink.apply_batch(events.limit(100), 1)
+        assert sink.read(spark).agg(F.sum("cnt")).first()[0] == n0
+
+    def test_cms_sink_maintained_equals_from_scratch(self, spark, events, tmp_path):
+        from vcf_pg_loader_spark.operators.sketch import cms_partial
+        from vcf_pg_loader_spark.streaming.sink import CMSFrequencySink
+
+        ev = events.select(F.col("event_type").alias("v"))
+        sink = CMSFrequencySink(str(tmp_path / "cms"), "v")
+        sink.apply_batch(ev.filter(F.col("v") < "m"), 0)
+        sink.apply_batch(ev.filter(F.col("v") >= "m"), 1)
+        got = sorted(map(tuple, sink.read(spark).collect()))
+        want = sorted(map(tuple, cms_partial(ev, "v").collect()))
+        assert got == want

@@ -198,3 +198,49 @@ class KMVDistinctSink(ParquetUpsertSink):
                 spark.read.parquet(self.target), delta, self.group_cols, self.k
             )
         return delta
+
+
+class HDRHistogramSink(ParquetUpsertSink):
+    """Streaming quantile maintenance: each micro-batch folds its HDR
+    histogram partial (operators/histogram.py) into a persistent
+    per-group bucket table; `hdr_quantiles` over the table serves p50/
+    p99 at any moment.  Counts add, so the maintained table is IDENTICAL
+    to a from-scratch sketch of everything ingested — and the fold is
+    additive, so both replay guards are load-bearing."""
+
+    def __init__(self, target: str, group_cols: list[str], value_col: str):
+        super().__init__(target, key=[*group_cols, "bucket"])
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+
+    def _merge(self, spark, batch_df: DataFrame) -> DataFrame:
+        from vcf_pg_loader_spark.operators.histogram import (
+            hdr_merge,
+            hdr_partial,
+        )
+
+        delta = hdr_partial(batch_df, self.group_cols, self.value_col)
+        if os.path.exists(self.target):
+            return hdr_merge(
+                spark.read.parquet(self.target), delta, self.group_cols
+            )
+        return delta
+
+
+class CMSFrequencySink(ParquetUpsertSink):
+    """Streaming frequency maintenance: each micro-batch's Count-Min
+    partial (operators/sketch.py) adds into a persistent counter table;
+    `cms_estimate` over it serves heavy-hitter estimates live.  Additive
+    fold — replay guards load-bearing, same as the rollup sink."""
+
+    def __init__(self, target: str, value_col: str):
+        super().__init__(target, key=["row", "pos"])
+        self.value_col = value_col
+
+    def _merge(self, spark, batch_df: DataFrame) -> DataFrame:
+        from vcf_pg_loader_spark.operators.sketch import cms_merge, cms_partial
+
+        delta = cms_partial(batch_df, self.value_col)
+        if os.path.exists(self.target):
+            return cms_merge(spark.read.parquet(self.target), delta)
+        return delta
