@@ -169,13 +169,29 @@ def scaling_curve(spark, sf_dir: str, factors=(1, 2)) -> dict:
             os.makedirs(d)
             d_parts, e_parts = [docs], [events]
             for i in range(1, f):
+                # The copy must NOT be a near-dup of its original, or the
+                # corpus dup-rate jumps from ~1% to >50% and the dedup
+                # queries measure a different WORKLOAD, not scale (the
+                # first run of this curve flagged exactly that: CC ratio
+                # 3.5 from copy-edges, not superlinearity).  Rotating the
+                # token sequence by a per-doc offset preserves length and
+                # token statistics while sharing almost no 3-gram
+                # shingle with the original.
+                toks = F.split(F.col("text"), " ")
+                n_t = F.size(toks)
+                k = F.pmod(F.col("doc_id") + i * 7, F.lit(13)).cast("int") + 3
+                rot = F.concat(
+                    F.slice(toks, k + 1, n_t - k), F.slice(toks, 1, k)
+                )
                 d_parts.append(
                     docs.select(
                         (F.col("doc_id") + doc_stride * i).alias("doc_id"),
-                        F.concat(F.lit(f"c{i} "), F.col("text")).alias("text"),
+                        F.when(n_t > k, F.concat_ws(" ", rot))
+                        .otherwise(F.col("text"))
+                        .alias("text"),
                         "lang",
                         "source",
-                        (F.col("n_chars") + 3).alias("n_chars"),
+                        "n_chars",
                     )
                 )
                 e_parts.append(

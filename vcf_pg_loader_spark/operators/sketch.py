@@ -160,11 +160,24 @@ CMS_ROWS = 4
 CMS_WIDTH = 1024
 
 
-def _cms_positions(value: Column, rows: int, width: int) -> list[Column]:
-    return [
-        F.pmod(h60(value, salt=f"cms{i}:"), F.lit(width))
-        for i in range(rows)
-    ]
+def _cms_rowpos_pairs(h: Column, rows: int, width: int) -> Column:
+    """Array of (row, pos) structs from a MATERIALIZED base-hash column:
+    one md5-derived h60 per item, `rows` arithmetic universal-hash
+    permutations of it (the MinHash family, operators/dedup.py _mh_expr).
+    The base hash must be a real column, not an inline expression —
+    expression trees have no CSE, so an inline h60 would re-run the md5
+    once per array element (the shingles lesson, dedup.py:63)."""
+    from vcf_pg_loader_spark.operators.dedup import _mh_expr
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(_mh_expr(h, i), F.lit(width)).alias("pos"),
+            )
+            for i in range(rows)
+        ]
+    )
 
 
 def cms_partial(
@@ -175,16 +188,10 @@ def cms_partial(
 ) -> DataFrame:
     """(row, pos, cnt) sketch of the multiset in `value_col` (nulls are
     out of domain, as in kmv_sketch)."""
-    pos = _cms_positions(F.col(value_col), rows, width)
-    pairs = F.array(
-        *[
-            F.struct(F.lit(i).alias("row"), p.alias("pos"))
-            for i, p in enumerate(pos)
-        ]
-    )
     return (
         df.filter(F.col(value_col).isNotNull())
-        .select(F.explode(pairs).alias("_rp"))
+        .select(h60(F.col(value_col), salt="cms:").alias("_h"))
+        .select(F.explode(_cms_rowpos_pairs(F.col("_h"), rows, width)).alias("_rp"))
         .select(F.col("_rp.row").alias("row"), F.col("_rp.pos").alias("pos"))
         .groupBy("row", "pos")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -209,19 +216,19 @@ def cms_estimate(
     addressed counter (0 when a counter was never touched).  The probe
     frame is small by construction; the sketch is tiny — both sides of
     the join broadcast naturally."""
-    pos = _cms_positions(F.col(value_col), rows, width)
-    pairs = F.array(
-        *[
-            F.struct(F.lit(i).alias("row"), p.alias("pos"))
-            for i, p in enumerate(pos)
-        ]
-    )
-    addressed = probes.select(
-        F.col(value_col), F.explode(pairs).alias("_rp")
-    ).select(
-        value_col,
-        F.col("_rp.row").alias("row"),
-        F.col("_rp.pos").alias("pos"),
+    addressed = (
+        probes.select(
+            F.col(value_col), h60(F.col(value_col), salt="cms:").alias("_h")
+        )
+        .select(
+            F.col(value_col),
+            F.explode(_cms_rowpos_pairs(F.col("_h"), rows, width)).alias("_rp"),
+        )
+        .select(
+            value_col,
+            F.col("_rp.row").alias("row"),
+            F.col("_rp.pos").alias("pos"),
+        )
     )
     return (
         addressed.join(F.broadcast(sketch), ["row", "pos"], "left")
@@ -239,14 +246,13 @@ def sql_cms_estimate(
 ) -> str:
     """DuckDB twin: `source_select` yields the multiset (column
     `value_col`), `probe_select` the probe values (same column name)."""
+    from vcf_pg_loader_spark.operators.dedup import sql_mh_expr
+
+    base = sql_h60(value_col, salt="cms:")
     src_pos = ",\n    ".join(
-        f"({sql_h60(value_col, salt=f'cms{i}:')}) % {width} AS p{i}"
-        for i in range(rows)
+        f"({sql_mh_expr(base, i)}) % {width} AS p{i}" for i in range(rows)
     )
-    probe_pos = ",\n    ".join(
-        f"({sql_h60(value_col, salt=f'cms{i}:')}) % {width} AS p{i}"
-        for i in range(rows)
-    )
+    probe_pos = src_pos
     src_unions = " UNION ALL ".join(
         f"SELECT {i} AS row, p{i} AS pos FROM src_h" for i in range(rows)
     )
@@ -300,10 +306,13 @@ def sql_cms_join_size(
 ) -> str:
     """DuckDB twin of cms_partial(a) x cms_partial(b) |> cms_join_size."""
 
+    from vcf_pg_loader_spark.operators.dedup import sql_mh_expr
+
+    base = sql_h60(value_col, salt="cms:")
+
     def sketch(src: str, tag: str) -> str:
         pos = ",\n      ".join(
-            f"({sql_h60(value_col, salt=f'cms{i}:')}) % {width} AS p{i}"
-            for i in range(rows)
+            f"({sql_mh_expr(base, i)}) % {width} AS p{i}" for i in range(rows)
         )
         unions = " UNION ALL ".join(
             f"SELECT {i} AS row, p{i} AS pos FROM {tag}_h" for i in range(rows)

@@ -770,20 +770,31 @@ SEMDEDUP_TAU = 0.35
 
 
 def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
     emb = load_table(spark, sf_dir, "embeddings")
     _cents, assigned = S.ivf_fit(emb, IVF_CENTROIDS, IVF_ITER)
+    # the assignment feeds BOTH sides of the self-join: persist it or
+    # the whole k-means lineage runs twice (caller/bench owns the cache
+    # lifetime, as with the LSH shingle tables)
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = assigned.alias("a"), assigned.alias("b")
-    cos = F.round(
-        S.dot_exact(F.col("a.vec"), F.col("b.vec"))
-        / (F.sqrt(F.col("a.vv")) * F.sqrt(F.col("b.vv"))),
-        6,
-    )
+    norm = F.sqrt(F.col("a.vv")) * F.sqrt(F.col("b.vv"))
+    # two-stage threshold: the cheap double-precision cosine prunes the
+    # within-cell pairs (they are the bulk of the work — cell² pairs ×
+    # 64-dim dots), then the oracle-exact decimal kernel re-scores only
+    # the ~1% that land near/above tau.  The 1e-4 margin dwarfs the
+    # ~1e-12 double-vs-decimal divergence, so the final filter is
+    # bit-identical to scoring everything exactly.
+    fast_cos = S.dot_fast(F.col("a.vec"), F.col("b.vec")) / norm
+    cos = F.round(S.dot_exact(F.col("a.vec"), F.col("b.vec")) / norm, 6)
     pairs = (
         a.join(
             b,
             (F.col("a.cid") == F.col("b.cid"))
             & (F.col("a.vid") < F.col("b.vid")),
         )
+        .filter(fast_cos >= SEMDEDUP_TAU - 1e-4)
         .select(
             F.col("a.vid").alias("d1"),
             F.col("b.vid").alias("d2"),
