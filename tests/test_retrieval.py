@@ -152,3 +152,27 @@ class TestBloom:
         plan = bloom_prefilter_join(li, urgent, "o_orderkey")._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
         assert "BroadcastNestedLoopJoin" in plan  # the 1-row bitmap frame
+
+
+class TestDSIR:
+    def test_target_domain_scores_higher(self, spark):
+        """English is the target: en docs must carry higher importance
+        weights than non-en docs on average, and by a clear margin —
+        the resampling signal the method exists to produce."""
+        from vcf_pg_loader_spark.queries.pipeline import q_dsir_weights
+        from vcf_pg_loader_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+        w = q_dsir_weights(spark, SF_DIR).join(docs, "doc_id")
+        rows = w.groupBy(F.col("lang") == "en").agg(
+            F.avg("log_weight").alias("m")
+        ).collect()
+        means = {r[0]: r.m for r in rows}
+        assert means[True] > means[False] + 1.0
+
+    def test_weights_cover_every_doc(self, spark):
+        from vcf_pg_loader_spark.queries.pipeline import q_dsir_weights
+        from vcf_pg_loader_spark.sources.tables import load_table
+
+        n_docs = load_table(spark, SF_DIR, "documents").count()
+        assert q_dsir_weights(spark, SF_DIR).count() == n_docs

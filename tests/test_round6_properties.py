@@ -1,0 +1,159 @@
+"""Hypothesis property tests for the round-6 operators, checked against
+plain-Python reference implementations: span surgery, HDR bucketing,
+Bloom membership, and the CMS/HDR merge laws under arbitrary splits.
+
+Spark calls are expensive per example, so each property draws ONE
+composite batch of cases and runs them through a single DataFrame —
+hypothesis explores the input space, Spark evaluates in bulk.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from vcf_pg_loader_spark.operators import dedup as D
+from vcf_pg_loader_spark.operators import histogram as H
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _ref_strip(text: str, spans: list[tuple[int, int]]) -> str:
+    """Reference span removal: 1-based half-open [s, e) char ranges."""
+    keep = []
+    prev = 1
+    for s, e in sorted(spans):
+        keep.append(text[prev - 1 : s - 1])
+        prev = max(prev, e)
+    keep.append(text[prev - 1 :])
+    return "".join(keep)
+
+
+@st.composite
+def doc_with_spans(draw):
+    text = draw(st.text(alphabet="abcdef ", min_size=1, max_size=60))
+    n = len(text)
+    n_spans = draw(st.integers(0, 3))
+    spans, cursor = [], 1
+    for _ in range(n_spans):
+        if cursor > n:
+            break
+        s = draw(st.integers(cursor, n + 1))
+        e = draw(st.integers(s + 1, n + 8))  # may overrun the end
+        spans.append((s, e))
+        cursor = e + 1  # keep spans disjoint and ordered
+    return text, spans
+
+
+class TestStripSpansProperty:
+    @settings(**SETTINGS)
+    @given(st.lists(doc_with_spans(), min_size=1, max_size=6))
+    def test_matches_python_reference(self, spark, cases):
+        docs = spark.createDataFrame(
+            [(i, text) for i, (text, _) in enumerate(cases)],
+            "doc_id bigint, text string",
+        )
+        span_rows = [
+            (i, s, e)
+            for i, (_, spans) in enumerate(cases)
+            for s, e in spans
+        ]
+        spans_df = spark.createDataFrame(
+            span_rows or [(-1, 1, 1)],
+            "doc_id bigint, span_start int, span_end int",
+        )
+        got = {
+            r.doc_id: r.clean_text
+            for r in D.strip_spans(docs, spans_df).collect()
+        }
+        for i, (text, spans) in enumerate(cases):
+            assert got[i] == _ref_strip(text, spans), (text, spans)
+
+
+def _ref_bucket(iv: int, sub_bits: int) -> int:
+    blen = iv.bit_length()
+    shift = max(blen - 1 - sub_bits, 0)
+    top = iv >> shift
+    return blen * (1 << (sub_bits + 1)) + top
+
+
+class TestHDRBucketProperty:
+    @settings(**SETTINGS)
+    @given(st.lists(st.integers(1, 2**50), min_size=1, max_size=40))
+    def test_bucket_id_matches_bit_arithmetic(self, spark, ivs):
+        df = spark.createDataFrame([(v,) for v in ivs], "iv bigint")
+        got = [
+            r.b
+            for r in df.select(
+                H._bucket_id(F.col("iv"), H.SUB_BITS).alias("b")
+            ).collect()
+        ]
+        want = [_ref_bucket(v, H.SUB_BITS) for v in ivs]
+        assert got == want
+
+    @settings(**SETTINGS)
+    @given(st.lists(st.integers(1, 2**40), min_size=2, max_size=40))
+    def test_bucket_low_bounds_value(self, spark, ivs):
+        """Every value falls in [low, low * (1 + 2^-sub)] of its bucket
+        — the relative-error contract the quantile serve relies on."""
+        df = spark.createDataFrame([(v,) for v in ivs], "iv bigint")
+        rows = df.select(
+            "iv",
+            H._bucket_low(
+                H._bucket_id(F.col("iv"), H.SUB_BITS), H.SUB_BITS, 1
+            ).alias("low"),
+        ).collect()
+        for r in rows:
+            assert r.low <= r.iv
+            assert r.iv <= r.low * (1 + 2.0 ** -H.SUB_BITS) + 1
+
+
+class TestBloomProperty:
+    @settings(**SETTINGS)
+    @given(
+        st.lists(st.integers(0, 2**40), min_size=1, max_size=60, unique=True)
+    )
+    def test_no_false_negatives_ever(self, spark, keys):
+        from vcf_pg_loader_spark.operators.bloom import (
+            bloom_build,
+            bloom_might_contain,
+        )
+
+        df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+        bloom = bloom_build(df, "k")
+        hits = (
+            df.crossJoin(F.broadcast(bloom))
+            .filter(bloom_might_contain(F.col("k"), F.col("words")))
+            .count()
+        )
+        assert hits == len(keys)
+
+
+class TestMergeLawsProperty:
+    @settings(**SETTINGS)
+    @given(st.lists(st.integers(0, 4), min_size=8, max_size=60))
+    def test_hdr_any_split_folds_identically(self, spark, labels):
+        """Partition rows into up to 5 arbitrary groups by the drawn
+        labels; folding the per-group partials in any order equals the
+        one-shot sketch."""
+        rows = [(i, float(1 + (i * 37) % 500) / 7) for i in range(len(labels))]
+        df = spark.createDataFrame(rows, "id bigint, v double")
+        whole = sorted(map(tuple, H.hdr_partial(df, [], "v").collect()))
+        parts = []
+        for g in sorted(set(labels)):
+            ids = [i for i, lab in enumerate(labels) if lab == g]
+            parts.append(
+                H.hdr_partial(df.filter(F.col("id").isin(ids)), [], "v")
+            )
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = H.hdr_merge(merged, p, [])
+        assert sorted(map(tuple, merged.collect())) == whole

@@ -1639,6 +1639,128 @@ Q_CMS_JOIN_SIZE_SQL = _cms_join_sql()
 
 
 # --------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling"): score every document by how much
+# its hashed n-gram feature distribution looks like a TARGET domain
+# (here: the 'en' slice) vs the whole corpus.  log w(doc) =
+# Σ_b n_doc(b) · [ln p_target(b) − ln p_source(b)] over hashed
+# unigram+bigram buckets with additive smoothing.  The scale shape: two
+# corpus passes build the (tiny, broadcast) bucket log-ratio table; the
+# per-doc score is one keyed aggregation of (doc, bucket) counts — no
+# model, no Python, resampling-ready.
+# --------------------------------------------------------------------------
+DSIR_BUCKETS = 512
+DSIR_ALPHA = 0.5
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, b, n): hashed unigram+bigram bucket counts per doc.
+    The base hash materializes as a column before bucketing (no-CSE)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    grams = F.concat(toks, bigrams)
+    from vcf_pg_loader_spark.functions.hashing import h60
+
+    return (
+        docs.select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", h60(F.col("g"), salt="dsir:").alias("_h"))
+        .select("doc_id", F.pmod(F.col("_h"), F.lit(DSIR_BUCKETS)).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = _dsir_features(docs)
+    target_ids = docs.filter(F.col("lang") == DSIR_TARGET_LANG).select("doc_id")
+    tgt = (
+        feats.join(target_ids, "doc_id", "left_semi")
+        .groupBy("b")
+        .agg(F.sum("n").alias("nt"))
+    )
+    src = feats.groupBy("b").agg(F.sum("n").alias("ns"))
+    tt = tgt.agg(F.sum("nt").alias("Tt"))
+    ts = src.agg(F.sum("ns").alias("Ts"))
+    a, m = DSIR_ALPHA, DSIR_BUCKETS
+    lr = (
+        src.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(ts))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("nt"), F.lit(0)) + F.lit(a))
+                    / (F.col("Tt") + F.lit(a * m))
+                )
+                - F.log((F.col("ns") + F.lit(a)) / (F.col("Ts") + F.lit(a * m)))
+            ).alias("lr"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum((F.col("n") * F.col("lr")).cast("decimal(24,12)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("log_weight")
+        )
+    )
+
+
+def _dsir_sql() -> str:
+    h = sql_h60("g", salt="dsir:")
+    a, m = DSIR_ALPHA, DSIR_BUCKETS
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_concat(
+    ts,
+    list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])
+  )) AS g
+  FROM t
+),
+feats AS (
+  SELECT doc_id, ({h}) % {m} AS b, COUNT(*) AS n
+  FROM grams GROUP BY 1, 2
+),
+tgt AS (
+  SELECT b, SUM(n) AS nt FROM feats
+  WHERE doc_id IN (SELECT doc_id FROM documents
+                   WHERE lang = '{DSIR_TARGET_LANG}')
+  GROUP BY 1
+),
+src AS (SELECT b, SUM(n) AS ns FROM feats GROUP BY 1),
+tt AS (SELECT SUM(nt) AS Tt FROM tgt),
+tsrc AS (SELECT SUM(ns) AS Ts FROM src),
+lr AS (
+  SELECT src.b,
+         ln((COALESCE(tgt.nt, 0) + {a}) / (Tt + {a * m}))
+           - ln((src.ns + {a}) / (Ts + {a * m})) AS lr
+  FROM src LEFT JOIN tgt USING (b), tt, tsrc
+)
+SELECT doc_id,
+       ROUND(CAST(SUM(CAST(n * lr AS DECIMAL(24,12))) AS DOUBLE), 6)
+         AS log_weight
+FROM feats JOIN lr USING (b)
+GROUP BY 1
+"""
+
+
+Q_DSIR_SQL = _dsir_sql()
+
+
+# --------------------------------------------------------------------------
 # chunk-level dedup classes: exact dedup at context-window granularity
 # (the passage-level analogue of q_dedup_exact) — group the chunk table
 # by chunk hash; shuffles 32-char hashes, never chunk text.
@@ -2079,6 +2201,7 @@ QUERIES = {
     "q_hdr_quantiles": q_hdr_quantiles,
     "q_cms_tokens": q_cms_tokens,
     "q_cms_join_size": q_cms_join_size,
+    "q_dsir_weights": q_dsir_weights,
     "q_chunk_dedup": q_chunk_dedup,
     "q_epoch_shuffle": q_epoch_shuffle,
     "q_pipeline_funnel": q_pipeline_funnel,
@@ -2133,6 +2256,7 @@ ORACLE = {
     "q_hdr_quantiles": Q_HDR_QUANTILES_SQL,
     "q_cms_tokens": Q_CMS_TOKENS_SQL,
     "q_cms_join_size": Q_CMS_JOIN_SIZE_SQL,
+    "q_dsir_weights": Q_DSIR_SQL,
     "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
     "q_epoch_shuffle": Q_EPOCH_SHUFFLE_SQL,
     "q_pipeline_funnel": Q_PIPELINE_FUNNEL_SQL,
