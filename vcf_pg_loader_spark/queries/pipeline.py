@@ -1372,6 +1372,21 @@ def _retrieval_sqls() -> tuple[str, str]:
 Q_BM25_SQL, Q_TFIDF_SQL = _retrieval_sqls()
 
 
+def q_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_bm25_topk's answer served from the persisted inverted index
+    (sources/bm25_index.py): first call tokenizes the corpus once and
+    persists bucketed postings; every call after scans only the query
+    terms' buckets.  Same oracle as q_bm25_topk."""
+    from vcf_pg_loader_spark.sources.bm25_index import BM25Index
+
+    idx = BM25Index(
+        spark, _served_root(sf_dir, "bm25_index", "documents.parquet")
+    )
+    if not idx.exists():
+        idx.build(load_table(spark, sf_dir, "documents"))
+    return idx.search(BM25_TERMS, BM25_K)
+
+
 # --------------------------------------------------------------------------
 # PMI bigram collocations: pointwise mutual information over adjacent
 # token pairs — the standard phrase-mining / tokenizer-vocabulary signal.
@@ -1758,6 +1773,108 @@ GROUP BY 1
 
 
 Q_DSIR_SQL = _dsir_sql()
+
+
+# --------------------------------------------------------------------------
+# dataset profile (ANALYZE-style report): the engine's summaries
+# composed into one (stat, value) frame over the events table — row
+# count, exact + KMV-estimated user cardinality, HDR value quantiles,
+# event-type skew factor, null rate.  Every piece deterministic, so the
+# whole report is oracle-exact; at 100 TB each stat is a sketch or a
+# single aggregation, never a sort.
+# --------------------------------------------------------------------------
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators import histogram as H
+    from vcf_pg_loader_spark.operators import sketch as SK
+
+    ev = load_table(spark, sf_dir, "events").withColumn("_g", F.lit(1))
+    base = ev.agg(
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+        F.countDistinct("user_id").cast("double").alias("n_users_exact"),
+        F.avg(F.col("value").isNull().cast("int")).alias("value_null_rate"),
+    )
+    kmv = SK.kmv_estimate(
+        SK.kmv_sketch(ev, ["_g"], "user_id")
+    ).select(F.col("n_distinct_est").alias("n_users_kmv"))
+    hdr = (
+        H.hdr_quantiles(H.hdr_partial(ev, ["_g"], "value"), ["_g"], [0.5, 0.99])
+        .groupBy("_g")
+        .pivot("q", [0.5, 0.99])
+        .agg(F.first("quantile_est"))
+        .select(
+            F.col("`0.5`").alias("value_p50_est"),
+            F.col("`0.99`").alias("value_p99_est"),
+        )
+    )
+    skew = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.round(
+                F.max("c") / (F.sum("c") / F.count(F.lit(1))), 6
+            ).alias("event_type_skew")
+        )
+    )
+    wide = (
+        base.crossJoin(F.broadcast(kmv))
+        .crossJoin(F.broadcast(hdr))
+        .crossJoin(F.broadcast(skew))
+    )
+    stats = [
+        "n_rows", "n_users_exact", "n_users_kmv",
+        "value_null_rate", "value_p50_est", "value_p99_est",
+        "event_type_skew",
+    ]
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(s).alias("stat"), F.col(s).alias("value"))
+                for s in stats
+            ]
+        )
+    )
+    return wide.select(pairs.alias("p")).select("p.stat", "p.value")
+
+
+def _profile_sql() -> str:
+    from vcf_pg_loader_spark.operators import histogram as H
+    from vcf_pg_loader_spark.operators import sketch as SK
+
+    kmv = SK.sql_kmv_estimate(
+        "(SELECT 1 AS _g, user_id FROM events)", ["_g"], "user_id"
+    )
+    hdr = H.sql_hdr_quantiles(
+        "(SELECT 1 AS _g, value FROM events)", "_g", "value", [0.5, 0.99]
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_rows,
+         CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users_exact,
+         AVG(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_null_rate
+  FROM events
+),
+kmv AS (SELECT n_distinct_est AS n_users_kmv FROM ({kmv})),
+hdr AS (
+  SELECT MAX(CASE WHEN q = 0.5 THEN quantile_est END) AS value_p50_est,
+         MAX(CASE WHEN q = 0.99 THEN quantile_est END) AS value_p99_est
+  FROM ({hdr})
+),
+skew AS (
+  SELECT ROUND(MAX(c) / (SUM(c) / COUNT(*)), 6) AS event_type_skew
+  FROM (SELECT event_type, COUNT(*) AS c FROM events GROUP BY 1)
+)
+SELECT stat, value FROM (
+  SELECT unnest(['n_rows', 'n_users_exact', 'n_users_kmv',
+                 'value_null_rate', 'value_p50_est', 'value_p99_est',
+                 'event_type_skew']) AS stat,
+         unnest([n_rows, n_users_exact, n_users_kmv, value_null_rate,
+                 value_p50_est, value_p99_est, event_type_skew]) AS value
+  FROM base, kmv, hdr, skew
+)
+"""
+
+
+Q_PROFILE_EVENTS_SQL = _profile_sql()
 
 
 # --------------------------------------------------------------------------
@@ -2194,6 +2311,7 @@ QUERIES = {
     "q_dedup_keep_served": q_dedup_keep_served,
     "q_ann_ivf_served": q_ann_ivf_served,
     "q_bm25_topk": q_bm25_topk,
+    "q_bm25_served": q_bm25_served,
     "q_tfidf_terms": q_tfidf_terms,
     "q_pmi_bigrams": q_pmi_bigrams,
     "q_substring_dedup": q_substring_dedup,
@@ -2202,6 +2320,7 @@ QUERIES = {
     "q_cms_tokens": q_cms_tokens,
     "q_cms_join_size": q_cms_join_size,
     "q_dsir_weights": q_dsir_weights,
+    "q_profile_events": q_profile_events,
     "q_chunk_dedup": q_chunk_dedup,
     "q_epoch_shuffle": q_epoch_shuffle,
     "q_pipeline_funnel": q_pipeline_funnel,
@@ -2249,6 +2368,7 @@ ORACLE = {
     "q_dedup_keep_served": Q_DEDUP_KEEP_SQL,
     "q_ann_ivf_served": Q_ANN_IVF_SQL,
     "q_bm25_topk": Q_BM25_SQL,
+    "q_bm25_served": Q_BM25_SQL,
     "q_tfidf_terms": Q_TFIDF_SQL,
     "q_pmi_bigrams": Q_PMI_SQL,
     "q_substring_dedup": Q_SUBSTRING_DEDUP_SQL,
@@ -2257,6 +2377,7 @@ ORACLE = {
     "q_cms_tokens": Q_CMS_TOKENS_SQL,
     "q_cms_join_size": Q_CMS_JOIN_SIZE_SQL,
     "q_dsir_weights": Q_DSIR_SQL,
+    "q_profile_events": Q_PROFILE_EVENTS_SQL,
     "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
     "q_epoch_shuffle": Q_EPOCH_SHUFFLE_SQL,
     "q_pipeline_funnel": Q_PIPELINE_FUNNEL_SQL,
