@@ -1,0 +1,114 @@
+"""BPE merge learning (operators/bpe.py) against a plain-Python
+reference implementation of Sennrich-style BPE: identical merge
+sequences on planted corpora, greedy left-to-right application, and
+determinism across partitionings.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from vcf_pg_loader_spark.operators import bpe as B
+
+
+# -- plain-Python reference -------------------------------------------------
+def _ref_word_syms(word: str) -> tuple[str, ...]:
+    return tuple(list(word) + [B.END])
+
+
+def _ref_pair_counts(vocab: dict[tuple[str, ...], int]) -> Counter:
+    pc: Counter = Counter()
+    for syms, n in vocab.items():
+        for a, b in zip(syms, syms[1:]):
+            pc[(a, b)] += n
+    return pc
+
+
+def _ref_apply(syms: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == pair[0] and x == pair[1]:
+            out[-1] = pair[0] + pair[1]
+        else:
+            out.append(x)
+    return tuple(out)
+
+
+def _ref_learn(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
+    words = Counter(w for t in texts for w in t.split(" ") if w)
+    vocab = {_ref_word_syms(w): n for w, n in words.items()}
+    merges = []
+    for _ in range(n_merges):
+        pc = _ref_pair_counts(vocab)
+        if not pc:
+            break
+        # max count, lexicographic tie-break — the operator's contract
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        merges.append(best[0])
+        vocab = {_ref_apply(s, best[0]): n for s, n in vocab.items()}
+    return merges
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "wide wider widest low newer",
+    "slow slower slowest wide wide",
+]
+
+
+class TestBPELearn:
+    def test_merges_match_reference(self, spark):
+        docs = spark.createDataFrame(
+            list(enumerate(TEXTS)), "doc_id bigint, text string"
+        )
+        got = B.bpe_learn(docs, n_merges=10)
+        want = _ref_learn(TEXTS, 10)
+        assert got == want and len(got) == 10
+
+    def test_deterministic_across_partitionings(self, spark):
+        docs = spark.createDataFrame(
+            list(enumerate(TEXTS)), "doc_id bigint, text string"
+        )
+        a = B.bpe_learn(docs.repartition(16), n_merges=6)
+        b = B.bpe_learn(docs.coalesce(1), n_merges=6)
+        assert a == b
+
+    def test_stops_when_no_repeating_pair(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "ab cd ef")], "doc_id bigint, text string"
+        )
+        got = B.bpe_learn(docs, n_merges=10)
+        # every pair occurs once -> below the min-count-2 cutoff
+        assert got == []
+
+
+class TestBPEEncode:
+    def test_encoding_matches_reference_segmentation(self, spark):
+        docs = spark.createDataFrame(
+            list(enumerate(TEXTS)), "doc_id bigint, text string"
+        )
+        merges = B.bpe_learn(docs, n_merges=8)
+        enc = {
+            (r.doc_id, r.w): tuple(r.pieces)
+            for r in B.bpe_encode(docs, merges).collect()
+        }
+        for (doc_id, w), pieces in enc.items():
+            syms = _ref_word_syms(w)
+            for m in merges:
+                syms = _ref_apply(syms, m)
+            assert pieces == syms, (w, pieces, syms)
+
+    def test_greedy_left_to_right_on_runs(self, spark):
+        """aaa under merge (a,a): left-to-right gives [aa, a], never
+        [a, aa] — the property that distinguishes greedy BPE."""
+        docs = spark.createDataFrame(
+            [(0, "aaa aaa")], "doc_id bigint, text string"
+        )
+        out = B.bpe_encode(docs, [("a", "a")]).first()
+        assert list(out.pieces) == ["aa", "a", B.END]
