@@ -157,3 +157,70 @@ class TestMergeLawsProperty:
         for p in parts[1:]:
             merged = H.hdr_merge(merged, p, [])
         assert sorted(map(tuple, merged.collect())) == whole
+
+
+class TestGroupedTopK:
+    def test_equals_window_form_and_shard_free(self, spark):
+        from pyspark.sql.window import Window
+
+        from vcf_pg_loader_spark.operators.topk import grouped_topk
+        from vcf_pg_loader_spark.sources.tables import load_table
+
+        ev = (
+            load_table(spark, "/root/testdata/sf0.001", "events")
+            .filter(F.col("value").isNotNull())
+            .select("event_type", "value", "event_id")
+        )
+        w = Window.partitionBy("event_type").orderBy(
+            F.desc("value"), F.asc("event_id")
+        )
+        want = sorted(
+            map(
+                tuple,
+                ev.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 5)
+                .collect(),
+            )
+        )
+        for shards in (1, 4, 16):
+            got = sorted(
+                map(
+                    tuple,
+                    grouped_topk(
+                        ev,
+                        ["event_type"],
+                        [("value", False), ("event_id", True)],
+                        k=5,
+                        shards=shards,
+                    ).collect(),
+                )
+            )
+            assert got == want, shards
+
+    @settings(**SETTINGS)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def test_property_vs_python(self, spark, rows):
+        from vcf_pg_loader_spark.operators.topk import grouped_topk
+
+        df = spark.createDataFrame(
+            [(g, v, i) for i, (g, v) in enumerate(rows)],
+            "g int, v int, id int",
+        )
+        got = {
+            (r.g, r.rn): (r.v, r.id)
+            for r in grouped_topk(
+                df, ["g"], [("v", True), ("id", True)], k=2, shards=3
+            ).collect()
+        }
+        by_g: dict[int, list] = {}
+        for i, (g, v) in enumerate(rows):
+            by_g.setdefault(g, []).append((v, i))
+        for g, items in by_g.items():
+            for rank, (v, i) in enumerate(sorted(items)[:2], start=1):
+                assert got[(g, rank)] == (v, i)

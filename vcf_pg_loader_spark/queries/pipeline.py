@@ -1878,6 +1878,35 @@ Q_PROFILE_EVENTS_SQL = _profile_sql()
 
 
 # --------------------------------------------------------------------------
+# skew-safe grouped top-k (operators/topk.py): two-stage sharded
+# candidates instead of a full per-group window sort — identical output
+# to the ROW_NUMBER oracle, bounded memory on hot groups.
+# --------------------------------------------------------------------------
+def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators.topk import grouped_topk
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    return grouped_topk(
+        ev.select("event_type", "value", "event_id"),
+        ["event_type"],
+        [("value", False), ("event_id", True)],
+        k=3,
+    )
+
+
+Q_GROUPED_TOPK_SQL = """
+SELECT event_type, value, event_id, rn FROM (
+  SELECT event_type, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rn
+  FROM events WHERE value IS NOT NULL
+) WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------------
 # chunk-level dedup classes: exact dedup at context-window granularity
 # (the passage-level analogue of q_dedup_exact) — group the chunk table
 # by chunk hash; shuffles 32-char hashes, never chunk text.
@@ -2321,6 +2350,7 @@ QUERIES = {
     "q_cms_join_size": q_cms_join_size,
     "q_dsir_weights": q_dsir_weights,
     "q_profile_events": q_profile_events,
+    "q_grouped_topk": q_grouped_topk,
     "q_chunk_dedup": q_chunk_dedup,
     "q_epoch_shuffle": q_epoch_shuffle,
     "q_pipeline_funnel": q_pipeline_funnel,
@@ -2378,6 +2408,7 @@ ORACLE = {
     "q_cms_join_size": Q_CMS_JOIN_SIZE_SQL,
     "q_dsir_weights": Q_DSIR_SQL,
     "q_profile_events": Q_PROFILE_EVENTS_SQL,
+    "q_grouped_topk": Q_GROUPED_TOPK_SQL,
     "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
     "q_epoch_shuffle": Q_EPOCH_SHUFFLE_SQL,
     "q_pipeline_funnel": Q_PIPELINE_FUNNEL_SQL,
