@@ -159,3 +159,43 @@ def test_build_rsid_index_command(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     import os
     assert os.path.isdir(out["rsid_index"])
+
+
+def test_profile_and_dedup_corpus(spark, tmp_path, capsys):
+    import json as _json
+
+    from vcf_pg_loader_spark.cli import main
+    from vcf_pg_loader_spark.sources.tables import load_table
+
+    # profile the events fixture
+    events_src = "/root/testdata/sf0.001/events.parquet"
+    assert main(["profile", events_src, "--key", "user_id",
+                 "--column", "value"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_rows"] > 0
+    assert rep["user_id_distinct_exact"] > 0
+    assert rep["value_p50_est"] > 0 and rep["value_p99_est"] >= rep["value_p50_est"]
+
+    # dedup a corpus with planted duplicates end-to-end
+    corpus = str(tmp_path / "corpus")
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india " * 3
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(0)
+    rows = [(1, base), (2, base), (3, "entirely different text about joins "
+                                     "and shuffles and partitions here")]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        corpus
+    )
+    out = str(tmp_path / "kept")
+    clusters = str(tmp_path / "clusters")
+    assert main(["dedup-corpus", corpus, "--out", out,
+                 "--clusters", clusters]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs_in"] == 3 and rep["docs_kept"] == 2
+    kept_ids = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept_ids == {1, 3}
+
+    # second run serves from the persisted cluster table (no rebuild)
+    out2 = str(tmp_path / "kept2")
+    assert main(["dedup-corpus", corpus, "--out", out2,
+                 "--clusters", clusters]) == 0
+    assert {r.doc_id for r in spark.read.parquet(out2).collect()} == {1, 3}

@@ -372,6 +372,74 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """ANALYZE-style profile of any parquet table: row count, per-key
+    exact + KMV cardinality, HDR quantiles for a numeric column, null
+    rates — the engine's sketches composed into one report (the
+    q_profile_events pattern, generalized)."""
+    from pyspark.sql import functions as F
+
+    from vcf_pg_loader_spark.operators import histogram as H
+    from vcf_pg_loader_spark.operators import sketch as SK
+
+    spark = _spark()
+    df = spark.read.parquet(args.path).withColumn("_g", F.lit(1))
+    out: dict = {"path": args.path, "n_rows": df.count()}
+    if args.key:
+        out[f"{args.key}_distinct_exact"] = (
+            df.agg(F.countDistinct(args.key)).first()[0]
+        )
+        est = SK.kmv_estimate(SK.kmv_sketch(df, ["_g"], args.key)).first()
+        out[f"{args.key}_distinct_kmv"] = est["n_distinct_est"]
+    if args.column:
+        qs = [0.5, 0.9, 0.99]
+        rows = H.hdr_quantiles(
+            H.hdr_partial(df, ["_g"], args.column), ["_g"], qs
+        ).collect()
+        for r in rows:
+            out[f"{args.column}_p{int(r.q * 100)}_est"] = r.quantile_est
+        out[f"{args.column}_null_rate"] = df.agg(
+            F.avg(F.col(args.column).isNull().cast("int"))
+        ).first()[0]
+    print(json.dumps(out, sort_keys=True))
+    return 0
+
+
+def cmd_dedup_corpus(args) -> int:
+    """Near-dup dedup a (doc_id, text) parquet corpus: MinHash-LSH +
+    connected components, persist the cluster table
+    (sources/cluster_store.py), write the kept corpus.  Re-running
+    serves keep-decisions from the materialized clusters."""
+    from vcf_pg_loader_spark.operators import dedup as D
+    from vcf_pg_loader_spark.sources.cluster_store import DedupClusterStore
+
+    spark = _spark()
+    docs = spark.read.parquet(args.corpus)
+    store = DedupClusterStore(spark, args.clusters)
+    if args.rebuild or not store.exists():
+        pairs = D.minhash_lsh_dedup(
+            docs, "doc_id", "text",
+            args.ngram, args.minhash_k, args.bands, args.threshold,
+        )
+        cc = D.connected_components(pairs.select("d1", "d2"), "d1", "d2")
+        store.write(cc)
+    kept = store.serve_keep(docs, "doc_id")
+    kept.write.mode("overwrite").parquet(args.out)
+    n_in, n_out = docs.count(), spark.read.parquet(args.out).count()
+    print(
+        json.dumps(
+            {
+                "docs_in": n_in,
+                "docs_kept": n_out,
+                "docs_dropped": n_in - n_out,
+                "clusters": args.clusters,
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="vcf-pg-loader-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -471,6 +539,25 @@ def build_parser() -> argparse.ArgumentParser:
              help="compact store partitions into target-size sorted files")
     sp.add_argument("--store", required=True)
     sp.add_argument("--target-rows", type=int, default=1_000_000)
+
+    sp = add("profile", cmd_profile,
+             help="sketch-composed ANALYZE report for a parquet table")
+    sp.add_argument("path")
+    sp.add_argument("--key", help="column for cardinality (exact + KMV)")
+    sp.add_argument("--column", help="numeric column for HDR quantiles")
+
+    sp = add("dedup-corpus", cmd_dedup_corpus,
+             help="near-dup dedup a (doc_id, text) corpus; "
+                  "persist + serve the cluster table")
+    sp.add_argument("corpus")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--clusters", required=True,
+                    help="cluster-table dir (reused unless --rebuild)")
+    sp.add_argument("--rebuild", action="store_true")
+    sp.add_argument("--ngram", type=int, default=3)
+    sp.add_argument("--minhash-k", type=int, default=8)
+    sp.add_argument("--bands", type=int, default=4)
+    sp.add_argument("--threshold", type=float, default=0.8)
 
     sp = add("build-rsid-index", cmd_build_rsid_index,
              help="materialize the rsid-sorted point-lookup copy")
