@@ -6,16 +6,15 @@ to object storage) beside a typed metadata struct; all per-item compute
 batched `mapInPandas` so bytes cross the JVM/Python boundary once per
 batch, not per row.  Partitioning is by content hash so hot items spread.
 
-The codec libraries are OPTIONAL imports: when PIL / soundfile exist on
-the cluster image, `_decode_image` / `_decode_audio` use them; in this
-container (no imaging/audio libs) they fall back to clearly-marked
-deterministic fakes — EXCEPT PCM WAV audio, which decodes for real
-everywhere via the stdlib `wave`/`struct` modules (no dependency), so
-the audio feature path is live, not stubbed, for the most common raw
-format.  Either way the Spark-side plumbing — schemas, batch iteration,
-UDF signatures, partitioning — is identical, real, and tested; golden
-tests for the remaining gated paths are skip-marked when the library is
-absent.
+Codecs: the COMMON formats decode for real everywhere with zero
+dependencies — 8-bit PNG via the pure-stdlib zlib/struct codec
+(operators/_png.py, full filter set) and PCM WAV via the stdlib
+`wave`/`struct` modules.  PIL / soundfile are OPTIONAL imports that
+extend coverage to other formats when the cluster image ships them;
+with neither library nor a stdlib-decodable payload, the seams fall
+back to clearly-marked deterministic fakes.  Either way the Spark-side
+plumbing — schemas, batch iteration, UDF signatures, partitioning — is
+identical, real, and tested.
 """
 
 from __future__ import annotations
@@ -87,9 +86,31 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 )
 
 
+def _to_rgb(arr: np.ndarray) -> np.ndarray:
+    """Normalize a decoded (h, w, ch) array to RGB, PIL-convert style."""
+    ch = arr.shape[2]
+    if ch == 3:
+        return arr
+    if ch == 4:  # RGBA: drop alpha (PIL convert("RGB") composites over
+        return arr[:, :, :3]  # black for straight alpha drop — match that)
+    if ch == 1:
+        return np.repeat(arr, 3, axis=2)
+    # gray + alpha
+    return np.repeat(arr[:, :, :1], 3, axis=2)
+
+
 def _decode_image(content: bytes) -> np.ndarray:
-    """DECODE SEAM: real PIL decode when available, deterministic fake
-    otherwise (shape and dtype match what a decoder would produce)."""
+    """DECODE SEAM: 8-bit PNG decodes for REAL everywhere via the
+    pure-stdlib codec (operators/_png.py — zlib/struct, no dependency);
+    PIL handles other formats when available; else the deterministic
+    fake (shape and dtype match what a decoder would produce)."""
+    from vcf_pg_loader_spark.operators import _png
+
+    if _png.is_png(content):
+        try:
+            return _to_rgb(_png.decode_png(content))
+        except ValueError:
+            pass  # exotic PNG shape: fall through to PIL / the fake
     if HAVE_PIL:
         with _PILImage.open(io.BytesIO(content)) as img:
             return np.asarray(img.convert("RGB"))
