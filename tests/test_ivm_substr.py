@@ -175,3 +175,43 @@ class TestStripSpans:
         )
         again = D.duplicated_substring_spans(cleaned, gram_len=20, stride=4)
         assert again.count() == 0
+
+
+class TestIVMAggComposition:
+    def test_incremental_aggregate_over_join_view(self, spark, li, orders):
+        """IVM composes with the rollup partials: maintain SUM(qty) per
+        priority as join deltas arrive, folding each delta's partial
+        aggregate into the maintained table — fold == one-shot, exactly
+        (the continuous-aggregate-over-join shape)."""
+        from vcf_pg_loader_spark.operators.ivm import join_delta
+
+        def partial(df):
+            return df.groupBy("o_orderpriority").agg(
+                F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+
+        def fold(a, b):
+            return (
+                a.unionByName(b)
+                .groupBy("o_orderpriority")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            )
+
+        view = None
+        l_old, r_old = li.limit(0), orders.limit(0)
+        for i in range(3):
+            dl = li.filter(F.col("k") % 3 == i)
+            dr = orders.filter(F.col("k") % 3 == i)
+            delta = partial(join_delta(l_old, dl, r_old, dr, "k"))
+            view = delta if view is None else fold(view, delta)
+            l_old = l_old.unionByName(dl)
+            r_old = r_old.unionByName(dr)
+        got = {
+            r.o_orderpriority: (str(r.s), r.n) for r in view.collect()
+        }
+        want = {
+            r.o_orderpriority: (str(r.s), r.n)
+            for r in partial(li.join(orders, "k")).collect()
+        }
+        assert got == want  # decimal accumulators: bit-exact fold

@@ -406,3 +406,26 @@ def test_ivm_delta_joins_broadcast_small_deltas(spark, sf):
     plan = plan_of(join_delta(li, dl, orders, dr, "k"), mode="simple")
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_semdedup_centroids_broadcast_no_corpus_shuffle_to_assign(spark, sf):
+    """k-means assignment must broadcast centroids (the corpus maps
+    narrowly); the within-cell pair join keys on cid."""
+    from vcf_pg_loader_spark.operators.similarity import ivf_fit
+    from vcf_pg_loader_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    _c, assigned = ivf_fit(emb, 8, 2)
+    plan = plan_of(assigned, mode="simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dsir_logratio_table_broadcasts(spark, sf):
+    """The per-doc scoring join must broadcast the (tiny) bucket
+    log-ratio table — never shuffle the feature frame against it."""
+    from vcf_pg_loader_spark.queries.pipeline import q_dsir_weights
+
+    plan = plan_of(q_dsir_weights(spark, sf), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
