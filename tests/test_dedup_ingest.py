@@ -116,3 +116,51 @@ class TestNearDupIngest:
         # admitted set: dedup within/across batches, first arrival wins
         assert 2 not in got and 21 not in got
         assert {1, 10, 30} <= got
+
+
+class TestBM25IndexSink:
+    def test_maintained_index_equals_fresh_build(self, spark, tmp_path):
+        from vcf_pg_loader_spark.sources.bm25_index import BM25Index
+        from vcf_pg_loader_spark.streaming.dedup_ingest import BM25IndexSink
+
+        rows = [
+            (1, "spark shuffle join shuffle broadcast"),
+            (2, "broadcast join window sort"),
+            (3, "spark spark merge window"),
+            (4, "completely different vocabulary here tonight"),
+        ]
+        docs = _df(spark, rows)
+        sink = BM25IndexSink(str(tmp_path / "idx"))
+        sink.apply_batch(docs.filter(F.col("doc_id") <= 2), 0)
+        sink.apply_batch(docs.filter(F.col("doc_id") > 2), 1)
+
+        fresh = BM25Index(spark, str(tmp_path / "fresh"))
+        fresh.build(docs)
+        terms = ["spark", "join", "window"]
+        got = sorted(
+            map(tuple, sink.index(spark).search(terms, k=4).collect())
+        )
+        want = sorted(map(tuple, fresh.search(terms, k=4).collect()))
+        assert got == want and len(want) > 0
+
+    def test_replay_and_resent_docs_are_noops(self, spark, tmp_path):
+        from vcf_pg_loader_spark.streaming.dedup_ingest import BM25IndexSink
+
+        docs = _df(spark, [(1, "alpha beta gamma"), (2, "beta gamma delta")])
+        sink = BM25IndexSink(str(tmp_path / "idx"))
+        sink.apply_batch(docs, 0)
+        n0 = sink._table(spark, "postings").count()
+        sink.apply_batch(docs, 0)  # replayed batch id
+        assert sink._table(spark, "postings").count() == n0
+        sink.apply_batch(docs, 1)  # same docs, NEW batch id: doc-level gate
+        assert sink._table(spark, "postings").count() == n0
+
+    def test_postings_stay_bucket_partitioned(self, spark, tmp_path):
+        import glob as g
+
+        from vcf_pg_loader_spark.streaming.dedup_ingest import BM25IndexSink
+
+        docs = _df(spark, [(i, f"word{i} common text here") for i in range(12)])
+        sink = BM25IndexSink(str(tmp_path / "idx"))
+        sink.apply_batch(docs, 0)
+        assert g.glob(str(tmp_path / "idx" / "postings" / "bucket=*"))

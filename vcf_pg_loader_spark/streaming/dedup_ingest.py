@@ -36,8 +36,6 @@ min-id canonical is the offline analogue).
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -63,10 +61,6 @@ class NearDupIngestSink(ParquetUpsertSink):
         self.threshold = threshold
 
     # -- state ----------------------------------------------------------
-    def _table(self, spark, name: str) -> DataFrame | None:
-        p = os.path.join(self.target, name)
-        return spark.read.parquet(p) if os.path.isdir(p) else None
-
     def read_corpus(self, spark) -> DataFrame:
         return self._table(spark, "corpus")
 
@@ -181,28 +175,80 @@ class NearDupIngestSink(ParquetUpsertSink):
             else bands_old.unionByName(add_bands)
         )
         n = self._swap_in_frames(
-            {"corpus": new_corpus, "bands": new_bands}, batch_id
+            {"corpus": new_corpus, "bands": new_bands},
+            batch_id,
+            count_table="corpus",
         )
         self._record(batch_id, n)
 
-    def _swap_in_frames(self, frames: dict[str, DataFrame], batch_id: int) -> int:
-        """Multi-table variant of ParquetUpsertSink._swap_in: stage every
-        frame under one directory, embed the batch marker, swap the
-        whole directory — corpus and index can never diverge."""
-        import json
 
-        staging = tempfile.mkdtemp(prefix="dedup_ingest_")
-        spark = None
-        for name, df in frames.items():
-            spark = df.sparkSession
-            df.write.mode("overwrite").parquet(os.path.join(staging, name))
-        n = spark.read.parquet(os.path.join(staging, "corpus")).count()
-        with open(os.path.join(staging, "_applied_batch.json"), "w") as fh:
-            json.dump({"batch_id": batch_id, "n_rows": n}, fh)
-        old = self._old_path()
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(self.target):
-            shutil.move(self.target, old)
-        shutil.move(staging, self.target)
-        shutil.rmtree(old, ignore_errors=True)
-        return n
+class BM25IndexSink(ParquetUpsertSink):
+    """Live keyword-search maintenance: each micro-batch's documents
+    tokenize ONCE and their postings/doclens append into a persisted
+    BM25 index (sources/bm25_index.py layout); corpus stats recompute
+    from the (tiny) doclens table.  Serving goes through
+    BM25Index.search at any moment — the streaming completion of the
+    build-once/serve-many story: the index is now MAINTAINED, not just
+    built.
+
+    Documents are immutable once indexed (re-sent doc_ids are dropped —
+    the ingest-idempotence stance); postings for a batch are therefore
+    pure appends, and all three tables swap together so postings,
+    lengths, and stats always describe the same corpus."""
+
+    def __init__(self, target: str, id_col: str = "doc_id", text_col: str = "text"):
+        super().__init__(target, key=[id_col])
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def index(self, spark):
+        from vcf_pg_loader_spark.sources.bm25_index import BM25Index
+
+        return BM25Index(spark, self.target)
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from vcf_pg_loader_spark.sources.bm25_index import _term_bucket
+
+        if self.applied(batch_id):
+            return
+        self._recover()
+        marker = self._read_marker()
+        if marker is not None and marker["batch_id"] == batch_id:
+            self._record(batch_id, marker["n_rows"])
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates([self.id_col])
+        old_dl = self._table(spark, "doclens")
+        if old_dl is not None:
+            batch = batch.join(
+                old_dl.select(F.col("doc_id").alias(self.id_col)),
+                self.id_col,
+                "left_anti",
+            )
+        toks = batch.select(
+            F.col(self.id_col).alias("doc_id"),
+            F.explode(F.split(F.col(self.text_col), " ")).alias("term"),
+        ).filter(F.col("term") != "")
+        tf = (
+            toks.groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("bucket", _term_bucket(F.col("term")))
+        )
+        dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        old_tf = self._table(spark, "postings")
+        new_tf = tf if old_tf is None else old_tf.unionByName(tf)
+        new_dl = dl if old_dl is None else old_dl.unionByName(dl)
+        stats = new_dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("dl").cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avgdl"),
+        )
+        n = self._swap_in_frames(
+            {"postings": new_tf, "doclens": new_dl, "stats": stats},
+            batch_id,
+            count_table="doclens",
+            partition_by={"postings": ["bucket"]},
+        )
+        self._record(batch_id, n)

@@ -140,6 +140,45 @@ class ParquetUpsertSink:
         shutil.rmtree(old, ignore_errors=True)
         return n
 
+    def _swap_in_frames(
+        self,
+        frames: dict[str, DataFrame],
+        batch_id: int,
+        count_table: str,
+        partition_by: dict[str, list[str]] | None = None,
+    ) -> int:
+        """Multi-table variant of _swap_in: stage every frame under one
+        directory, embed the batch marker, swap the whole directory —
+        sibling tables (a corpus and its index, postings and their
+        stats) can never diverge across a crash.  `partition_by` keeps a
+        table's on-disk partitioning (e.g. postings by term bucket)
+        across maintenance rewrites."""
+        staging = tempfile.mkdtemp(prefix="stream_multi_")
+        spark = None
+        for name, df in frames.items():
+            spark = df.sparkSession
+            writer = df.write.mode("overwrite")
+            cols = (partition_by or {}).get(name)
+            if cols:
+                writer = df.repartition(*cols).write.mode(
+                    "overwrite"
+                ).partitionBy(*cols)
+            writer.parquet(os.path.join(staging, name))
+        n = spark.read.parquet(os.path.join(staging, count_table)).count()
+        with open(os.path.join(staging, "_applied_batch.json"), "w") as fh:
+            json.dump({"batch_id": batch_id, "n_rows": n}, fh)
+        old = self._old_path()
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(self.target):
+            shutil.move(self.target, old)
+        shutil.move(staging, self.target)
+        shutil.rmtree(old, ignore_errors=True)
+        return n
+
+    def _table(self, spark, name: str) -> DataFrame | None:
+        p = os.path.join(self.target, name)
+        return spark.read.parquet(p) if os.path.isdir(p) else None
+
     def read(self, spark) -> DataFrame:
         return spark.read.parquet(self.target)
 
