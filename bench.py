@@ -246,7 +246,12 @@ def served_paths(spark, sf_dir: str) -> dict:
     from vcf_pg_loader_spark.queries import pipeline as QP
 
     out: dict = {}
-    for name in ("q_dedup_keep_served", "q_ann_ivf_served"):
+    for name in (
+        "q_dedup_keep_served",
+        "q_ann_ivf_served",
+        "q_bm25_served",
+        "q_semdedup_served",
+    ):
         try:
             fn = QP.QUERIES[name]
             fn(spark, sf_dir).count()  # ensure built + warm

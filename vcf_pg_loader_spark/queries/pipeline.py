@@ -808,6 +808,47 @@ def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_semdedup_keep served from a materialized semantic-cluster table
+    (the DedupClusterStore pattern applied to the embedding-space
+    clusters): first call pays k-means + pairwise + CC and persists
+    (node, comp); every call after is ONE broadcast anti-join.  Same
+    oracle as q_semdedup_keep."""
+    from vcf_pg_loader_spark.sources.cluster_store import DedupClusterStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = DedupClusterStore(
+        spark, _served_root(sf_dir, "semdedup_clusters", "embeddings.parquet")
+    )
+    if not store.exists():
+        from pyspark.storagelevel import StorageLevel
+
+        _cents, assigned = S.ivf_fit(emb, IVF_CENTROIDS, IVF_ITER)
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        a, b = assigned.alias("a"), assigned.alias("b")
+        norm = F.sqrt(F.col("a.vv")) * F.sqrt(F.col("b.vv"))
+        fast_cos = S.dot_fast(F.col("a.vec"), F.col("b.vec")) / norm
+        cos = F.round(S.dot_exact(F.col("a.vec"), F.col("b.vec")) / norm, 6)
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.cid") == F.col("b.cid"))
+                & (F.col("a.vid") < F.col("b.vid")),
+            )
+            .filter(fast_cos >= SEMDEDUP_TAU - 1e-4)
+            .select(
+                F.col("a.vid").alias("d1"),
+                F.col("b.vid").alias("d2"),
+                cos.alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= SEMDEDUP_TAU)
+        )
+        store.write(
+            D.connected_components(pairs.select("d1", "d2"), "d1", "d2")
+        )
+    return store.serve_keep(emb.select(F.col("vec_id")), "vec_id")
+
+
 def _semdedup_sql() -> str:
     ctes, assign, _prev = _ivf_assignment_ctes()
     ctes.append(
@@ -2325,6 +2366,7 @@ QUERIES = {
     "q_decontaminate": q_decontaminate,
     "q_embed_neardup": q_embed_neardup,
     "q_semdedup_keep": q_semdedup_keep,
+    "q_semdedup_served": q_semdedup_served,
     "q_trigram_sim": q_trigram_sim,
     "q_winnow_overlap": q_winnow_overlap,
     "q_merge_upsert": q_merge_upsert,
@@ -2383,6 +2425,7 @@ ORACLE = {
     "q_decontaminate": Q_DECONTAMINATE_SQL,
     "q_embed_neardup": Q_EMBED_NEARDUP_SQL,
     "q_semdedup_keep": Q_SEMDEDUP_SQL,
+    "q_semdedup_served": Q_SEMDEDUP_SQL,
     "q_trigram_sim": Q_TRIGRAM_SQL,
     "q_winnow_overlap": Q_WINNOW_SQL,
     "q_merge_upsert": Q_MERGE_UPSERT_SQL,
