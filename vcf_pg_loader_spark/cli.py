@@ -5,7 +5,10 @@ Parquet store rooted at --store (plus an optional JDBC sink).
 
 Commands: load, validate, import-gwas, import-pgs, load-reference,
 annotate-ld-blocks, compute-sample-qc, refresh-views, annotate,
-annotation-query, export-{plink,prs-cs,ldpred2,prsice}, benchmark.
+annotation-query, export-{plink,prs-cs,ldpred2,prsice}, benchmark,
+import-frequencies, ld-block-stats, compact, build-rsid-index — plus
+the pipeline extensions `profile` (sketch-composed ANALYZE) and
+`dedup-corpus` (near-dup dedup with a persisted cluster table).
 
 HIPAA/auth/PHI subcommands (reference cli.py:2419-7005) are compliance
 tooling, not analytics — out of scope (SURVEY §7.0)."""
