@@ -2144,6 +2144,95 @@ Q_PIPELINE_FUNNEL_SQL = _pipeline_funnel_sql()
 
 
 # --------------------------------------------------------------------------
+# per-doc drop attribution: WHY did each document leave the pipeline —
+# the observability query a curation team actually debugs with.  Every
+# doc gets its FIRST drop stage (quality gate with its reason codes,
+# exact-dup loser, near-dup loser) or 'kept'.  Stages compose the
+# already-oracled gates in funnel order; the near-dup stage runs on the
+# quality+exact survivors (LSH pairs on a subset equal the full-corpus
+# pairs restricted to that subset, since banding is per-doc).
+# --------------------------------------------------------------------------
+def q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    qual = q_quality_filter(spark, sf_dir)
+
+    kept_q = docs.join(
+        qual.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+    fp = T.fingerprint(kept_q)
+    canon = fp.groupBy("doc_fp").agg(F.min("doc_id").alias("doc_id"))
+    surv = fp.join(canon.select("doc_id"), "doc_id", "left_semi")
+
+    pairs = D.minhash_lsh_dedup(
+        surv, "doc_id", "text", NGRAM, MINHASH_K, MINHASH_BANDS, JACCARD_T
+    )
+    cc = D.connected_components(pairs.select("d1", "d2"), "d1", "d2")
+    near_losers = cc.where(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+
+    q = qual.select("doc_id", "keep", "reasons")
+    exact_ids = surv.select("doc_id")
+    stage = (
+        F.when(
+            ~F.col("keep"), F.concat(F.lit("quality:"), F.col("reasons"))
+        )
+        .when(F.col("_exact").isNull(), F.lit("exact_dup"))
+        .when(F.col("_near").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(q, "doc_id")
+        .join(
+            exact_ids.withColumn("_exact", F.lit(1)), "doc_id", "left"
+        )
+        .join(
+            F.broadcast(near_losers.withColumn("_near", F.lit(1))),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", stage.alias("stage"))
+    )
+
+
+def _drop_reasons_sql() -> str:
+    return f"""
+WITH RECURSIVE q AS ({Q_QUALITY_FILTER_SQL}),
+kept_q AS (SELECT d.* FROM documents d JOIN q USING (doc_id) WHERE q.keep),
+fp AS (SELECT doc_id, md5(regexp_replace(trim(text), ' +', ' ', 'g'))
+              AS doc_fp
+       FROM kept_q),
+canon AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY doc_fp),
+surv AS (SELECT doc_id FROM fp WHERE doc_id IN (SELECT doc_id FROM canon)),
+all_pairs AS ({Q_MINHASH_LSH_SQL}),
+pairs AS (
+  SELECT d1, d2 FROM all_pairs
+  WHERE d1 IN (SELECT doc_id FROM surv)
+    AND d2 IN (SELECT doc_id FROM surv)
+),
+und AS (SELECT d1 AS s, d2 AS t FROM pairs UNION SELECT d2, d1 FROM pairs),
+nodes AS (SELECT DISTINCT s AS node FROM und),
+walk(node, reach) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT w.node, u.t FROM walk w JOIN und u ON u.s = w.reach
+),
+cc AS (SELECT node, MIN(reach) AS comp FROM walk GROUP BY node),
+near_losers AS (SELECT node AS doc_id FROM cc WHERE node <> comp)
+SELECT d.doc_id,
+       CASE WHEN NOT q.keep THEN 'quality:' || q.reasons
+            WHEN d.doc_id NOT IN (SELECT doc_id FROM surv) THEN 'exact_dup'
+            WHEN d.doc_id IN (SELECT doc_id FROM near_losers) THEN 'near_dup'
+            ELSE 'kept' END AS stage
+FROM documents d JOIN q USING (doc_id)
+"""
+
+
+Q_DROP_REASONS_SQL = _drop_reasons_sql()
+
+
+# --------------------------------------------------------------------------
 # KMV distinct sketch (operators/sketch.py): estimated distinct users
 # per event type — the deterministic, mergeable alternative to HLL whose
 # estimate the DuckDB oracle reproduces bit-for-bit (HLL register
@@ -2393,6 +2482,7 @@ QUERIES = {
     "q_dsir_weights": q_dsir_weights,
     "q_profile_events": q_profile_events,
     "q_grouped_topk": q_grouped_topk,
+    "q_drop_reasons": q_drop_reasons,
     "q_chunk_dedup": q_chunk_dedup,
     "q_epoch_shuffle": q_epoch_shuffle,
     "q_pipeline_funnel": q_pipeline_funnel,
@@ -2452,6 +2542,7 @@ ORACLE = {
     "q_dsir_weights": Q_DSIR_SQL,
     "q_profile_events": Q_PROFILE_EVENTS_SQL,
     "q_grouped_topk": Q_GROUPED_TOPK_SQL,
+    "q_drop_reasons": Q_DROP_REASONS_SQL,
     "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
     "q_epoch_shuffle": Q_EPOCH_SHUFFLE_SQL,
     "q_pipeline_funnel": Q_PIPELINE_FUNNEL_SQL,
