@@ -506,3 +506,49 @@ class TestStreamingDedup:
         n_distinct = events.select("event_id").distinct().count()
         assert got.count() == n_distinct
         assert got.select("event_id").distinct().count() == n_distinct
+
+
+class TestMJPEGFrames:
+    @staticmethod
+    def _frame(payload: bytes) -> bytes:
+        return b"\xff\xd8" + payload + b"\xff\xd9"
+
+    def test_marker_split_and_even_sampling(self):
+        import hashlib as _hl
+
+        frames = [self._frame(bytes([i]) * 10) for i in range(7)]
+        stream = b"".join(frames)
+        got = M._split_mjpeg_frames(stream)
+        assert got == frames
+        sampled = M._decode_video_frames(stream, 3)
+        # first, middle, last of the 7 real frames
+        assert sampled == [frames[0], frames[3], frames[6]]
+        assert M._decode_video_frames(stream, 1) == [frames[0]]
+        # fewer frames than requested: all of them, no padding
+        short = b"".join(frames[:2])
+        assert M._decode_video_frames(short, 5) == frames[:2]
+
+    def test_sample_frames_real_hashes(self, spark):
+        import hashlib as _hl
+
+        frames = [self._frame(bytes([i]) * 32) for i in range(5)]
+        stream = b"".join(frames)
+        df = spark.createDataFrame(
+            [(1, "video", stream, "video/x-motion-jpeg",
+              (None, None, 5000, None))],
+            M.MEDIA_SCHEMA,
+        )
+        rows = sorted(
+            M.sample_frames(df, n_frames=3).collect(),
+            key=lambda r: r.frame_idx,
+        )
+        assert [r.frame_idx for r in rows] == [0, 1, 2]
+        want = [frames[0], frames[2], frames[4]]
+        assert [r.frame_sha256 for r in rows] == [
+            _hl.sha256(f).hexdigest() for f in want
+        ]
+
+    def test_non_mjpeg_falls_back_deterministically(self):
+        a = M._decode_video_frames(b"not a jpeg stream", 3)
+        b = M._decode_video_frames(b"not a jpeg stream", 3)
+        assert a == b and len(a) == 3

@@ -121,8 +121,43 @@ def _decode_image(content: bytes) -> np.ndarray:
     return rng.reshape(side, side, 3)
 
 
+def _split_mjpeg_frames(content: bytes) -> list[bytes]:
+    """REAL container-level frame extraction for Motion-JPEG streams
+    (concatenated SOI..EOI JPEG frames — the common raw-camera / AVI
+    payload): scan the FFD8/FFD9 markers, return the frame byte ranges.
+    Frame SAMPLING needs only the container walk, not a pixel decode —
+    so this path, like PNG and WAV, is real with zero dependencies."""
+    frames: list[bytes] = []
+    pos = 0
+    while True:
+        start = content.find(b"\xff\xd8", pos)
+        if start < 0:
+            break
+        end = content.find(b"\xff\xd9", start + 2)
+        if end < 0:
+            break
+        frames.append(content[start : end + 2])
+        pos = end + 2
+    return frames
+
+
 def _decode_video_frames(content: bytes, n_frames: int) -> list[bytes]:
-    """DECODE SEAM — deterministic fake for ffmpeg frame extraction."""
+    """DECODE SEAM: MJPEG streams split into REAL frames (evenly
+    sampled down to n_frames); other containers (mp4/mkv need a real
+    demuxer) fall back to the deterministic fake."""
+    if content[:2] == b"\xff\xd8":
+        frames = _split_mjpeg_frames(content)
+        if frames:
+            if len(frames) <= n_frames:
+                return frames
+            if n_frames == 1:
+                return [frames[0]]
+            # even temporal sampling: first, spaced interior, last
+            idxs = [
+                round(i * (len(frames) - 1) / (n_frames - 1))
+                for i in range(n_frames)
+            ]
+            return [frames[i] for i in idxs]
     return [
         hashlib.sha256(content + idx.to_bytes(4, "little")).digest()
         for idx in range(n_frames)
@@ -183,7 +218,9 @@ def sample_frames(df: DataFrame, n_frames: int = 3) -> DataFrame:
                 ):
                     out["media_id"].append(media_id)
                     out["frame_idx"].append(idx)
-                    out["frame_sha256"].append(frame.hex())
+                    out["frame_sha256"].append(
+                        hashlib.sha256(frame).hexdigest()
+                    )
             yield pd.DataFrame(out)
 
     return (
