@@ -66,15 +66,43 @@ class TestDedupClusterStore:
         assert store.exists()  # heal restored it
         assert store.read().count() == n
 
-    def test_serve_plan_is_single_broadcast_anti_join(
+    def test_serve_plan_broadcasts_when_small_without_forced_hint(
         self, spark, docs, components, tmp_path
     ):
+        """serve_keep carries NO F.broadcast hint — the planner must
+        still pick a broadcast anti join on its own from the persisted
+        table's parquet footer-size statistics when the loser set is
+        genuinely under the threshold."""
         store = DedupClusterStore(spark, str(tmp_path / "dedup"))
         store.write(components)
         plan = store.serve_keep(docs.select("doc_id"))._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
         # serving must not re-run the pipeline: no exchange of the corpus
         assert "SortMergeJoin" not in plan
+
+    def test_serve_degrades_to_shuffle_beyond_broadcast_threshold(
+        self, spark, docs, components, tmp_path
+    ):
+        """At 100 TB dup rates the loser set is billions of rows: with
+        the broadcast threshold exceeded (simulated via -1) the serve
+        join must degrade to a shuffled anti join with IDENTICAL output
+        — never a forced broadcast that OOMs every executor."""
+        store = DedupClusterStore(spark, str(tmp_path / "dedup"))
+        store.write(components)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            served = store.serve_keep(docs.select("doc_id"))
+            plan = served._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            got = {r.doc_id for r in served.collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        want = {
+            r.doc_id for r in store.serve_keep(docs.select("doc_id")).collect()
+        }
+        assert got == want and len(got) > 0
 
 
 class TestServedRegistryEntries:
@@ -103,3 +131,52 @@ class TestServedRegistryEntries:
             for r in q_ann_ivf(spark, SF_DIR).collect()
         }
         assert served == inline
+
+    def test_q_drop_reasons_served_equals_recompute(self, spark):
+        from vcf_pg_loader_spark.queries.pipeline import (
+            q_drop_reasons,
+            q_drop_reasons_served,
+        )
+
+        served = {
+            (r.doc_id, r.stage)
+            for r in q_drop_reasons_served(spark, SF_DIR).collect()
+        }
+        inline = {
+            (r.doc_id, r.stage) for r in q_drop_reasons(spark, SF_DIR).collect()
+        }
+        assert served == inline and len(served) > 0
+
+
+class TestMaterializedTable:
+    def test_roundtrip_and_atomic_rewrite(self, spark, tmp_path):
+        from vcf_pg_loader_spark.sources.cluster_store import MaterializedTable
+
+        tbl = MaterializedTable(spark, str(tmp_path / "attr"))
+        assert not tbl.exists()
+        df = spark.createDataFrame(
+            [(1, "kept"), (2, "near_dup")], "doc_id bigint, stage string"
+        )
+        tbl.write(df)
+        assert tbl.exists()
+        assert sorted(map(tuple, tbl.read().collect())) == [
+            (1, "kept"),
+            (2, "near_dup"),
+        ]
+        tbl.write(df.limit(1))
+        assert tbl.read().count() == 1
+
+    def test_crash_between_moves_heals(self, spark, tmp_path):
+        import os
+        import shutil
+
+        from vcf_pg_loader_spark.sources.cluster_store import MaterializedTable
+
+        tbl = MaterializedTable(spark, str(tmp_path / "attr"))
+        tbl.write(
+            spark.createDataFrame([(1, "kept")], "doc_id bigint, stage string")
+        )
+        parent, base = os.path.split(tbl.table_path)
+        shutil.move(tbl.table_path, os.path.join(parent, f".{base}.old"))
+        assert tbl.exists()  # heal restored the moved-aside table
+        assert tbl.read().count() == 1

@@ -182,3 +182,48 @@ class TestVectorIndex:
             ).collect()
         }
         assert served == direct  # exact ranks AND exact doubles
+
+    def test_failed_rebuild_leaves_old_index_servable(
+        self, spark, emb, tmp_path, monkeypatch
+    ):
+        """build() stages into a temp dir and swaps atomically: a crash
+        mid-rebuild over an existing index must leave the OLD index
+        fully intact and servable (meta/ present beside mixed old/new
+        artifacts was the failure mode)."""
+        import pytest as pt
+
+        import vcf_pg_loader_spark.sources.vector_index as VI
+
+        idx = VI.VectorIndex(spark, str(tmp_path / "vidx"))
+        idx.build(emb, k_centroids=8, m=M, k_sub=K_SUB, kernel="exact", pq=False)
+        queries = emb.filter(F.col("vec_id") < N_Q)
+        before = sorted(
+            map(tuple, idx.search_flat(queries, TOP_K, nprobe=2).collect())
+        )
+        # inject a crash AFTER centroids are staged but before the swap
+        def boom(*a, **k):
+            raise RuntimeError("injected mid-build crash")
+
+        monkeypatch.setattr(VI, "pq_fit", boom)
+        with pt.raises(RuntimeError):
+            idx.build(emb, k_centroids=8, m=M, k_sub=K_SUB, pq=True)
+        assert idx.exists()
+        after = sorted(
+            map(tuple, idx.search_flat(queries, TOP_K, nprobe=2).collect())
+        )
+        assert after == before
+
+    def test_crash_between_swap_moves_heals(self, spark, emb, tmp_path):
+        import os
+        import shutil
+
+        from vcf_pg_loader_spark.sources.vector_index import VectorIndex
+
+        idx = VectorIndex(spark, str(tmp_path / "vidx"))
+        idx.build(emb, k_centroids=8, m=M, k_sub=K_SUB, kernel="exact", pq=False)
+        parent, base = os.path.split(idx.root)
+        shutil.move(idx.root, os.path.join(parent, f".{base}.old"))
+        assert idx.exists()  # _heal_dir restored the aside copy
+        assert idx.search_flat(
+            emb.filter(F.col("vec_id") < N_Q), TOP_K, nprobe=2
+        ).count() > 0

@@ -154,6 +154,58 @@ class TestBloom:
         assert "BroadcastNestedLoopJoin" in plan  # the 1-row bitmap frame
 
 
+class TestBloomEdges:
+    def test_non_inner_how_raises(self, spark):
+        """left/outer joins must raise: the prefilter drops definite-miss
+        big-side rows that those join semantics require preserved."""
+        li = load_table(spark, SF_DIR, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        orders = load_table(spark, SF_DIR, "orders").select("o_orderkey")
+        for how in ("left", "left_outer", "full", "right"):
+            with pytest.raises(ValueError):
+                bloom_prefilter_join(li, orders, "o_orderkey", how=how)
+
+    def test_partial_last_word_m_bits_not_multiple_of_64(self, spark):
+        """m_bits that doesn't divide by 64 must still be exact: hash
+        positions in the partial last word need that word to EXIST
+        (truncating n_words made element_at return null and silently
+        dropped matching rows)."""
+        keys = spark.range(0, 300).selectExpr("id as k")
+        bloom = bloom_build(keys, "k", m_bits=100)
+        n_hit = (
+            keys.crossJoin(F.broadcast(bloom))
+            .filter(bloom_might_contain(F.col("k"), F.col("words"), m_bits=100))
+            .count()
+        )
+        assert n_hit == 300  # never misses a member, even in word 1's tail
+
+
+class TestBM25Index:
+    def test_empty_text_doc_counts_toward_idf(self, spark, tmp_path):
+        """A doc whose text tokenizes to zero terms still counts in
+        n_docs: the served index must score identically to the fresh
+        bm25_topk (and the shared oracle), which use COUNT(*) over the
+        corpus."""
+        from vcf_pg_loader_spark.sources.bm25_index import BM25Index
+
+        rows = [
+            (1, "spark shuffle join shuffle"),
+            (2, "broadcast join"),
+            (3, ""),  # tokenizes to nothing — still a document
+            (4, "   "),
+            (5, "spark window"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        idx = BM25Index(spark, str(tmp_path / "bm25"))
+        idx.build(docs)
+        served = sorted(map(tuple, idx.search(["spark", "join"], k=5).collect()))
+        fresh = sorted(
+            map(tuple, R.bm25_topk(docs, ["spark", "join"], k=5).collect())
+        )
+        assert served == fresh and len(served) == 3
+
+
 class TestDSIR:
     def test_target_domain_scores_higher(self, spark):
         """English is the target: en docs must carry higher importance

@@ -148,3 +148,37 @@ class TestCountMin:
         a = sorted(map(tuple, whole.collect()))
         b = sorted(map(tuple, merged.collect()))
         assert a == b  # counts add exactly, any order
+
+
+class TestCMSJoinSize:
+    def test_disjoint_keys_estimate_zero(self, spark):
+        """Disjoint key sets: every hash row's inner product is 0 (no
+        overlapping cells), so the min must be 0 — a number, never NULL
+        from an empty post-join aggregate."""
+        from vcf_pg_loader_spark.operators import sketch as SK
+
+        a = SK.cms_partial(
+            spark.createDataFrame([(f"a{i}",) for i in range(10)], "v string"),
+            "v",
+        )
+        b = SK.cms_partial(
+            spark.createDataFrame([(f"b{i}",) for i in range(10)], "v string"),
+            "v",
+        )
+        est = SK.cms_join_size(a, b).first().join_size_est
+        assert est == 0
+
+    def test_overlap_upper_bounds_true_size(self, spark):
+        from vcf_pg_loader_spark.operators import sketch as SK
+
+        left = spark.createDataFrame(
+            [(f"k{i % 20}",) for i in range(200)], "v string"
+        )
+        right = spark.createDataFrame(
+            [(f"k{i}",) for i in range(20)], "v string"
+        )
+        true_size = left.join(right, "v").count()
+        est = SK.cms_join_size(
+            SK.cms_partial(left, "v"), SK.cms_partial(right, "v")
+        ).first().join_size_est
+        assert est >= true_size  # one-sided, like the point estimates

@@ -44,7 +44,10 @@ def bloom_build(
     k_hashes: int = 3,
 ) -> DataFrame:
     """One-row frame: `words` = array<bigint> bitmap of the key set."""
-    n_words = m_bits // 64
+    # round UP: a partial last word must still exist, or probe positions
+    # in it would index past the array (element_at null -> silently
+    # dropped matching rows)
+    n_words = (m_bits + 63) // 64
     pos = _positions(F.col(key_col), m_bits, k_hashes)
     set_bits = (
         keys.select(F.explode(F.array(*pos)).alias("p"))
@@ -95,7 +98,18 @@ def bloom_prefilter_join(
     how: str = "inner",
 ) -> DataFrame:
     """big ⋈ small with the big side Bloom-pruned before the shuffle.
-    Exact: false positives survive the prefilter but die in the join."""
+    Exact: false positives survive the prefilter but die in the join.
+
+    Inner-only: for left/outer joins the prefilter would DROP definite-
+    miss big-side rows that the join semantics require preserved with
+    null right columns, so non-inner `how` raises instead of silently
+    returning wrong results."""
+    if how != "inner":
+        raise ValueError(
+            "bloom_prefilter_join is exact only for inner joins; "
+            f"got how={how!r} (the prefilter drops big-side rows a "
+            "left/outer join must keep)"
+        )
     bloom = bloom_build(small.select(on).distinct(), on, m_bits, k_hashes)
     pruned = (
         big.crossJoin(F.broadcast(bloom))

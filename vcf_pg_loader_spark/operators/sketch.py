@@ -294,7 +294,20 @@ def cms_join_size(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("row")
         .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("s"))
     )
-    return prod.agg(F.min("s").alias("join_size_est"))
+    # A hash row with NO overlapping cells has inner product 0 — it must
+    # contribute 0 to the min (disjoint key sets => estimate 0), not
+    # vanish from the aggregate (which would return NULL for fully-
+    # disjoint sketches and lose the tightest bound for partly-disjoint
+    # ones).  Left-join the per-row sums back onto the sketch's row set.
+    per_row = (
+        a.select("row")
+        .distinct()
+        .join(prod, "row", "left")
+        .select(F.coalesce(F.col("s"), F.lit(0)).alias("s"))
+    )
+    return per_row.agg(
+        F.coalesce(F.min("s"), F.lit(0)).cast("bigint").alias("join_size_est")
+    )
 
 
 def sql_cms_join_size(
@@ -331,6 +344,10 @@ prod AS (
   SELECT sa_sk.row, SUM(sa_sk.cnt * sb_sk.cnt) AS s
   FROM sa_sk JOIN sb_sk USING (row, pos)
   GROUP BY 1
+),
+rows_a AS (SELECT DISTINCT row FROM sa_sk),
+per_row AS (
+  SELECT COALESCE(s, 0) AS s FROM rows_a LEFT JOIN prod USING (row)
 )
-SELECT CAST(MIN(s) AS BIGINT) AS join_size_est FROM prod
+SELECT CAST(COALESCE(MIN(s), 0) AS BIGINT) AS join_size_est FROM per_row
 """

@@ -1919,9 +1919,10 @@ Q_PROFILE_EVENTS_SQL = _profile_sql()
 
 
 # --------------------------------------------------------------------------
-# skew-safe grouped top-k (operators/topk.py): two-stage sharded
-# candidates instead of a full per-group window sort — identical output
-# to the ROW_NUMBER oracle, bounded memory on hot groups.
+# skew-safe grouped top-k (operators/topk.py): row_number + filter shaped
+# so Catalyst's InferWindowGroupLimit plants a k-bounded Partial group
+# limit on the map side of the exchange — identical output to the
+# ROW_NUMBER oracle, k-bounded memory and shuffle on hot groups.
 # --------------------------------------------------------------------------
 def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vcf_pg_loader_spark.operators.topk import grouped_topk
@@ -2187,8 +2188,13 @@ def q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             exact_ids.withColumn("_exact", F.lit(1)), "doc_id", "left"
         )
+        # no forced broadcast: the loser set is corpus-relative-small but
+        # not absolutely small at 100 TB dup rates — let AQE pick
+        # broadcast from runtime sizes (it does at every tested SF) and
+        # degrade to a shuffled join instead of an executor OOM beyond
+        # the threshold
         .join(
-            F.broadcast(near_losers.withColumn("_near", F.lit(1))),
+            near_losers.withColumn("_near", F.lit(1)),
             "doc_id",
             "left",
         )
@@ -2230,6 +2236,26 @@ FROM documents d JOIN q USING (doc_id)
 
 
 Q_DROP_REASONS_SQL = _drop_reasons_sql()
+
+
+def q_drop_reasons_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_drop_reasons' answer served from a materialized attribution
+    table (sources/cluster_store.py MaterializedTable): drop attribution
+    is THE observability query a curation team re-runs — per-source
+    dashboards, debugging a doc's fate, auditing a gate change — and its
+    expensive stages (LSH + CC over the survivors) are fixed per
+    curation run.  So the funnel report is materialized once per run,
+    swap-atomically, and every later read is a plain pruned parquet
+    scan.  Same build-once/serve-many shape as the cluster store / IVF /
+    BM25 indexes; same oracle as q_drop_reasons."""
+    from vcf_pg_loader_spark.sources.cluster_store import MaterializedTable
+
+    tbl = MaterializedTable(
+        spark, _served_root(sf_dir, "drop_reasons", "documents.parquet")
+    )
+    if not tbl.exists():
+        tbl.write(q_drop_reasons(spark, sf_dir))
+    return tbl.read()
 
 
 # --------------------------------------------------------------------------
@@ -2483,6 +2509,7 @@ QUERIES = {
     "q_profile_events": q_profile_events,
     "q_grouped_topk": q_grouped_topk,
     "q_drop_reasons": q_drop_reasons,
+    "q_drop_reasons_served": q_drop_reasons_served,
     "q_chunk_dedup": q_chunk_dedup,
     "q_epoch_shuffle": q_epoch_shuffle,
     "q_pipeline_funnel": q_pipeline_funnel,
@@ -2543,6 +2570,7 @@ ORACLE = {
     "q_profile_events": Q_PROFILE_EVENTS_SQL,
     "q_grouped_topk": Q_GROUPED_TOPK_SQL,
     "q_drop_reasons": Q_DROP_REASONS_SQL,
+    "q_drop_reasons_served": Q_DROP_REASONS_SQL,
     "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
     "q_epoch_shuffle": Q_EPOCH_SHUFFLE_SQL,
     "q_pipeline_funnel": Q_PIPELINE_FUNNEL_SQL,

@@ -60,12 +60,17 @@ class BM25Index:
         ).filter(F.col("term") != "")
         tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
         dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-        stats = dl.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            (
-                F.sum(F.col("dl").cast("bigint")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("avgdl"),
+        # n_docs counts ALL documents (retrieval.bm25_topk and its oracle
+        # use COUNT(*) over the corpus); a doc whose text tokenizes to
+        # zero terms still counts toward idf.  avgdl stays over doclens,
+        # matching bm25_topk's avgdl aggregation exactly.
+        stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+            dl.agg(
+                (
+                    F.sum(F.col("dl").cast("bigint")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("avgdl")
+            )
         )
         staging = tempfile.mkdtemp(prefix="bm25_index_")
         (

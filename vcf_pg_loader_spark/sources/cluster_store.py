@@ -70,8 +70,47 @@ class DedupClusterStore:
 
     def serve_keep(self, df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         """The keep-decision served from the persisted table: ONE
-        broadcast left-anti join — the corpus never shuffles and the
-        LSH/CC pipeline never re-runs.  Identical output to
-        keep_canonical(df, <the components written>, id_col)."""
-        losers = F.broadcast(self.losers().withColumnRenamed("node", id_col))
+        left-anti join — the LSH/CC pipeline never re-runs.  Identical
+        output to keep_canonical(df, <the components written>, id_col).
+
+        No forced broadcast hint: the loser set is small relative to the
+        corpus but NOT absolutely small at scale (100 TB with a 20-30%
+        near-dup rate = billions of loser ids), and a forced
+        `F.broadcast` bypasses AQE's size check and OOMs every executor.
+        The losers read from parquet, so Spark has footer-size stats:
+        AQE picks broadcast-hash when the table is genuinely under
+        `spark.sql.autoBroadcastJoinThreshold` (plan-asserted at test
+        scale in tests/test_cluster_store.py) and falls back to a
+        shuffled anti join when it is not — same stance as
+        dedup.keep_canonical."""
+        losers = self.losers().withColumnRenamed("node", id_col)
         return df.join(losers, id_col, "left_anti")
+
+
+class MaterializedTable:
+    """Generic swap-atomic persisted result table — the shape every
+    observability artifact here shares (funnel reports, drop
+    attribution, dataset cards): compute once after a curation run,
+    serve every dashboard/debug read from the parquet.  Same crash
+    discipline as the cluster table above: stage into a temp dir, swap
+    in atomically, heal on read after a mid-swap crash."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.table_path = f"{self.root}/table"
+
+    def exists(self) -> bool:
+        _heal_dir(self.table_path)
+        return os.path.isdir(self.table_path)
+
+    def write(self, df: DataFrame) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        staging = tempfile.mkdtemp(prefix="materialized_")
+        df.write.mode("overwrite").parquet(staging)
+        _heal_dir(self.table_path)
+        _swap_dir(staging, self.table_path)
+
+    def read(self) -> DataFrame:
+        _heal_dir(self.table_path)
+        return self.spark.read.parquet(self.table_path)

@@ -26,9 +26,13 @@ rebuilt index over the same corpus is byte-identical.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 
 from vcf_pg_loader_spark.operators.pq import ivf_pq_search, pq_encode, pq_fit
+from vcf_pg_loader_spark.sources.store import _heal_dir, _swap_dir
 
 
 class VectorIndex:
@@ -38,6 +42,10 @@ class VectorIndex:
 
     def _p(self, name: str) -> str:
         return f"{self.root}/{name}"
+
+    def exists(self) -> bool:
+        _heal_dir(self.root)
+        return os.path.isdir(self._p("meta"))
 
     # -- build ----------------------------------------------------------
     def build(
@@ -64,33 +72,39 @@ class VectorIndex:
             corpus, k_centroids, n_iter, id_col=id_col, vec_col=vec_col,
             kernel=kernel,
         )
-        cents.write.mode("overwrite").parquet(self._p("centroids"))
+        # Stage every artifact into a temp dir and swap it in atomically
+        # (same crash discipline as DedupClusterStore / BM25Index): a
+        # crash mid-rebuild must never leave meta/ — the "index is
+        # complete" witness — beside a mix of old and new artifacts.
+        staging = tempfile.mkdtemp(prefix="vector_index_")
+        cents.write.parquet(os.path.join(staging, "centroids"))
         if pq:
             books = pq_fit(corpus, m, k_sub, id_col=id_col, vec_col=vec_col)
             codes = pq_encode(
                 corpus, books, m, id_col=id_col, vec_col=vec_col
             ).join(assign.select("vid", "cid"), "vid")
-            books.write.mode("overwrite").parquet(self._p("codebooks"))
+            books.write.parquet(os.path.join(staging, "codebooks"))
             (
                 codes.repartition("cid")
                 .sortWithinPartitions("vid")
-                .write.mode("overwrite")
-                .partitionBy("cid")
-                .parquet(self._p("codes"))
+                .write.partitionBy("cid")
+                .parquet(os.path.join(staging, "codes"))
             )
         (
             assign.repartition("cid")
             .sortWithinPartitions("vid")
-            .write.mode("overwrite")
-            .partitionBy("cid")
-            .parquet(self._p("vectors"))
+            .write.partitionBy("cid")
+            .parquet(os.path.join(staging, "vectors"))
         )
         # record the geometry the index was built with
         meta = self.spark.createDataFrame(
             [(k_centroids, m, k_sub, kernel)],
             "k_centroids int, m int, k_sub int, kernel string",
         )
-        meta.write.mode("overwrite").json(self._p("meta"))
+        meta.write.json(os.path.join(staging, "meta"))
+        os.makedirs(os.path.dirname(self.root), exist_ok=True)
+        _heal_dir(self.root)
+        _swap_dir(staging, self.root)
 
     # -- serve ----------------------------------------------------------
     def search(
