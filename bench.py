@@ -327,7 +327,14 @@ def main() -> None:
     for t in FIXTURE_TABLES:
         load_table(spark, sf_dir, t).count()
 
-    timings: dict[str, float] = {}
+    # Each query is timed twice: `cold_sec` (first run — carries JIT /
+    # codegen / compile-order noise that masquerades as regression in
+    # round-over-round diffs) and `warm_sec` (second run, caches cleared
+    # in between so it measures warm-JVM execution, not cached data).
+    # Warm is the number doc claims should cite (tools/sync_docs.py
+    # guards this); cold is what a fresh container pays and still sums
+    # into the contract line's total for continuity with prior rounds.
+    timings: dict[str, dict] = {}
     errors: dict[str, str] = {}
     total = 0.0
     for name, fn in all_queries().items():
@@ -340,15 +347,26 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        cold = time.perf_counter() - t0
+        total += cold
         # some operators persist multiply-consumed intermediates (LSH
         # shingles, winnow fingerprints); drop them so cached blocks from
-        # query N never crowd executor memory for query N+1 or the parse
-        # benchmarks below (round-4 parse-rate regression).
+        # query N never crowd executor memory for query N+1, the warm
+        # re-run, or the parse benchmarks below (round-4 parse-rate
+        # regression).
         spark.catalog.clearCache()
+        try:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            warm = round(time.perf_counter() - t0, 3)
+        except Exception:  # warm timing is best-effort
+            warm = None
+        spark.catalog.clearCache()
+        timings[name] = {"cold_sec": round(cold, 3), "warm_sec": warm}
+        print(
+            f"# {name}: {cold:.3f}s cold / {warm}s warm ({n} rows)",
+            file=sys.stderr,
+        )
 
     # VCF parse throughput (BASELINE.md row 1: reference claims 106k/s
     # single-process) — measured every round so the one directly
@@ -381,6 +399,22 @@ def main() -> None:
         parse_gz = {"variants_per_sec": None, "scan_tasks": None}
     print(f"# vcf_parse_bgzf: {parse_gz}", file=sys.stderr)
 
+    # GIAB-shaped parse (reference benchmark.py:379-447 benchmarks on a
+    # GIAB v4.2.1-distribution generator): 83/16/1 SNP/indel/multiallelic
+    # mix with long callset INFO strings — the shape that stresses the
+    # normalizer and INFO tokenizer, reported beside the uniform rate.
+    from vcf_pg_loader_spark.parse_bench import parse_throughput_giab
+
+    try:
+        parse_giab = parse_throughput_giab(
+            spark,
+            int(os.environ.get("SPARK_GRAFT_PARSE_GIAB_N", "1000000")),
+        )
+    except Exception as exc:
+        errors["_vcf_parse_giab"] = f"{type(exc).__name__}: {exc}"[:500]
+        parse_giab = {"variants_per_sec": None}
+    print(f"# vcf_parse_giab_shape: {parse_giab}", file=sys.stderr)
+
     skew = skew_rehearsal(spark, sf_dir)
     print(f"# skew_join: {skew}", file=sys.stderr)
 
@@ -401,6 +435,7 @@ def main() -> None:
         "errors": errors,
         "vcf_parse": parse,
         "vcf_parse_bgzf": parse_gz,
+        "vcf_parse_giab_shape": parse_giab,
         "skew_rehearsal": skew,
         "scaling_curve": curve,
         "ivf_kernel_compare": kernels,
@@ -413,11 +448,12 @@ def main() -> None:
         json.dump(detail, fh, indent=1, sort_keys=True)
     print(f"# full detail -> {detail_path}", file=sys.stderr)
 
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[
-            :_TOP_N_IN_CONTRACT_LINE
-        ]
-    )
+    slowest = {
+        k: v["cold_sec"]
+        for k, v in sorted(
+            timings.items(), key=lambda kv: kv[1]["cold_sec"], reverse=True
+        )[:_TOP_N_IN_CONTRACT_LINE]
+    }
     plain = skew.get("plain", {})
     salted = skew.get("salted", {})
     # ONE compact line for the driver (it parses stdout and keeps only a
@@ -440,6 +476,9 @@ def main() -> None:
                 "vcf_parse_bgzf_single_file_variants_per_sec": parse_gz[
                     "variants_per_sec"
                 ],
+                "vcf_parse_giab_shape_variants_per_sec": parse_giab.get(
+                    "variants_per_sec"
+                ),
                 "skew_max_task_rows_plain": plain.get("max_task_rows"),
                 "skew_max_task_rows_salted": salted.get("max_task_rows"),
                 "scaling_2x_max_ratio": max(

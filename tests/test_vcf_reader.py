@@ -191,3 +191,60 @@ class TestFeatureGating:
     def test_unknown_feature_group_rejected(self, spark, multiallelic_vcf):
         with pytest.raises(ValueError, match="unknown read_vcf feature"):
             read_vcf(spark, multiallelic_vcf, features=("bogus",))
+
+
+class TestGiabShapedBench:
+    """The GIAB-shaped generator (parse_bench.write_synthetic_vcf_giab)
+    must actually carry the GIAB v4.2.1 chr21 distribution it claims —
+    83/16/1 SNP/indel/multiallelic and het/hom genotype mix — and parse
+    cleanly through the same read_vcf path the bench times."""
+
+    def test_distribution_and_parse(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from vcf_pg_loader_spark.parse_bench import write_synthetic_vcf_giab
+        from vcf_pg_loader_spark.sources.vcf import read_vcf
+
+        n = 5_000
+        glob = write_synthetic_vcf_giab(str(tmp_path), n, shards=4)
+        df = read_vcf(spark, glob, normalize=True)
+        rows = df.count()
+        assert rows == n + n // 100  # each 1% multiallelic decomposes to 2
+
+        mix = {
+            r.variant_type: r.c
+            for r in df.groupBy("variant_type").agg(
+                F.count(F.lit(1)).alias("c")
+            ).collect()
+        }
+        snp_pct = 100.0 * mix.get("snp", 0) / rows
+        indel_pct = 100.0 * mix.get("indel", 0) / rows
+        # GIAB chr21 expectation bands (reference tests/benchmark/README.md)
+        assert 80.0 <= snp_pct <= 90.0
+        assert 10.0 <= indel_pct <= 20.0
+
+        # long INFO strings survived tokenization
+        r0 = df.filter(F.col("pos") == 10_000).first()
+        assert r0.info["platformnames"] and r0.info["difficultregion"]
+
+    def test_genotype_mix(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from vcf_pg_loader_spark.parse_bench import write_synthetic_vcf_giab
+        from vcf_pg_loader_spark.sources.vcf import read_genotypes
+
+        glob = write_synthetic_vcf_giab(str(tmp_path), 2_000, shards=2)
+        import glob as _g
+
+        path = sorted(_g.glob(glob))[0]
+        gt = read_genotypes(spark, path)
+        counts = {
+            r.gt: r.c
+            for r in gt.groupBy("gt")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        het = counts.get("0/1", 0)
+        hom = counts.get("1/1", 0)
+        assert het + hom == sum(counts.values())  # never hom-ref
+        assert 0.50 <= het / (het + hom) <= 0.64  # ~57% het

@@ -17,6 +17,13 @@ Guarded claims:
     artifact's three parse rates within 10% (minimal / full-featured /
     BGZF single-file) — the tolerance absorbs run-to-run jitter while
     catching the 1.5× overclaim class.
+  - per-query wall-time claims ("q_foo ... 1.2 s") in README.md and the
+    CURRENT round's docs/ROUND*.md: must be within 40% of the query's
+    warm_sec (preferred — cold numbers carry compile-order noise, the
+    round-6 lesson) or cold_sec in BENCH_DETAIL.json, or its serve_sec
+    under served_paths.  Only single-claim lines are checked (one
+    q_name, one "<N> s" token); older ROUND docs describe past rounds
+    against past artifacts and are exempt.
 
 Run: python tools/sync_docs.py   (repo root; exits 0 = in sync)
 """
@@ -47,6 +54,55 @@ def latest_bench() -> dict | None:
     return None
 
 
+def bench_detail() -> dict | None:
+    try:
+        with open(os.path.join(REPO, "BENCH_DETAIL.json")) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _query_walls(detail: dict) -> dict[str, list[float]]:
+    """Acceptable wall-time references per query: warm first (the number
+    docs should cite), then cold, then the served serve_sec."""
+    walls: dict[str, list[float]] = {}
+    for name, t in (detail.get("queries") or {}).items():
+        if isinstance(t, dict):  # round-7+ shape {cold_sec, warm_sec}
+            vals = [t.get("warm_sec"), t.get("cold_sec")]
+        else:  # pre-round-7 float = cold only
+            vals = [t]
+        walls[name] = [v for v in vals if v]
+    for name, t in (detail.get("served_paths") or {}).items():
+        if isinstance(t, dict) and t.get("serve_sec"):
+            walls.setdefault(name, []).append(t["serve_sec"])
+    return walls
+
+
+def check_query_walls(path: str, walls: dict[str, list[float]]) -> list[str]:
+    errors: list[str] = []
+    with open(path) as fh:
+        lines = fh.read().splitlines()
+    rel = os.path.relpath(path, REPO)
+    name_pat = re.compile(r"\bq_[a-z0-9_]+\b")
+    sec_pat = re.compile(r"\b(\d+(?:\.\d+)?)\s*s\b")
+    for i, line in enumerate(lines, 1):
+        names = name_pat.findall(line)
+        secs = sec_pat.findall(line)
+        if len(set(names)) != 1 or len(secs) != 1:
+            continue  # only unambiguous single-claim lines are guarded
+        name = names[0]
+        if name not in walls or not walls[name]:
+            continue
+        claim = float(secs[0])
+        if not any(abs(claim - w) / w <= 0.40 for w in walls[name]):
+            errors.append(
+                f"{rel}:{i}: claims {name} at {claim} s; BENCH_DETAIL has "
+                + "/".join(f"{w}" for w in walls[name])
+                + " (warm/cold/serve)"
+            )
+    return errors
+
+
 def registry_size() -> int:
     from vcf_pg_loader_spark.queries import all_queries
 
@@ -54,9 +110,20 @@ def registry_size() -> int:
 
 
 def doc_files() -> list[str]:
-    return [os.path.join(REPO, "README.md")] + sorted(
-        glob.glob(os.path.join(REPO, "docs", "*.md"))
+    """Living docs only: README + docs/, EXCEPT historical ROUND*.md
+    (everything but the newest) — those describe past rounds against
+    past artifacts, and rewriting their numbers to the current artifact
+    would falsify the record, not sync it."""
+    rounds = sorted(
+        glob.glob(os.path.join(REPO, "docs", "ROUND*.md")),
+        key=lambda p: int(re.search(r"(\d+)", os.path.basename(p)).group(1)),
     )
+    historical = set(rounds[:-1])
+    return [os.path.join(REPO, "README.md")] + [
+        p
+        for p in sorted(glob.glob(os.path.join(REPO, "docs", "*.md")))
+        if p not in historical
+    ]
 
 
 def check(path: str, bench: dict | None, n_registry: int) -> list[str]:
@@ -87,6 +154,7 @@ def check(path: str, bench: dict | None, n_registry: int) -> list[str]:
             bench.get("vcf_parse_variants_per_sec"),
             bench.get("vcf_parse_full_features_variants_per_sec"),
             bench.get("vcf_parse_bgzf_single_file_variants_per_sec"),
+            bench.get("vcf_parse_giab_shape_variants_per_sec"),
         ]
         rates = [r for r in rates if r]
         pat = re.compile(
@@ -121,6 +189,17 @@ def main() -> int:
     all_errors: list[str] = []
     for path in doc_files():
         all_errors.extend(check(path, bench, n_registry))
+    detail = bench_detail()
+    if detail:
+        walls = _query_walls(detail)
+        rounds = sorted(
+            glob.glob(os.path.join(REPO, "docs", "ROUND*.md")),
+            key=lambda p: int(re.search(r"(\d+)", os.path.basename(p)).group(1)),
+        )
+        guarded = [os.path.join(REPO, "README.md")] + rounds[-1:]
+        for path in guarded:
+            if os.path.exists(path):
+                all_errors.extend(check_query_walls(path, walls))
     if all_errors:
         print(f"DOCS OUT OF SYNC ({len(all_errors)}):")
         for e in all_errors:

@@ -379,6 +379,21 @@ def _ivf_assign(vecs: DataFrame, cents: DataFrame, kernel: str = "exact") -> Dat
     ).select("vid", "vec", "vv", F.col("_m.cid").alias("cid"))
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kernel: str = "exact",
+) -> DataFrame:
+    """Route vectors to EXISTING centroids — no fitting: (vid, vec, vv,
+    cid).  The maintenance half of ivf_fit: arriving vectors join a
+    frozen routing table (broadcast centroids, map-side argmin, zero
+    corpus shuffle), which is what a streaming index/SemDeDup sink does
+    per batch instead of re-running Lloyd rounds."""
+    return _ivf_assign(_prep_vectors(corpus, id_col, vec_col, kernel), cents, kernel)
+
+
 def ivf_fit(
     corpus: DataFrame,
     k_centroids: int = 8,

@@ -133,6 +133,140 @@ def parse_throughput_bgzf(spark, n_variants: int = 2_000_000) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# GIAB-shaped synthetic VCF: the reference benchmarks against a generator
+# tuned to GIAB v4.2.1 HG002 chr21 statistics (reference benchmark.py:147-180,
+# tests/benchmark/README.md:17-33): ~83.3% SNPs / 16.7% indels, ~1%
+# multiallelic, 57% het / 43% hom-alt genotypes, and long platform/callset
+# INFO strings.  The uniform generator above is the easy case for the
+# parser (short INFO, sparse indels); this shape stresses the normalizer
+# (indel left-trim, multiallelic decomposition) and INFO tokenization the
+# way real benchmark data does, so its rate is reported alongside.
+# Everything is deterministic (index arithmetic, no RNG) so the measured
+# corpus is identical across rounds.
+# ---------------------------------------------------------------------------
+_GIAB_HEADER = (
+    "##fileformat=VCFv4.2\n"
+    '##FILTER=<ID=PASS,Description="All filters passed">\n'
+    '##INFO=<ID=platforms,Number=1,Type=Integer,Description="Platforms">\n'
+    '##INFO=<ID=platformnames,Number=.,Type=String,Description="Names">\n'
+    '##INFO=<ID=datasets,Number=1,Type=Integer,Description="Datasets">\n'
+    '##INFO=<ID=datasetnames,Number=.,Type=String,Description="Names">\n'
+    '##INFO=<ID=callsets,Number=1,Type=Integer,Description="Callsets">\n'
+    '##INFO=<ID=callsetnames,Number=.,Type=String,Description="Names">\n'
+    '##INFO=<ID=datasetsmissingcall,Number=.,Type=String,Description="Missing">\n'
+    '##INFO=<ID=callable,Number=.,Type=String,Description="Callable">\n'
+    '##INFO=<ID=difficultregion,Number=.,Type=String,Description="Regions">\n'
+    '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+    '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Depth">\n'
+    '##FORMAT=<ID=ADALL,Number=R,Type=Integer,Description="Allelic depths">\n'
+    '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Quality">\n'
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tSAMPLE01\n"
+)
+_GIAB_PLATFORMS = ["Illumina", "PacBio", "10X", "IonTorrent", "SOLID"]
+_GIAB_DATASETS = ["HiSeq300x", "CCS15kb", "10XGenomics", "IonExome", "SolidSE"]
+_GIAB_REGIONS = ["lowmappability", "segdup", "tandemrepeat", "gcgt85"]
+
+
+def _giab_line(i: int) -> str:
+    """One deterministic GIAB-shaped variant line for index i.
+
+    Per-100 residue classes pin the mix exactly: class 0 is multiallelic
+    (1%), classes 1-16 are indels (16%), the rest SNPs (83%) — matching
+    GIAB v4.2.1 chr21's 83.3/16.7 SNP/indel split and ~1% multiallelic
+    density within a percent."""
+    ref = _BASES[i % 4]
+    alt = _BASES[(i + 1) % 4]
+    klass = i % 100
+    if klass == 0:  # multiallelic SNP
+        alt = f"{alt},{_BASES[(i + 2) % 4]}"
+    elif klass <= 16:  # indel, length 1-15, ins/del alternating
+        tail = "".join(_BASES[(i + j) % 4] for j in range((i * 7) % 15 + 1))
+        if i % 2 == 0:
+            ref = ref + tail
+        else:
+            alt = alt + tail
+    # long INFO: platform/callset metadata strings like the GIAB callset
+    np_, nd = i % 4 + 1, i % 5 + 1
+    plats = ",".join(_GIAB_PLATFORMS[(i + j) % 5] for j in range(np_))
+    dsets = ",".join(_GIAB_DATASETS[(i + j) % 5] for j in range(nd))
+    regions = ",".join(_GIAB_REGIONS[(i + j) % 4] for j in range(i % 3 + 1))
+    info = (
+        f"platforms={np_};platformnames={plats};datasets={nd};"
+        f"datasetnames={dsets};callsets={nd};callsetnames={dsets};"
+        f"datasetsmissingcall={_GIAB_DATASETS[(i + 2) % 5]};"
+        f"callable=CS_{_GIAB_DATASETS[i % 5]}_callable;"
+        f"difficultregion={regions}"
+    )
+    gt = "0/1" if (i * 13) % 100 < 57 else "1/1"  # 57% het / 43% hom-alt
+    dp = 30 + (i * 31) % 970
+    ref_reads = (i * 17) % (dp + 1) if gt == "0/1" else 0
+    fmt = f"{gt}:{dp}:{ref_reads},{dp - ref_reads}:{90 + (i * 11) % 310}"
+    return (
+        f"chr{(i % 22) + 1}\t{10_000 + i}\t.\t{ref}\t{alt}\t50\tPASS\t"
+        f"{info}\tGT:DP:ADALL:GQ\t{fmt}\n"
+    )
+
+
+def write_synthetic_vcf_giab(
+    dirpath: str, n_variants: int, shards: int = 16
+) -> str:
+    """GIAB-shaped shards (same sharding contract as write_synthetic_vcf);
+    returns a glob matching them."""
+    per = max(1, n_variants // shards)
+    written = 0
+    for s in range(shards):
+        take = (
+            min(per, n_variants - written)
+            if s < shards - 1
+            else n_variants - written
+        )
+        if take <= 0:
+            break
+        with open(os.path.join(dirpath, f"giab_{s:04d}.vcf"), "w") as fh:
+            fh.write(_GIAB_HEADER)
+            for j in range(take):
+                fh.write(_giab_line(written + j))
+        written += take
+    return os.path.join(dirpath, "giab_*.vcf")
+
+
+def parse_throughput_giab(spark, n_variants: int = 1_000_000) -> dict:
+    """Parse rate on the GIAB-shaped corpus (same methodology as
+    parse_throughput: warmup pass, page-cache prewarm, one untimed
+    full-volume pass, best-of-two timed passes)."""
+    import glob as _glob
+    import tempfile
+
+    from vcf_pg_loader_spark.sources.vcf import read_vcf
+
+    with tempfile.TemporaryDirectory() as d:
+        glob = write_synthetic_vcf_giab(d, n_variants)
+        with tempfile.TemporaryDirectory() as wd:
+            warm_glob = write_synthetic_vcf_giab(wd, 10_000, 2)
+            read_vcf(spark, warm_glob, normalize=True).count()
+        for f in _glob.glob(glob):
+            with open(f, "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+        read_vcf(spark, glob, normalize=True).count()  # JIT steady state
+        dt = float("inf")
+        rows = 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = read_vcf(spark, glob, normalize=True).count()
+            dt = min(dt, time.perf_counter() - t0)
+    return {
+        "variants": n_variants,
+        "rows_after_decomposition": rows,
+        "sec": round(dt, 3),
+        "variants_per_sec": round(n_variants / dt, 1),
+        "snp_pct": 83.0,
+        "indel_pct": 16.0,
+        "multiallelic_pct": 1.0,
+    }
+
+
 def parse_throughput(
     spark, n_variants: int = 2_000_000, shards: int = 16
 ) -> dict:

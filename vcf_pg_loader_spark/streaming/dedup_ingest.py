@@ -234,15 +234,25 @@ class BM25IndexSink(ParquetUpsertSink):
             .agg(F.count(F.lit(1)).alias("tf"))
             .withColumn("bucket", _term_bucket(F.col("term")))
         )
-        dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        # doclens keeps a dl=0 row for zero-token docs: they must count
+        # toward n_docs (BM25Index.build counts ALL documents for idf —
+        # the round-6 advisory fix) AND be seen by the idempotence gate
+        # above, or an empty doc would be re-admitted every batch.
+        dl = batch.select(F.col(self.id_col).alias("doc_id")).join(
+            toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")),
+            "doc_id",
+            "left",
+        ).select("doc_id", F.coalesce("dl", F.lit(0).cast("bigint")).alias("dl"))
         old_tf = self._table(spark, "postings")
         new_tf = tf if old_tf is None else old_tf.unionByName(tf)
         new_dl = dl if old_dl is None else old_dl.unionByName(dl)
+        # n_docs over every doc; avgdl over tokenized docs only — the
+        # exact aggregation shape of BM25Index.build
         stats = new_dl.agg(
             F.count(F.lit(1)).alias("n_docs"),
             (
                 F.sum(F.col("dl").cast("bigint")).cast("double")
-                / F.count(F.lit(1))
+                / F.count(F.when(F.col("dl") > 0, F.lit(1)))
             ).alias("avgdl"),
         )
         n = self._swap_in_frames(
@@ -252,3 +262,181 @@ class BM25IndexSink(ParquetUpsertSink):
             partition_by={"postings": ["bucket"]},
         )
         self._record(batch_id, n)
+
+
+class SemDeDupIngestSink(ParquetUpsertSink):
+    """Streaming SemDeDup maintenance (Abbas et al. 2023): the
+    embedding-space analogue of NearDupIngestSink.  Arriving vectors are
+    routed to the PERSISTED k-means cells, scored pairwise only within
+    their landing cells (against cell-mates already ingested plus the
+    batch itself), and the resulting edges fold into the persistent
+    semantic cluster table — so q_semdedup's keep-decision is serveable
+    under ingest without ever re-running k-means or the full pairwise
+    pass.
+
+    State is three tables inside ONE swap-atomic target directory:
+
+      centroids/ (cid, cvec, cc)    — the routing table, FIT ON THE
+                                      FIRST batch and frozen after: cell
+                                      geometry is a bootstrap parameter,
+                                      exactly like an IVF index's (a
+                                      periodic offline rebuild refreshes
+                                      it; the maintained table is always
+                                      exact FOR ITS centroids)
+      vectors/   (vid, vec, vv, cid) — every ingested vector, partitioned
+                                      by cell so a batch's landing cells
+                                      prune the candidate scan on disk
+      clusters/  (node, comp)       — semantic-dup component labels
+
+    Per-batch cost ∝ batch x (batch + cell-mates in landing cells),
+    never corpus² and never a corpus re-scan.  Components MERGE
+    correctly across batches: the old (node, comp) labels re-enter the
+    CC as contracted edges beside the new pairs, which is exactly the
+    union graph's connectivity — so the maintained table equals a batch
+    SemDeDup over everything ingested, computed with the same centroids
+    (tests/test_dedup_ingest.py pins this equality and exactly-once
+    replay).  Scoring is the q_semdedup_keep kernel verbatim: double
+    prefilter at tau - 1e-4, decimal re-score rounded to 6 dp.
+
+    Exactly-once: ledger + in-target batch marker + two-move swap
+    recovery, inherited from ParquetUpsertSink; all three tables swap
+    together so routing, corpus, and clusters always describe the same
+    ingested set.
+    """
+
+    def __init__(
+        self,
+        target: str,
+        k_centroids: int = 8,
+        n_iter: int = 2,
+        tau: float = 0.35,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        super().__init__(target, key=[id_col])
+        self.k_centroids = k_centroids
+        self.n_iter = n_iter
+        self.tau = tau
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    # -- state ------------------------------------------------------------
+    def centroids(self, spark) -> DataFrame | None:
+        return self._table(spark, "centroids")
+
+    def clusters(self, spark) -> DataFrame | None:
+        return self._table(spark, "clusters")
+
+    def keep(self, spark) -> DataFrame:
+        """The SemDeDup keep-decision over everything ingested so far:
+        one anti-join against the maintained cluster table (the
+        DedupClusterStore.serve_keep shape)."""
+        from vcf_pg_loader_spark.operators import dedup as D
+
+        vecs = self._table(spark, "vectors")
+        cc = self._table(spark, "clusters")
+        ids = vecs.select(F.col("vid").alias(self.id_col))
+        if cc is None:
+            return ids
+        return D.keep_canonical(ids, cc, self.id_col)
+
+    # -- pairing ----------------------------------------------------------
+    def _sem_pairs(self, a_frame: DataFrame, b_frame: DataFrame, same: bool) -> DataFrame:
+        """Within-cell semantic-dup edges between two assigned frames —
+        the q_semdedup_keep two-stage kernel: cheap double cosine prunes
+        the cell pairs, the oracle-exact decimal kernel re-scores the
+        survivors (the 1e-4 margin dwarfs double-vs-decimal divergence).
+        `same=True` = self-join (vid < vid); otherwise the frames hold
+        disjoint vid sets."""
+        from vcf_pg_loader_spark.operators import similarity as S
+
+        a, b = a_frame.alias("a"), b_frame.alias("b")
+        cond = F.col("a.cid") == F.col("b.cid")
+        if same:
+            cond = cond & (F.col("a.vid") < F.col("b.vid"))
+        norm = F.sqrt(F.col("a.vv")) * F.sqrt(F.col("b.vv"))
+        fast_cos = S.dot_fast(F.col("a.vec"), F.col("b.vec")) / norm
+        cos = F.round(S.dot_exact(F.col("a.vec"), F.col("b.vec")) / norm, 6)
+        return (
+            a.join(b, cond)
+            .filter(fast_cos >= self.tau - 1e-4)
+            .select(
+                F.col("a.vid").alias("d1"),
+                F.col("b.vid").alias("d2"),
+                cos.alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= self.tau)
+            .select("d1", "d2")
+        )
+
+    # -- exactly-once apply ------------------------------------------------
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.storagelevel import StorageLevel
+
+        from vcf_pg_loader_spark.operators import similarity as S
+
+        if self.applied(batch_id):
+            return
+        self._recover()
+        marker = self._read_marker()
+        if marker is not None and marker["batch_id"] == batch_id:
+            self._record(batch_id, marker["n_rows"])
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates([self.id_col])
+        old_vec = self._table(spark, "vectors")
+        if old_vec is not None:
+            batch = batch.join(
+                old_vec.select(F.col("vid").alias(self.id_col)),
+                self.id_col,
+                "left_anti",
+            )
+        cents = self._table(spark, "centroids")
+        if cents is None:
+            # bootstrap: first batch fits the (frozen) routing table
+            cents, assigned = S.ivf_fit(
+                batch,
+                self.k_centroids,
+                self.n_iter,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+                kernel="exact",
+            )
+        else:
+            assigned = S.ivf_assign(
+                batch, cents, self.id_col, self.vec_col, kernel="exact"
+            )
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+
+        edges = self._sem_pairs(assigned, assigned, same=True)
+        if old_vec is not None:
+            # only the landing cells' existing vectors are candidates —
+            # the cid partitioning makes this a pruned scan, not a
+            # corpus re-read
+            old_hit = old_vec.join(
+                assigned.select("cid").distinct(), "cid", "left_semi"
+            )
+            edges = edges.unionByName(
+                self._sem_pairs(old_hit, assigned, same=False)
+            )
+        old_cc = self._table(spark, "clusters")
+        if old_cc is not None:
+            # contracted edges of the already-known components: CC over
+            # (old labels ∪ new pairs) == CC of the full union pair set
+            edges = edges.unionByName(
+                old_cc.select(
+                    F.col("node").alias("d1"), F.col("comp").alias("d2")
+                )
+            )
+        cc = D.connected_components(edges, "d1", "d2")
+        new_vectors = (
+            assigned if old_vec is None else old_vec.unionByName(assigned)
+        )
+        n = self._swap_in_frames(
+            {"centroids": cents, "vectors": new_vectors, "clusters": cc},
+            batch_id,
+            count_table="vectors",
+            partition_by={"vectors": ["cid"]},
+        )
+        self._record(batch_id, n)
+        assigned.unpersist()
