@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -552,3 +553,131 @@ class TestMJPEGFrames:
         a = M._decode_video_frames(b"not a jpeg stream", 3)
         b = M._decode_video_frames(b"not a jpeg stream", 3)
         assert a == b and len(a) == 3
+
+
+class TestBaselineJPEG:
+    """Pure-Python baseline JPEG codec (operators/_jpeg.py): round-trip
+    correctness across subsampling modes and restart intervals, a
+    checked-in golden fixture decoded to pinned pixels, and the image /
+    video feature paths running on REAL JPEG pixels without PIL."""
+
+    def test_roundtrip_444(self):
+        from vcf_pg_loader_spark.operators._jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, "4:4:4"))
+        assert dec.shape == img.shape
+        # all-ones quantization: the only loss is IDCT rounding
+        assert int(np.max(np.abs(dec.astype(int) - img.astype(int)))) <= 2
+
+    def test_roundtrip_420_constant_blocks_exact(self):
+        from vcf_pg_loader_spark.operators._jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(11)
+        blocks = rng.integers(16, 240, (2, 3, 3), dtype=np.uint8)
+        img = np.repeat(np.repeat(blocks, 16, axis=0), 16, axis=1)
+        dec = decode_jpeg(encode_jpeg(img, "4:2:0"))
+        # 16x16-constant color: chroma subsampling is lossless, so the
+        # 4:2:0 MCU interleave + upsample path must round-trip within
+        # the same IDCT rounding budget
+        assert int(np.max(np.abs(dec.astype(int) - img.astype(int)))) <= 2
+
+    def test_restart_intervals(self):
+        from vcf_pg_loader_spark.operators._jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(13)
+        img = rng.integers(0, 256, (16, 64, 3), dtype=np.uint8)
+        plain = decode_jpeg(encode_jpeg(img, "4:4:4"))
+        for ri in (1, 3, 5):
+            with_rst = decode_jpeg(
+                encode_jpeg(img, "4:4:4", restart_interval=ri)
+            )
+            # RSTn segmentation and DC-predictor resets must not change
+            # a single pixel
+            assert (with_rst == plain).all(), ri
+
+    def test_golden_fixture_pinned_pixels(self):
+        import hashlib
+
+        from vcf_pg_loader_spark.operators._jpeg import decode_jpeg
+
+        with open("tests/fixtures/golden_16x16.jpg", "rb") as fh:
+            enc = fh.read()
+        assert (
+            hashlib.sha256(enc).hexdigest()
+            == "4b6eda00a39fe72d662c56841b4d47d74a68f2c67e02f62f2bf5ce43a772ba7f"
+        )
+        dec = decode_jpeg(enc)
+        assert dec.shape == (16, 16, 3)
+        assert (
+            hashlib.sha256(dec.tobytes()).hexdigest()
+            == "6907b626544cf09e1b29894fa2c0c376adf7c1194199696f1b02885ed551e07b"
+        )
+        assert dec[0, 0].tolist() == [0, 0, 0]
+        assert dec[0, 15].tolist() == [230, 6, 117]
+        assert dec[15, 0].tolist() == [10, 234, 123]
+        assert dec[15, 15].tolist() == [240, 240, 240]
+
+    def test_decode_image_routes_jpeg_without_pil(self):
+        from vcf_pg_loader_spark.operators._jpeg import encode_jpeg
+
+        rng = np.random.default_rng(17)
+        img = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+        arr = M._decode_image(encode_jpeg(img, "4:4:4"))
+        assert arr.shape == (16, 24, 3)  # real dims, not the 8x8 fake
+        assert int(np.max(np.abs(arr.astype(int) - img.astype(int)))) <= 2
+
+    def test_image_features_on_real_jpeg_pixels(self, spark):
+        from vcf_pg_loader_spark.operators._jpeg import encode_jpeg
+
+        rng = np.random.default_rng(19)
+        img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        enc = encode_jpeg(img, "4:4:4")
+        df = spark.createDataFrame(
+            [(1, "image", enc, "image/jpeg", (16, 16, None, None))],
+            M.MEDIA_SCHEMA,
+        )
+        feat = np.array(M.image_features(df, dim=8).first().feature)
+        want = np.array(M._pool_feature(M._decode_image(enc), 8))
+        assert np.allclose(feat, want) and len(feat) == 8
+
+    def test_frame_features_end_to_end_real_pixels(self, spark):
+        """Video -> real MJPEG frame extraction -> real JPEG pixel
+        decode -> pooled features, all dependency-free: the feature of
+        each sampled frame equals the feature of that frame's SOURCE
+        image within the codec's rounding budget."""
+        from vcf_pg_loader_spark.operators._jpeg import encode_jpeg
+
+        rng = np.random.default_rng(23)
+        imgs = [
+            rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(5)
+        ]
+        frames = [encode_jpeg(im, "4:4:4") for im in imgs]
+        stream = b"".join(frames)
+        df = spark.createDataFrame(
+            [(1, "video", stream, "video/x-motion-jpeg",
+              (16, 16, 5000, None))],
+            M.MEDIA_SCHEMA,
+        )
+        rows = sorted(
+            M.frame_features(df, n_frames=3, dim=8).collect(),
+            key=lambda r: r.frame_idx,
+        )
+        assert [r.frame_idx for r in rows] == [0, 1, 2]
+        sampled = [imgs[0], imgs[2], imgs[4]]  # even temporal sampling
+        for row, src in zip(rows, sampled):
+            src_feat = np.array(M._pool_feature(src.astype(np.float32), 8))
+            got = np.array(row.feature)
+            # decoded pixels differ from source by <=2/255 per value;
+            # pooled+normalized features land within a tight band
+            assert np.allclose(got, src_feat, atol=0.01), row.frame_idx
+
+    def test_progressive_falls_through(self):
+        from vcf_pg_loader_spark.operators import _jpeg
+
+        # SOF2 (progressive) must raise so the seam can fall through
+        fake_sof2 = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+        with pytest.raises(ValueError):
+            _jpeg.decode_jpeg(fake_sof2)
+        assert _jpeg.is_jpeg(fake_sof2)

@@ -8,13 +8,16 @@ batch, not per row.  Partitioning is by content hash so hot items spread.
 
 Codecs: the COMMON formats decode for real everywhere with zero
 dependencies — 8-bit PNG via the pure-stdlib zlib/struct codec
-(operators/_png.py, full filter set) and PCM WAV via the stdlib
+(operators/_png.py, full filter set), baseline JPEG via the pure-Python
+Huffman+IDCT codec (operators/_jpeg.py — which makes MJPEG video
+features real-pixel-derived too), and PCM WAV via the stdlib
 `wave`/`struct` modules.  PIL / soundfile are OPTIONAL imports that
-extend coverage to other formats when the cluster image ships them;
-with neither library nor a stdlib-decodable payload, the seams fall
-back to clearly-marked deterministic fakes.  Either way the Spark-side
-plumbing — schemas, batch iteration, UDF signatures, partitioning — is
-identical, real, and tested.
+extend coverage further (progressive JPEG, WebP, compressed audio)
+when the cluster image ships them; with neither library nor a
+stdlib-decodable payload, the seams fall back to clearly-marked
+deterministic fakes.  Either way the Spark-side plumbing — schemas,
+batch iteration, UDF signatures, partitioning — is identical, real,
+and tested.
 """
 
 from __future__ import annotations
@@ -100,17 +103,25 @@ def _to_rgb(arr: np.ndarray) -> np.ndarray:
 
 
 def _decode_image(content: bytes) -> np.ndarray:
-    """DECODE SEAM: 8-bit PNG decodes for REAL everywhere via the
-    pure-stdlib codec (operators/_png.py — zlib/struct, no dependency);
-    PIL handles other formats when available; else the deterministic
-    fake (shape and dtype match what a decoder would produce)."""
-    from vcf_pg_loader_spark.operators import _png
+    """DECODE SEAM: 8-bit PNG (operators/_png.py — zlib/struct) and
+    baseline/extended-sequential JPEG (operators/_jpeg.py — Huffman +
+    IDCT, incl. 4:2:0/4:2:2 and restart intervals) decode for REAL
+    everywhere with zero dependencies — this covers MJPEG video frames
+    too, so video features are real-pixel-derived in this container.
+    PIL extends coverage (progressive JPEG, WebP, ...) when available;
+    else the deterministic fake (shape and dtype match a real decode)."""
+    from vcf_pg_loader_spark.operators import _jpeg, _png
 
     if _png.is_png(content):
         try:
             return _to_rgb(_png.decode_png(content))
         except ValueError:
             pass  # exotic PNG shape: fall through to PIL / the fake
+    if _jpeg.is_jpeg(content):
+        try:
+            return _to_rgb(_jpeg.decode_jpeg(content))
+        except ValueError:
+            pass  # progressive/arithmetic: fall through to PIL / the fake
     if HAVE_PIL:
         with _PILImage.open(io.BytesIO(content)) as img:
             return np.asarray(img.convert("RGB"))
@@ -164,6 +175,19 @@ def _decode_video_frames(content: bytes, n_frames: int) -> list[bytes]:
     ]
 
 
+def _pool_feature(arr: np.ndarray, dim: int) -> list[float]:
+    """Fixed-dim mean pooling + L2 normalization of a decoded array —
+    the shared feature kernel for images and video frames (a stand-in
+    for any CNN/CLIP embedding with the same shape and normalization)."""
+    flat = arr.astype(np.float32).reshape(-1)
+    chunks = np.array_split(flat, dim)
+    feat = np.array([c.mean() for c in chunks], dtype=np.float32)
+    norm = float(np.linalg.norm(feat))
+    if norm > 0:
+        feat = feat / norm
+    return feat.tolist()
+
+
 def image_features(df: DataFrame, dim: int = 16) -> DataFrame:
     """Per-image feature vector via mapInPandas (Arrow batches).
 
@@ -183,24 +207,65 @@ def image_features(df: DataFrame, dim: int = 16) -> DataFrame:
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None:
                     continue
-                arr = _decode_image(bytes(content)).astype(np.float32)
-                flat = arr.reshape(-1)
-                # fixed-dim pooling: mean of equal chunks
-                chunks = np.array_split(flat, dim)
-                feat = np.array([c.mean() for c in chunks], dtype=np.float32)
-                norm = float(np.linalg.norm(feat))
-                if norm > 0:
-                    feat = feat / norm
+                arr = _decode_image(bytes(content))
                 out["media_id"].append(media_id)
                 out["content_sha256"].append(
                     hashlib.sha256(bytes(content)).hexdigest()
                 )
                 out["n_bytes"].append(len(content))
-                out["feature"].append(feat.tolist())
+                out["feature"].append(_pool_feature(arr, dim))
             yield pd.DataFrame(out)
 
     return df.select("media_id", "content").mapInPandas(
         extract, IMAGE_FEATURES_SCHEMA
+    )
+
+
+FRAME_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_sha256", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def frame_features(df: DataFrame, n_frames: int = 3, dim: int = 16) -> DataFrame:
+    """Per-(video, frame) feature vectors: REAL MJPEG frame extraction
+    (container marker walk) feeding the REAL baseline-JPEG pixel decode
+    (operators/_jpeg.py) and the shared pooling kernel — end-to-end
+    video featurization with zero dependencies.  Long format mirrors
+    sample_frames with the feature column added; non-MJPEG containers
+    fall through to the deterministic fake seam like every codec path."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "frame_idx": [],
+                "frame_sha256": [],
+                "feature": [],
+            }
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                for idx, frame in enumerate(
+                    _decode_video_frames(bytes(content), n_frames)
+                ):
+                    arr = _decode_image(frame)
+                    out["media_id"].append(media_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_sha256"].append(
+                        hashlib.sha256(frame).hexdigest()
+                    )
+                    out["feature"].append(_pool_feature(arr, dim))
+            yield pd.DataFrame(out)
+
+    return (
+        df.filter(F.col("kind") == "video")
+        .select("media_id", "content")
+        .mapInPandas(extract, FRAME_FEATURES_SCHEMA)
     )
 
 

@@ -75,7 +75,11 @@ def _rotate(merged: dict) -> dict:
 
     def key(name: str):
         count, last = hist.get(name, (0, 0))
-        return (count, last, name)
+        # staleness dominates: never-verified and failed-latest (last=0)
+        # lead, then the LONGEST-unverified entries — a query green 5
+        # times but last seen in round 2 must outrank one green twice in
+        # round 6, or old verifications silently age without renewal
+        return (last, count, name)
 
     return {k: merged[k] for k in sorted(merged, key=key)}
 
