@@ -1,0 +1,116 @@
+"""Corpus-trained n-gram language-model scoring: the perplexity-filter
+signal of LLM data curation (CCNet's KenLM gate, Gopher/RefinedWeb
+quality rules) reduced to its relational core — a smoothed bigram model
+trained on the corpus itself, scoring every document's mean negative
+log-likelihood.  High-NLL docs are boilerplate/garbled/outlier text;
+low-NLL docs are fluent under the corpus distribution.
+
+Scale shape: one tokenize/explode pass; bigrams via a PER-DOCUMENT lead
+window (keyed — never global); two keyed count aggregations (bigram and
+unigram tables, both vocabulary-sized, both partial-aggregated map-side
+before their shuffles); scoring is one join per table plus a broadcast
+vocabulary scalar.  Zero Python anywhere.
+
+Determinism: counts are exact integers; the single ln() per bigram runs
+on identical doubles in Spark and DuckDB; per-doc sums fold through the
+decimal(24,12) cast (queries/_util.py discipline) and the final NLL
+rounds to 6 dp, absorbing 1-ulp libm divergence — the same treatment
+BM25 and PMI get.
+
+Add-k smoothing (k = 0.5): p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V),
+so unseen continuations stay finite and the score is defined for every
+document with at least one bigram (single-token docs have no bigram and
+are not scored — the caller's length gate already handles them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEC = "decimal(24,12)"
+SMOOTH_K = 0.5
+
+
+def _doc_bigrams(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc, w1, w2) adjacent-token pairs via a per-doc lead window."""
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w1"),
+    ).filter(F.col("w1") != "")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select(id_col, "w1", "w2")
+    )
+
+
+def doc_nll(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = SMOOTH_K,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus bigram
+    model: (doc_id, n_bigrams, nll) — nll rounded to 6 dp, monotone with
+    perplexity (ppl = e^nll).  Docs with no bigram are absent."""
+    bg = _doc_bigrams(docs, id_col, text_col)
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # unigram continuation counts: c(w1) = number of bigrams starting w1,
+    # so probabilities normalize exactly over the observed vocabulary
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = bg.select("w2").distinct().agg(F.count(F.lit(1)).alias("v"))
+
+    logprob = F.log(
+        (F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v"))
+    )
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col), logprob.alias("lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -(F.sum(F.col("lp").cast(DEC)).cast("double"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("nll"),
+        )
+    )
+
+
+def sql_doc_nll(table: str, k: float = SMOOTH_K) -> str:
+    """DuckDB twin — identical expression shape, bigrams via LEAD."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.pos, t.w1 FROM (
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) AS pos,
+           unnest(string_split(text, ' ')) AS w1
+    FROM {table}
+  ) t WHERE t.w1 <> ''
+),
+bg AS (
+  SELECT doc_id, w1, LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+),
+bg2 AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg2 GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg2 GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM bg2),
+scored AS (
+  SELECT bg2.doc_id,
+         ln((c12 + {k}) / (c1 + {k} * v)) AS lp
+  FROM bg2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1), vocab
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(-CAST(SUM(CAST(lp AS DECIMAL(24,12))) AS DOUBLE) / COUNT(*), 6)
+         AS nll
+FROM scored GROUP BY 1
+"""

@@ -2238,6 +2238,53 @@ FROM documents d JOIN q USING (doc_id)
 Q_DROP_REASONS_SQL = _drop_reasons_sql()
 
 
+# --------------------------------------------------------------------------
+# length-bucketed training batches (operators/rank.py): documents ranked
+# by token count with the DISTRIBUTED global rank (range partition +
+# per-partition offsets — never a single-partition window) and cut into
+# k rank-balanced batches; per-batch padding stats oracle the whole rank.
+# --------------------------------------------------------------------------
+LENGTH_BATCHES_K = 16
+
+
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators.rank import length_batches
+
+    docs = load_table(spark, sf_dir, "documents")
+    return length_batches(docs, LENGTH_BATCHES_K)
+
+
+def _length_batches_sql() -> str:
+    from vcf_pg_loader_spark.operators.rank import sql_length_batches
+
+    return sql_length_batches("documents", LENGTH_BATCHES_K)
+
+
+Q_LENGTH_BATCHES_SQL = _length_batches_sql()
+
+
+# --------------------------------------------------------------------------
+# bigram-LM perplexity scoring (operators/lm.py): the CCNet/KenLM-style
+# quality gate — per-doc mean negative log-likelihood under a smoothed
+# bigram model trained on the corpus itself.  One explode, keyed lead
+# window, two count tables, broadcast vocabulary scalar; zero Python.
+# --------------------------------------------------------------------------
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators.lm import doc_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_nll(docs)
+
+
+def _lm_sql() -> str:
+    from vcf_pg_loader_spark.operators.lm import sql_doc_nll
+
+    return sql_doc_nll("documents")
+
+
+Q_LM_PERPLEXITY_SQL = _lm_sql()
+
+
 def q_drop_reasons_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_drop_reasons' answer served from a materialized attribution
     table (sources/cluster_store.py MaterializedTable): drop attribution
@@ -2510,6 +2557,8 @@ QUERIES = {
     "q_grouped_topk": q_grouped_topk,
     "q_drop_reasons": q_drop_reasons,
     "q_drop_reasons_served": q_drop_reasons_served,
+    "q_length_batches": q_length_batches,
+    "q_lm_perplexity": q_lm_perplexity,
     "q_chunk_dedup": q_chunk_dedup,
     "q_epoch_shuffle": q_epoch_shuffle,
     "q_pipeline_funnel": q_pipeline_funnel,
@@ -2571,6 +2620,8 @@ ORACLE = {
     "q_grouped_topk": Q_GROUPED_TOPK_SQL,
     "q_drop_reasons": Q_DROP_REASONS_SQL,
     "q_drop_reasons_served": Q_DROP_REASONS_SQL,
+    "q_length_batches": Q_LENGTH_BATCHES_SQL,
+    "q_lm_perplexity": Q_LM_PERPLEXITY_SQL,
     "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
     "q_epoch_shuffle": Q_EPOCH_SHUFFLE_SQL,
     "q_pipeline_funnel": Q_PIPELINE_FUNNEL_SQL,
