@@ -251,6 +251,7 @@ def served_paths(spark, sf_dir: str) -> dict:
         "q_ann_ivf_served",
         "q_bm25_served",
         "q_semdedup_served",
+        "q_drop_reasons_served",
     ):
         try:
             fn = QP.QUERIES[name]

@@ -681,3 +681,18 @@ class TestBaselineJPEG:
         with pytest.raises(ValueError):
             _jpeg.decode_jpeg(fake_sof2)
         assert _jpeg.is_jpeg(fake_sof2)
+
+    def test_malformed_jpeg_raises_valueerror(self):
+        from vcf_pg_loader_spark.operators import _jpeg
+
+        # truncated mid-marker, garbage after SOI, truncated entropy data
+        for bad in (
+            b"\xff\xd8\xff",
+            b"\xff\xd8\xff\xdb\x00\x43\x00",
+            b"\xff\xd8\xff\xc0\x00\x05\x08\x00",
+        ):
+            try:
+                _jpeg.decode_jpeg(bad)
+                assert False, "should have raised"
+            except ValueError:
+                pass  # the seam's contract: only ValueError escapes

@@ -175,7 +175,16 @@ def _split_entropy_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline/extended-sequential Huffman JPEG -> (h, w, ch) uint8,
-    ch = 1 (grayscale) or 3 (RGB via the JFIF YCbCr transform)."""
+    ch = 1 (grayscale) or 3 (RGB via the JFIF YCbCr transform).
+    Raises ValueError for anything unsupported or malformed, so the
+    decode seam can fall through to PIL / the deterministic fake."""
+    try:
+        return _decode_jpeg(data)
+    except (struct.error, IndexError) as exc:  # truncated/garbled input
+        raise ValueError(f"jpeg: malformed input ({exc})") from exc
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if not is_jpeg(data):
         raise ValueError("jpeg: missing SOI")
     qtables: dict[int, np.ndarray] = {}
