@@ -126,7 +126,27 @@ def doc_files() -> list[str]:
     ]
 
 
-def check(path: str, bench: dict | None, n_registry: int) -> list[str]:
+def _detail_parse_rates(detail: dict | None) -> list[float]:
+    """Parse rates from the freshest LOCAL artifact (BENCH_DETAIL.json):
+    the per-round BENCH_r*.json lags one round behind the code, so docs
+    describing the current round may cite either source."""
+    if not detail:
+        return []
+    rates = []
+    for key in ("vcf_parse", "vcf_parse_bgzf", "vcf_parse_giab_shape"):
+        block = detail.get(key) or {}
+        for k in ("variants_per_sec", "full_features_variants_per_sec"):
+            if block.get(k):
+                rates.append(block[k])
+    return rates
+
+
+def check(
+    path: str,
+    bench: dict | None,
+    n_registry: int,
+    extra_rates: list[float] | None = None,
+) -> list[str]:
     errors: list[str] = []
     with open(path) as fh:
         text = fh.read()
@@ -155,6 +175,7 @@ def check(path: str, bench: dict | None, n_registry: int) -> list[str]:
             bench.get("vcf_parse_full_features_variants_per_sec"),
             bench.get("vcf_parse_bgzf_single_file_variants_per_sec"),
             bench.get("vcf_parse_giab_shape_variants_per_sec"),
+            *(extra_rates or []),
         ]
         rates = [r for r in rates if r]
         pat = re.compile(
@@ -186,10 +207,11 @@ def check(path: str, bench: dict | None, n_registry: int) -> list[str]:
 def main() -> int:
     bench = latest_bench()
     n_registry = registry_size()
+    detail = bench_detail()
+    extra_rates = _detail_parse_rates(detail)
     all_errors: list[str] = []
     for path in doc_files():
-        all_errors.extend(check(path, bench, n_registry))
-    detail = bench_detail()
+        all_errors.extend(check(path, bench, n_registry, extra_rates))
     if detail:
         walls = _query_walls(detail)
         rounds = sorted(
