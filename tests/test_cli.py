@@ -199,3 +199,14 @@ def test_profile_and_dedup_corpus(spark, tmp_path, capsys):
     assert main(["dedup-corpus", corpus, "--out", out2,
                  "--clusters", clusters]) == 0
     assert {r.doc_id for r in spark.read.parquet(out2).collect()} == {1, 3}
+
+
+def test_benchmark_giab_flag(spark, capsys):
+    """--giab runs the GIAB-shaped parse bench (reference benchmark.py's
+    giab=True mode) and reports the distribution it generated."""
+    assert main(["benchmark", "--variants", "5000", "--giab"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["variants"] == 5000
+    assert out["rows_after_decomposition"] == 5050  # 1% multiallelic
+    assert out["variants_per_sec"] > 0
+    assert out["snp_pct"] == 83.0 and out["indel_pct"] == 16.0

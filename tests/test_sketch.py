@@ -182,3 +182,39 @@ class TestCMSJoinSize:
             SK.cms_partial(left, "v"), SK.cms_partial(right, "v")
         ).first().join_size_est
         assert est >= true_size  # one-sided, like the point estimates
+
+
+class TestKMVOverlap:
+    def test_exact_when_small(self, spark):
+        """Union below k: every estimate is exact, not approximate."""
+        from vcf_pg_loader_spark.operators import sketch as SK
+
+        rows = [("a", f"u{i}") for i in range(20)] + [
+            ("b", f"u{i}") for i in range(10, 40)
+        ]
+        df = spark.createDataFrame(rows, "g string, v string")
+        sk = SK.kmv_sketch(df, ["g"], "v", k=64)
+        r = SK.kmv_overlap(sk, "g", k=64).first()
+        assert (r.group_a, r.group_b) == ("a", "b")
+        assert r.union_est == 40.0  # |0..39|
+        assert r.intersect_est == 10.0  # |10..19|
+        assert r.jaccard_est == 0.25
+
+    def test_estimates_within_error_bound(self, spark):
+        """Planted overlap far above k: union/intersection estimates land
+        within ~3 standard errors (se ≈ 1/sqrt(k-2) ≈ 13% at k=64)."""
+        from vcf_pg_loader_spark.operators import sketch as SK
+
+        n, shared = 4000, 1000
+        rows = [("a", f"u{i}") for i in range(n)] + [
+            ("b", f"u{i}") for i in range(n - shared, 2 * n - shared)
+        ]
+        df = spark.createDataFrame(rows, "g string, v string")
+        sk = SK.kmv_sketch(df, ["g"], "v", k=64)
+        r = SK.kmv_overlap(sk, "g", k=64).first()
+        true_union = 2 * n - shared
+        assert abs(r.union_est - true_union) / true_union < 0.4
+        # intersection compounds union + ratio error; allow a wide band
+        # but demand the right order of magnitude and positivity
+        assert 0 < r.intersect_est < 3 * shared
+        assert abs(r.jaccard_est - shared / true_union) < 0.15

@@ -340,11 +340,17 @@ def cmd_ld_block_stats(args) -> int:
 
 
 def cmd_benchmark(args) -> int:
-    """Synthetic parse benchmark (reference benchmark.py shape)."""
-    from vcf_pg_loader_spark.parse_bench import parse_throughput
+    """Synthetic parse benchmark (reference benchmark.py shape;
+    --giab switches to the GIAB v4.2.1-distribution generator the
+    reference's `giab=True` flag produces — benchmark.py:379-447)."""
+    from vcf_pg_loader_spark.parse_bench import (
+        parse_throughput,
+        parse_throughput_giab,
+    )
 
     spark = _spark()
-    print(json.dumps(parse_throughput(spark, args.variants)))
+    fn = parse_throughput_giab if args.giab else parse_throughput
+    print(json.dumps(fn(spark, args.variants)))
     return 0
 
 
@@ -537,6 +543,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = add("benchmark", cmd_benchmark)
     sp.add_argument("--variants", type=int, default=10000)
+    sp.add_argument("--giab", action="store_true",
+                    help="GIAB v4.2.1-shaped distribution")
 
     sp = add("compact", cmd_compact,
              help="compact store partitions into target-size sorted files")

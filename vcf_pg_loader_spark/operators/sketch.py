@@ -93,6 +93,120 @@ def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
     return sketch.withColumn("n_distinct_est", est).drop("hashes")
 
 
+def kmv_overlap(
+    sketch: DataFrame, group_col: str, k: int = 64
+) -> DataFrame:
+    """Distinct-set OVERLAP estimation between every pair of groups from
+    their KMV sketches alone (Beyer et al., SIGMOD 2007 §4: multiset
+    operations on KMV synopses) — the audience-overlap primitive
+    (distinct users shared by two event types, documents shared by two
+    sources) computed without ever rescanning the data.
+
+    For groups A, B with sketches S_A, S_B (each the k smallest hashes):
+      L   = k smallest of S_A ∪ S_B        (a valid sketch of A ∪ B)
+      ρ   = |L ∩ S_A ∩ S_B| / k            (Jaccard estimator)
+      D_∪ = (k-1) / r_k over L             (union distinct estimate)
+      D_∩ = ρ · D_∪                        (intersection estimate)
+    When |S_A ∪ S_B| < k both sketches were exhaustive and every number
+    is EXACT — the same small-group exactness kmv_estimate has.
+
+    Everything is array expressions over the (tiny) sketch table
+    self-joined on group < group: no shuffle touches data, and the
+    deterministic h60 hashes make every estimate oracle-checkable
+    bit-for-bit.  Returns (group_a, group_b, union_est, intersect_est,
+    jaccard_est), estimates rounded to 4 decimals."""
+    a = sketch.select(
+        F.col(group_col).alias("group_a"), F.col("hashes").alias("_ha")
+    )
+    b = sketch.select(
+        F.col(group_col).alias("group_b"), F.col("hashes").alias("_hb")
+    )
+    paired = a.join(b, F.col("group_a") < F.col("group_b"))
+    topk = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("_ha"), F.col("_hb")))),
+        1,
+        k,
+    )
+    out = paired.withColumn("_l", topk)
+    n = F.size(F.col("_l"))
+    n_inter = F.size(
+        F.array_intersect(
+            F.array_intersect(F.col("_l"), F.col("_ha")), F.col("_hb")
+        )
+    )
+    r_k = F.element_at(F.col("_l"), k).cast("double") / F.lit(_HASH_SPACE)
+    d_union = F.lit(float(k - 1)) / r_k
+    est_union = F.when(n < k, n.cast("double")).otherwise(F.round(d_union, 4))
+    est_inter = F.when(n < k, n_inter.cast("double")).otherwise(
+        F.round(n_inter.cast("double") / F.lit(float(k)) * d_union, 4)
+    )
+    jac = F.when(
+        n < k, F.round(n_inter.cast("double") / n.cast("double"), 4)
+    ).otherwise(F.round(n_inter.cast("double") / F.lit(float(k)), 4))
+    return out.select(
+        "group_a",
+        "group_b",
+        est_union.alias("union_est"),
+        est_inter.alias("intersect_est"),
+        jac.alias("jaccard_est"),
+    )
+
+
+def sql_kmv_overlap(
+    table_expr: str, group_col: str, value_expr: str, k: int = 64
+) -> str:
+    """DuckDB twin of kmv_sketch |> kmv_overlap: rebuild the per-group
+    hash sets relationally, rank each pair's union, apply the identical
+    estimator arithmetic."""
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT {group_col} AS g,
+         {sql_h60(f"CAST({value_expr} AS VARCHAR)")} AS h
+  FROM {table_expr}
+  WHERE {value_expr} IS NOT NULL
+),
+ranked AS (
+  SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+  FROM hashed
+),
+sk AS (SELECT g, h FROM ranked WHERE rn <= {k}),
+pairs AS (
+  SELECT a.g AS ga, b.g AS gb
+  FROM (SELECT DISTINCT g FROM sk) a JOIN (SELECT DISTINCT g FROM sk) b
+    ON a.g < b.g
+),
+u AS (
+  SELECT p.ga, p.gb, s.h,
+         MAX(CASE WHEN s.g = p.ga THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.g = p.gb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.g IN (p.ga, p.gb)
+  GROUP BY 1, 2, 3
+),
+ru AS (
+  SELECT ga, gb, h, in_a, in_b,
+         ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+  FROM u
+),
+agg AS (
+  SELECT ga, gb, COUNT(*) AS n, MAX(h) AS kth,
+         SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS n_inter
+  FROM ru WHERE rn <= {k} GROUP BY 1, 2
+)
+SELECT ga AS group_a, gb AS group_b,
+       CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+            ELSE ROUND(({k} - 1) / (CAST(kth AS DOUBLE) / {_HASH_SPACE:.1f}), 4)
+       END AS union_est,
+       CASE WHEN n < {k} THEN CAST(n_inter AS DOUBLE)
+            ELSE ROUND(CAST(n_inter AS DOUBLE) / {float(k)}
+                       * (({k} - 1) / (CAST(kth AS DOUBLE) / {_HASH_SPACE:.1f})), 4)
+       END AS intersect_est,
+       CASE WHEN n < {k} THEN ROUND(CAST(n_inter AS DOUBLE) / CAST(n AS DOUBLE), 4)
+            ELSE ROUND(CAST(n_inter AS DOUBLE) / {float(k)}, 4)
+       END AS jaccard_est
+FROM agg
+"""
+
+
 def kmv_rollup_partial(
     df: DataFrame,
     group_cols: list[str],

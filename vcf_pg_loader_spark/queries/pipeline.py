@@ -2333,6 +2333,31 @@ Q_KMV_DISTINCT_SQL = _kmv_sql()
 
 
 # --------------------------------------------------------------------------
+# KMV set operations (Beyer et al. 2007): distinct-user OVERLAP between
+# every pair of event types estimated from the sketches alone — union,
+# intersection, and Jaccard per pair, never rescanning events.  The
+# audience-overlap primitive; deterministic h60 hashes make the
+# estimates (not just the bounds) oracle-exact.
+# --------------------------------------------------------------------------
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators.sketch import kmv_overlap, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_overlap(
+        kmv_sketch(ev, ["event_type"], "user_id", KMV_K), "event_type", KMV_K
+    )
+
+
+def _kmv_overlap_sql() -> str:
+    from vcf_pg_loader_spark.operators.sketch import sql_kmv_overlap
+
+    return sql_kmv_overlap("events", "event_type", "user_id", KMV_K)
+
+
+Q_KMV_OVERLAP_SQL = _kmv_overlap_sql()
+
+
+# --------------------------------------------------------------------------
 # incremental distinct-count rollup: KMV partials per (hour, event_type)
 # folded across two arrival batches must estimate exactly what a
 # from-scratch sketch of everything estimates — COUNT(DISTINCT) is not
@@ -2563,6 +2588,7 @@ QUERIES = {
     "q_epoch_shuffle": q_epoch_shuffle,
     "q_pipeline_funnel": q_pipeline_funnel,
     "q_kmv_distinct": q_kmv_distinct,
+    "q_kmv_overlap": q_kmv_overlap,
     "q_kmv_rollup_incremental": q_kmv_rollup_incremental,
     "q_corpus_diff": q_corpus_diff,
     "q_length_histogram": q_length_histogram,
@@ -2626,6 +2652,7 @@ ORACLE = {
     "q_epoch_shuffle": Q_EPOCH_SHUFFLE_SQL,
     "q_pipeline_funnel": Q_PIPELINE_FUNNEL_SQL,
     "q_kmv_distinct": Q_KMV_DISTINCT_SQL,
+    "q_kmv_overlap": Q_KMV_OVERLAP_SQL,
     "q_kmv_rollup_incremental": Q_KMV_ROLLUP_SQL,
     "q_corpus_diff": Q_CORPUS_DIFF_SQL,
     "q_length_histogram": Q_LENGTH_HISTOGRAM_SQL,
