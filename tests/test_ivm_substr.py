@@ -215,3 +215,79 @@ class TestIVMAggComposition:
             for r in partial(li.join(orders, "k")).collect()
         }
         assert got == want  # decimal accumulators: bit-exact fold
+
+
+class TestCountedIVM:
+    """Z-set maintenance (deletes as multiplicity -1): retractions are
+    exact, including the cross terms deletes create."""
+
+    def _z(self, spark, rows, mult=1):
+        from vcf_pg_loader_spark.operators.ivm import as_zset
+
+        return as_zset(
+            spark.createDataFrame(rows, "k bigint, v string"), mult
+        )
+
+    def test_delete_retracts_exactly(self, spark):
+        from vcf_pg_loader_spark.operators.ivm import (
+            maintain_join_view_counted,
+            zset_normalize,
+        )
+
+        l1 = self._z(spark, [(1, "a"), (1, "a"), (2, "b")])  # dup tuple!
+        r1 = self._z(spark, [(1, "x"), (2, "y")]).withColumnRenamed("v", "w")
+        view = maintain_join_view_counted(
+            None, l1.limit(0), l1, r1.limit(0), r1, "k"
+        )
+        # (1,a,x) holds multiplicity 2
+        m = {(r.k, r.v, r.w): r._mult for r in view.collect()}
+        assert m == {(1, "a", "x"): 2, (2, "b", "y"): 1}
+
+        # delete ONE of the two (1,a) copies
+        dl = self._z(spark, [(1, "a")], mult=-1)
+        l_old = zset_normalize(l1)
+        view2 = maintain_join_view_counted(
+            view, l_old, dl, r1, r1.limit(0), "k"
+        )
+        m2 = {(r.k, r.v, r.w): r._mult for r in view2.collect()}
+        assert m2 == {(1, "a", "x"): 1, (2, "b", "y"): 1}
+
+    def test_delete_both_sides_cross_term(self, spark):
+        """Deleting matching tuples from BOTH sides in one batch: the
+        delete x delete term has multiplicity (+1) and without it the
+        view would over-retract."""
+        from vcf_pg_loader_spark.operators.ivm import (
+            maintain_join_view_counted,
+            zset_normalize,
+        )
+
+        l1 = self._z(spark, [(1, "a"), (2, "b")])
+        r1 = self._z(spark, [(1, "x"), (2, "y")]).withColumnRenamed("v", "w")
+        view = maintain_join_view_counted(
+            None, l1.limit(0), l1, r1.limit(0), r1, "k"
+        )
+        dl = self._z(spark, [(1, "a")], mult=-1)
+        dr = self._z(spark, [(1, "x")], mult=-1).withColumnRenamed("v", "w")
+        view2 = maintain_join_view_counted(view, l1, dl, r1, dr, "k")
+        m = {(r.k, r.v, r.w): r._mult for r in view2.collect()}
+        # (1,a,x) fully retracted: -1 (dLxR) -1 (LxdR) +1 (dLxdR) = net -1
+        assert m == {(2, "b", "y"): 1}
+
+    def test_delete_then_reinsert_identity(self, spark):
+        from vcf_pg_loader_spark.operators.ivm import (
+            maintain_join_view_counted,
+            zset_normalize,
+        )
+
+        l1 = self._z(spark, [(1, "a"), (2, "b")])
+        r1 = self._z(spark, [(1, "x"), (2, "y")]).withColumnRenamed("v", "w")
+        view = maintain_join_view_counted(
+            None, l1.limit(0), l1, r1.limit(0), r1, "k"
+        )
+        before = sorted(map(tuple, view.collect()))
+        dl_del = self._z(spark, [(1, "a")], mult=-1)
+        dl_ins = self._z(spark, [(1, "a")])
+        v2 = maintain_join_view_counted(view, l1, dl_del, r1, r1.limit(0), "k")
+        l_mid = zset_normalize(l1.unionByName(dl_del))
+        v3 = maintain_join_view_counted(v2, l_mid, dl_ins, r1, r1.limit(0), "k")
+        assert sorted(map(tuple, v3.collect())) == before

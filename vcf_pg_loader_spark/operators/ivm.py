@@ -1,4 +1,4 @@
-"""Incremental view maintenance for inner-join views (insert-only).
+"""Incremental view maintenance for inner-join views.
 
 The delta-join rule: for inserts dL, dR,
 
@@ -7,10 +7,17 @@ The delta-join rule: for inserts dL, dR,
 so a materialized join view folds a batch of inserts by joining ONLY the
 deltas against the other side — cost ∝ |dL|·sel + |dR|·sel per batch,
 never a recompute of |L|·|R|.  This is the classic counting-free IVM
-rule for insert-only streams (Gupta & Mumick's survey; deletions need
-counted multiplicities — out of scope here, matching the engine's
-append-only store semantics where removal is batch-level
-delete+rewrite, not row retraction).
+rule for insert-only streams (Gupta & Mumick's survey).
+
+DELETIONS need counted multiplicities — the Z-relation / Z-set form
+(Gupta-Mumick counting algorithm; the algebra DBSP/Materialize build
+on): every row carries an integer `_mult` (+n inserts, -n retractions),
+the SAME delta rule applies with multiplicities MULTIPLYING across the
+join, and consolidation sums multiplicities per distinct tuple and
+drops zeros.  The `zset_*` / `*_counted` half of this module implements
+that, so a maintained join view stays exact through arbitrary
+interleaved insert AND delete batches (oracled by q_ivm_delete against
+the plain recompute over the retained rows).
 
 Composes with the engine's other incremental structures: the join delta
 feeds rollup partials (operators/rollup.py) for incremental
@@ -61,3 +68,79 @@ def maintain_join_view(
     bootstraps from an empty view (left_old/right_old empty too)."""
     delta = join_delta(left_old, left_delta, right_old, right_delta, on)
     return delta if view_old is None else view_old.unionByName(delta)
+
+
+# ---------------------------------------------------------------------------
+# Counted (Z-set) form: rows carry `_mult`; deletes are negative rows.
+# ---------------------------------------------------------------------------
+MULT = "_mult"
+
+
+def as_zset(df: DataFrame, mult: int = 1) -> DataFrame:
+    """Lift a plain relation to a Z-set: every row with multiplicity
+    `mult` (+1 for an insert batch, -1 for a delete batch)."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(MULT, F.lit(int(mult)).cast("bigint"))
+
+
+def zset_normalize(df: DataFrame) -> DataFrame:
+    """Consolidate: sum multiplicities per distinct tuple, drop zeros.
+    The groupBy key is the full tuple — inherent to counting IVM; a
+    production view stores tuples hash-bucketed on this key so
+    consolidation shuffles only the touched buckets."""
+    from pyspark.sql import functions as F
+
+    keys = [c for c in df.columns if c != MULT]
+    return (
+        df.groupBy(*keys)
+        .agg(F.sum(MULT).alias(MULT))
+        .filter(F.col(MULT) != 0)
+    )
+
+
+def _zjoin(a: DataFrame, b: DataFrame, on: list[str]) -> DataFrame:
+    """Z-set join: tuples pair as usual, multiplicities multiply."""
+    from pyspark.sql import functions as F
+
+    bb = b.withColumnRenamed(MULT, "_mult_r")
+    return (
+        a.join(bb, on)
+        .withColumn(MULT, F.col(MULT) * F.col("_mult_r"))
+        .drop("_mult_r")
+    )
+
+
+def zset_join_delta(
+    left_old: DataFrame,
+    left_delta: DataFrame,
+    right_old: DataFrame,
+    right_delta: DataFrame,
+    on: list[str] | str,
+) -> DataFrame:
+    """Δ(L⋈R) for Z-set deltas (inserts AND deletes): the same three
+    terms as the insert-only rule — negative multiplicities in a delta
+    retract exactly the view rows that joined through the deleted
+    tuples, including delete×delete cross terms."""
+    on = [on] if isinstance(on, str) else list(on)
+    parts = [
+        _zjoin(left_delta, right_old, on),
+        _zjoin(left_old, right_delta, on),
+        _zjoin(left_delta, right_delta, on),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def maintain_join_view_counted(
+    view_old: DataFrame | None,
+    left_old: DataFrame,
+    left_delta: DataFrame,
+    right_old: DataFrame,
+    right_delta: DataFrame,
+    on: list[str] | str,
+) -> DataFrame:
+    """One counted maintenance step; all frames are Z-sets (carry
+    `_mult`), and the returned view is consolidated (no zero rows)."""
+    delta = zset_join_delta(left_old, left_delta, right_old, right_delta, on)
+    combined = delta if view_old is None else view_old.unionByName(delta)
+    return zset_normalize(combined)

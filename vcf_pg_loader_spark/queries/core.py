@@ -617,6 +617,112 @@ GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
+# ordered funnel conversion: users who did view, THEN click, THEN
+# purchase — each step's timestamp strictly after the previous step's
+# earliest occurrence.  Expressed as chained per-user min-after
+# aggregations (user-keyed groupBys + joins — never a per-user sort of
+# the whole history), the scalable form of sequence matching.
+# --------------------------------------------------------------------------
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    reached = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_prev"))
+    )
+    stages = [reached]
+    for step in FUNNEL_STEPS[1:]:
+        reached = (
+            ev.filter(F.col("event_type") == step)
+            .join(reached, "user_id")
+            .filter(F.col("ts") > F.col("t_prev"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t_prev"))
+        )
+        stages.append(reached)
+    counts = None
+    for i, (step, df) in enumerate(zip(FUNNEL_STEPS, stages), start=1):
+        row = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("step"),
+            F.lit(step).alias("event_type"),
+            "n_users",
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    base = stages[0].agg(F.count(F.lit(1)).alias("_n0"))
+    return counts.crossJoin(F.broadcast(base)).select(
+        "step",
+        "event_type",
+        "n_users",
+        F.round(F.col("n_users") / F.col("_n0"), 6).alias("conversion"),
+    )
+
+
+def _funnel_sql() -> str:
+    steps = FUNNEL_STEPS
+    ctes = [
+        f"s1 AS (SELECT user_id, MIN(ts) AS t_prev FROM events "
+        f"WHERE event_type = '{steps[0]}' GROUP BY 1)"
+    ]
+    for i, step in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, MIN(e.ts) AS t_prev FROM events e "
+            f"JOIN s{i - 1} p USING (user_id) "
+            f"WHERE e.event_type = '{step}' AND e.ts > p.t_prev GROUP BY 1)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS step, '{s}' AS event_type, COUNT(*) AS n_users FROM s{i}"
+        for i, s in enumerate(steps, start=1)
+    )
+    return f"""
+WITH {', '.join(ctes)},
+counts AS ({unions}),
+base AS (SELECT COUNT(*) AS n0 FROM s1)
+SELECT step, event_type, n_users,
+       ROUND(CAST(n_users AS DOUBLE) / n0, 6) AS conversion
+FROM counts, base
+"""
+
+
+Q_FUNNEL_STEPS_SQL = _funnel_sql()
+
+
+# --------------------------------------------------------------------------
+# retention cohorts: users grouped by first-activity day, counted on each
+# of their first 7 day-offsets — the standard cohort-retention matrix.
+# Per-user first-day is one keyed aggregation; the matrix is a keyed
+# countDistinct over (cohort_day, offset) — nothing user-quadratic.
+# --------------------------------------------------------------------------
+RETENTION_MAX_OFFSET = 7
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    off = F.datediff(F.col("day"), F.col("cohort_day"))
+    return (
+        d.join(first, "user_id")
+        .filter(off <= RETENTION_MAX_OFFSET)
+        .groupBy("cohort_day", off.alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+Q_RETENTION_SQL = f"""
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+first AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1)
+SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM d JOIN first USING (user_id)
+WHERE date_diff('day', cohort_day, day) <= {RETENTION_MAX_OFFSET}
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # broadcast range join (§2.3 LD-block interval-assignment shape):
 # tiny bins table broadcast, theta-join on containment
 # --------------------------------------------------------------------------
@@ -1858,6 +1964,64 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Counted (Z-set) IVM with DELETIONS (operators/ivm.py): two insert
+# batches, then a delete batch retracting every small-quantity lineitem
+# (multiplicity -1).  The maintained view must equal the one-shot join
+# over the RETAINED rows — the oracle is that recompute, so a wrong
+# retraction (lost, doubled, or cross-term-missed) shows up as a value
+# mismatch.
+# --------------------------------------------------------------------------
+IVM_DELETE_QTY = 10
+
+
+def q_ivm_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators.ivm import (
+        as_zset,
+        maintain_join_view_counted,
+        zset_normalize,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    no_orders = as_zset(orders.limit(0))
+
+    batches = [
+        (as_zset(li.filter(F.col("o_orderkey") % 2 == 0)), as_zset(orders)),
+        (as_zset(li.filter(F.col("o_orderkey") % 2 == 1)), no_orders),
+        # the delete: retract every small-quantity lineitem tuple
+        (
+            as_zset(li.filter(F.col("l_quantity") < IVM_DELETE_QTY), mult=-1),
+            no_orders,
+        ),
+    ]
+    view = None
+    l_old, r_old = as_zset(li.limit(0)), no_orders
+    for dl, dr in batches:
+        view = maintain_join_view_counted(view, l_old, dl, r_old, dr, "o_orderkey")
+        l_old = zset_normalize(l_old.unionByName(dl))
+        r_old = zset_normalize(r_old.unionByName(dr))
+    return view.groupBy("o_orderpriority").agg(
+        F.sum("_mult").cast("bigint").alias("n_items"),
+        dsum(
+            F.col("l_quantity") * F.col("_mult"), "decimal(20,2)"
+        ).alias("total_qty"),
+    )
+
+
+Q_IVM_DELETE_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       {sql_dsum('l_quantity', 'DECIMAL(20,2)')} AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_quantity >= {IVM_DELETE_QTY}
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -1892,6 +2056,8 @@ QUERIES = {
     "q_events_json": q_events_json,
     "q_events_monthly": q_events_monthly,
     "q_events_sessions": q_events_sessions,
+    "q_funnel_steps": q_funnel_steps,
+    "q_retention_cohorts": q_retention_cohorts,
     "q_range_join": q_range_join,
     "q_having_dups": q_having_dups,
     "q_rollup": q_rollup,
@@ -1900,6 +2066,7 @@ QUERIES = {
     "q_asof_join": q_asof_join,
     "q_bloom_join": q_bloom_join,
     "q_ivm_join": q_ivm_join,
+    "q_ivm_delete": q_ivm_delete,
     "q_pivot_monthly": q_pivot_monthly,
     "q_cube_orders": q_cube_orders,
     "q_quantile_sampled": q_quantile_sampled,
@@ -1945,6 +2112,8 @@ ORACLE = {
     "q_events_json": Q_EVENTS_JSON_SQL,
     "q_events_monthly": Q_EVENTS_MONTHLY_SQL,
     "q_events_sessions": Q_EVENTS_SESSIONS_SQL,
+    "q_funnel_steps": Q_FUNNEL_STEPS_SQL,
+    "q_retention_cohorts": Q_RETENTION_SQL,
     "q_range_join": Q_RANGE_JOIN_SQL,
     "q_having_dups": Q_HAVING_SQL,
     "q_rollup": Q_ROLLUP_SQL,
@@ -1953,6 +2122,7 @@ ORACLE = {
     "q_asof_join": Q_ASOF_SQL,
     "q_bloom_join": Q_BLOOM_JOIN_SQL,
     "q_ivm_join": Q_IVM_JOIN_SQL,
+    "q_ivm_delete": Q_IVM_DELETE_SQL,
     "q_pivot_monthly": Q_PIVOT_SQL,
     "q_cube_orders": Q_CUBE_SQL,
     "q_quantile_sampled": Q_QUANTILE_SAMPLED_SQL,
