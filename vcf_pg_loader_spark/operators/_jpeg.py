@@ -180,7 +180,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     decode seam can fall through to PIL / the deterministic fake."""
     try:
         return _decode_jpeg(data)
-    except (struct.error, IndexError) as exc:  # truncated/garbled input
+    except (
+        struct.error,  # truncated segment header
+        IndexError,  # truncated/garbled input
+        KeyError,  # scan referencing an undefined DQT/DHT id
+        ZeroDivisionError,  # zero sampling factor in SOF
+    ) as exc:
         raise ValueError(f"jpeg: malformed input ({exc})") from exc
 
 
@@ -266,6 +271,17 @@ def _decode_scan(
     frame, scan_tabs, qtables, htables, segments, restart_interval
 ) -> np.ndarray:
     h, w, comps = frame
+    for cid, hs, vs, tq in comps:
+        if hs < 1 or vs < 1:
+            raise ValueError("jpeg: zero sampling factor in SOF")
+        if tq not in qtables:
+            raise ValueError(f"jpeg: SOF references undefined DQT {tq}")
+        if cid not in scan_tabs:
+            raise ValueError(f"jpeg: SOS missing component {cid}")
+        if (0, scan_tabs[cid][0]) not in htables:
+            raise ValueError("jpeg: SOS references undefined DC DHT")
+        if (1, scan_tabs[cid][1]) not in htables:
+            raise ValueError("jpeg: SOS references undefined AC DHT")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax

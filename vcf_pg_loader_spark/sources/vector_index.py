@@ -38,7 +38,10 @@ from vcf_pg_loader_spark.sources.store import _heal_dir, _swap_dir
 class VectorIndex:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
-        self.root = root.rstrip("/")
+        # Absolutize so a bare relative root ("idx") resolves the same
+        # for Python-side os.* and JVM-side spark.read (the JVM's cwd is
+        # wherever the session was launched, not Python's).
+        self.root = os.path.abspath(root.rstrip("/"))
 
     def _p(self, name: str) -> str:
         return f"{self.root}/{name}"
@@ -102,7 +105,7 @@ class VectorIndex:
             "k_centroids int, m int, k_sub int, kernel string",
         )
         meta.write.json(os.path.join(staging, "meta"))
-        os.makedirs(os.path.dirname(self.root), exist_ok=True)
+        os.makedirs(os.path.dirname(os.path.abspath(self.root)), exist_ok=True)
         _heal_dir(self.root)
         _swap_dir(staging, self.root)
 

@@ -407,7 +407,12 @@ class SemDeDupIngestSink(ParquetUpsertSink):
                 batch, cents, self.id_col, self.vec_col, kernel="exact"
             )
         assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            self._apply_assigned(spark, batch_id, assigned, cents, old_vec)
+        finally:
+            assigned.unpersist()
 
+    def _apply_assigned(self, spark, batch_id, assigned, cents, old_vec):
         edges = self._sem_pairs(assigned, assigned, same=True)
         if old_vec is not None:
             # only the landing cells' existing vectors are candidates —
@@ -439,4 +444,3 @@ class SemDeDupIngestSink(ParquetUpsertSink):
             partition_by={"vectors": ["cid"]},
         )
         self._record(batch_id, n)
-        assigned.unpersist()
