@@ -2148,18 +2148,32 @@ Q_PIPELINE_FUNNEL_SQL = _pipeline_funnel_sql()
 # per-doc drop attribution: WHY did each document leave the pipeline —
 # the observability query a curation team actually debugs with.  Every
 # doc gets its FIRST drop stage (quality gate with its reason codes,
-# exact-dup loser, near-dup loser) or 'kept'.  Stages compose the
-# already-oracled gates in funnel order; the near-dup stage runs on the
-# quality+exact survivors (LSH pairs on a subset equal the full-corpus
-# pairs restricted to that subset, since banding is per-doc).
+# LM-perplexity gate, exact-dup loser, near-dup loser) or 'kept'.
+# Stages compose the already-oracled gates in funnel order
+# quality -> lm_nll -> exact -> near-dup; the near-dup stage runs on
+# the quality+lm+exact survivors (LSH pairs on a subset equal the
+# full-corpus pairs restricted to that subset, since banding is
+# per-doc).  The LM gate is the CCNet/KenLM-style perplexity filter
+# (operators/lm.py): the bigram model trains on the FULL corpus — the
+# curation analogue of scoring under a fixed reference LM — and docs
+# whose mean NLL exceeds NLL_MAX (garbled/outlier text) drop with
+# their own reason code.
 # --------------------------------------------------------------------------
+NLL_MAX = 3.45  # ~97th percentile of the corpus NLL distribution
+
+
 def q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators.lm import doc_nll
+
     docs = load_table(spark, sf_dir, "documents")
     qual = q_quality_filter(spark, sf_dir)
+    lm_losers = (
+        doc_nll(docs).filter(F.col("nll") > NLL_MAX).select("doc_id")
+    )
 
     kept_q = docs.join(
         qual.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
-    )
+    ).join(lm_losers, "doc_id", "left_anti")
     fp = T.fingerprint(kept_q)
     canon = fp.groupBy("doc_fp").agg(F.min("doc_id").alias("doc_id"))
     surv = fp.join(canon.select("doc_id"), "doc_id", "left_semi")
@@ -2178,6 +2192,7 @@ def q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             ~F.col("keep"), F.concat(F.lit("quality:"), F.col("reasons"))
         )
+        .when(F.col("_lm").isNotNull(), F.lit("lm_nll"))
         .when(F.col("_exact").isNull(), F.lit("exact_dup"))
         .when(F.col("_near").isNotNull(), F.lit("near_dup"))
         .otherwise(F.lit("kept"))
@@ -2185,6 +2200,7 @@ def q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id")
         .join(q, "doc_id")
+        .join(lm_losers.withColumn("_lm", F.lit(1)), "doc_id", "left")
         .join(
             exact_ids.withColumn("_exact", F.lit(1)), "doc_id", "left"
         )
@@ -2203,9 +2219,14 @@ def q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _drop_reasons_sql() -> str:
+    from vcf_pg_loader_spark.operators.lm import sql_doc_nll
+
     return f"""
 WITH RECURSIVE q AS ({Q_QUALITY_FILTER_SQL}),
-kept_q AS (SELECT d.* FROM documents d JOIN q USING (doc_id) WHERE q.keep),
+nll AS ({sql_doc_nll('documents')}),
+lm_losers AS (SELECT doc_id FROM nll WHERE nll > {NLL_MAX}),
+kept_q AS (SELECT d.* FROM documents d JOIN q USING (doc_id) WHERE q.keep
+           AND d.doc_id NOT IN (SELECT doc_id FROM lm_losers)),
 fp AS (SELECT doc_id, md5(regexp_replace(trim(text), ' +', ' ', 'g'))
               AS doc_fp
        FROM kept_q),
@@ -2228,6 +2249,7 @@ cc AS (SELECT node, MIN(reach) AS comp FROM walk GROUP BY node),
 near_losers AS (SELECT node AS doc_id FROM cc WHERE node <> comp)
 SELECT d.doc_id,
        CASE WHEN NOT q.keep THEN 'quality:' || q.reasons
+            WHEN d.doc_id IN (SELECT doc_id FROM lm_losers) THEN 'lm_nll'
             WHEN d.doc_id NOT IN (SELECT doc_id FROM surv) THEN 'exact_dup'
             WHEN d.doc_id IN (SELECT doc_id FROM near_losers) THEN 'near_dup'
             ELSE 'kept' END AS stage
@@ -2297,8 +2319,10 @@ def q_drop_reasons_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     BM25 indexes; same oracle as q_drop_reasons."""
     from vcf_pg_loader_spark.sources.cluster_store import MaterializedTable
 
+    # name versioned with the report definition (the nll gate joined in
+    # round 8): a pre-gate materialization must never serve stale stages
     tbl = MaterializedTable(
-        spark, _served_root(sf_dir, "drop_reasons", "documents.parquet")
+        spark, _served_root(sf_dir, "drop_reasons_nll", "documents.parquet")
     )
     if not tbl.exists():
         tbl.write(q_drop_reasons(spark, sf_dir))
