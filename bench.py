@@ -224,10 +224,37 @@ def scaling_curve(spark, sf_dir: str, factors=(1, 2)) -> dict:
                     best = dt if best is None or dt < best else best
                 times[str(f)] = round(best, 3)
             lo, hi = times[str(factors[0])], times[str(factors[-1])]
-            out["queries"][name] = {
+            entry = {
                 "sec": times,
                 "ratio": round(hi / lo, 2) if lo else None,
             }
+            if name == "q_minhash_lsh":
+                # wall time alone cannot distinguish an LSH candidate-
+                # pair blow-up from compile noise (r7 watch-list #1):
+                # record the band-bucket candidate-pair count at each
+                # factor so superlinear growth is attributable.  The 2x
+                # corpus doubles docs without adding near-dups, so the
+                # pair count should scale ~linearly; a quadratic jump
+                # would mean the banding parameters stopped pruning.
+                from vcf_pg_loader_spark.operators import dedup as D2
+
+                pair_counts: dict[str, int] = {}
+                for f in factors:
+                    docs_f = load_table(spark, dirs[f], "documents")
+                    sh_f = D2.shingles(docs_f, "doc_id", "text", QP.NGRAM)
+                    cand = D2.lsh_candidate_pairs(
+                        D2.minhash_signatures(sh_f, QP.MINHASH_K),
+                        QP.MINHASH_K,
+                        QP.MINHASH_BANDS,
+                    )
+                    pair_counts[str(f)] = cand.count()
+                p_lo = pair_counts[str(factors[0])]
+                p_hi = pair_counts[str(factors[-1])]
+                entry["candidate_pairs"] = pair_counts
+                entry["pair_ratio"] = (
+                    round(p_hi / p_lo, 2) if p_lo else None
+                )
+            out["queries"][name] = entry
     except Exception as exc:  # pragma: no cover - defensive bench path
         out["error"] = f"{type(exc).__name__}: {exc}"[:500]
     finally:

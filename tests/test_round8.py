@@ -112,3 +112,454 @@ class TestVectorIndexRelativeRoot:
         q = spark.createDataFrame(rows[:2], "vec_id int, embedding array<double>")
         hits = idx.search(q, k=3)
         assert hits.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Retraction-maintained served structures (streaming/retract.py)
+# ---------------------------------------------------------------------------
+BASE = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform victor "
+    "whiskey xray yankee zulu one two three four five six seven eight nine ten"
+)
+NEAR = BASE.rsplit(" ", 1)[0] + " eleven"  # 1 token off BASE
+NEAR2 = NEAR.replace("oscar", "oscarx", 1)  # 1 token off NEAR, 2 off BASE
+OTHER = (
+    "completely different content about query engines shuffles partitions "
+    "and broadcast joins with nothing shared with the phonetic alphabet at "
+    "all in any window of three consecutive tokens anywhere in this text"
+)
+
+
+def _zdf(spark, rows, mult=None):
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    if mult is not None:
+        from pyspark.sql import functions as F
+
+        from vcf_pg_loader_spark.operators.ivm import MULT
+
+        df = df.withColumn(MULT, F.lit(mult).cast("bigint"))
+    return df
+
+
+class TestDedupClusterMaintSink:
+    def _sink(self, tmp_path):
+        from vcf_pg_loader_spark.streaming.retract import (
+            DedupClusterMaintSink,
+        )
+
+        return DedupClusterMaintSink(str(tmp_path / "clusters"))
+
+    def _keep(self, sink, spark):
+        return {r.doc_id for r in sink.keep(spark).collect()}
+
+    def test_chain_fixture_shape(self, spark):
+        """Pin the fixture geometry the split test relies on: BASE~NEAR
+        and NEAR~NEAR2 are near-dups, BASE~NEAR2 is not."""
+        from vcf_pg_loader_spark.operators import dedup as D
+
+        docs = _zdf(spark, [(1, BASE), (2, NEAR), (3, NEAR2)])
+        pairs = {
+            (r.d1, r.d2)
+            for r in D.minhash_lsh_dedup(docs, "doc_id", "text").collect()
+        }
+        assert (1, 2) in pairs and (2, 3) in pairs
+        assert (1, 3) not in pairs
+
+    def test_delete_splits_component(self, spark, tmp_path):
+        """Deleting a cut vertex SPLITS its cluster — the case a
+        labels-only store cannot get right (the maintained pair set
+        can): BASE-NEAR-NEAR2 is a chain; removing NEAR leaves BASE and
+        NEAR2 unrelated, so BOTH must be kept afterwards."""
+        sink = self._sink(tmp_path)
+        sink.apply_batch(
+            _zdf(spark, [(1, BASE), (2, NEAR), (3, NEAR2), (10, OTHER)]), 0
+        )
+        assert self._keep(sink, spark) == {1, 10}  # one chain cluster
+        sink.apply_batch(_zdf(spark, [(2, NEAR)], mult=-1), 1)
+        assert self._keep(sink, spark) == {1, 3, 10}  # split: 3 revives
+
+    def test_delete_reelects_canonical(self, spark, tmp_path):
+        sink = self._sink(tmp_path)
+        sink.apply_batch(_zdf(spark, [(1, BASE), (2, NEAR), (10, OTHER)]), 0)
+        assert self._keep(sink, spark) == {1, 10}
+        sink.apply_batch(_zdf(spark, [(1, BASE)], mult=-1), 1)
+        assert self._keep(sink, spark) == {2, 10}  # loser promoted
+
+    def test_reinsert_recollides(self, spark, tmp_path):
+        sink = self._sink(tmp_path)
+        sink.apply_batch(_zdf(spark, [(1, BASE), (10, OTHER)]), 0)
+        sink.apply_batch(_zdf(spark, [(1, BASE)], mult=-1), 1)
+        assert self._keep(sink, spark) == {10}
+        sink.apply_batch(_zdf(spark, [(1, BASE)], mult=1), 2)
+        sink.apply_batch(_zdf(spark, [(2, NEAR)], mult=1), 3)
+        assert self._keep(sink, spark) == {1, 10}  # 2 collides with 1
+
+    def test_same_batch_cancellation_and_replay(self, spark, tmp_path):
+        sink = self._sink(tmp_path)
+        sink.apply_batch(_zdf(spark, [(1, BASE), (10, OTHER)]), 0)
+        sink.apply_batch(_zdf(spark, [(1, BASE)], mult=-1), 1)
+        # +1 and -1 for doc 1 in ONE batch consolidate to a no-op: it
+        # stays deleted; doc 20 inserts normally
+        mixed = _zdf(spark, [(1, BASE)], mult=1).unionByName(
+            _zdf(spark, [(1, BASE)], mult=-1)
+        ).unionByName(_zdf(spark, [(20, NEAR2)], mult=1))
+        sink.apply_batch(mixed, 2)
+        assert self._keep(sink, spark) == {10, 20}
+        before = self._keep(sink, spark)
+        sink.apply_batch(mixed, 2)  # ledger replay: no-op
+        assert self._keep(sink, spark) == before
+
+
+class TestBM25Retract:
+    def test_delete_matches_fresh_build(self, spark, tmp_path):
+        from vcf_pg_loader_spark.sources.bm25_index import BM25Index
+        from vcf_pg_loader_spark.streaming.dedup_ingest import BM25IndexSink
+
+        rows = [
+            (1, "spark shuffle join broadcast spark"),
+            (2, "spark window aggregate"),
+            (3, "vector index probe spark shuffle"),
+            (4, ""),  # zero-token doc still counts toward n_docs
+        ]
+        sink = BM25IndexSink(str(tmp_path / "idx"))
+        sink.apply_batch(_zdf(spark, rows), 0)
+        sink.apply_batch(_zdf(spark, [(1, rows[0][1])], mult=-1), 1)
+
+        fresh = BM25Index(spark, str(tmp_path / "fresh"))
+        fresh.build(_zdf(spark, rows[1:]))
+        got = [
+            (r.doc_id, r.score, r.rn)
+            for r in BM25Index(spark, sink.target)
+            .search(["spark", "shuffle"], 5)
+            .collect()
+        ]
+        want = [
+            (r.doc_id, r.score, r.rn)
+            for r in fresh.search(["spark", "shuffle"], 5).collect()
+        ]
+        assert got == want
+        stats = spark.read.parquet(f"{sink.target}/stats").first()
+        assert stats.n_docs == 3  # decremented, zero-token doc counted
+
+    def test_delete_then_reinsert(self, spark, tmp_path):
+        from vcf_pg_loader_spark.sources.bm25_index import BM25Index
+        from vcf_pg_loader_spark.streaming.dedup_ingest import BM25IndexSink
+
+        sink = BM25IndexSink(str(tmp_path / "idx"))
+        sink.apply_batch(
+            _zdf(spark, [(1, "alpha beta gamma"), (2, "alpha delta")]), 0
+        )
+        sink.apply_batch(_zdf(spark, [(1, "alpha beta gamma")], mult=-1), 1)
+        sink.apply_batch(_zdf(spark, [(1, "fresh text alpha")], mult=1), 2)
+        fresh = BM25Index(spark, str(tmp_path / "fresh"))
+        fresh.build(
+            _zdf(spark, [(1, "fresh text alpha"), (2, "alpha delta")])
+        )
+        got = [
+            (r.doc_id, r.score)
+            for r in BM25Index(spark, sink.target).search(["alpha"], 5).collect()
+        ]
+        want = [
+            (r.doc_id, r.score) for r in fresh.search(["alpha"], 5).collect()
+        ]
+        assert got == want
+
+
+# quality-passing variants: the funnel's quality gate needs stopwords
+_SW = " the cat and the dog ran to the big house of the old king"
+QBASE = BASE + _SW
+QNEAR = NEAR + _SW
+QOTHER = OTHER + _SW
+
+
+class TestFunnelReportSink:
+    def _sink(self, tmp_path, nll_max=1e9):
+        from vcf_pg_loader_spark.streaming.retract import FunnelReportSink
+
+        return FunnelReportSink(str(tmp_path / "funnel"), nll_max)
+
+    def _stages(self, sink, spark):
+        return {r.doc_id: r.stage for r in sink.report(spark).collect()}
+
+    def test_delete_promotes_exact_loser_into_near_dup_graph(
+        self, spark, tmp_path
+    ):
+        """A=1 kept, its exact copy 5 is exact_dup, near-dup 9 is
+        near_dup.  Deleting 1 re-elects 5 as fingerprint canonical AND 9
+        must STAY near_dup via its maintained pair with 5."""
+        sink = self._sink(tmp_path)
+        sink.apply_batch(
+            _zdf(spark, [(1, QBASE), (5, QBASE), (9, QNEAR), (10, QOTHER)]), 0
+        )
+        s0 = self._stages(sink, spark)
+        assert (s0[1], s0[5], s0[9], s0[10]) == (
+            "kept", "exact_dup", "near_dup", "kept",
+        )
+        sink.apply_batch(_zdf(spark, [(1, QBASE)], mult=-1), 1)
+        s1 = self._stages(sink, spark)
+        assert 1 not in s1
+        assert (s1[5], s1[9], s1[10]) == ("kept", "near_dup", "kept")
+
+    def test_quality_and_replay(self, spark, tmp_path):
+        sink = self._sink(tmp_path)
+        b0 = _zdf(spark, [(1, QBASE), (2, "tiny doc"), (10, QOTHER)])
+        sink.apply_batch(b0, 0)
+        s = self._stages(sink, spark)
+        assert s[2].startswith("quality:too_short")
+        assert s[1] == "kept" and s[10] == "kept"
+        sink.apply_batch(b0, 0)  # replay
+        assert self._stages(sink, spark) == s
+
+    def test_lm_gate_fires_under_frozen_model(self, spark, tmp_path):
+        """With an impossible nll_max every quality-kept doc in a LATER
+        batch trips the lm_nll stage (scored under the bootstrap model);
+        bootstrap docs score near the training distribution and pass."""
+        sink = self._sink(tmp_path, nll_max=0.5)
+        sink.apply_batch(_zdf(spark, [(1, QBASE), (10, QOTHER)]), 0)
+        sink.apply_batch(_zdf(spark, [(20, QNEAR.replace('oscar', 'oscarx', 1))]), 1)
+        s = self._stages(sink, spark)
+        assert s[20] == "lm_nll"
+
+
+class TestImageNearDup:
+    """Round-8 item #3: re-encoded copies of the same pixels (PNG vs
+    baseline JPEG vs subsampling-shifted JPEG) must cluster under the
+    perceptual hash, while distinct images must not."""
+
+    def test_ahash_stable_across_reencoding(self):
+        from vcf_pg_loader_spark.operators._jpeg import encode_jpeg
+        from vcf_pg_loader_spark.operators._png import (
+            decode_png,
+            encode_png,
+        )
+        from vcf_pg_loader_spark.operators.multimodal import (
+            _ahash64,
+            _decode_image,
+        )
+        from vcf_pg_loader_spark.queries.pipeline import _block_image
+
+        img = _block_image(3)
+        h_png = _ahash64(_decode_image(encode_png(img)))
+        h_444 = _ahash64(_decode_image(encode_jpeg(img, "4:4:4")))
+        h_420 = _ahash64(_decode_image(encode_jpeg(img, "4:2:0")))
+        assert h_png == h_444 == h_420  # codec noise never flips a bit
+        assert decode_png(encode_png(img)).shape == img.shape
+
+    def test_planted_reencoded_copies_cluster(self, spark):
+        from vcf_pg_loader_spark.queries.pipeline import (
+            IMG_GROUPS,
+            q_image_neardup,
+        )
+
+        rows = q_image_neardup(spark, "unused").collect()
+        assert len(rows) == IMG_GROUPS * 3
+        by_cluster: dict[int, list[int]] = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster_id, []).append(r.media_id)
+        # exactly one cluster per source image, holding its 3 encodings
+        assert len(by_cluster) == IMG_GROUPS
+        for gid in range(IMG_GROUPS):
+            assert sorted(by_cluster[gid * 10]) == [
+                gid * 10, gid * 10 + 1, gid * 10 + 2,
+            ]
+
+    def test_exact_content_dedup_misses_reencodes(self, spark):
+        """The motivating gap: sha256 content dedup sees 3 distinct
+        blobs where the perceptual hash sees one image."""
+        from vcf_pg_loader_spark.operators.multimodal import (
+            dedup_by_content,
+        )
+        from vcf_pg_loader_spark.queries.pipeline import _image_fixture_rows
+
+        media = spark.createDataFrame(
+            _image_fixture_rows()[:3], "media_id bigint, content binary"
+        )
+        assert dedup_by_content(media).count() == 3
+
+
+class TestSketchBoundedRank:
+    """Round-8 item #4: global_rank partitioned on HDR-sketch quantile
+    bounds instead of repartitionByRange's reservoir sample — ranks stay
+    exact and 90%-tie-heavy keys still yield balanced partitions."""
+
+    def _docs(self, spark, n=4000):
+        from pyspark.sql import functions as F
+
+        # 90% of docs share ONE token count; ids shuffle via a hash so
+        # tie order is not arrival order
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.pmod(F.xxhash64("id"), F.lit(10)) < 9, F.lit(50))
+            .otherwise(F.pmod(F.xxhash64("id", "id"), F.lit(400)) + 1)
+            .cast("int")
+            .alias("n_tokens"),
+        )
+
+    def test_ranks_exact_under_tie_heavy_skew(self, spark):
+        from pyspark.sql import functions as F
+
+        from vcf_pg_loader_spark.operators.rank import (
+            global_rank,
+            hash_sample_bounds,
+        )
+
+        t = self._docs(spark)
+        key = F.col("n_tokens").cast("bigint") * F.lit(1 << 24) + F.col(
+            "doc_id"
+        )
+        keyed = t.withColumn("_skey", key)
+        bounds = hash_sample_bounds(keyed, "_skey", 16)
+        got = (
+            global_rank(
+                keyed,
+                [("n_tokens", True), ("doc_id", True)],
+                split_col="_skey",
+                split_bounds=bounds,
+            )
+            .select("doc_id", "rank")
+            .collect()
+        )
+        want = {
+            r.doc_id: i + 1
+            for i, r in enumerate(
+                t.orderBy("n_tokens", "doc_id").collect()
+            )
+        }
+        assert {r.doc_id: r.rank for r in got} == want
+
+    def test_sketch_bounds_balance_ties(self, spark):
+        """The hash-sample bounds split the 90%-tie run by the id half
+        of the composite key — the case the log-bucketed HDR sketch
+        measurably cannot handle (its relative resolution collapses the
+        whole tie run into one bucket: partition sizes [3698, 252, 50]
+        when this test drove rank_split_bounds instead)."""
+        from pyspark.sql import functions as F
+
+        from vcf_pg_loader_spark.operators.rank import hash_sample_bounds
+
+        t = self._docs(spark)
+        key = F.col("n_tokens").cast("bigint") * F.lit(1 << 24) + F.col(
+            "doc_id"
+        )
+        keyed = t.withColumn("_skey", key)
+        n_parts = 16
+        bounds = hash_sample_bounds(keyed, "_skey", n_parts)
+        pid = sum(
+            (F.col("_skey") > F.lit(float(b))).cast("int") for b in bounds
+        )
+        sizes = [
+            r.n
+            for r in keyed.groupBy(pid.alias("pid"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        mean = sum(sizes) / n_parts
+        # the 90%-tie value is SPLIT across partitions by the id half of
+        # the key; bound the hottest partition against the mean
+        assert max(sizes) / mean < 2.0, sizes
+
+    def test_length_batches_sketch_path_matches_default(self, spark):
+        from vcf_pg_loader_spark.operators.rank import length_batches
+
+        docs = self._docs(spark).selectExpr(
+            "doc_id",
+            "concat_ws(' ', transform(sequence(1, n_tokens), x -> 'w'))"
+            " AS text",
+        )
+        a = {
+            tuple(r)
+            for r in length_batches(docs, 8).collect()
+        }
+        b = {
+            tuple(r)
+            for r in length_batches(
+                docs, 8, use_sketch_bounds=True
+            ).collect()
+        }
+        assert a == b
+
+
+class TestCountedAggIVM:
+    """Round-8 item #6: counted IVM through aggregate-over-join — the
+    maintained SUM/COUNT rollup stays exact under deletions, and the
+    decimal fold makes batch order irrelevant."""
+
+    def _frames(self, spark):
+        li = spark.createDataFrame(
+            [(1, 5.0), (1, 7.0), (2, 3.0), (2, 9.0), (3, 4.0)],
+            "o_orderkey bigint, l_quantity double",
+        )
+        orders = spark.createDataFrame(
+            [(1, "HIGH"), (2, "LOW"), (3, "LOW")],
+            "o_orderkey bigint, o_orderpriority string",
+        )
+        return li, orders
+
+    def _run(self, spark, batch_order):
+        from pyspark.sql import functions as F
+
+        from vcf_pg_loader_spark.operators.ivm import (
+            as_zset,
+            maintain_agg_join_view_counted,
+            zset_normalize,
+        )
+
+        li, orders = self._frames(spark)
+        no_orders = as_zset(orders.limit(0))
+        batches = [
+            (as_zset(li.filter(F.col("o_orderkey") != 2)), as_zset(orders)),
+            (as_zset(li.filter(F.col("o_orderkey") == 2)), no_orders),
+            # retract every qty<5 lineitem (one joins through HIGH, one
+            # through LOW) — counts decrement, a group may vanish
+            (as_zset(li.filter(F.col("l_quantity") < 5), mult=-1), no_orders),
+        ]
+        agg = None
+        l_old = as_zset(li.limit(0))
+        r_old = no_orders
+        for i in batch_order:
+            dl, dr = batches[i]
+            agg = maintain_agg_join_view_counted(
+                agg, l_old, dl, r_old, dr, "o_orderkey",
+                ["o_orderpriority"], "l_quantity",
+            )
+            l_old = zset_normalize(l_old.unionByName(dl))
+            r_old = zset_normalize(r_old.unionByName(dr))
+        return {
+            r.o_orderpriority: (r._cnt, float(r._sum))
+            for r in agg.collect()
+        }
+
+    def test_deletion_exact_vs_recompute(self, spark):
+        got = self._run(spark, [0, 1, 2])
+        # retained rows: (1,5),(1,7),(2,9) -> HIGH {5,7}, LOW {9}
+        assert got == {"HIGH": (2, 12.0), "LOW": (1, 9.0)}
+
+    def test_fold_order_irrelevant(self, spark):
+        a = self._run(spark, [0, 1, 2])
+        b = self._run(spark, [1, 0, 2])
+        assert a == b
+
+    def test_group_vanishes_at_zero_count(self, spark):
+        from pyspark.sql import functions as F
+
+        from vcf_pg_loader_spark.operators.ivm import (
+            as_zset,
+            maintain_agg_join_view_counted,
+            zset_normalize,
+        )
+
+        li, orders = self._frames(spark)
+        lo_li = li.filter(F.col("o_orderkey") != 1)  # only LOW rows
+        agg = maintain_agg_join_view_counted(
+            None, as_zset(li.limit(0)), as_zset(lo_li),
+            as_zset(orders.limit(0)), as_zset(orders),
+            "o_orderkey", ["o_orderpriority"], "l_quantity",
+        )
+        l_old = zset_normalize(as_zset(li.limit(0)).unionByName(as_zset(lo_li)))
+        agg2 = maintain_agg_join_view_counted(
+            agg, l_old, as_zset(lo_li, mult=-1),
+            as_zset(orders), as_zset(orders.limit(0)),
+            "o_orderkey", ["o_orderpriority"], "l_quantity",
+        )
+        assert agg2.count() == 0  # every LOW row retracted -> no groups

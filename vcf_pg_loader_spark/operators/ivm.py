@@ -144,3 +144,48 @@ def maintain_join_view_counted(
     delta = zset_join_delta(left_old, left_delta, right_old, right_delta, on)
     combined = delta if view_old is None else view_old.unionByName(delta)
     return zset_normalize(combined)
+
+
+def maintain_agg_join_view_counted(
+    agg_old: DataFrame | None,
+    left_old: DataFrame,
+    left_delta: DataFrame,
+    right_old: DataFrame,
+    right_delta: DataFrame,
+    on: list[str] | str,
+    group_cols: list[str],
+    value_col: str,
+    dec: str = "decimal(20,2)",
+) -> DataFrame:
+    """Counted IVM THROUGH an aggregate: maintain
+    SELECT group_cols, COUNT(*), SUM(value) over the join directly —
+    the join view itself is never materialized.  Each step aggregates
+    the Z-set join delta into multiplicity-weighted partials (dn =
+    Σ_mult, dsum = Σ value·_mult — Gupta-Mumick counting through
+    SUM/COUNT), folds them additively into the running aggregate, and
+    drops groups whose count reaches zero.  The value partial stays
+    DECIMAL through every fold (associative — fold order cannot change
+    the result; the property test pins this), so the maintained SUM is
+    bit-identical to a recompute over the retained rows.
+
+    Returned schema: (*group_cols, _cnt bigint, _sum decimal)."""
+    from pyspark.sql import functions as F
+
+    delta = zset_join_delta(left_old, left_delta, right_old, right_delta, on)
+    part = delta.groupBy(*group_cols).agg(
+        F.sum(MULT).cast("bigint").alias("_cnt"),
+        F.sum((F.col(value_col) * F.col(MULT)).cast(dec)).alias("_sum"),
+    )
+    if agg_old is not None:
+        # unionByName widens the decimal precision of _sum as folds
+        # accumulate (30,2 -> 38,2 and stays there) — exactness holds
+        part = agg_old.unionByName(part)
+    folded = (
+        part.groupBy(*group_cols)
+        .agg(
+            F.sum("_cnt").cast("bigint").alias("_cnt"),
+            F.sum("_sum").alias("_sum"),
+        )
+        .filter(F.col("_cnt") != 0)
+    )
+    return folded

@@ -85,6 +85,111 @@ def doc_nll(
     )
 
 
+def bigram_model(
+    train: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the smoothed bigram model once and return its three tables
+    (c12, c1, vocab-size scalar) so they can be FROZEN — persisted and
+    reused to score later documents without retraining.  This is the
+    CCNet deployment shape (a fixed reference LM scores every incoming
+    shard) and the incremental-funnel shape (the maintained drop-reason
+    report scores arrivals under the bootstrap model, the same
+    frozen-parameter stance as SemDeDupIngestSink's centroids)."""
+    bg = _doc_bigrams(train, id_col, text_col)
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = bg.select("w2").distinct().agg(F.count(F.lit(1)).alias("v"))
+    return c12, c1, vocab
+
+
+def doc_nll_frozen(
+    docs: DataFrame,
+    c12: DataFrame,
+    c1: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = SMOOTH_K,
+) -> DataFrame:
+    """Score documents under a FROZEN bigram model (the tables from
+    `bigram_model`): identical to doc_nll when `docs` is the training
+    corpus, but defined for unseen text too — bigrams absent from the
+    model take c12=0 (and unseen left-words c1=0) through the same
+    add-k smoothing, so p = k / (0 + k·V) = 1/V at worst and every
+    score stays finite.  LEFT joins + coalesce keep the plan two keyed
+    hash joins plus a broadcast scalar; zero Python."""
+    bg = _doc_bigrams(docs, id_col, text_col)
+    logprob = F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k) * F.col("v"))
+    )
+    return (
+        bg.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col), logprob.alias("lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -(F.sum(F.col("lp").cast(DEC)).cast("double"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("nll"),
+        )
+    )
+
+
+def sql_doc_nll_frozen(
+    score_table: str, train_table: str, k: float = SMOOTH_K
+) -> str:
+    """DuckDB twin of doc_nll_frozen: train on one table expression,
+    score another, LEFT JOIN + COALESCE smoothing — bit-identical
+    operand doubles before the rounded decimal fold."""
+    return f"""
+WITH ttoks AS (
+  SELECT doc_id, t.pos, t.w1 FROM (
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) AS pos,
+           unnest(string_split(text, ' ')) AS w1
+    FROM {train_table}
+  ) t WHERE t.w1 <> ''
+),
+tbg AS (
+  SELECT doc_id, w1, LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM ttoks
+),
+tbg2 AS (SELECT w1, w2 FROM tbg WHERE w2 IS NOT NULL),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM tbg2 GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM tbg2 GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM tbg2),
+stoks AS (
+  SELECT doc_id, t.pos, t.w1 FROM (
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) AS pos,
+           unnest(string_split(text, ' ')) AS w1
+    FROM {score_table}
+  ) t WHERE t.w1 <> ''
+),
+sbg AS (
+  SELECT doc_id, w1, LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM stoks
+),
+sbg2 AS (SELECT doc_id, w1, w2 FROM sbg WHERE w2 IS NOT NULL),
+scored AS (
+  SELECT sbg2.doc_id,
+         ln((COALESCE(c12, 0) + {k}) / (COALESCE(c1, 0) + {k} * v)) AS lp
+  FROM sbg2
+  LEFT JOIN c12 USING (w1, w2)
+  LEFT JOIN c1 USING (w1), vocab
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(-CAST(SUM(CAST(lp AS DECIMAL(24,12))) AS DOUBLE) / COUNT(*), 6)
+         AS nll
+FROM scored GROUP BY 1
+"""
+
+
 def sql_doc_nll(table: str, k: float = SMOOTH_K) -> str:
     """DuckDB twin — identical expression shape, bigrams via LEAD."""
     return f"""

@@ -424,3 +424,144 @@ def partition_by_content(df: DataFrame, n: int = 0) -> DataFrame:
     the layout step before any per-item decode at scale."""
     parts = n or df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(parts, F.sha2(F.col("content"), 256))
+
+
+# ---------------------------------------------------------------------------
+# perceptual near-dup: aHash over the REAL decoded pixels
+# ---------------------------------------------------------------------------
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+
+def _ahash64(arr: np.ndarray) -> int:
+    """Classic 64-bit average hash: grayscale -> 8x8 area-average pool
+    -> bit per cell (above the pooled mean), packed MSB-first.  Area
+    averaging (not nearest-neighbor) absorbs codec noise: a JPEG
+    round-trip moves a pixel by ~±2, which cannot flip a cell unless
+    the cell mean sits within ±2 of the global mean.  Returned as a
+    SIGNED 64-bit int so it stores in a Spark bigint unchanged."""
+    gray = arr.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ph, pw = max(h // 8, 1), max(w // 8, 1)
+    pooled = (
+        gray[: ph * 8, : pw * 8].reshape(8, ph, 8, pw).mean(axis=(1, 3))
+    )
+    bits = (pooled > pooled.mean()).reshape(-1)
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def perceptual_hash(df: DataFrame) -> DataFrame:
+    """(media_id, phash): decode each binary payload with the stdlib
+    codecs (_png.py / _jpeg.py — real pixels, zero dependencies) and
+    aHash the pixels.  mapInPandas/Arrow, same batch shape as
+    image_features; re-encoded copies of the same image (PNG vs JPEG vs
+    subsampling-shifted JPEG) land within a few bits of each other,
+    which content-hash dedup (dedup_by_content) can never see."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "phash": []}
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                out["media_id"].append(media_id)
+                out["phash"].append(_ahash64(_decode_image(bytes(content))))
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(
+        extract, PHASH_SCHEMA
+    )
+
+
+def phash_neardup_pairs(
+    ph: DataFrame, max_hamming: int = 6, n_bands: int = 8
+) -> DataFrame:
+    """Hamming-banded near-dup pairs over 64-bit perceptual hashes —
+    the SimHash banding scheme (operators/dedup.py) applied to pixels:
+    split each hash into `n_bands` byte bands; any pair within
+    `max_hamming` bits differs in at most max_hamming bands, so with
+    max_hamming < n_bands the pigeonhole guarantees a SHARED band and
+    the candidate search is an equi-join on (band_id, band_value) —
+    never an all-pairs scan.  Survivors verify exactly with
+    bit_count(xor) on the JVM.  Returns (d1, d2, hamming), d1 < d2."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = ph.select(
+        "media_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("phash"), width * j).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("d1"),
+            F.col("b.media_id").alias("d2"),
+            F.col("a.phash").alias("h1"),
+            F.col("b.phash").alias("h2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        cand.select("d1", "d2", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def image_neardup_clusters(
+    media: DataFrame, max_hamming: int = 6, n_bands: int = 8
+) -> DataFrame:
+    """(media_id, cluster_id) for EVERY image: perceptual-hash banding
+    -> exact Hamming verification -> connected components; singletons
+    label themselves.  Completes the multimodal dedup story: exact
+    content dedup (dedup_by_content) collapses byte-identical copies,
+    this collapses re-ENCODED copies of the same pixels."""
+    from vcf_pg_loader_spark.operators.dedup import connected_components
+
+    ph = perceptual_hash(media)
+    pairs = phash_neardup_pairs(ph, max_hamming, n_bands)
+    # Catalyst's Union constraint rewrite crashes (NoSuchElementException
+    # in UnionBase.rewriteConstraints: a child constraint references an
+    # attribute missing from the output map) when the union's children
+    # descend from this mapInPandas + posexplode-band + self-join plan;
+    # constraint propagation is an optimizer nicety the CC loop does not
+    # need, so it is disabled for just this call and restored after.
+    spark = media.sparkSession
+    key = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        cc = connected_components(pairs.select("d1", "d2"), "d1", "d2")
+    finally:
+        spark.conf.set(key, prev)
+    return (
+        ph.join(
+            cc.withColumnRenamed("node", "media_id"), "media_id", "left"
+        )
+        .select(
+            "media_id",
+            F.coalesce(F.col("comp"), F.col("media_id")).alias("cluster_id"),
+        )
+    )

@@ -31,24 +31,103 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def rank_split_bounds(
+    partials: DataFrame, n_ranges: int, **hdr_kwargs
+) -> list[float]:
+    """Range-split bounds for `global_rank` served from an HDR sketch
+    (operators/histogram.py hdr_partial over the rank key): the (i/n)-
+    quantile estimates, WITHOUT the sampling pass repartitionByRange
+    would run — and reusable/mergeable across calls, unlike a sample.
+    Driver-side list of n_ranges-1 floats: control-plane tiny.
+
+    Caveat (measured, tests/test_round8.py): the HDR sketch is LOG-
+    bucketed — resolution is RELATIVE (2^-sub_bits per octave), so it
+    cannot split a dense run of near-equal keys, e.g. a tie-heavy
+    composite key v·2^24+id whose id spread is parts-per-million of the
+    value.  For tie-splitting bounds use `hash_sample_bounds`, whose
+    resolution lives in rank space."""
+    from vcf_pg_loader_spark.operators.histogram import hdr_range_bounds
+
+    return [
+        float(r.bound)
+        for r in hdr_range_bounds(partials, n_ranges, **hdr_kwargs)
+        .orderBy("q")
+        .collect()
+    ]
+
+
+def hash_sample_bounds(
+    df: DataFrame, key_col: str, n_ranges: int, k: int = 4096
+) -> list[float]:
+    """Range-split bounds from a DETERMINISTIC bottom-k-by-hash row
+    sample of the rank key — the KMV order-statistics idea (Beyer 2007,
+    operators/sketch.py) moved from distinct-counting to rank space:
+    keep the k rows whose xxhash64(key) is smallest (a uniform row
+    sample, since the hash is uniform and independent of the key
+    order), then read the (i/n)-quantiles off the sample.
+
+    Why not the HDR sketch: its log buckets resolve RELATIVE differences
+    (~3%), so a tie-heavy composite key — 90% of rows at v*·2^24 plus a
+    tiny id offset — collapses into one bucket and the bounds cannot
+    split the tie run.  The hash sample's error is in RANK units,
+    O(n_ranges/sqrt(k)) imbalance, regardless of how the key values
+    cluster.  Mergeable (bottom-k of a union = bottom-k of the merged
+    bottom-ks) and deterministic, unlike repartitionByRange's reservoir.
+    Driver footprint: k values — control-plane tiny."""
+    sample = (
+        df.select(F.col(key_col).alias("_k"))
+        .withColumn("_h", F.xxhash64(F.col("_k")))
+        .orderBy("_h")
+        .limit(k)
+    )
+    keys = sorted(r._k for r in sample.collect())
+    if not keys:
+        return []
+    return [
+        float(keys[min(int(len(keys) * i / n_ranges), len(keys) - 1)])
+        for i in range(1, n_ranges)
+    ]
+
+
 def global_rank(
     df: DataFrame,
     order_cols: list[tuple[str, bool]],
     rank_col: str = "rank",
     num_ranges: int | None = None,
+    split_col: str | None = None,
+    split_bounds: list[float] | None = None,
 ) -> DataFrame:
     """Dense global ROW_NUMBER under (col, ascending) specs — identical
     output to the single-partition window, computed with range
     partitioning + per-partition offsets.  order_cols must be a TOTAL
     order (include a tie-breaker) or ranks of ties are partitioner-
-    dependent."""
+    dependent.
+
+    Default partitioning is `repartitionByRange` (reservoir sampling).
+    When the caller has a sketch of the rank key, pass `split_col` (a
+    numeric column that encodes the total order monotonically — or any
+    PREFIX of it) plus `split_bounds` (`rank_split_bounds`): rows are
+    assigned pid = #bounds below the key, so balance comes from the
+    sketch's quantiles instead of a sampling pass, ties sharing a key
+    value stay rank-exact by construction, AND one exchange disappears
+    (the explicit pid feeds the window's hash exchange directly; the
+    range shuffle never happens)."""
     sort_exprs = [
         F.col(c).asc() if asc else F.col(c).desc() for c, asc in order_cols
     ]
-    n = num_ranges or df.sparkSession.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(n, *sort_exprs).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    if split_bounds is not None:
+        if split_col is None:
+            raise ValueError("split_bounds requires split_col")
+        pid = sum(
+            (F.col(split_col) > F.lit(float(b))).cast("int")
+            for b in split_bounds
+        ) if split_bounds else F.lit(0)
+        parted = df.withColumn("_pid", pid)
+    else:
+        n = num_ranges or df.sparkSession.sparkContext.defaultParallelism
+        parted = df.repartitionByRange(n, *sort_exprs).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     counts = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     # cumulative offsets over the partition-count-sized frame: the
     # single-partition window here is over <= num_ranges rows, not data
@@ -73,6 +152,8 @@ def length_batches(
     k: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    use_sketch_bounds: bool = False,
+    num_ranges: int | None = None,
 ) -> DataFrame:
     """Cut the corpus into k length-sorted batches and report each
     batch's padding-relevant stats: (batch_id, n_docs, min_tokens,
@@ -84,7 +165,31 @@ def length_batches(
     t = docs.select(
         F.col(id_col), token_count(F.col(text_col)).alias("n_tokens")
     )
-    ranked = global_rank(t, [("n_tokens", True), (id_col, True)])
+    order = [("n_tokens", True), (id_col, True)]
+    if use_sketch_bounds:
+        # encode the (n_tokens, id) total order in one sortable bigint
+        # and partition on sketch quantiles of it: ties on n_tokens
+        # split by id across partitions (the tie-heavy-skew fix), the
+        # bounds come from the deterministic mergeable hash sample, and
+        # repartitionByRange's sampling pass disappears
+        # ids beyond 2^24 saturate: _skey stays MONOTONE in the total
+        # order (saturated ids share one pid — mildly less balance,
+        # never a wrong rank; a modulo would wrap and break
+        # monotonicity)
+        key = (
+            F.col("n_tokens").cast("bigint") * F.lit(1 << 24)
+            + F.least(
+                F.col(id_col).cast("bigint"), F.lit((1 << 24) - 1)
+            )
+        )
+        keyed = t.withColumn("_skey", key)
+        n = num_ranges or docs.sparkSession.sparkContext.defaultParallelism
+        bounds = hash_sample_bounds(keyed, "_skey", n)
+        ranked = global_rank(
+            keyed, order, split_col="_skey", split_bounds=bounds
+        ).drop("_skey")
+    else:
+        ranked = global_rank(t, order)
     n_total = t.agg(F.count(F.lit(1)).alias("_n_total"))
     batch = (
         F.floor(

@@ -2022,6 +2022,59 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Counted IVM THROUGH an aggregate (operators/ivm.py
+# maintain_agg_join_view_counted): the same interleaved insert+delete
+# batches as q_ivm_delete, but the maintained state is the GROUPED
+# SUM/COUNT itself — the join view never materializes; each batch's
+# delta aggregates into multiplicity-weighted partials that fold
+# additively (decimal all the way, so fold order is irrelevant), and
+# groups whose count hits zero vanish.  Oracle: the same recompute over
+# retained rows — a wrong retraction through the aggregate (count kept
+# a zero group, sum missed a cross term) mismatches.
+# --------------------------------------------------------------------------
+def q_ivm_agg_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators.ivm import (
+        as_zset,
+        maintain_agg_join_view_counted,
+        zset_normalize,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    no_orders = as_zset(orders.limit(0))
+
+    batches = [
+        (as_zset(li.filter(F.col("o_orderkey") % 2 == 0)), as_zset(orders)),
+        (as_zset(li.filter(F.col("o_orderkey") % 2 == 1)), no_orders),
+        (
+            as_zset(li.filter(F.col("l_quantity") < IVM_DELETE_QTY), mult=-1),
+            no_orders,
+        ),
+    ]
+    agg = None
+    l_old, r_old = as_zset(li.limit(0)), no_orders
+    for dl, dr in batches:
+        agg = maintain_agg_join_view_counted(
+            agg, l_old, dl, r_old, dr, "o_orderkey",
+            ["o_orderpriority"], "l_quantity",
+        )
+        l_old = zset_normalize(l_old.unionByName(dl))
+        r_old = zset_normalize(r_old.unionByName(dr))
+    return agg.select(
+        "o_orderpriority",
+        F.col("_cnt").alias("n_items"),
+        F.col("_sum").cast("double").alias("total_qty"),
+    )
+
+
+Q_IVM_AGG_DELETE_SQL = Q_IVM_DELETE_SQL
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -2067,6 +2120,7 @@ QUERIES = {
     "q_bloom_join": q_bloom_join,
     "q_ivm_join": q_ivm_join,
     "q_ivm_delete": q_ivm_delete,
+    "q_ivm_agg_delete": q_ivm_agg_delete,
     "q_pivot_monthly": q_pivot_monthly,
     "q_cube_orders": q_cube_orders,
     "q_quantile_sampled": q_quantile_sampled,
@@ -2123,6 +2177,7 @@ ORACLE = {
     "q_bloom_join": Q_BLOOM_JOIN_SQL,
     "q_ivm_join": Q_IVM_JOIN_SQL,
     "q_ivm_delete": Q_IVM_DELETE_SQL,
+    "q_ivm_agg_delete": Q_IVM_AGG_DELETE_SQL,
     "q_pivot_monthly": Q_PIVOT_SQL,
     "q_cube_orders": Q_CUBE_SQL,
     "q_quantile_sampled": Q_QUANTILE_SAMPLED_SQL,

@@ -1115,8 +1115,11 @@ QF_MAX_AVG_LEN = 10.0
 QF_MIN_DISTINCT = 0.5
 
 
-def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T.quality_metrics(load_table(spark, sf_dir, "documents"))
+def quality_verdict(docs_frame: DataFrame) -> DataFrame:
+    """Per-doc (doc_id, keep, reasons) verdict for ANY document frame —
+    the reusable core of q_quality_filter, also applied batch-at-a-time
+    by the incremental funnel sink (streaming/retract.py)."""
+    docs = T.quality_metrics(docs_frame)
     reason = [
         F.when(F.col("n_tokens") < QF_MIN_TOKENS, F.lit("too_short")),
         F.when(F.col("n_tokens") > QF_MAX_TOKENS, F.lit("too_long")),
@@ -1134,6 +1137,10 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (reasons == "").alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_verdict(load_table(spark, sf_dir, "documents"))
 
 
 def _quality_filter_sql() -> str:
@@ -1234,6 +1241,63 @@ SELECT sha256(text) AS content_sha256,
 FROM documents
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# perceptual image near-dup (operators/multimodal.py): re-encoded copies
+# of the SAME pixels — PNG vs baseline JPEG vs subsampling-shifted JPEG —
+# survive exact content dedup (different bytes, different sha256) but
+# must collapse under a perceptual hash.  The fixture is synthesized
+# in-query: 16 deterministic block-pattern images, each encoded three
+# ways by the repo's own stdlib codecs, plus the real distributed
+# pipeline (mapInPandas decode+aHash, Hamming band join, bit_count
+# verification, connected components).  Not SQL-expressible (the decode
+# seam is Python), so the driver records the rows-only check and the
+# exact cluster membership is pinned in tests/test_round8.py.
+# --------------------------------------------------------------------------
+IMG_LEVELS = (32, 96, 160, 224)
+IMG_GROUPS = 16
+
+
+def _block_image(gid: int) -> "np.ndarray":
+    """64x64 gray image of 8px cells: a seeded permutation of a BALANCED
+    level multiset (16 cells of each of the four levels).  Balance pins
+    the pooled aHash mean at exactly 128, and every cell sits ≥32 levels
+    from it, so codec noise (±2 per pixel after a JPEG round-trip) can
+    never flip an aHash bit; two different groups agree on any given bit
+    with probability ~1/2, so cross-group Hamming distance concentrates
+    around 32 — far above the max_hamming=6 verification gate."""
+    import numpy as np
+
+    rng = np.random.default_rng(1000 + gid)
+    vals = np.repeat(np.array(IMG_LEVELS, dtype=np.uint8), 16)
+    cells = rng.permutation(vals).reshape(8, 8)
+    img = np.repeat(np.repeat(cells, 8, axis=0), 8, axis=1)
+    return np.stack([img, img, img], axis=2)
+
+
+def _image_fixture_rows() -> list[tuple[int, bytes]]:
+    from vcf_pg_loader_spark.operators._jpeg import encode_jpeg
+    from vcf_pg_loader_spark.operators._png import encode_png
+
+    rows = []
+    for gid in range(IMG_GROUPS):
+        img = _block_image(gid)
+        rows.append((gid * 10 + 0, encode_png(img)))
+        rows.append((gid * 10 + 1, encode_jpeg(img, "4:4:4")))
+        rows.append((gid * 10 + 2, encode_jpeg(img, "4:2:0")))
+    return rows
+
+
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators.multimodal import (
+        image_neardup_clusters,
+    )
+
+    media = spark.createDataFrame(
+        _image_fixture_rows(), "media_id bigint, content binary"
+    )
+    return image_neardup_clusters(media)
 
 
 # --------------------------------------------------------------------------
@@ -2330,6 +2394,172 @@ def q_drop_reasons_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# RETRACTION-maintained served structures (streaming/retract.py): the
+# takedown/GDPR-delete path.  Each query drives the corresponding sink
+# through a fixed interleaved insert+delete batch sequence — two insert
+# halves, a delete wave, then a mixed batch that re-inserts some deleted
+# docs and deletes others (one doc is re-inserted AND re-deleted in the
+# same batch, exercising Z-set cancellation) — and serves the result
+# from the maintained state WITHOUT any rebuild.  The oracles recompute
+# the full pipeline over exactly the retained rows, so value-equality
+# proves the incremental maintenance exact.
+#
+# Batch algebra (documents table, doc_id ranges are SF-independent):
+#   b1 ins:  doc_id % 2 = 0          b2 ins:  doc_id % 2 = 1
+#   b3 del:  doc_id % 7 = 3
+#   b4 ins:  doc_id % 7 = 3 AND doc_id % 3 = 0,  del: doc_id % 11 = 5
+# Final retained set (consolidation gives the b4 ins∩del doc net-zero,
+# so it stays deleted):
+ZDEL_RETAIN_SQL = (
+    "(doc_id % 11 <> 5) AND (doc_id % 7 <> 3 OR doc_id % 3 = 0)"
+)
+
+
+def _zdel_batches(docs: DataFrame) -> list[DataFrame]:
+    from vcf_pg_loader_spark.operators.ivm import MULT
+
+    d = F.col("doc_id")
+
+    def z(frame, mult):
+        return frame.withColumn(MULT, F.lit(mult).cast("bigint"))
+
+    return [
+        z(docs.filter(d % 2 == 0), 1),
+        z(docs.filter(d % 2 == 1), 1),
+        z(docs.filter(d % 7 == 3), -1),
+        z(docs.filter((d % 7 == 3) & (d % 3 == 0)), 1).unionByName(
+            z(docs.filter(d % 11 == 5), -1)
+        ),
+    ]
+
+
+def _run_zdel_batches(sink, docs: DataFrame) -> None:
+    batches = _zdel_batches(docs)
+    if sink.applied(len(batches) - 1):
+        return  # state already maintained through the full sequence
+    for i, b in enumerate(batches):
+        sink.apply_batch(b, i)
+
+
+def _over_retained(sql: str, pred: str = None) -> str:
+    """Rewrite a composed oracle to run over the retained rows: every
+    `FROM documents` table reference becomes a filtered subquery.  The
+    token appears ONLY as the base-table reference in these SQLs (never
+    inside a string literal), so plain substitution is exact — and the
+    driver's value-hash gate would catch any drift."""
+    pred = pred or ZDEL_RETAIN_SQL
+    return sql.replace(
+        "FROM documents", f"FROM (SELECT * FROM documents WHERE {pred})"
+    )
+
+
+def q_dedup_keep_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup keep-decision served from the RETRACTION-maintained
+    cluster store: deletions drop incident edges from the persisted
+    pair set and re-run connected components over the remaining pairs
+    only — the LSH/shingle machinery never re-runs for surviving docs
+    (VERDICT r7 top item; reference analogue: delete-by-batch reload,
+    loader.py)."""
+    from vcf_pg_loader_spark.streaming.retract import DedupClusterMaintSink
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = _served_root(sf_dir, "zdel_clusters", "documents.parquet")
+    sink = DedupClusterMaintSink(
+        f"{root}/state", NGRAM, MINHASH_K, MINHASH_BANDS, JACCARD_T
+    )
+    _run_zdel_batches(sink, docs.select("doc_id", "text"))
+    return sink.keep(spark)
+
+
+Q_DEDUP_KEEP_RETRACT_SQL = _over_retained(Q_DEDUP_KEEP_SQL)
+
+
+def q_bm25_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 search served from the retraction-maintained inverted
+    index: a deleted doc's postings/doclens rows cancel (Z-set
+    consolidation as keyed anti-joins) and n_docs/avgdl recompute from
+    the consolidated doclens, so idf decrements — no re-tokenization of
+    surviving docs, ever."""
+    from vcf_pg_loader_spark.sources.bm25_index import BM25Index
+    from vcf_pg_loader_spark.streaming.dedup_ingest import BM25IndexSink
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = _served_root(sf_dir, "zdel_bm25", "documents.parquet")
+    sink = BM25IndexSink(f"{root}/state")
+    _run_zdel_batches(sink, docs.select("doc_id", "text"))
+    return BM25Index(spark, sink.target).search(BM25_TERMS, BM25_K)
+
+
+Q_BM25_RETRACT_SQL = _over_retained(Q_BM25_SQL)
+
+
+def q_drop_reasons_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-attribution report served from the retraction-maintained
+    funnel state: quality verdicts, frozen-LM scores, fingerprints,
+    bands and verified pairs are all per-doc state maintained by keyed
+    anti-join/union; the stage labels re-derive with joins + two
+    aggregations (min-id canon re-election, CC over the maintained pair
+    set).  The LM gate scores under the model frozen at bootstrap
+    (batch 1 = even doc_ids), which the oracle mirrors by training its
+    nll CTE on that subset."""
+    from vcf_pg_loader_spark.streaming.retract import FunnelReportSink
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = _served_root(sf_dir, "zdel_funnel", "documents.parquet")
+    sink = FunnelReportSink(
+        f"{root}/state", NLL_MAX, NGRAM, MINHASH_K, MINHASH_BANDS, JACCARD_T
+    )
+    _run_zdel_batches(sink, docs.select("doc_id", "text"))
+    return sink.report(spark)
+
+
+def _drop_reasons_retract_sql() -> str:
+    from vcf_pg_loader_spark.operators.lm import sql_doc_nll_frozen
+
+    retained = f"(SELECT * FROM documents WHERE {ZDEL_RETAIN_SQL})"
+    boot = "(SELECT * FROM documents WHERE doc_id % 2 = 0)"
+    qual = _over_retained(Q_QUALITY_FILTER_SQL)
+    lsh = _over_retained(Q_MINHASH_LSH_SQL)
+    return f"""
+WITH RECURSIVE q AS ({qual}),
+nll AS ({sql_doc_nll_frozen(retained, boot)}),
+lm_losers AS (SELECT doc_id FROM nll WHERE nll > {NLL_MAX}),
+kept_q AS (SELECT d.* FROM {retained} d JOIN q USING (doc_id) WHERE q.keep
+           AND d.doc_id NOT IN (SELECT doc_id FROM lm_losers)),
+fp AS (SELECT doc_id, md5(regexp_replace(trim(text), ' +', ' ', 'g'))
+              AS doc_fp
+       FROM kept_q),
+canon AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY doc_fp),
+surv AS (SELECT doc_id FROM fp WHERE doc_id IN (SELECT doc_id FROM canon)),
+all_pairs AS ({lsh}),
+pairs AS (
+  SELECT d1, d2 FROM all_pairs
+  WHERE d1 IN (SELECT doc_id FROM surv)
+    AND d2 IN (SELECT doc_id FROM surv)
+),
+und AS (SELECT d1 AS s, d2 AS t FROM pairs UNION SELECT d2, d1 FROM pairs),
+nodes AS (SELECT DISTINCT s AS node FROM und),
+walk(node, reach) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT w.node, u.t FROM walk w JOIN und u ON u.s = w.reach
+),
+cc AS (SELECT node, MIN(reach) AS comp FROM walk GROUP BY node),
+near_losers AS (SELECT node AS doc_id FROM cc WHERE node <> comp)
+SELECT d.doc_id,
+       CASE WHEN NOT q.keep THEN 'quality:' || q.reasons
+            WHEN d.doc_id IN (SELECT doc_id FROM lm_losers) THEN 'lm_nll'
+            WHEN d.doc_id NOT IN (SELECT doc_id FROM surv) THEN 'exact_dup'
+            WHEN d.doc_id IN (SELECT doc_id FROM near_losers) THEN 'near_dup'
+            ELSE 'kept' END AS stage
+FROM {retained} d JOIN q USING (doc_id)
+"""
+
+
+Q_DROP_REASONS_RETRACT_SQL = _drop_reasons_retract_sql()
+
+
+# --------------------------------------------------------------------------
 # KMV distinct sketch (operators/sketch.py): estimated distinct users
 # per event type — the deterministic, mergeable alternative to HLL whose
 # estimate the DuckDB oracle reproduces bit-for-bit (HLL register
@@ -2586,6 +2816,7 @@ QUERIES = {
     "q_quality_filter": q_quality_filter,
     "q_ann_recall": q_ann_recall,
     "q_multimodal_dedup": q_multimodal_dedup,
+    "q_image_neardup": q_image_neardup,
     "q_token_rarity": q_token_rarity,
     "q_mix_temperature": q_mix_temperature,
     "q_ngram_novelty": q_ngram_novelty,
@@ -2606,6 +2837,9 @@ QUERIES = {
     "q_grouped_topk": q_grouped_topk,
     "q_drop_reasons": q_drop_reasons,
     "q_drop_reasons_served": q_drop_reasons_served,
+    "q_dedup_keep_retract": q_dedup_keep_retract,
+    "q_bm25_retract": q_bm25_retract,
+    "q_drop_reasons_retract": q_drop_reasons_retract,
     "q_length_batches": q_length_batches,
     "q_lm_perplexity": q_lm_perplexity,
     "q_chunk_dedup": q_chunk_dedup,
@@ -2670,6 +2904,9 @@ ORACLE = {
     "q_grouped_topk": Q_GROUPED_TOPK_SQL,
     "q_drop_reasons": Q_DROP_REASONS_SQL,
     "q_drop_reasons_served": Q_DROP_REASONS_SQL,
+    "q_dedup_keep_retract": Q_DEDUP_KEEP_RETRACT_SQL,
+    "q_bm25_retract": Q_BM25_RETRACT_SQL,
+    "q_drop_reasons_retract": Q_DROP_REASONS_RETRACT_SQL,
     "q_length_batches": Q_LENGTH_BATCHES_SQL,
     "q_lm_perplexity": Q_LM_PERPLEXITY_SQL,
     "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,

@@ -194,7 +194,18 @@ class BM25IndexSink(ParquetUpsertSink):
     Documents are immutable once indexed (re-sent doc_ids are dropped —
     the ingest-idempotence stance); postings for a batch are therefore
     pure appends, and all three tables swap together so postings,
-    lengths, and stats always describe the same corpus."""
+    lengths, and stats always describe the same corpus.
+
+    Retractions (round 8): a batch may be a Z-set (rows carrying
+    operators/ivm.py MULT, -1 = delete).  A deleted doc's postings and
+    doclens rows cancel exactly — counting IVM's consolidation, where
+    every (term, doc, tf) row at +1 meets its -1 and drops to zero —
+    expressed as keyed anti-joins; n_docs/avgdl then recompute from the
+    consolidated doclens, so idf DECREMENTS.  Deleting and re-inserting
+    a doc in later batches works (the idempotence gate checks the
+    CURRENT doclens, which no longer holds the deleted id); the
+    maintained index always equals a fresh build over exactly the
+    retained docs (q_bm25_retract's oracle recomputes that)."""
 
     def __init__(self, target: str, id_col: str = "doc_id", text_col: str = "text"):
         super().__init__(target, key=[id_col])
@@ -217,8 +228,17 @@ class BM25IndexSink(ParquetUpsertSink):
             self._record(batch_id, marker["n_rows"])
             return
         spark = batch_df.sparkSession
-        batch = batch_df.dropDuplicates([self.id_col])
+        from vcf_pg_loader_spark.streaming.retract import split_zset
+
+        batch, dels = split_zset(batch_df, self.id_col)
+        batch = batch.dropDuplicates([self.id_col])
+        old_tf_all = self._table(spark, "postings")
         old_dl = self._table(spark, "doclens")
+        if old_dl is not None:
+            # retraction = consolidation: the doc's rows cancel out
+            del_ids = dels.select(F.col(self.id_col).alias("doc_id"))
+            old_tf_all = old_tf_all.join(del_ids, "doc_id", "left_anti")
+            old_dl = old_dl.join(del_ids, "doc_id", "left_anti")
         if old_dl is not None:
             batch = batch.join(
                 old_dl.select(F.col("doc_id").alias(self.id_col)),
@@ -243,7 +263,7 @@ class BM25IndexSink(ParquetUpsertSink):
             "doc_id",
             "left",
         ).select("doc_id", F.coalesce("dl", F.lit(0).cast("bigint")).alias("dl"))
-        old_tf = self._table(spark, "postings")
+        old_tf = old_tf_all
         new_tf = tf if old_tf is None else old_tf.unionByName(tf)
         new_dl = dl if old_dl is None else old_dl.unionByName(dl)
         # n_docs over every doc; avgdl over tokenized docs only — the

@@ -1,0 +1,413 @@
+"""Retraction-aware maintenance of the served structures: the takedown /
+GDPR-delete path every 100 TB corpus operator eventually hits, wired
+through the Z-set algebra (operators/ivm.py) so a delete batch updates
+the persisted state INCREMENTALLY — never a full rebuild of the
+expensive stages (shingling, MinHash banding, Jaccard verification,
+LM training).
+
+Batches are Z-sets: document rows carrying ivm.MULT (+1 insert, -1
+retraction).  `split_zset` consolidates a batch (duplicate +/- rows for
+the same tuple cancel) and splits it into the insert frame and the
+deleted-id frame; a plain frame without MULT is an insert-only batch,
+so every sink here is a drop-in upgrade of its insert-only sibling.
+
+Why deletions are cheap here and not in the original stores:
+
+* DedupClusterMaintSink keeps the verified PAIR set (the near-dup edge
+  list) beside the cluster labels.  Labels alone cannot survive a
+  deletion — removing a cut vertex SPLITS its component, and (node,
+  comp) has forgotten which edges existed.  The pair set remembers:
+  delete = drop incident edges + re-run connected components over the
+  remaining PAIRS (a table of dup edges only — tiny next to the
+  corpus; the LSH/shingle machinery never re-runs).  Correctness rests
+  on the restriction property the batch pipeline already relies on:
+  LSH banding is per-doc and Jaccard verification is per-pair, so the
+  verified pairs over any retained subset equal the full pair set
+  restricted to that subset.  (Reference analogue: delete-by-batch
+  reload semantics, vcf-pg-loader loader.py — delete then reinsert —
+  done here without recomputing the surviving rows' structures.)
+
+* FunnelReportSink decomposes the drop-attribution report
+  (queries/pipeline.py q_drop_reasons) into its per-doc state tables —
+  quality verdicts, frozen-LM scores, content fingerprints, LSH bands,
+  verified pairs — each maintained under inserts AND deletes by keyed
+  anti-join/union, then re-derives the stage labels with joins and
+  aggregations only.  The expensive per-doc work (tokenize, shingle,
+  band, verify) happens exactly once per document, at arrival.  The
+  LM gate scores under the model FROZEN at bootstrap (the CCNet
+  deployment shape; same frozen-parameter stance as
+  SemDeDupIngestSink's centroids).
+
+Exactly-once: ledger + in-target batch marker + two-move swap recovery
+inherited from ParquetUpsertSink; all of a sink's state tables swap
+together, so a crash can never leave the pair set and the labels (or
+the report and its inputs) describing different corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vcf_pg_loader_spark.operators import dedup as D
+from vcf_pg_loader_spark.operators.ivm import MULT, zset_normalize
+from vcf_pg_loader_spark.operators.text import fingerprint
+from vcf_pg_loader_spark.streaming.sink import ParquetUpsertSink
+
+
+def split_zset(
+    batch: DataFrame, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(inserts-without-MULT, deleted-ids) from a Z-set batch.  The
+    batch is consolidated first, so an insert and a retraction of the
+    same tuple within one batch cancel to a no-op.  A batch without a
+    MULT column is all inserts."""
+    if MULT not in batch.columns:
+        return batch, batch.sparkSession.createDataFrame(
+            [], f"{id_col} long"
+        )
+    z = zset_normalize(batch)
+    ins = z.filter(F.col(MULT) > 0).drop(MULT)
+    dels = z.filter(F.col(MULT) < 0).select(id_col)
+    return ins, dels
+
+
+def _without(
+    table: DataFrame | None, ids: DataFrame, id_col: str
+) -> DataFrame | None:
+    if table is None:
+        return None
+    return table.join(
+        ids.withColumnRenamed(ids.columns[0], id_col), id_col, "left_anti"
+    )
+
+
+def _edges_without(pairs: DataFrame | None, ids: DataFrame) -> DataFrame | None:
+    """Drop edges incident to any deleted/re-inserted id."""
+    if pairs is None:
+        return None
+    return pairs.join(
+        ids.withColumnRenamed(ids.columns[0], "d1"), "d1", "left_anti"
+    ).join(ids.withColumnRenamed(ids.columns[0], "d2"), "d2", "left_anti")
+
+
+class DedupClusterMaintSink(ParquetUpsertSink):
+    """Maintained near-dup cluster store under interleaved inserts and
+    retractions — the Z-set completion of DedupClusterStore (which
+    serves a cluster table built once) and NearDupIngestSink (which
+    gates admission under inserts only).
+
+    State, one swap-atomic directory:
+
+      corpus/   (doc_id, text)               — current documents
+      bands/    (doc_id, band_id, band_key)  — their LSH index
+      pairs/    (d1, d2)                     — verified near-dup edges,
+                                               d1 < d2
+      clusters/ (node, comp)                 — connected components of
+                                               pairs/
+
+    Insert cost: batch shingling + band equi-join against the persisted
+    index + Jaccard on colliding pairs only.  Delete cost: keyed
+    anti-joins + one CC over the (small) pair table.  Neither re-scans
+    the corpus; the maintained `clusters/` always equals a batch LSH+CC
+    run over exactly the current corpus, which is what the
+    q_dedup_keep_retract oracle recomputes."""
+
+    def __init__(
+        self,
+        target: str,
+        ngram: int = 3,
+        k: int = 8,
+        bands: int = 4,
+        threshold: float = 0.8,
+    ):
+        super().__init__(target, key=["doc_id"])
+        self.ngram = ngram
+        self.k = k
+        self.bands = bands
+        self.threshold = threshold
+
+    # -- serve ----------------------------------------------------------
+    def keep(self, spark) -> DataFrame:
+        """Keep-decision over the current corpus: one anti-join against
+        the maintained loser set (DedupClusterStore.serve_keep shape)."""
+        corpus = self._table(spark, "corpus")
+        cc = self._table(spark, "clusters")
+        ids = corpus.select("doc_id")
+        if cc is None:
+            return ids
+        return D.keep_canonical(ids, cc, "doc_id")
+
+    # -- maintenance -----------------------------------------------------
+    def _new_pairs(
+        self, ins: DataFrame, corpus_old: DataFrame | None,
+        bands_old: DataFrame | None,
+    ) -> tuple[DataFrame, DataFrame]:
+        """(band rows for `ins`, verified pairs touching `ins`): the
+        arriving docs shingle once; cross pairs come from colliding the
+        new band rows with the persisted index, intra-batch pairs from
+        the batch's own LSH — both verified with exact Jaccard over the
+        colliding docs' shingles only."""
+        from pyspark.storagelevel import StorageLevel
+
+        sh_new = D.shingles(ins, "doc_id", "text", self.ngram).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            sig = D.minhash_signatures(sh_new, self.k)
+            bands_new = D.lsh_band_table(sig, self.k, self.bands)
+            cand = D.lsh_candidate_pairs(sig, self.k, self.bands)
+            sh_all = sh_new
+            if bands_old is not None and corpus_old is not None:
+                cross = (
+                    bands_new.alias("n")
+                    .join(
+                        bands_old.alias("o"),
+                        (F.col("n.band_id") == F.col("o.band_id"))
+                        & (F.col("n.band_key") == F.col("o.band_key")),
+                    )
+                    .select(
+                        F.col("o.doc_id").alias("d1"),
+                        F.col("n.doc_id").alias("d2"),
+                    )
+                    .distinct()
+                )
+                old_hit = corpus_old.join(
+                    cross.select(F.col("d1").alias("doc_id")).distinct(),
+                    "doc_id",
+                    "left_semi",
+                )
+                sh_all = sh_new.unionByName(
+                    D.shingles(old_hit, "doc_id", "text", self.ngram)
+                )
+                cand = cand.unionByName(cross)
+            verified = D.verify_candidate_jaccard(
+                cand, sh_all, self.threshold
+            ).select(
+                F.least("d1", "d2").alias("d1"),
+                F.greatest("d1", "d2").alias("d2"),
+            ).distinct()
+            return bands_new, verified
+        finally:
+            sh_new.unpersist()
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.applied(batch_id):
+            return
+        self._recover()
+        marker = self._read_marker()
+        if marker is not None and marker["batch_id"] == batch_id:
+            self._record(batch_id, marker["n_rows"])
+            return
+        spark = batch_df.sparkSession
+        # consolidate BEFORE keyed dedup: an insert and a retraction of
+        # the same doc in one batch must cancel, not race
+        ins, dels = split_zset(batch_df, "doc_id")
+        ins = ins.dropDuplicates(["doc_id"])
+        # touched ids leave every table first: deletions permanently,
+        # re-inserts so their state rebuilds from the arriving text
+        touched = dels.unionByName(ins.select("doc_id")).distinct()
+        corpus_old = _without(self._table(spark, "corpus"), touched, "doc_id")
+        bands_old = _without(self._table(spark, "bands"), touched, "doc_id")
+        pairs_old = _edges_without(self._table(spark, "pairs"), touched)
+
+        bands_new, pairs_new = self._new_pairs(
+            ins.select("doc_id", "text"), corpus_old, bands_old
+        )
+        corpus = (
+            ins.select("doc_id", "text")
+            if corpus_old is None
+            else corpus_old.unionByName(ins.select("doc_id", "text"))
+        )
+        bands = (
+            bands_new if bands_old is None
+            else bands_old.unionByName(bands_new)
+        )
+        pairs = (
+            pairs_new if pairs_old is None
+            else pairs_old.unionByName(pairs_new).distinct()
+        )
+        clusters = D.connected_components(pairs, "d1", "d2")
+        n = self._swap_in_frames(
+            {
+                "corpus": corpus,
+                "bands": bands,
+                "pairs": pairs,
+                "clusters": clusters,
+            },
+            batch_id,
+            count_table="corpus",
+        )
+        self._record(batch_id, n)
+
+
+class FunnelReportSink(ParquetUpsertSink):
+    """Maintained drop-attribution report (q_drop_reasons' stage table)
+    under interleaved inserts and retractions.
+
+    State, one swap-atomic directory:
+
+      lm_c12/, lm_c1/, lm_v/  — the bigram LM, trained on the FIRST
+                                batch and frozen (operators/lm.py
+                                bigram_model); later arrivals score
+                                under it via doc_nll_frozen
+      qual/   (doc_id, keep, reasons) — quality verdicts, all current
+                                docs
+      lml/    (doc_id)        — LM-gate losers among quality survivors
+      corpus/ (doc_id, text)  — quality+LM survivors (their text feeds
+                                Jaccard verification of later arrivals)
+      fp/     (doc_id, doc_fp)— their content fingerprints
+      bands/, pairs/          — their LSH index and verified near-dup
+                                edges (DedupClusterMaintSink shapes)
+      report/ (doc_id, stage) — the served attribution table
+
+    Per batch, the expensive per-doc work (quality metrics, LM scoring,
+    fingerprint, shingle+band+verify) runs on the ARRIVING docs only;
+    deletions are keyed anti-joins.  The report then re-derives from
+    state with joins and two aggregations (min-id per fingerprint for
+    exact-dup canon election — deletions re-elect automatically — and
+    connected components over the maintained pair set restricted to the
+    exact survivors).  The q_drop_reasons_retract oracle recomputes the
+    whole funnel over the retained rows and matches value-exactly."""
+
+    def __init__(
+        self,
+        target: str,
+        nll_max: float,
+        ngram: int = 3,
+        k: int = 8,
+        bands: int = 4,
+        threshold: float = 0.8,
+    ):
+        super().__init__(target, key=["doc_id"])
+        self.nll_max = nll_max
+        self.ngram = ngram
+        self.k = k
+        self.bands = bands
+        self.threshold = threshold
+        self._pair_maker = DedupClusterMaintSink(
+            target, ngram, k, bands, threshold
+        )
+
+    # -- serve ----------------------------------------------------------
+    def report(self, spark) -> DataFrame:
+        return self._table(spark, "report")
+
+    # -- maintenance -----------------------------------------------------
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from vcf_pg_loader_spark.operators.lm import (
+            bigram_model,
+            doc_nll_frozen,
+        )
+        from vcf_pg_loader_spark.queries.pipeline import quality_verdict
+
+        if self.applied(batch_id):
+            return
+        self._recover()
+        marker = self._read_marker()
+        if marker is not None and marker["batch_id"] == batch_id:
+            self._record(batch_id, marker["n_rows"])
+            return
+        spark = batch_df.sparkSession
+        # consolidate BEFORE keyed dedup: an insert and a retraction of
+        # the same doc in one batch must cancel, not race
+        ins, dels = split_zset(batch_df, "doc_id")
+        ins = ins.dropDuplicates(["doc_id"])
+        touched = dels.unionByName(ins.select("doc_id")).distinct()
+
+        c12 = self._table(spark, "lm_c12")
+        if c12 is None:
+            # bootstrap: the first batch trains the frozen gate model
+            c12, c1, vocab = bigram_model(ins)
+        else:
+            c1 = self._table(spark, "lm_c1")
+            vocab = self._table(spark, "lm_v")
+
+        qual_new = quality_verdict(ins)
+        kept_q_new = ins.join(
+            qual_new.filter(F.col("keep")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        lml_new = (
+            doc_nll_frozen(kept_q_new, c12, c1, vocab)
+            .filter(F.col("nll") > self.nll_max)
+            .select("doc_id")
+        )
+        kept_new = kept_q_new.join(lml_new, "doc_id", "left_anti").select(
+            "doc_id", "text"
+        )
+
+        qual = _without(self._table(spark, "qual"), touched, "doc_id")
+        qual = qual_new if qual is None else qual.unionByName(qual_new)
+        lml = _without(self._table(spark, "lml"), touched, "doc_id")
+        lml = lml_new if lml is None else lml.unionByName(lml_new)
+
+        corpus_old = _without(self._table(spark, "corpus"), touched, "doc_id")
+        bands_old = _without(self._table(spark, "bands"), touched, "doc_id")
+        pairs_old = _edges_without(self._table(spark, "pairs"), touched)
+        bands_new, pairs_new = self._pair_maker._new_pairs(
+            kept_new, corpus_old, bands_old
+        )
+        corpus = (
+            kept_new if corpus_old is None
+            else corpus_old.unionByName(kept_new)
+        )
+        bands = (
+            bands_new if bands_old is None
+            else bands_old.unionByName(bands_new)
+        )
+        pairs = (
+            pairs_new if pairs_old is None
+            else pairs_old.unionByName(pairs_new).distinct()
+        )
+        fp_new = fingerprint(kept_new).select("doc_id", "doc_fp")
+        fp = _without(self._table(spark, "fp"), touched, "doc_id")
+        fp = fp_new if fp is None else fp.unionByName(fp_new)
+
+        # -- re-derive the stage labels from state (joins + aggs only) --
+        canon = fp.groupBy("doc_fp").agg(F.min("doc_id").alias("doc_id"))
+        surv = fp.join(canon.select("doc_id"), "doc_id", "left_semi").select(
+            "doc_id"
+        )
+        surv_pairs = pairs.join(
+            surv.withColumnRenamed("doc_id", "d1"), "d1", "left_semi"
+        ).join(surv.withColumnRenamed("doc_id", "d2"), "d2", "left_semi")
+        cc = D.connected_components(surv_pairs, "d1", "d2")
+        near_losers = cc.where(F.col("node") != F.col("comp")).select(
+            F.col("node").alias("doc_id")
+        )
+        stage = (
+            F.when(
+                ~F.col("keep"), F.concat(F.lit("quality:"), F.col("reasons"))
+            )
+            .when(F.col("_lm").isNotNull(), F.lit("lm_nll"))
+            .when(F.col("_exact").isNull(), F.lit("exact_dup"))
+            .when(F.col("_near").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+        )
+        report = (
+            qual.join(lml.withColumn("_lm", F.lit(1)), "doc_id", "left")
+            .join(surv.withColumn("_exact", F.lit(1)), "doc_id", "left")
+            .join(
+                near_losers.withColumn("_near", F.lit(1)), "doc_id", "left"
+            )
+            .select("doc_id", stage.alias("stage"))
+        )
+        n = self._swap_in_frames(
+            {
+                "lm_c12": c12,
+                "lm_c1": c1,
+                "lm_v": vocab,
+                "qual": qual,
+                "lml": lml,
+                "corpus": corpus,
+                "fp": fp,
+                "bands": bands,
+                "pairs": pairs,
+                "report": report,
+            },
+            batch_id,
+            count_table="report",
+        )
+        self._record(batch_id, n)
