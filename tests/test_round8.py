@@ -563,3 +563,66 @@ class TestCountedAggIVM:
             "o_orderkey", ["o_orderpriority"], "l_quantity",
         )
         assert agg2.count() == 0  # every LOW row retracted -> no groups
+
+
+class TestProgressiveJpeg:
+    """Round-8 stretch item: SOF2 progressive decode (T.81 Annex G),
+    proven by round-trip against the repo's own progressive encoder —
+    DC first + DC refinement + banded AC first + AC refinement scans,
+    exercising EOB-runs, ZRL runs, and correction-bit interleaving."""
+
+    def test_roundtrip_within_idct_rounding(self):
+        from vcf_pg_loader_spark.operators._jpeg import (
+            decode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        for seed in range(4):
+            rng = np.random.default_rng(seed)
+            img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+            dec = decode_jpeg(encode_jpeg_progressive(img))
+            assert dec.shape == img.shape
+            err = int(np.max(np.abs(dec.astype(int) - img.astype(int))))
+            assert err <= 2  # same bound as the baseline round-trip
+
+    def test_progressive_matches_baseline_decode(self):
+        """Both codec paths reconstruct the SAME pixels (both carry the
+        identical all-ones-quantized coefficients)."""
+        from vcf_pg_loader_spark.operators._jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(42)
+        img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        seq = decode_jpeg(encode_jpeg(img, "4:4:4"))
+        prog = decode_jpeg(encode_jpeg_progressive(img))
+        assert np.array_equal(seq, prog)
+
+    def test_decode_seam_gets_real_progressive_pixels(self):
+        """The multimodal seam now decodes progressive JPEG for real
+        (previously: PIL fallback or the deterministic 8x8 fake)."""
+        from vcf_pg_loader_spark.operators._jpeg import (
+            encode_jpeg_progressive,
+        )
+        from vcf_pg_loader_spark.operators.multimodal import _decode_image
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        out = _decode_image(encode_jpeg_progressive(img))
+        assert out.shape == img.shape
+        assert int(np.max(np.abs(out.astype(int) - img.astype(int)))) <= 2
+
+    def test_truncated_progressive_raises_valueerror(self):
+        from vcf_pg_loader_spark.operators._jpeg import (
+            decode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        enc = encode_jpeg_progressive(img)
+        for cut in (len(enc) // 3, len(enc) // 2, len(enc) - 10):
+            with pytest.raises(ValueError):
+                decode_jpeg(enc[:cut] )

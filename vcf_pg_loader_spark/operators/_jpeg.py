@@ -1,10 +1,12 @@
 """Pure-Python baseline JPEG codec (ITU-T T.81): a real pixel decode for
 the multimodal seam with zero dependencies beyond numpy.
 
-Decoder (`decode_jpeg`): baseline + extended-sequential DCT, Huffman
-entropy coding, 8-bit precision, grayscale or YCbCr with any sampling
-factors whose ratios divide (4:4:4, 4:2:2, 4:2:0), restart intervals.
-Progressive (SOF2), arithmetic coding, and 12-bit scans raise
+Decoder (`decode_jpeg`): baseline + extended-sequential DCT AND
+progressive DCT (SOF2, round 8 — spectral selection, successive
+approximation with EOB-run and refinement-bit coding, T.81 Annex G),
+Huffman entropy coding, 8-bit precision, grayscale or YCbCr with any
+sampling factors whose ratios divide (4:4:4, 4:2:2, 4:2:0), restart
+intervals.  Arithmetic coding, lossless, and 12-bit scans raise
 ValueError so the caller's seam can fall through to PIL when present.
 This is what makes MJPEG *video* features real-pixel-derived in this
 container: operators/multimodal.py extracts real frames and previously
@@ -195,6 +197,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None  # (h, w, [(comp_id, hs, vs, tq)])
+    progressive = False
     restart_interval = 0
     i = 2
     while i < len(data):
@@ -231,7 +234,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 htables[(tc, th)] = _build_decode_table(counts, symbols)
                 p += 17 + nsym
             i += seg_len
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: sequential DCT
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive DCT
             precision = seg[0]
             if precision != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
@@ -242,16 +245,23 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
+            progressive = marker == 0xC2
             i += seg_len
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: non-baseline SOF not supported")
+            raise ValueError("jpeg: lossless/arithmetic SOF not supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
             i += seg_len
         elif marker == 0xDA:  # SOS — decode the scan
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
+            if progressive:
+                # hand the whole remaining stream (this SOS included) to
+                # the multi-scan progressive decoder
+                return _decode_progressive(
+                    data, i - 2, frame, qtables, htables, restart_interval
+                )
             ns = seg[0]
             scan_tabs = {}
             for c in range(ns):
@@ -315,7 +325,15 @@ def _decode_scan(
                     x0 = (mx * hs + bx) * 8
                     planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
 
-    # level shift, upsample each component to full MCU-grid resolution
+    return _finish_image(frame, planes)
+
+
+def _finish_image(frame, planes) -> np.ndarray:
+    """Level shift, upsample to full resolution, color-transform — the
+    shared reconstruction tail of the sequential and progressive paths."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     full = []
     for cid, hs, vs, _tq in comps:
         p = planes[cid] + 128.0
@@ -495,4 +513,476 @@ def encode_jpeg(
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive DCT (SOF2) — T.81 Annex G, Huffman entropy coding.
+#
+# A progressive stream carries the SAME quantized coefficients as a
+# sequential one, split across multiple SOS scans: spectral selection
+# (each scan covers a zigzag band [Ss, Se]) and successive approximation
+# (a first pass sends coefficients at reduced precision — point
+# transform by Al — and refinement passes restore one bit each, Ah ->
+# Al).  Decoding therefore accumulates INTEGER coefficients per block
+# across scans (zigzag order), and only after EOI dequantizes + IDCTs.
+# DC scans may be interleaved (all components, MCU order); AC scans are
+# always single-component in block-raster order over the component's
+# OWN block grid (T.81 G.1.1.1.1), with EOB-run coding across blocks.
+# ---------------------------------------------------------------------------
+def _decode_progressive(
+    data: bytes, i: int, frame, qtables, htables, restart_interval
+) -> np.ndarray:
+    h, w, comps = frame
+    for cid, hs, vs, tq in comps:
+        if hs < 1 or vs < 1:
+            raise ValueError("jpeg: zero sampling factor in SOF")
+        if tq not in qtables:
+            raise ValueError(f"jpeg: SOF references undefined DQT {tq}")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    coeff: dict[int, np.ndarray] = {}
+    geom: dict[int, tuple] = {}
+    for cid, hs, vs, tq in comps:
+        bw_pad, bh_pad = mcus_x * hs, mcus_y * vs
+        bw_dat = -(-(-(-w * hs // hmax)) // 8)
+        bh_dat = -(-(-(-h * vs // vmax)) // 8)
+        coeff[cid] = np.zeros((bh_pad, bw_pad, 64), dtype=np.int32)
+        geom[cid] = (hs, vs, tq, bw_dat, bh_dat)
+
+    saw_scan = False
+    while i < len(data):
+        if data[i] != 0xFF:
+            raise ValueError("jpeg: marker expected")
+        marker = data[i + 1]
+        i += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (seg_len,) = struct.unpack(">H", data[i : i + 2])
+        seg = data[i + 2 : i + seg_len]
+        if marker == 0xDB:  # tables may refresh between scans
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    qt = np.frombuffer(seg[p : p + 64], dtype=np.uint8)
+                    p += 64
+                else:
+                    qt = np.frombuffer(seg[p : p + 128], dtype=">u2")
+                    p += 128
+                qtables[tq] = qt.astype(np.float64)
+            i += seg_len
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                counts = list(seg[p + 1 : p + 17])
+                nsym = sum(counts)
+                symbols = list(seg[p + 17 : p + 17 + nsym])
+                htables[(tc, th)] = _build_decode_table(counts, symbols)
+                p += 17 + nsym
+            i += seg_len
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+            i += seg_len
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan_comps = []  # [(cid, td, ta)]
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c : 3 + 2 * c]
+                scan_comps.append((cid, tt >> 4, tt & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            i += seg_len
+            segments, i = _split_entropy_segments(data, i)
+            _progressive_scan(
+                coeff, geom, comps, scan_comps, htables, segments,
+                restart_interval, ss, se, ah, al, mcus_x, mcus_y,
+            )
+            saw_scan = True
+        else:
+            i += seg_len
+    if not saw_scan:
+        raise ValueError("jpeg: no scan found")
+
+    # dequantize + IDCT every (padded-grid) block, vectorized per comp
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        qt = qtables[tq]
+        zz = coeff[cid].astype(np.float64) * qt  # (bh, bw, 64) zigzag
+        nat = np.zeros_like(zz)
+        nat[:, :, _ZIGZAG] = zz  # de-zigzag into natural order
+        bh, bwid = nat.shape[0], nat.shape[1]
+        blocks = nat.reshape(bh, bwid, 8, 8)
+        spatial = np.einsum("ab,ijbc,dc->ijad", _A, blocks, _A)
+        planes[cid] = (
+            spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bwid * 8)
+        )
+    return _finish_image(frame, planes)
+
+
+def _progressive_scan(
+    coeff, geom, comps, scan_comps, htables, segments, restart_interval,
+    ss, se, ah, al, mcus_x, mcus_y,
+) -> None:
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("jpeg: DC scan with Se != 0")
+        _dc_scan(
+            coeff, geom, comps, scan_comps, htables, segments,
+            restart_interval, ah, al, mcus_x, mcus_y,
+        )
+        return
+    if len(scan_comps) != 1:
+        raise ValueError("jpeg: AC scan must be single-component")
+    if se > 63 or ss > se:
+        raise ValueError("jpeg: bad spectral band")
+    cid, _td, ta = scan_comps[0]
+    if (1, ta) not in htables:
+        raise ValueError("jpeg: SOS references undefined AC DHT")
+    ac_tab = htables[(1, ta)]
+    _hs, _vs, _tq, bw_dat, bh_dat = geom[cid]
+    arr = coeff[cid]
+    bits = _BitReader(segments[0])
+    seg_idx = 0
+    eobrun = 0
+    unit = 0
+    for by in range(bh_dat):
+        for bx in range(bw_dat):
+            if restart_interval and unit and unit % restart_interval == 0:
+                seg_idx += 1
+                bits = _BitReader(segments[seg_idx])
+                eobrun = 0
+            blk = arr[by, bx]
+            if ah == 0:
+                eobrun = _ac_first_block(bits, ac_tab, blk, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(bits, ac_tab, blk, ss, se, al, eobrun)
+            unit += 1
+
+
+def _dc_scan(
+    coeff, geom, comps, scan_comps, htables, segments, restart_interval,
+    ah, al, mcus_x, mcus_y,
+) -> None:
+    scan_ids = [sc[0] for sc in scan_comps]
+    tabs = {}
+    if ah == 0:
+        for cid, td, _ta in scan_comps:
+            if (0, td) not in htables:
+                raise ValueError("jpeg: SOS references undefined DC DHT")
+            tabs[cid] = htables[(0, td)]
+    preds = {cid: 0 for cid in scan_ids}
+    bits = _BitReader(segments[0])
+    seg_idx = 0
+
+    def one_block(cid, by, bx):
+        blk = coeff[cid][by, bx]
+        if ah == 0:
+            t = bits.decode(tabs[cid])
+            preds[cid] += _extend(bits.read_bits(t), t)
+            blk[0] = preds[cid] << al
+        else:  # refinement: one raw bit restores the next precision bit
+            if bits.read_bit():
+                blk[0] = int(blk[0]) | (1 << al)
+
+    if len(scan_comps) > 1:  # interleaved, MCU order, padded grid
+        unit = 0
+        by_comp = {c[0]: c for c in comps}
+        for m in range(mcus_x * mcus_y):
+            if restart_interval and unit and unit % restart_interval == 0:
+                seg_idx += 1
+                bits = _BitReader(segments[seg_idx])
+                for cid in preds:
+                    preds[cid] = 0
+            my, mx = divmod(m, mcus_x)
+            for cid in scan_ids:
+                _c, hs, vs, _tq = by_comp[cid]
+                for by in range(vs):
+                    for bx in range(hs):
+                        one_block(cid, my * vs + by, mx * hs + bx)
+            unit += 1
+    else:  # single component: non-interleaved raster over its own grid
+        cid = scan_ids[0]
+        _hs, _vs, _tq, bw_dat, bh_dat = geom[cid]
+        unit = 0
+        for by in range(bh_dat):
+            for bx in range(bw_dat):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    seg_idx += 1
+                    bits = _BitReader(segments[seg_idx])
+                    preds[cid] = 0
+                one_block(cid, by, bx)
+                unit += 1
+
+
+def _ac_first_block(bits, ac_tab, blk, ss, se, al, eobrun) -> int:
+    """First (Ah=0) AC pass for one block: T.81 G.1.2.2 — run/size with
+    EOB-run coding; values enter at magnitude << Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = bits.decode(ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += bits.read_bits(r)
+                return eobrun
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("jpeg: AC index out of band")
+            blk[k] = _extend(bits.read_bits(s), s) * (1 << al)
+            k += 1
+    return 0
+
+
+def _ac_refine_block(bits, ac_tab, blk, ss, se, al, eobrun) -> int:
+    """Refinement (Ah>0) AC pass for one block: T.81 G.1.2.3 — each
+    already-nonzero coefficient gets a correction bit; newly-nonzero
+    coefficients arrive as ±1 << Al positioned by runs counted over
+    ZERO-HISTORY coefficients only."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    in_eob = eobrun > 0  # this block is covered by a previous EOB run
+    if in_eob:
+        eobrun -= 1
+    else:
+        while k <= se:
+            rs = bits.decode(ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    # EOB run INCLUDES this block; the stored count
+                    # excludes it, and this block still owes the
+                    # correction bits for the rest of its band
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += bits.read_bits(r)
+                    in_eob = True
+                    break
+                # r == 15: a run of 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("jpeg: bad refinement size")
+                val = p1 if bits.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if bits.read_bit() and (abs(int(blk[k])) & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val != 0:
+                if k > se:
+                    raise ValueError("jpeg: refinement position out of band")
+                blk[k] = val
+            k += 1
+    if in_eob:
+        while k <= se:
+            if blk[k] != 0:
+                if bits.read_bit() and (abs(int(blk[k])) & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+    return eobrun
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder — fixture generator proving the SOF2 decoder by
+# round-trip, exactly as encode_jpeg proves the baseline decoder.  Emits
+# the full feature surface: interleaved DC first pass at Al=1 + DC
+# refinement, per-component AC first passes over two spectral bands at
+# Al=1 (EOB-runs, ZRL), then AC refinement passes (correction bits,
+# newly-nonzero insertion) — T.81 Annex G encoding procedures.
+# ---------------------------------------------------------------------------
+def _ac_point(v: int, al: int) -> int:
+    """AC point transform: magnitude shift, truncation toward zero
+    (G.1.2.2 — unlike DC, which arithmetic-shifts)."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def _encode_dc_first(bw: _BitWriter, t_val: int, pred: int) -> int:
+    diff = t_val - pred
+    t = _category(diff)
+    length, code = _DC_ENC[t]
+    bw.write(code, length)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    return t_val
+
+
+def _encode_ac_first_block(bw: _BitWriter, zz, ss: int, se: int, al: int) -> None:
+    run = 0
+    for k in range(ss, se + 1):
+        v = _ac_point(int(zz[k]), al)
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = _AC_ENC[0xF0]
+            bw.write(code, length)
+            run -= 16
+        s = _category(v)
+        length, code = _AC_ENC[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        length, code = _AC_ENC[0x00]  # EOB (run length 1, no extra bits)
+        bw.write(code, length)
+
+
+def _encode_ac_refine_block(bw: _BitWriter, zz, ss: int, se: int, al: int) -> None:
+    """Exact mirror of _ac_refine_block's walk structure: after every
+    emitted symbol come the correction bits for the nonzero-HISTORY
+    positions that symbol's advance walk passes, in position order —
+    a ZRL's walk spans exactly 16 zero-history positions, a (r,1)'s
+    walk spans its r zero-history positions up to the placement, and
+    the closing EOB's span is the rest of the band."""
+    t_now = [_ac_point(int(zz[k]), al) for k in range(ss, se + 1)]
+    t_prev = [_ac_point(int(zz[k]), al + 1) for k in range(ss, se + 1)]
+    n = len(t_now)
+
+    def corr(j: int) -> int:
+        return abs(t_now[j]) & 1
+
+    cur = 0  # index into the band
+    newly = [j for j in range(n) if t_prev[j] == 0 and t_now[j] != 0]
+    for nj in newly:
+        r = sum(
+            1 for j in range(cur, nj) if t_prev[j] == 0 and t_now[j] == 0
+        )
+        while r > 15:
+            length, code = _AC_ENC[0xF0]
+            bw.write(code, length)
+            zeros = 0
+            while zeros < 16:  # the ZRL walk span
+                if t_prev[cur] != 0:
+                    bw.write(corr(cur), 1)
+                else:
+                    zeros += 1
+                cur += 1
+            r -= 16
+        length, code = _AC_ENC[(r << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if t_now[nj] > 0 else 0, 1)
+        while cur < nj:  # corrections the placement walk passes
+            if t_prev[cur] != 0:
+                bw.write(corr(cur), 1)
+            cur += 1
+        cur = nj + 1
+    if cur < n:  # anything left: EOB, then the rest of the corrections
+        length, code = _AC_ENC[0x00]
+        bw.write(code, length)
+        while cur < n:
+            if t_prev[cur] != 0:
+                bw.write(corr(cur), 1)
+            cur += 1
+
+
+def encode_jpeg_progressive(rgb: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 as progressive JFIF (SOF2), 4:4:4, all-ones
+    quantization; h and w must be multiples of 8.  Scan script:
+      1. DC interleaved, Ah=0 Al=1        4-5. AC 1-5 / 6-63 first, Al=1
+      2. DC refinement,  Ah=1 Al=0        6-7. AC refinements, Ah=1 Al=0
+    (AC scans per component, so 1 DC + 1 DC-refine + 6 AC + 6 AC-refine
+    scans in total for three components.)"""
+    h, w, _ = rgb.shape
+    if h % 8 or w % 8:
+        raise ValueError("jpeg encode: needs multiples of 8")
+    f = rgb.astype(np.float64)
+    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    cb = 128.0 - 0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2]
+    cr = 128.0 + 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2]
+    planes = {1: y, 2: cb, 3: cr}
+    bh, bwid = h // 8, w // 8
+    zz_all = {
+        cid: np.zeros((bh, bwid, 64), dtype=int) for cid in planes
+    }
+    for cid, p in planes.items():
+        for by in range(bh):
+            for bx in range(bwid):
+                block = p[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] - 128.0
+                zz_all[cid][by, bx] = np.rint(_fdct_2d(block)).astype(int).reshape(
+                    -1
+                )[_ZIGZAG]
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([3])
+    for cid in (1, 2, 3):
+        sof += bytes([cid, 0x11, 0])
+    out += _seg(0xC2, bytes(sof))
+    out += _seg(
+        0xC4,
+        bytes([0x00]) + bytes(_DC_COUNTS) + bytes(_DC_SYMBOLS)
+        + bytes([0x10]) + bytes(_AC_COUNTS) + bytes(_AC_SYMBOLS),
+    )
+
+    def sos_header(comps_spec: list[tuple[int, int]], ss, se, ah, al) -> bytes:
+        body = bytes([len(comps_spec)])
+        for cid, tt in comps_spec:
+            body += bytes([cid, tt])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, interleaved, Al=1 (DC point transform is an
+    # arithmetic shift, G.1.2.1)
+    bw = _BitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+    for by in range(bh):
+        for bx in range(bwid):
+            for cid in (1, 2, 3):
+                preds[cid] = _encode_dc_first(
+                    bw, int(zz_all[cid][by, bx, 0]) >> 1, preds[cid]
+                )
+    bw.flush()
+    out += sos_header([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 0, 1)
+    out += bw.out
+
+    # scan 2: DC refinement — one raw bit per block, same MCU order
+    bw = _BitWriter()
+    for by in range(bh):
+        for bx in range(bwid):
+            for cid in (1, 2, 3):
+                bw.write(int(zz_all[cid][by, bx, 0]) & 1, 1)
+    bw.flush()
+    out += sos_header([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0)
+    out += bw.out
+
+    # AC first passes at Al=1, two spectral bands, per component
+    for ss, se in ((1, 5), (6, 63)):
+        for cid in (1, 2, 3):
+            bw = _BitWriter()
+            for by in range(bh):
+                for bx in range(bwid):
+                    _encode_ac_first_block(bw, zz_all[cid][by, bx], ss, se, 1)
+            bw.flush()
+            out += sos_header([(cid, 0x00)], ss, se, 0, 1)
+            out += bw.out
+
+    # AC refinement passes (Ah=1 -> Al=0), same bands, per component
+    for ss, se in ((1, 5), (6, 63)):
+        for cid in (1, 2, 3):
+            bw = _BitWriter()
+            for by in range(bh):
+                for bx in range(bwid):
+                    _encode_ac_refine_block(bw, zz_all[cid][by, bx], ss, se, 0)
+            bw.flush()
+            out += sos_header([(cid, 0x00)], ss, se, 1, 0)
+            out += bw.out
+
+    out += b"\xff\xd9"
     return bytes(out)

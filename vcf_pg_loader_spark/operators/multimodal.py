@@ -12,7 +12,7 @@ dependencies — 8-bit PNG via the pure-stdlib zlib/struct codec
 Huffman+IDCT codec (operators/_jpeg.py — which makes MJPEG video
 features real-pixel-derived too), and PCM WAV via the stdlib
 `wave`/`struct` modules.  PIL / soundfile are OPTIONAL imports that
-extend coverage further (progressive JPEG, WebP, compressed audio)
+extend coverage further (WebP, compressed audio)
 when the cluster image ships them; with neither library nor a
 stdlib-decodable payload, the seams fall back to clearly-marked
 deterministic fakes.  Either way the Spark-side plumbing — schemas,
@@ -104,11 +104,13 @@ def _to_rgb(arr: np.ndarray) -> np.ndarray:
 
 def _decode_image(content: bytes) -> np.ndarray:
     """DECODE SEAM: 8-bit PNG (operators/_png.py — zlib/struct) and
-    baseline/extended-sequential JPEG (operators/_jpeg.py — Huffman +
-    IDCT, incl. 4:2:0/4:2:2 and restart intervals) decode for REAL
+    baseline/extended-sequential AND progressive JPEG
+    (operators/_jpeg.py — Huffman + IDCT, incl. 4:2:0/4:2:2, restart
+    intervals, SOF2 spectral selection + successive approximation,
+    round 8) decode for REAL
     everywhere with zero dependencies — this covers MJPEG video frames
     too, so video features are real-pixel-derived in this container.
-    PIL extends coverage (progressive JPEG, WebP, ...) when available;
+    PIL extends coverage (WebP, ...) when available;
     else the deterministic fake (shape and dtype match a real decode)."""
     from vcf_pg_loader_spark.operators import _jpeg, _png
 
@@ -121,7 +123,7 @@ def _decode_image(content: bytes) -> np.ndarray:
         try:
             return _to_rgb(_jpeg.decode_jpeg(content))
         except ValueError:
-            pass  # progressive/arithmetic: fall through to PIL / the fake
+            pass  # arithmetic/lossless/12-bit: fall through to PIL / the fake
     if HAVE_PIL:
         with _PILImage.open(io.BytesIO(content)) as img:
             return np.asarray(img.convert("RGB"))

@@ -316,7 +316,8 @@ class FunnelReportSink(ParquetUpsertSink):
         touched = dels.unionByName(ins.select("doc_id")).distinct()
 
         c12 = self._table(spark, "lm_c12")
-        if c12 is None:
+        bootstrap = c12 is None
+        if bootstrap:
             # bootstrap: the first batch trains the frozen gate model
             c12, c1, vocab = bigram_model(ins)
         else:
@@ -394,20 +395,22 @@ class FunnelReportSink(ParquetUpsertSink):
             )
             .select("doc_id", stage.alias("stage"))
         )
+        frames = {
+            "qual": qual,
+            "lml": lml,
+            "corpus": corpus,
+            "fp": fp,
+            "bands": bands,
+            "pairs": pairs,
+            "report": report,
+        }
+        keep: list[str] = []
+        if bootstrap:
+            frames.update({"lm_c12": c12, "lm_c1": c1, "lm_v": vocab})
+        else:
+            # the LM is FROZEN after bootstrap: file-copy, never rewrite
+            keep = ["lm_c12", "lm_c1", "lm_v"]
         n = self._swap_in_frames(
-            {
-                "lm_c12": c12,
-                "lm_c1": c1,
-                "lm_v": vocab,
-                "qual": qual,
-                "lml": lml,
-                "corpus": corpus,
-                "fp": fp,
-                "bands": bands,
-                "pairs": pairs,
-                "report": report,
-            },
-            batch_id,
-            count_table="report",
+            frames, batch_id, count_table="report", keep_tables=keep
         )
         self._record(batch_id, n)

@@ -146,14 +146,22 @@ class ParquetUpsertSink:
         batch_id: int,
         count_table: str,
         partition_by: dict[str, list[str]] | None = None,
+        keep_tables: list[str] | None = None,
     ) -> int:
         """Multi-table variant of _swap_in: stage every frame under one
         directory, embed the batch marker, swap the whole directory —
         sibling tables (a corpus and its index, postings and their
         stats) can never diverge across a crash.  `partition_by` keeps a
         table's on-disk partitioning (e.g. postings by term bucket)
-        across maintenance rewrites."""
+        across maintenance rewrites.  `keep_tables` names state tables
+        that did NOT change this batch (frozen parameters like a
+        bootstrap LM or centroids): they file-copy into staging instead
+        of re-executing a Spark write — same crash atomicity, no plan."""
         staging = tempfile.mkdtemp(prefix="stream_multi_")
+        for name in keep_tables or []:
+            src = os.path.join(self.target, name)
+            if os.path.isdir(src):
+                shutil.copytree(src, os.path.join(staging, name))
         spark = None
         for name, df in frames.items():
             spark = df.sparkSession
