@@ -626,3 +626,151 @@ class TestProgressiveJpeg:
         for cut in (len(enc) // 3, len(enc) // 2, len(enc) - 10):
             with pytest.raises(ValueError):
                 decode_jpeg(enc[:cut] )
+
+
+class TestSemDeDupRetract:
+    """SemDeDupIngestSink Z-set batches: deletions drop the vector and
+    its incident pairs and re-run CC over the pair table — including
+    the cut-vertex split a labels-only fold cannot express."""
+
+    def _vec(self, x, y):
+        return [float(x), float(y)] + [0.0] * 6
+
+    def _zv(self, spark, rows, mult=None):
+        from pyspark.sql import functions as F
+
+        from vcf_pg_loader_spark.operators.ivm import MULT
+
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        )
+        if mult is not None:
+            df = df.withColumn(MULT, F.lit(mult).cast("bigint"))
+        return df
+
+    def _sink(self, tmp_path, tau=0.9):
+        from vcf_pg_loader_spark.streaming.dedup_ingest import (
+            SemDeDupIngestSink,
+        )
+
+        return SemDeDupIngestSink(
+            str(tmp_path / "sem"), k_centroids=2, n_iter=2, tau=tau
+        )
+
+    def _keep(self, sink, spark):
+        return {r.vec_id for r in sink.keep(spark).collect()}
+
+    def test_delete_splits_semantic_chain(self, spark, tmp_path):
+        # a ~ b and b ~ c at tau=0.9, but a !~ c: a 3-chain in one cell
+        a = self._vec(1.0, 0.0)
+        b = self._vec(1.0, 0.35)
+        c = self._vec(1.0, 0.75)
+        far = self._vec(-1.0, 0.0)
+        import numpy as np
+
+        def cos(u, v):
+            u, v = np.array(u), np.array(v)
+            return float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v)))
+
+        assert cos(a, b) > 0.9 and cos(b, c) > 0.9 and cos(a, c) < 0.9
+
+        sink = self._sink(tmp_path)
+        sink.apply_batch(
+            self._zv(spark, [(1, a), (2, b), (3, c), (10, far)], 1), 0
+        )
+        assert self._keep(sink, spark) == {1, 10}  # one chain cluster
+        sink.apply_batch(self._zv(spark, [(2, b)], -1), 1)
+        assert self._keep(sink, spark) == {1, 3, 10}  # split: 3 revives
+
+    def test_reinsert_and_replay(self, spark, tmp_path):
+        a = self._vec(1.0, 0.0)
+        b = self._vec(1.0, 0.2)
+        far = self._vec(-1.0, 0.0)
+        sink = self._sink(tmp_path)
+        sink.apply_batch(self._zv(spark, [(1, a), (10, far)], 1), 0)
+        sink.apply_batch(self._zv(spark, [(1, a)], -1), 1)
+        assert self._keep(sink, spark) == {10}
+        b2 = self._zv(spark, [(1, a)], 1).unionByName(
+            self._zv(spark, [(2, b)], 1)
+        )
+        sink.apply_batch(b2, 2)
+        assert self._keep(sink, spark) == {1, 10}  # 1~2 re-collide
+        sink.apply_batch(b2, 2)  # ledger replay: no-op
+        assert self._keep(sink, spark) == {1, 10}
+
+    def test_plain_batches_keep_first_arrival_semantics(
+        self, spark, tmp_path
+    ):
+        a = self._vec(1.0, 0.0)
+        other = self._vec(0.0, 1.0)
+        sink = self._sink(tmp_path)
+        sink.apply_batch(self._zv(spark, [(1, a), (10, other)]), 0)
+        # plain (non-Z-set) re-send of vid 1 with DIFFERENT vector: first
+        # arrival wins, the new vector is dropped
+        sink.apply_batch(self._zv(spark, [(1, other)]), 1)
+        vecs = {
+            r.vid: r.vec[:2]
+            for r in spark.read.parquet(f"{sink.target}/vectors").collect()
+        }
+        assert vecs[1] == [1.0, 0.0]
+
+
+class TestCountedRollupSink:
+    def test_retraction_decrements_and_zero_groups_vanish(
+        self, spark, tmp_path
+    ):
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from vcf_pg_loader_spark.operators.ivm import MULT
+        from vcf_pg_loader_spark.streaming.sink import CountedRollupSink
+
+        t0 = datetime.datetime(2024, 1, 1, 10, 30)
+        rows = [
+            (t0, "click", 2.0),
+            (t0, "click", 3.0),
+            (t0, "view", 5.0),
+        ]
+
+        def z(rs, mult):
+            return spark.createDataFrame(
+                rs, "ts timestamp, event_type string, value double"
+            ).withColumn(MULT, F.lit(mult).cast("bigint"))
+
+        sink = CountedRollupSink(str(tmp_path / "roll"))
+        sink.apply_batch(z(rows, 1), 0)
+        sink.apply_batch(z([rows[0]], -1), 1)  # retract one click
+        sink.apply_batch(z([rows[2]], -1), 2)  # retract the only view
+        got = {
+            (r.event_type, r.n_events, r.total_value)
+            for r in spark.read.parquet(sink.target).select(
+                "event_type",
+                "n_events",
+                F.col("_sum_value").cast("double").alias("total_value"),
+            ).collect()
+        }
+        assert got == {("click", 1, 3.0)}  # view group vanished
+
+    def test_replay_is_noop(self, spark, tmp_path):
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from vcf_pg_loader_spark.operators.ivm import MULT
+        from vcf_pg_loader_spark.streaming.sink import CountedRollupSink
+
+        t0 = datetime.datetime(2024, 1, 1, 9, 0)
+        b = spark.createDataFrame(
+            [(t0, "click", 1.0)], "ts timestamp, event_type string, value double"
+        ).withColumn(MULT, F.lit(-1).cast("bigint"))
+        sink = CountedRollupSink(str(tmp_path / "roll"))
+        ins = spark.createDataFrame(
+            [(t0, "click", 1.0), (t0, "click", 4.0)],
+            "ts timestamp, event_type string, value double",
+        )
+        sink.apply_batch(ins, 0)
+        sink.apply_batch(b, 1)
+        sink.apply_batch(b, 1)  # replayed retraction must not re-apply
+        row = spark.read.parquet(sink.target).first()
+        assert row.n_events == 1 and float(row._sum_value) == 4.0

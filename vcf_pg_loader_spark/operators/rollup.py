@@ -86,3 +86,58 @@ def rollup_final(partial: DataFrame) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Counted (Z-set) rollup: COUNT/SUM survive retractions; MIN/MAX do not.
+# ---------------------------------------------------------------------------
+def event_rollup_partial_counted(
+    events: DataFrame, bucket: str = "hour"
+) -> DataFrame:
+    """Partial rollup state for a Z-SET batch of events (rows carry
+    operators/ivm.py MULT; -1 retracts): counts become Σ_mult and sums
+    Σ value·_mult, so a retraction batch DECREMENTS the maintained
+    rollup exactly (Gupta-Mumick counting through SUM/COUNT — the
+    q_ivm_agg_delete algebra applied to the continuous aggregate).
+
+    MIN/MAX are deliberately absent: they are not retraction-invertible
+    (deleting the current minimum requires the surviving multiset, which
+    partial state by definition no longer has — the same reason
+    COUNT(DISTINCT) is absent from the insert-only rollup).  A counted
+    rollup that needs extrema keeps a per-group histogram sketch
+    (operators/histogram.py) and reports quantile bounds instead."""
+    from vcf_pg_loader_spark.operators.ivm import MULT
+
+    mult = (
+        F.col(MULT) if MULT in events.columns else F.lit(1).cast("bigint")
+    )
+    return events.groupBy(
+        F.date_trunc(bucket, F.col("ts")).alias("bucket"),
+        F.col("event_type"),
+    ).agg(
+        F.sum(mult).cast("bigint").alias("n_events"),
+        F.sum((F.col("value") * mult).cast(_DEC)).alias("_sum_value"),
+    )
+
+
+def merge_rollup_counted(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a counted partial into the maintained state; groups whose
+    count reaches zero vanish (consolidation)."""
+    return (
+        existing.unionByName(delta)
+        .groupBy(*_KEYS)
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("_sum_value").cast(_DEC).alias("_sum_value"),
+        )
+        .filter(F.col("n_events") != 0)
+    )
+
+
+def rollup_final_counted(partial: DataFrame) -> DataFrame:
+    return partial.select(
+        "bucket",
+        "event_type",
+        "n_events",
+        F.col("_sum_value").cast("double").alias("total_value"),
+    )

@@ -166,11 +166,72 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# counted rollup under retraction (operators/rollup.py *_counted): two
+# insert batches, a delete wave, then a mixed batch re-inserting part of
+# the deleted wave while deleting more — the continuous aggregate must
+# equal a from-scratch COUNT/SUM over the retained events (MIN/MAX are
+# excluded by design: not retraction-invertible).  Same Z-set batch
+# algebra as the q_*_retract family; consolidation drops zero groups.
+# ---------------------------------------------------------------------------
+def q_rollup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators.ivm import MULT
+    from vcf_pg_loader_spark.operators.rollup import (
+        event_rollup_partial_counted,
+        merge_rollup_counted,
+        rollup_final_counted,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    e = F.col("event_id")
+
+    def z(frame, mult):
+        return frame.withColumn(MULT, F.lit(mult).cast("bigint"))
+
+    batches = [
+        z(ev.filter(e % 2 == 0), 1),
+        z(ev.filter(e % 2 == 1), 1),
+        z(ev.filter(e % 7 == 3), -1),
+        # the additive fold makes retraction NON-idempotent (unlike the
+        # keyed anti-joins of the retract sinks), so the second delete
+        # wave must target only events still PRESENT — deleting an
+        # already-deleted event would subtract twice
+        z(ev.filter((e % 7 == 3) & (e % 3 == 0)), 1).unionByName(
+            z(
+                ev.filter(
+                    (e % 11 == 5) & ((e % 7 != 3) | (e % 3 == 0))
+                ),
+                -1,
+            )
+        ),
+    ]
+    state = None
+    for b in batches:
+        part = event_rollup_partial_counted(b, "hour")
+        state = (
+            part.filter(F.col("n_events") != 0)
+            if state is None
+            else merge_rollup_counted(state, part)
+        )
+    return rollup_final_counted(state)
+
+
+Q_ROLLUP_RETRACT_SQL = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS total_value
+FROM events
+WHERE (event_id % 11 <> 5) AND (event_id % 7 <> 3 OR event_id % 3 = 0)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q_gx_ld_block_stats": q_gx_ld_block_stats,
     "q_chrom_counts": q_chrom_counts,
     "q_merge_insert_only": q_merge_insert_only,
     "q_rollup_incremental": q_rollup_incremental,
+    "q_rollup_retract": q_rollup_retract,
 }
 
 ORACLE = {
@@ -178,4 +239,5 @@ ORACLE = {
     "q_chrom_counts": Q_CHROM_COUNTS_SQL,
     "q_merge_insert_only": Q_MERGE_INSERT_ONLY_SQL,
     "q_rollup_incremental": Q_ROLLUP_INCREMENTAL_SQL,
+    "q_rollup_retract": Q_ROLLUP_RETRACT_SQL,
 }

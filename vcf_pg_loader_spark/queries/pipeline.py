@@ -885,6 +885,150 @@ WHERE e.vec_id NOT IN (SELECT node FROM cc WHERE node <> comp)
 Q_SEMDEDUP_SQL = _semdedup_sql()
 
 
+def _ivf_frozen_assignment_ctes(
+    train_where: str, assign_where: str
+) -> tuple[list[str], str]:
+    """K-means trained on ONE subset, final assignment over ANOTHER —
+    the frozen-centroid deployment shape (SemDeDupIngestSink bootstraps
+    its routing table on the first batch and routes every later arrival
+    against it).  Returns (ctes, assignment_name): the assignment CTE
+    holds (vid, vec, cid) for the `assign_where` rows under centroids
+    fit on the `train_where` rows, bit-matching ivf_fit + ivf_assign
+    with kernel="exact"."""
+    dist = S.sql_sq_dist("vec", "cvec")
+    ctes = [
+        "vt AS (SELECT vec_id AS vid,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec"
+        f" FROM embeddings WHERE {train_where})",
+        f"c0 AS (SELECT vid AS cid, vec AS cvec FROM vt"
+        f" ORDER BY vid LIMIT {IVF_CENTROIDS})",
+    ]
+    prev = "c0"
+    for it in range(1, IVF_ITER):
+        ctes.append(
+            f"""a{it} AS (
+  SELECT vid, vec, cid FROM (
+    SELECT vid, vec, cid,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d ASC, cid ASC) AS rn
+    FROM (SELECT vid, vec, cid, {dist} AS d FROM vt CROSS JOIN {prev})
+  ) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""m{it} AS (
+  SELECT cid, s.i AS i,
+         CAST(SUM(CAST(s.x AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*) AS m
+  FROM (SELECT cid, unnest(list_transform(range(1, len(vec) + 1),
+                                          i -> {{'i': i, 'x': vec[i]}})) AS s
+        FROM a{it})
+  GROUP BY cid, s.i)"""
+        )
+        ctes.append(
+            f"c{it} AS (SELECT cid, list(m ORDER BY i) AS cvec"
+            f" FROM m{it} GROUP BY cid)"
+        )
+        prev = f"c{it}"
+    ctes.append(
+        "va AS (SELECT vec_id AS vid,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec"
+        f" FROM embeddings WHERE {assign_where})"
+    )
+    ctes.append(
+        f"""af AS (
+  SELECT vid, vec, cid FROM (
+    SELECT vid, vec, cid,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d ASC, cid ASC) AS rn
+    FROM (SELECT vid, vec, cid, {dist} AS d FROM va CROSS JOIN {prev})
+  ) WHERE rn = 1)"""
+    )
+    return ctes, "af"
+
+
+# interleaved insert+delete maintenance of the semantic cluster store —
+# same batch algebra as the document-side retract queries
+ZDEL_VEC_RETAIN_SQL = (
+    "(vec_id % 11 <> 5) AND (vec_id % 7 <> 3 OR vec_id % 3 = 0)"
+)
+
+
+def q_semdedup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-decision served from the RETRACTION-maintained
+    streaming state (SemDeDupIngestSink with its round-8 pair table):
+    deletions drop the vector and its incident semantic-dup edges and
+    re-run CC over the pair table only — routing, scoring, and the
+    surviving vectors never recompute.  Oracle: frozen-centroid SemDeDup
+    recomputed over exactly the retained vectors (centroids fit on the
+    bootstrap batch, matching the sink's frozen routing table)."""
+    from vcf_pg_loader_spark.operators.ivm import MULT
+    from vcf_pg_loader_spark.streaming.dedup_ingest import SemDeDupIngestSink
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    v = F.col("vec_id")
+
+    def z(frame, mult):
+        return frame.withColumn(MULT, F.lit(mult).cast("bigint"))
+
+    batches = [
+        z(emb.filter(v % 2 == 0), 1),
+        z(emb.filter(v % 2 == 1), 1),
+        z(emb.filter(v % 7 == 3), -1),
+        z(emb.filter((v % 7 == 3) & (v % 3 == 0)), 1).unionByName(
+            z(emb.filter(v % 11 == 5), -1)
+        ),
+    ]
+    root = _served_root(sf_dir, "zdel_semdedup", "embeddings.parquet")
+    sink = SemDeDupIngestSink(
+        f"{root}/state",
+        k_centroids=IVF_CENTROIDS,
+        n_iter=IVF_ITER,
+        tau=SEMDEDUP_TAU,
+    )
+    if not sink.applied(len(batches) - 1):
+        for i, b in enumerate(batches):
+            sink.apply_batch(b, i)
+    return sink.keep(spark).withColumnRenamed(sink.id_col, "vec_id")
+
+
+def _semdedup_retract_sql() -> str:
+    ctes, assign = _ivf_frozen_assignment_ctes(
+        "vec_id % 2 = 0", ZDEL_VEC_RETAIN_SQL
+    )
+    ctes.append(
+        f"""pairs AS (
+  SELECT d1, d2 FROM (
+    SELECT a.vid AS d1, b.vid AS d2,
+           {S.sql_cosine('a.vec', 'b.vec')} AS cos_sim
+    FROM {assign} a JOIN {assign} b
+      ON a.cid = b.cid AND a.vid < b.vid
+  ) WHERE cos_sim >= {SEMDEDUP_TAU})"""
+    )
+    ctes.append(
+        "und AS (SELECT d1 AS s, d2 AS t FROM pairs"
+        " UNION SELECT d2, d1 FROM pairs)"
+    )
+    ctes.append("nodes AS (SELECT DISTINCT s AS node FROM und)")
+    ctes.append(
+        """walk(node, reach) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT w.node, u.t FROM walk w JOIN und u ON u.s = w.reach)"""
+    )
+    ctes.append(
+        "cc AS (SELECT node, MIN(reach) AS comp FROM walk GROUP BY node)"
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH RECURSIVE {body}
+SELECT e.vec_id FROM embeddings e
+WHERE {ZDEL_VEC_RETAIN_SQL.replace('vec_id', 'e.vec_id')}
+  AND e.vec_id NOT IN (SELECT node FROM cc WHERE node <> comp)
+"""
+
+
+Q_SEMDEDUP_RETRACT_SQL = _semdedup_retract_sql()
+
+
 # --------------------------------------------------------------------------
 # trigram string similarity (pg_trgm parity — reference schema.py:294-297
 # indexes hgvs_p with gin_trgm_ops): blocked self-join on (brand, size)
@@ -2840,6 +2984,7 @@ QUERIES = {
     "q_dedup_keep_retract": q_dedup_keep_retract,
     "q_bm25_retract": q_bm25_retract,
     "q_drop_reasons_retract": q_drop_reasons_retract,
+    "q_semdedup_retract": q_semdedup_retract,
     "q_length_batches": q_length_batches,
     "q_lm_perplexity": q_lm_perplexity,
     "q_chunk_dedup": q_chunk_dedup,
@@ -2907,6 +3052,7 @@ ORACLE = {
     "q_dedup_keep_retract": Q_DEDUP_KEEP_RETRACT_SQL,
     "q_bm25_retract": Q_BM25_RETRACT_SQL,
     "q_drop_reasons_retract": Q_DROP_REASONS_RETRACT_SQL,
+    "q_semdedup_retract": Q_SEMDEDUP_RETRACT_SQL,
     "q_length_batches": Q_LENGTH_BATCHES_SQL,
     "q_lm_perplexity": Q_LM_PERPLEXITY_SQL,
     "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,

@@ -306,7 +306,23 @@ class SemDeDupIngestSink(ParquetUpsertSink):
       vectors/   (vid, vec, vv, cid) — every ingested vector, partitioned
                                       by cell so a batch's landing cells
                                       prune the candidate scan on disk
-      clusters/  (node, comp)       — semantic-dup component labels
+      pairs/     (d1, d2)           — the verified semantic-dup EDGES
+                                      (round 8: retractions need them —
+                                      deleting a cut vertex SPLITS its
+                                      component, which labels alone
+                                      cannot express; same rationale as
+                                      streaming/retract.py)
+      clusters/  (node, comp)       — semantic-dup component labels,
+                                      CC over pairs/
+
+    Batches may be Z-SETS (rows carrying operators/ivm.py MULT; -1
+    retracts a vector): a retraction drops the vector, its incident
+    pairs, and re-runs CC over the remaining PAIR table only — the
+    routing, scoring, and surviving vectors never recompute.  A pair
+    depends only on its two vectors and the frozen centroids, so the
+    maintained pair set equals a batch SemDeDup's pair set over exactly
+    the retained vectors (q_semdedup_retract pins this against a
+    frozen-centroid recompute oracle).
 
     Per-batch cost ∝ batch x (batch + cell-mates in landing cells),
     never corpus² and never a corpus re-scan.  Components MERGE
@@ -403,14 +419,34 @@ class SemDeDupIngestSink(ParquetUpsertSink):
             self._record(batch_id, marker["n_rows"])
             return
         spark = batch_df.sparkSession
-        batch = batch_df.dropDuplicates([self.id_col])
+        from vcf_pg_loader_spark.operators.ivm import MULT
+        from vcf_pg_loader_spark.streaming.retract import (
+            _edges_without,
+            _without,
+            split_zset,
+        )
+
         old_vec = self._table(spark, "vectors")
-        if old_vec is not None:
-            batch = batch.join(
-                old_vec.select(F.col("vid").alias(self.id_col)),
-                self.id_col,
-                "left_anti",
-            )
+        old_pairs = self._table(spark, "pairs")
+        if MULT in batch_df.columns:
+            batch, dels = split_zset(batch_df, self.id_col)
+            batch = batch.dropDuplicates([self.id_col])
+            # touched ids leave the state first: deletions permanently,
+            # re-inserts so their vector and pairs rebuild from the
+            # arriving row (Z-set batches carry upsert semantics)
+            touched = dels.unionByName(batch.select(self.id_col)).distinct()
+            old_vec = _without(old_vec, touched, "vid")
+            old_pairs = _edges_without(old_pairs, touched)
+        else:
+            # plain insert batch: first arrival wins (ingest idempotence)
+            batch = batch_df.dropDuplicates([self.id_col])
+            if old_vec is not None:
+                batch = batch.join(
+                    old_vec.select(F.col("vid").alias(self.id_col)),
+                    self.id_col,
+                    "left_anti",
+                )
+        self._old_pairs = old_pairs
         cents = self._table(spark, "centroids")
         if cents is None:
             # bootstrap: first batch fits the (frozen) routing table
@@ -433,7 +469,7 @@ class SemDeDupIngestSink(ParquetUpsertSink):
             assigned.unpersist()
 
     def _apply_assigned(self, spark, batch_id, assigned, cents, old_vec):
-        edges = self._sem_pairs(assigned, assigned, same=True)
+        new_pairs = self._sem_pairs(assigned, assigned, same=True)
         if old_vec is not None:
             # only the landing cells' existing vectors are candidates —
             # the cid partitioning makes this a pruned scan, not a
@@ -441,24 +477,42 @@ class SemDeDupIngestSink(ParquetUpsertSink):
             old_hit = old_vec.join(
                 assigned.select("cid").distinct(), "cid", "left_semi"
             )
-            edges = edges.unionByName(
+            new_pairs = new_pairs.unionByName(
                 self._sem_pairs(old_hit, assigned, same=False)
             )
-        old_cc = self._table(spark, "clusters")
-        if old_cc is not None:
-            # contracted edges of the already-known components: CC over
-            # (old labels ∪ new pairs) == CC of the full union pair set
-            edges = edges.unionByName(
-                old_cc.select(
-                    F.col("node").alias("d1"), F.col("comp").alias("d2")
+        new_pairs = new_pairs.select(
+            F.least("d1", "d2").alias("d1"),
+            F.greatest("d1", "d2").alias("d2"),
+        ).distinct()
+        pairs_old = self._old_pairs
+        if pairs_old is None:
+            old_cc = self._table(spark, "clusters")
+            if old_cc is not None:
+                # pre-round-8 state carried labels only: contracted
+                # edges keep CC exact for INSERT streams (retractions
+                # on such legacy state would need a rebuild — all state
+                # written from here on has the real pair table)
+                pairs_old = old_cc.where(
+                    F.col("node") != F.col("comp")
+                ).select(
+                    F.col("comp").alias("d1"), F.col("node").alias("d2")
                 )
-            )
-        cc = D.connected_components(edges, "d1", "d2")
+        pairs = (
+            new_pairs
+            if pairs_old is None
+            else pairs_old.unionByName(new_pairs).distinct()
+        )
+        cc = D.connected_components(pairs, "d1", "d2")
         new_vectors = (
             assigned if old_vec is None else old_vec.unionByName(assigned)
         )
         n = self._swap_in_frames(
-            {"centroids": cents, "vectors": new_vectors, "clusters": cc},
+            {
+                "centroids": cents,
+                "vectors": new_vectors,
+                "pairs": pairs,
+                "clusters": cc,
+            },
             batch_id,
             count_table="vectors",
             partition_by={"vectors": ["cid"]},

@@ -38,6 +38,7 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from vcf_pg_loader_spark.operators.merge import merge_upsert
 from vcf_pg_loader_spark.operators.rollup import (
@@ -220,6 +221,36 @@ class RollupMaintenanceSink(ParquetUpsertSink):
         if os.path.exists(self.target):
             return merge_rollup(spark.read.parquet(self.target), delta)
         return delta
+
+
+class CountedRollupSink(ParquetUpsertSink):
+    """Retraction-aware continuous aggregate: batches are Z-SETS (rows
+    carry operators/ivm.py MULT; -1 retracts an event), and the
+    maintained COUNT/SUM state decrements exactly — the takedown path
+    for time-bucketed rollups, completing RollupMaintenanceSink the way
+    the retract sinks complete the dedup/BM25/funnel stores.  MIN/MAX
+    are absent by design (not retraction-invertible; see
+    operators/rollup.py event_rollup_partial_counted).  Additive fold,
+    so both replay guards are load-bearing."""
+
+    def __init__(self, target: str, bucket: str = "hour"):
+        super().__init__(target, key=["bucket", "event_type"])
+        self.bucket = bucket
+
+    def _merge(self, spark, batch_df: DataFrame) -> DataFrame:
+        from vcf_pg_loader_spark.operators.rollup import (
+            event_rollup_partial_counted,
+            merge_rollup_counted,
+        )
+
+        delta = event_rollup_partial_counted(batch_df, self.bucket)
+        if os.path.exists(self.target):
+            return merge_rollup_counted(
+                spark.read.parquet(self.target), delta
+            )
+        # consolidate the bootstrap batch too (a zero-net group must
+        # never be born)
+        return delta.filter(F.col("n_events") != 0)
 
 
 class KMVDistinctSink(ParquetUpsertSink):
