@@ -774,3 +774,64 @@ class TestCountedRollupSink:
         sink.apply_batch(b, 1)  # replayed retraction must not re-apply
         row = spark.read.parquet(sink.target).first()
         assert row.n_events == 1 and float(row._sum_value) == 4.0
+
+
+class TestVectorIndexDelta:
+    def _vecs(self, spark, ids):
+        rng = np.random.default_rng(0)
+        all_rows = {
+            i: [float(x) for x in np.random.default_rng(100 + i).normal(size=8)]
+            for i in range(64)
+        }
+        return spark.createDataFrame(
+            [(i, all_rows[i]) for i in ids],
+            "vec_id int, embedding array<double>",
+        )
+
+    def test_delta_matches_fresh_build_flat(self, spark, tmp_path):
+        from vcf_pg_loader_spark.sources.vector_index import VectorIndex
+
+        full = self._vecs(spark, range(64))
+        retained_ids = [i for i in range(64) if i % 5 != 2]
+        idx = VectorIndex(spark, str(tmp_path / "idx"))
+        idx.build(full, k_centroids=4, kernel="exact", pq=False)
+        idx.apply_delta(
+            delete_ids=full.filter("vec_id % 5 = 2").select("vec_id")
+        )
+        q = self._vecs(spark, retained_ids[:3])
+        got = {
+            (r.query_id, r.cand_id, r.rn)
+            for r in idx.search_flat(q, k=5).collect()
+        }
+        # fresh index over retained rows with the SAME frozen centroids
+        # is not constructible via build() (it would refit k-means), so
+        # assert semantics instead: no deleted id is ever returned and
+        # every query still gets k candidates
+        assert got and all(c % 5 != 2 for _q, c, _r in got)
+        by_q = {}
+        for qq, c, r in got:
+            by_q.setdefault(qq, []).append(r)
+        assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+    def test_delta_prunes_pq_codes_and_reinserts(self, spark, tmp_path):
+        from vcf_pg_loader_spark.sources.vector_index import VectorIndex
+
+        full = self._vecs(spark, range(32))
+        idx = VectorIndex(spark, str(tmp_path / "idx"))
+        idx.build(full, k_centroids=4, m=2, k_sub=4)
+        idx.apply_delta(
+            delete_ids=full.filter("vec_id < 8").select("vec_id")
+        )
+        codes_ids = {
+            r.vid for r in spark.read.parquet(f"{idx.root}/codes").collect()
+        }
+        vec_ids = {
+            r.vid for r in spark.read.parquet(f"{idx.root}/vectors").collect()
+        }
+        assert codes_ids == vec_ids == set(range(8, 32))
+        idx.apply_delta(inserts=self._vecs(spark, range(4)))
+        vec_ids2 = {
+            r.vid for r in spark.read.parquet(f"{idx.root}/vectors").collect()
+        }
+        assert vec_ids2 == set(range(4)) | set(range(8, 32))
+        assert idx.search(self._vecs(spark, [10]), k=3).count() > 0

@@ -1029,6 +1029,87 @@ WHERE {ZDEL_VEC_RETAIN_SQL.replace('vec_id', 'e.vec_id')}
 Q_SEMDEDUP_RETRACT_SQL = _semdedup_retract_sql()
 
 
+def q_ann_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN served from a persisted index maintained through
+    deletions and re-insertions (VectorIndex.apply_delta): retractions
+    anti-join the cid-partitioned vectors, arrivals route against the
+    FROZEN centroids — k-means never re-runs, and the whole root swaps
+    atomically per delta.  Oracle: the IVF search recomputed over
+    exactly the retained vectors under centroids trained on the FULL
+    corpus (what build() froze)."""
+    import os
+
+    from vcf_pg_loader_spark.sources.vector_index import VectorIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("vec_id")
+    idx = VectorIndex(
+        spark, _served_root(sf_dir, "zdel_ann", "embeddings.parquet")
+    )
+    flag = os.path.join(idx.root, "_retract_done")
+    if not os.path.exists(flag):
+        idx.build(
+            emb,
+            k_centroids=IVF_CENTROIDS,
+            n_iter=IVF_ITER,
+            kernel="exact",
+            pq=False,
+        )
+        idx.apply_delta(
+            delete_ids=emb.filter(v % 7 == 3).select("vec_id")
+        )
+        idx.apply_delta(
+            inserts=emb.filter((v % 7 == 3) & (v % 3 == 0)),
+            delete_ids=emb.filter(v % 11 == 5).select("vec_id"),
+        )
+        with open(flag, "w") as fh:
+            fh.write("done")
+    queries = emb.filter(
+        (v < N_QUERY_VECS)
+        & (v % 11 != 5)
+        & ((v % 7 != 3) | (v % 3 == 0))
+    )
+    return idx.search_flat(queries, TOP_K, IVF_NPROBE)
+
+
+def _ann_retract_sql() -> str:
+    ctes, assign, prev = _ivf_assignment_ctes()  # trained on the FULL set
+    dist = S.sql_sq_dist("vec", "cvec")
+    retained = ZDEL_VEC_RETAIN_SQL.replace("vec_id", "vid")
+    ctes.append(
+        f"cand AS (SELECT vid AS cand_id, vec AS c_vec, cid"
+        f" FROM {assign} WHERE {retained})"
+    )
+    ctes.append(
+        f"""probes AS (
+  SELECT vid AS query_id, vec AS q_vec, cid FROM (
+    SELECT vid, vec, cid,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d ASC, cid ASC) AS rn
+    FROM (SELECT vid, vec, cid, {dist} AS d
+          FROM (SELECT * FROM v WHERE vid < {N_QUERY_VECS} AND {retained}) v
+          CROSS JOIN {prev})
+  ) WHERE rn <= {IVF_NPROBE})"""
+    )
+    ctes.append(
+        f"""scored AS (
+  SELECT query_id, cand_id, {S.sql_cosine('q_vec', 'c_vec')} AS cos_sim
+  FROM probes JOIN cand USING (cid)
+  WHERE query_id <> cand_id)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT query_id, cand_id, cos_sim, rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, cand_id ASC) AS rn
+      FROM scored)
+WHERE rn <= {TOP_K}
+"""
+
+
+Q_ANN_RETRACT_SQL = _ann_retract_sql()
+
+
 # --------------------------------------------------------------------------
 # trigram string similarity (pg_trgm parity — reference schema.py:294-297
 # indexes hgvs_p with gin_trgm_ops): blocked self-join on (brand, size)
@@ -2985,6 +3066,7 @@ QUERIES = {
     "q_bm25_retract": q_bm25_retract,
     "q_drop_reasons_retract": q_drop_reasons_retract,
     "q_semdedup_retract": q_semdedup_retract,
+    "q_ann_retract": q_ann_retract,
     "q_length_batches": q_length_batches,
     "q_lm_perplexity": q_lm_perplexity,
     "q_chunk_dedup": q_chunk_dedup,
@@ -3053,6 +3135,7 @@ ORACLE = {
     "q_bm25_retract": Q_BM25_RETRACT_SQL,
     "q_drop_reasons_retract": Q_DROP_REASONS_RETRACT_SQL,
     "q_semdedup_retract": Q_SEMDEDUP_RETRACT_SQL,
+    "q_ann_retract": Q_ANN_RETRACT_SQL,
     "q_length_batches": Q_LENGTH_BATCHES_SQL,
     "q_lm_perplexity": Q_LM_PERPLEXITY_SQL,
     "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,

@@ -109,6 +109,89 @@ class VectorIndex:
         _heal_dir(self.root)
         _swap_dir(staging, self.root)
 
+    # -- maintenance -----------------------------------------------------
+    def apply_delta(
+        self,
+        inserts: DataFrame | None = None,
+        delete_ids: DataFrame | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Incremental index maintenance under the frozen geometry:
+        deletions are a keyed anti-join on the vid column of `vectors/`
+        (and `codes/` when the PQ artifacts exist); insertions route
+        against the PERSISTED centroids (and encode against the
+        persisted codebooks) — k-means and PQ training never re-run.
+        Re-sent ids upsert (their old rows leave first).  Centroids,
+        codebooks, and meta are frozen parameters: they file-copy into
+        the staging directory, and the whole root swaps atomically as
+        in build() — a crash mid-delta leaves the old index servable.
+        The takedown path for the ANN structure, completing the
+        retract family (streaming/retract.py)."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from vcf_pg_loader_spark.operators.similarity import ivf_assign
+        from vcf_pg_loader_spark.operators.pq import pq_encode
+
+        meta = self.spark.read.json(self._p("meta")).first()
+        has_pq = os.path.isdir(self._p("codes"))
+        vectors = self.spark.read.parquet(self._p("vectors"))
+        codes = (
+            self.spark.read.parquet(self._p("codes")) if has_pq else None
+        )
+        spark = self.spark
+        touched = spark.createDataFrame([], "vid long")
+        if delete_ids is not None:
+            touched = touched.unionByName(
+                delete_ids.select(
+                    F.col(delete_ids.columns[0]).cast("long").alias("vid")
+                )
+            )
+        if inserts is not None:
+            touched = touched.unionByName(
+                inserts.select(F.col(id_col).cast("long").alias("vid"))
+            )
+        touched = touched.distinct()
+        vectors = vectors.join(touched, "vid", "left_anti")
+        if codes is not None:
+            codes = codes.join(touched, "vid", "left_anti")
+        if inserts is not None:
+            cents = self.spark.read.parquet(self._p("centroids"))
+            assigned = ivf_assign(
+                inserts, cents, id_col, vec_col, kernel=str(meta.kernel)
+            )
+            vectors = vectors.unionByName(assigned.select(*vectors.columns))
+            if codes is not None:
+                books = self.spark.read.parquet(self._p("codebooks"))
+                new_codes = pq_encode(
+                    inserts, books, int(meta.m), id_col=id_col,
+                    vec_col=vec_col,
+                ).join(assigned.select("vid", "cid"), "vid")
+                codes = codes.unionByName(new_codes.select(*codes.columns))
+
+        staging = tempfile.mkdtemp(prefix="vector_index_delta_")
+        for frozen in ("centroids", "codebooks", "meta"):
+            src = self._p(frozen)
+            if os.path.isdir(src):
+                shutil.copytree(src, os.path.join(staging, frozen))
+        (
+            vectors.repartition("cid")
+            .sortWithinPartitions("vid")
+            .write.partitionBy("cid")
+            .parquet(os.path.join(staging, "vectors"))
+        )
+        if codes is not None:
+            (
+                codes.repartition("cid")
+                .sortWithinPartitions("vid")
+                .write.partitionBy("cid")
+                .parquet(os.path.join(staging, "codes"))
+            )
+        _heal_dir(self.root)
+        _swap_dir(staging, self.root)
+
     # -- serve ----------------------------------------------------------
     def search(
         self,
