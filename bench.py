@@ -171,24 +171,39 @@ def scaling_curve(spark, sf_dir: str, factors=(1, 2)) -> dict:
             for i in range(1, f):
                 # The copy must NOT be a near-dup of its original, or the
                 # corpus dup-rate jumps from ~1% to >50% and the dedup
-                # queries measure a different WORKLOAD, not scale (the
-                # first run of this curve flagged exactly that: CC ratio
-                # 3.5 from copy-edges, not superlinearity).  Rotating the
-                # token sequence by a per-doc offset preserves length and
-                # token statistics while sharing almost no 3-gram
-                # shingle with the original.
+                # queries measure a different WORKLOAD, not scale.  The
+                # earlier token ROTATION failed at this (round-8
+                # finding): shingles are order-free SETS of contiguous
+                # triples, and a rotation breaks only the ~2 seam
+                # triples, so every copy verified as a J≈0.9 near-dup of
+                # its original (499 planted pairs at 2x — the real cause
+                # of the r7 scaling-ratio drift).  A deterministic
+                # per-doc token PERMUTATION preserves the token MULTISET
+                # exactly (token/stopword/distinct statistics identical,
+                # so the quality-gate workload is unchanged) while
+                # sharing no contiguous triple at all.
                 toks = F.split(F.col("text"), " ")
-                n_t = F.size(toks)
-                k = F.pmod(F.col("doc_id") + i * 7, F.lit(13)).cast("int") + 3
-                rot = F.concat(
-                    F.slice(toks, k + 1, n_t - k), F.slice(toks, 1, k)
+                keyed = F.transform(
+                    toks,
+                    lambda x, j: F.struct(
+                        F.xxhash64(
+                            F.concat_ws(
+                                "#",
+                                x,
+                                (F.col("doc_id") + i).cast("string"),
+                                j.cast("string"),
+                            )
+                        ).alias("h"),
+                        x.alias("t"),
+                    ),
+                )
+                permuted = F.concat_ws(
+                    " ", F.transform(F.array_sort(keyed), lambda s: s["t"])
                 )
                 d_parts.append(
                     docs.select(
                         (F.col("doc_id") + doc_stride * i).alias("doc_id"),
-                        F.when(n_t > k, F.concat_ws(" ", rot))
-                        .otherwise(F.col("text"))
-                        .alias("text"),
+                        permuted.alias("text"),
                         "lang",
                         "source",
                         "n_chars",
@@ -279,6 +294,14 @@ def served_paths(spark, sf_dir: str) -> dict:
         "q_bm25_served",
         "q_semdedup_served",
         "q_drop_reasons_served",
+        # retraction-maintained twins: serve-from-state after the
+        # interleaved insert+delete sequence, no rebuild
+        "q_dedup_keep_retract",
+        "q_bm25_retract",
+        "q_drop_reasons_retract",
+        "q_semdedup_retract",
+        "q_ann_retract",
+        "q_rollup_retract",
     ):
         try:
             fn = QP.QUERIES[name]

@@ -835,3 +835,141 @@ class TestVectorIndexDelta:
         }
         assert vec_ids2 == set(range(4)) | set(range(8, 32))
         assert idx.search(self._vecs(spark, [10]), k=3).count() > 0
+
+
+class TestZsetStreamingWiring:
+    """Z-set retraction batches through REAL Structured Streaming
+    (file source, availableNow, foreachBatch) — deletes ride the same
+    stream as inserts via the MULT column, exactly like a CDC feed."""
+
+    def test_cluster_maint_from_stream(self, spark, tmp_path):
+        from vcf_pg_loader_spark.streaming.retract import (
+            DedupClusterMaintSink,
+        )
+
+        src = str(tmp_path / "in")
+        schema = "doc_id bigint, text string, _mult bigint"
+        b0 = _zdf(spark, [(1, BASE), (2, NEAR), (10, OTHER)], 1)
+        b1 = _zdf(spark, [(1, BASE)], -1)
+        b0.coalesce(1).write.mode("append").parquet(src)
+        b1.coalesce(1).write.mode("append").parquet(src)
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        sink = DedupClusterMaintSink(str(tmp_path / "clusters"))
+        (
+            stream.writeStream.foreachBatch(sink.apply_batch)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .option("maxFilesPerTrigger", 1)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        keep = {r.doc_id for r in sink.keep(spark).collect()}
+        # doc 1 deleted after its near-dup 2 arrived: 2 is promoted
+        assert keep == {2, 10}
+
+
+class TestRetractSequenceProperty:
+    """Randomized insert/delete interleavings: after ANY Z-set batch
+    sequence, the maintained cluster store must equal a from-scratch
+    LSH+CC+keep over exactly the retained docs."""
+
+    POOL = {
+        1: BASE,
+        2: NEAR,
+        3: NEAR2,
+        10: OTHER,
+        11: OTHER.replace("query", "queryx", 1),
+        20: "short unrelated text with nothing in common here at all",
+    }
+
+    def _recompute_keep(self, spark, retained):
+        from vcf_pg_loader_spark.operators import dedup as D
+
+        if not retained:
+            return set()
+        docs = _zdf(spark, [(i, self.POOL[i]) for i in sorted(retained)])
+        pairs = D.minhash_lsh_dedup(docs, "doc_id", "text")
+        cc = D.connected_components(pairs.select("d1", "d2"), "d1", "d2")
+        return {
+            r.doc_id
+            for r in D.keep_canonical(
+                docs.select("doc_id"), cc, "doc_id"
+            ).collect()
+        }
+
+    def test_random_interleavings_match_recompute(self, spark, tmp_path):
+        import random
+
+        from vcf_pg_loader_spark.streaming.retract import (
+            DedupClusterMaintSink,
+        )
+
+        rng = random.Random(77)
+        for trial in range(3):
+            sink = DedupClusterMaintSink(
+                str(tmp_path / f"c{trial}")
+            )
+            present: set[int] = set()
+            ids = sorted(self.POOL)
+            for batch_id in range(5):
+                ins = rng.sample(ids, rng.randint(0, 3))
+                dels = rng.sample(ids, rng.randint(0, 2))
+                ins_f = _zdf(
+                    spark, [(i, self.POOL[i]) for i in ins], 1
+                )
+                del_f = _zdf(
+                    spark, [(i, self.POOL[i]) for i in dels], -1
+                )
+                sink.apply_batch(ins_f.unionByName(del_f), batch_id)
+                # replicate the Z-set semantics driver-side
+                both = set(ins) & set(dels)
+                present |= set(ins) - both
+                present -= set(dels) - both
+                got = {r.doc_id for r in sink.keep(spark).collect()}
+                want = self._recompute_keep(spark, present)
+                assert got == want, (
+                    trial, batch_id, ins, dels, present, got, want,
+                )
+
+
+class TestAudioNearDup:
+    def test_fingerprint_stable_across_encodings(self):
+        from vcf_pg_loader_spark.operators.multimodal import (
+            _audio_hash64,
+            _decode_wav_pcm,
+            _wav_sample_rate,
+        )
+        from vcf_pg_loader_spark.queries.pipeline import (
+            _tone_grid_wave,
+            _wav_bytes,
+        )
+
+        hi = _tone_grid_wave(5, 16000)
+        variants = [
+            _wav_bytes(hi, 16000, 2),
+            _wav_bytes(hi, 16000, 1),
+            _wav_bytes(_tone_grid_wave(5, 8000), 8000, 2),
+        ]
+        hashes = [
+            _audio_hash64(_decode_wav_pcm(v), _wav_sample_rate(v))
+            for v in variants
+        ]
+        assert len({h for h in hashes}) == 1  # bit-identical here
+
+    def test_planted_reencoded_audio_clusters(self, spark):
+        from vcf_pg_loader_spark.queries.pipeline import (
+            AUDIO_GROUPS,
+            q_audio_neardup,
+        )
+
+        rows = q_audio_neardup(spark, "unused").collect()
+        assert len(rows) == AUDIO_GROUPS * 3
+        by_cluster: dict[int, list[int]] = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster_id, []).append(r.media_id)
+        assert len(by_cluster) == AUDIO_GROUPS
+        for g in range(AUDIO_GROUPS):
+            assert sorted(by_cluster[g * 10]) == [
+                g * 10, g * 10 + 1, g * 10 + 2,
+            ]

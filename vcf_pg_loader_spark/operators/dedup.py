@@ -245,12 +245,86 @@ WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}
 # Universal-hash family derived from ONE base hash: h_i(x) = (a_i*hi(x)
 # + b_i*lo(x) + c_i) mod P.  One md5 per shingle instead of K — the md5
 # is the dominant cost at scale.  Constants bound every product under
-# 2^62 so the arithmetic is overflow-free (and hence reproducible) on
-# any engine with int64.
+# 2^62 (a, b < 2^31; hi, lo < 2^30) so the arithmetic is overflow-free
+# (and hence reproducible) on any engine with int64.
+#
+# The parameter triples are FIXED PSEUDORANDOM draws
+# (random.Random(61): a, b in [1, 2^31), c in [1, P)), hard-coded so
+# both engines share them.  Round 8 finding: the previous arithmetic-
+# progression parameters made consecutive permutations differ by the
+# SAME affine map, correlating their min positions — measured effect:
+# J~0.05 doc pairs collided on full 2-minhash bands at ~1% instead of
+# J^2~0.25%, and widening bands to 4 rows did NOT reduce the false-
+# candidate floor (453 vs 471 candidates at 2x sf0.01) as independent
+# permutations must (4*J^4 ~ 0).  With unstructured parameters the
+# floor drops and narrows with rows-per-band, restoring the LSH
+# S-curve the banding math promises.
 _MH_P = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
 _MH_PARAMS = [
-    (1048583 + 2 * i * 15485867, 32452843 + i * 49979687, 67867967 + i * 86028121)
-    for i in range(64)
+    (1061903684, 390208919, 499844581152741730),
+    (1738909328, 1947844081, 676363097439722674),
+    (689272403, 1726527989, 63921434307813851),
+    (1044036051, 767567467, 150166884438640265),
+    (870804714, 990678429, 2246198597927157297),
+    (359893101, 718663937, 14573071562012021),
+    (1919376573, 1079903014, 211644077066032729),
+    (1363179000, 374274029, 60825517274267915),
+    (930974559, 1731915610, 294899636347875866),
+    (1564925935, 865790392, 2088417987708418680),
+    (626567604, 1585334281, 1946076512395633810),
+    (730871807, 946291759, 734391780632273894),
+    (1327054181, 799649447, 1889558770516438452),
+    (1348583551, 1342224691, 1802919480834018638),
+    (1530927545, 1320639414, 967335084094829004),
+    (875548077, 502322238, 416654155175049420),
+    (125479674, 1162013704, 1115174266981644702),
+    (30252592, 1158445169, 197735008857577689),
+    (1825663174, 662369149, 16360582690952063),
+    (908238497, 382055434, 1077103980697299259),
+    (743384150, 1532622358, 907750825866237778),
+    (467059731, 246783375, 815494183418612499),
+    (1324650174, 704121124, 1905976404425045615),
+    (1047049766, 575531338, 2057796984553303116),
+    (854411292, 418636632, 165164415351421484),
+    (844740743, 1061526262, 2162242311414467475),
+    (1473478940, 659228819, 1126911932775908564),
+    (1350251896, 2092016622, 68442822462769924),
+    (2054704192, 1841027761, 1698947308485699723),
+    (437719114, 1549775843, 1902688526824576653),
+    (1960074659, 1925381106, 1926849976091506346),
+    (1639969606, 2065817643, 2236935442709429852),
+    (1829512645, 1080661651, 2177627074807881689),
+    (966564232, 164466728, 251611570333658526),
+    (1525379635, 449895398, 2057516945746106277),
+    (382963522, 265340355, 54534512334569691),
+    (1585313030, 854195260, 1500752133631051573),
+    (445195701, 564595553, 1768631355301258989),
+    (1220076951, 975087333, 737260477040110584),
+    (1043470157, 167054126, 1989171695740290370),
+    (532325678, 391166097, 387473069226424382),
+    (863137293, 986085434, 730223653031970073),
+    (1925883067, 1975675996, 351572330305521664),
+    (1269585217, 594768884, 1961717005641608826),
+    (1285375264, 1388070602, 327085026095920871),
+    (797867752, 231225184, 391140571957721997),
+    (1068169051, 1832590651, 979512496706667993),
+    (600811746, 934743335, 1005098983368494301),
+    (1001011066, 1381313377, 1570436872880288488),
+    (1242843941, 818219591, 2134491323750480317),
+    (1557647516, 2085308311, 1809239359219714895),
+    (145758632, 1619512663, 1858756692274170790),
+    (288802594, 1860295583, 1519157693186129318),
+    (729330159, 1630727063, 1123888453100612825),
+    (428532703, 1083599976, 1570154578428586447),
+    (1376511551, 1236946324, 91696854296062526),
+    (113932434, 1047588540, 2201431896164571170),
+    (954231782, 1885820607, 742201095658595314),
+    (1673019798, 1748232454, 1555800113716936261),
+    (1150593475, 600825400, 2088878844749549134),
+    (1009996190, 1485007547, 2155649245359421026),
+    (300531013, 1207332462, 645852588267887378),
+    (1396475770, 1156854680, 1527973998755328644),
+    (2100655619, 294955151, 798314610633686944),
 ]
 _MASK30 = (1 << 30) - 1
 

@@ -540,17 +540,110 @@ def image_neardup_clusters(
     label themselves.  Completes the multimodal dedup story: exact
     content dedup (dedup_by_content) collapses byte-identical copies,
     this collapses re-ENCODED copies of the same pixels."""
+    # Note: the shared tail carries a scoped workaround for a Catalyst
+    # Union constraint-rewrite crash (NoSuchElementException in
+    # UnionBase.rewriteConstraints: a child constraint references an
+    # attribute missing from the output map) triggered when the union's
+    # children descend from this mapInPandas + posexplode-band +
+    # self-join plan; constraint propagation is an optimizer nicety the
+    # CC loop does not need, so it is disabled for just that call.
+    return _phash_clusters(perceptual_hash(media), max_hamming, n_bands)
+
+
+# ---------------------------------------------------------------------------
+# perceptual audio near-dup: spectral-grid hash over the REAL decoded
+# waveform — the audio twin of the image aHash above (Haitsma-Kalker's
+# band-energy fingerprinting idea reduced to one 64-bit clip hash).
+# ---------------------------------------------------------------------------
+AUDIO_HASH_BANDS = [
+    (100.0 * (3500.0 / 100.0) ** (i / 8.0),
+     100.0 * (3500.0 / 100.0) ** ((i + 1) / 8.0))
+    for i in range(8)
+]
+
+
+def _wav_sample_rate(content: bytes) -> int | None:
+    import wave as _wave
+
+    if len(content) < 12 or content[:4] != b"RIFF":
+        return None
+    try:
+        with _wave.open(io.BytesIO(content), "rb") as wf:
+            return wf.getframerate()
+    except (_wave.Error, EOFError):
+        return None
+
+
+def _audio_hash64(wave: np.ndarray, sr: int) -> int:
+    """64-bit spectral fingerprint: 8 equal TIME windows × 8 log-spaced
+    FREQUENCY bands (100 Hz – 3.5 kHz, in absolute Hz so the grid is
+    sample-rate-invariant); bit = band energy above the grid mean.
+    Encoding changes that preserve the audible content — requantization
+    (16→8 bit, ~0.4% noise) or a different sample rate of the same
+    master — leave every decisively-on/off cell on the same side of the
+    mean, so re-encoded copies land within a few bits."""
+    wave = wave.astype(np.float64)
+    grid = np.zeros((8, 8))
+    for w, chunk in enumerate(np.array_split(wave, 8)):
+        if len(chunk) == 0:
+            continue
+        spec = np.abs(np.fft.rfft(chunk)) ** 2
+        freqs = np.fft.rfftfreq(len(chunk), d=1.0 / sr)
+        for b, (lo, hi) in enumerate(AUDIO_HASH_BANDS):
+            sel = (freqs >= lo) & (freqs < hi)
+            grid[w, b] = spec[sel].mean() if sel.any() else 0.0
+    bits = (grid > grid.mean()).reshape(-1)
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def audio_fingerprint(df: DataFrame) -> DataFrame:
+    """(media_id, phash) for audio payloads: stdlib WAV decode (sample
+    rate read from the container itself; meta/16 kHz fallback for the
+    non-WAV seam) -> spectral-grid hash.  Same Arrow batch shape as
+    audio_features."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "phash": []}
+            for media_id, content, rate in zip(
+                pdf["media_id"], pdf["content"], pdf["sample_rate"]
+            ):
+                if content is None:
+                    continue
+                raw = bytes(content)
+                sr = _wav_sample_rate(raw)
+                if sr is None:
+                    sr = int(rate) if pd.notna(rate) else 16000
+                wave = _decode_audio(raw, sr)
+                out["media_id"].append(media_id)
+                out["phash"].append(_audio_hash64(wave, sr))
+            yield pd.DataFrame(out)
+
+    return (
+        df.filter(F.col("kind") == "audio")
+        .select(
+            "media_id",
+            "content",
+            F.col("meta.sample_rate").alias("sample_rate"),
+        )
+        .mapInPandas(extract, PHASH_SCHEMA)
+    )
+
+
+def _phash_clusters(
+    ph: DataFrame, max_hamming: int, n_bands: int
+) -> DataFrame:
+    """Shared tail of the perceptual pipelines: Hamming-banded pairs ->
+    exact bit_count verification -> connected components; singletons
+    label themselves.  (Carries the scoped constraint-propagation
+    workaround — see image_neardup_clusters.)"""
     from vcf_pg_loader_spark.operators.dedup import connected_components
 
-    ph = perceptual_hash(media)
     pairs = phash_neardup_pairs(ph, max_hamming, n_bands)
-    # Catalyst's Union constraint rewrite crashes (NoSuchElementException
-    # in UnionBase.rewriteConstraints: a child constraint references an
-    # attribute missing from the output map) when the union's children
-    # descend from this mapInPandas + posexplode-band + self-join plan;
-    # constraint propagation is an optimizer nicety the CC loop does not
-    # need, so it is disabled for just this call and restored after.
-    spark = media.sparkSession
+    spark = ph.sparkSession
     key = "spark.sql.constraintPropagation.enabled"
     prev = spark.conf.get(key)
     spark.conf.set(key, "false")
@@ -558,12 +651,18 @@ def image_neardup_clusters(
         cc = connected_components(pairs.select("d1", "d2"), "d1", "d2")
     finally:
         spark.conf.set(key, prev)
-    return (
-        ph.join(
-            cc.withColumnRenamed("node", "media_id"), "media_id", "left"
-        )
-        .select(
-            "media_id",
-            F.coalesce(F.col("comp"), F.col("media_id")).alias("cluster_id"),
-        )
+    return ph.join(
+        cc.withColumnRenamed("node", "media_id"), "media_id", "left"
+    ).select(
+        "media_id",
+        F.coalesce(F.col("comp"), F.col("media_id")).alias("cluster_id"),
     )
+
+
+def audio_neardup_clusters(
+    media: DataFrame, max_hamming: int = 6, n_bands: int = 8
+) -> DataFrame:
+    """(media_id, cluster_id) for every audio clip: re-encoded copies of
+    the same master (requantized, resampled) collapse; exact content
+    dedup cannot see them (different bytes)."""
+    return _phash_clusters(audio_fingerprint(media), max_hamming, n_bands)

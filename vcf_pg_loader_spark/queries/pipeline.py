@@ -17,7 +17,17 @@ from vcf_pg_loader_spark.operators import text as T
 from vcf_pg_loader_spark.sources.tables import load_table
 
 NGRAM = 3
-MINHASH_K = 8
+# 16 hashes / 4 bands = 4 rows per band (round 8; was 8/4 = 2).  With 2
+# rows per band the false-candidate floor is 4·J² — ~1% even for J≈0.05
+# pairs, i.e. QUADRATIC candidate growth with corpus size (measured:
+# 101 → 318 candidates at 2× sf0.01 for a constant 24 true pairs).  At
+# 4 rows the floor is 4·J⁴ and the measured 2× candidate count is flat
+# (26 → 27, all but ~1 true pairs) — the LSH S-curve restored, which
+# also needed the decorrelated permutation constants (operators/
+# dedup.py _MH_PARAMS).  Threshold recall at J=0.8 is 1-(1-0.8⁴)⁴ ≈
+# 0.88 and rises steeply above — the standard banding trade; the DuckDB
+# twins share the constants, so oracle exactness is unaffected.
+MINHASH_K = 16
 MINHASH_BANDS = 4
 JACCARD_T = 0.8
 
@@ -1526,6 +1536,94 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# perceptual AUDIO near-dup: re-encoded copies of the same master —
+# 16-bit PCM, 8-bit requantized, and a different-sample-rate render —
+# survive exact content dedup but collapse under the spectral-grid
+# fingerprint (operators/multimodal.py audio_fingerprint).  Fixture:
+# 12 deterministic tone-grid clips (balanced on/off cells over the
+# 8 time-windows × 8 log-bands hash grid, so every bit is decisive) ×
+# 3 encodings, synthesized in-query, clustered by the real distributed
+# pipeline.  Not SQL-expressible (Python decode seam): rows-only driver
+# check; exact membership pinned in tests/test_round8.py.
+# --------------------------------------------------------------------------
+AUDIO_GROUPS = 12
+
+
+def _tone_grid_wave(gid: int, sr: int, dur: float = 1.0) -> "np.ndarray":
+    import numpy as np
+
+    from vcf_pg_loader_spark.operators.multimodal import AUDIO_HASH_BANDS
+
+    rng = np.random.default_rng(2000 + gid)
+    onoff = rng.permutation(np.repeat([0, 1], 32)).reshape(8, 8)
+    n = int(sr * dur)
+    t = np.arange(n) / sr
+    sig = np.zeros(n)
+    fade = max(int(0.005 * sr), 1)
+    for w in range(8):
+        s, e = w * n // 8, (w + 1) * n // 8
+        env = np.ones(e - s)
+        env[:fade] = np.linspace(0.0, 1.0, fade)
+        env[-fade:] = np.linspace(1.0, 0.0, fade)
+        for b, (lo, hi) in enumerate(AUDIO_HASH_BANDS):
+            if onoff[w, b]:
+                f = (lo * hi) ** 0.5  # band-center tone
+                sig[s:e] += 0.1 * np.sin(2 * np.pi * f * t[s:e]) * env
+    return sig
+
+
+def _wav_bytes(sig: "np.ndarray", sr: int, width: int) -> bytes:
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(width)
+        wf.setframerate(sr)
+        if width == 2:
+            wf.writeframes(
+                np.clip(sig * 32767, -32768, 32767).astype("<i2").tobytes()
+            )
+        else:
+            wf.writeframes(
+                (np.clip(sig * 127, -128, 127) + 128)
+                .astype(np.uint8)
+                .tobytes()
+            )
+    return buf.getvalue()
+
+
+def _audio_fixture_rows() -> list[tuple[int, bytes]]:
+    rows = []
+    for g in range(AUDIO_GROUPS):
+        hi = _tone_grid_wave(g, 16000)
+        lo = _tone_grid_wave(g, 8000)
+        rows.append((g * 10 + 0, _wav_bytes(hi, 16000, 2)))
+        rows.append((g * 10 + 1, _wav_bytes(hi, 16000, 1)))  # requantized
+        rows.append((g * 10 + 2, _wav_bytes(lo, 8000, 2)))  # resampled
+    return rows
+
+
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_neardup_clusters,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (mid, "audio", bytearray(content), "audio/wav", None)
+            for mid, content in _audio_fixture_rows()
+        ],
+        MEDIA_SCHEMA,
+    )
+    return audio_neardup_clusters(media)
+
+
+# --------------------------------------------------------------------------
 # token-rarity scoring: mean corpus-frequency of each document's tokens —
 # the frequency-based half of LM-proxy quality scoring (rare-token-heavy
 # docs are surprising; boilerplate scores high).  Mean PROBABILITY, not
@@ -1609,7 +1707,13 @@ def _served_root(sf_dir: str, name: str, fixture: str) -> str:
 
     p = os.path.join(sf_dir, fixture)
     st = os.stat(p)
-    ident = f"{os.path.abspath(p)}:{st.st_mtime_ns}:{st.st_size}"
+    # the operator constants are part of the identity: a parameter
+    # change (e.g. the round-8 rows-per-band bump) must invalidate every
+    # structure built under the old parameters
+    ident = (
+        f"{os.path.abspath(p)}:{st.st_mtime_ns}:{st.st_size}"
+        f":k{MINHASH_K}b{MINHASH_BANDS}t{JACCARD_T}:n{NLL_MAX}"
+    )
     key = hashlib.sha256(ident.encode()).hexdigest()[:16]
     return os.path.join(
         tempfile.gettempdir(), "spark_graft_served", f"{name}_{key}"
@@ -3042,6 +3146,7 @@ QUERIES = {
     "q_ann_recall": q_ann_recall,
     "q_multimodal_dedup": q_multimodal_dedup,
     "q_image_neardup": q_image_neardup,
+    "q_audio_neardup": q_audio_neardup,
     "q_token_rarity": q_token_rarity,
     "q_mix_temperature": q_mix_temperature,
     "q_ngram_novelty": q_ngram_novelty,
