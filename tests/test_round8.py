@@ -973,3 +973,77 @@ class TestAudioNearDup:
             assert sorted(by_cluster[g * 10]) == [
                 g * 10, g * 10 + 1, g * 10 + 2,
             ]
+
+
+class TestRetractCorpusCli:
+    def test_end_to_end(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        from vcf_pg_loader_spark.cli import main
+        from vcf_pg_loader_spark.operators.ivm import MULT
+
+        state = str(tmp_path / "state")
+        b0 = _zdf(
+            spark, [(1, BASE), (2, NEAR), (10, OTHER)], 1
+        )
+        b0_path = str(tmp_path / "b0")
+        b0.write.parquet(b0_path)
+        assert main([
+            "retract-corpus", "--state", state, "--batch", b0_path,
+            "--batch-id", "0",
+        ]) == 0
+        out0 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out0["docs_kept"] == 2  # near-dup 2 collapsed into 1
+
+        dels = spark.createDataFrame([(1,)], "doc_id bigint")
+        del_path = str(tmp_path / "dels")
+        dels.write.parquet(del_path)
+        out_dir = str(tmp_path / "kept")
+        assert main([
+            "retract-corpus", "--state", state, "--delete-ids", del_path,
+            "--batch-id", "1", "--out", out_dir,
+        ]) == 0
+        out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out1["docs_kept"] == 2  # 2 promoted after 1's takedown
+        kept_ids = {
+            r.doc_id for r in spark.read.parquet(out_dir).collect()
+        }
+        assert kept_ids == {2, 10}
+        # replay of the same batch id is a no-op
+        assert main([
+            "retract-corpus", "--state", state, "--delete-ids", del_path,
+            "--batch-id", "1",
+        ]) == 0
+
+
+class TestGoldenProgressiveFixture:
+    """Checked-in SOF2 fixture with pinned bytes AND pinned decoded
+    pixels: permanent determinism evidence for the progressive decode
+    path (the baseline golden_16x16.jpg pattern)."""
+
+    def test_pinned_bytes_and_pixels(self):
+        import hashlib
+
+        from vcf_pg_loader_spark.operators._jpeg import decode_jpeg
+
+        with open(
+            "tests/fixtures/golden_16x16_progressive.jpg", "rb"
+        ) as fh:
+            enc = fh.read()
+        assert (
+            hashlib.sha256(enc).hexdigest()
+            == "292dbfeeaffc9e39aea23dde75e5371ee45e596926e36252d33cc14f2f6a8ec4"
+        )
+        assert enc[2:4] != b"\xff\xc0" and b"\xff\xc2" in enc[:200]
+        dec = decode_jpeg(enc)
+        assert dec.shape == (16, 16, 3)
+        assert (
+            hashlib.sha256(dec.tobytes()).hexdigest()
+            == "d111aab35a2f4f417c151257472851e3a7e2ed4ca57d1f785023d4c819aade20"
+        )
+        assert dec[0, 0].tolist() == [68, 35, 52]
+        assert dec[0, 15].tolist() == [73, 76, 30]
+        assert dec[15, 0].tolist() == [156, 60, 156]
+        assert dec[15, 15].tolist() == [59, 222, 178]

@@ -449,6 +449,57 @@ def cmd_dedup_corpus(args) -> int:
     return 0
 
 
+def cmd_retract_corpus(args) -> int:
+    """Apply one Z-set batch to the retraction-maintained cluster state
+    (streaming/retract.py DedupClusterMaintSink) — the takedown/GDPR
+    path: a parquet batch carries inserts (_mult=+1, with text) and
+    retractions (_mult=-1), or --delete-ids names a parquet of doc ids
+    to retract.  Deletions drop the docs, their LSH band rows, and
+    their incident verified pairs, then re-run connected components
+    over the remaining PAIR table only — no re-shingling of survivors,
+    ever.  Exactly-once per --batch-id (replays are no-ops), so a retry
+    after a crash converges."""
+    from pyspark.sql import functions as F
+
+    from vcf_pg_loader_spark.operators.ivm import MULT
+    from vcf_pg_loader_spark.streaming.retract import DedupClusterMaintSink
+
+    spark = _spark()
+    sink = DedupClusterMaintSink(
+        args.state, args.ngram, args.minhash_k, args.bands, args.threshold
+    )
+    if args.batch:
+        batch = spark.read.parquet(args.batch)
+    else:
+        ids = spark.read.parquet(args.delete_ids)
+        batch = (
+            ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id"))
+            .withColumn("text", F.lit(None).cast("string"))
+            .withColumn(MULT, F.lit(-1).cast("bigint"))
+        )
+    sink.apply_batch(batch, args.batch_id)
+    kept = sink.keep(spark)
+    n_docs = sink._table(spark, "corpus").count()
+    n_kept = kept.count()
+    if args.out:
+        corpus = sink._table(spark, "corpus")
+        corpus.join(kept, "doc_id", "left_semi").write.mode(
+            "overwrite"
+        ).parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "state": args.state,
+                "batch_id": args.batch_id,
+                "docs_in_state": n_docs,
+                "docs_kept": n_kept,
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="vcf-pg-loader-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -565,6 +616,23 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--clusters", required=True,
                     help="cluster-table dir (reused unless --rebuild)")
     sp.add_argument("--rebuild", action="store_true")
+    sp.add_argument("--ngram", type=int, default=3)
+    sp.add_argument("--minhash-k", type=int, default=8)
+    sp.add_argument("--bands", type=int, default=4)
+    sp.add_argument("--threshold", type=float, default=0.8)
+
+    sp = add("retract-corpus", cmd_retract_corpus,
+             help="apply a Z-set insert/retraction batch to the "
+                  "maintained cluster state (takedown path)")
+    sp.add_argument("--state", required=True,
+                    help="DedupClusterMaintSink state dir")
+    sp.add_argument("--batch",
+                    help="parquet Z-set batch (doc_id, text, _mult)")
+    sp.add_argument("--delete-ids",
+                    help="parquet of doc ids to retract (first column)")
+    sp.add_argument("--batch-id", type=int, required=True,
+                    help="exactly-once batch id (replays are no-ops)")
+    sp.add_argument("--out", help="write the kept corpus here")
     sp.add_argument("--ngram", type=int, default=3)
     sp.add_argument("--minhash-k", type=int, default=8)
     sp.add_argument("--bands", type=int, default=4)
