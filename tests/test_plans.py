@@ -429,3 +429,37 @@ def test_dsir_logratio_table_broadcasts(spark, sf):
     plan = plan_of(q_dsir_weights(spark, sf), mode="simple")
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_phash_banding_is_jvm_side(spark):
+    """The perceptual near-dup pipeline crosses into Python exactly once
+    (the mapInPandas decode+hash stage); banding, the candidate
+    self-join, and the Hamming verification are all JVM expressions."""
+    from vcf_pg_loader_spark.operators.multimodal import (
+        phash_neardup_pairs,
+    )
+
+    ph = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 9)], "media_id bigint, phash long"
+    )
+    plan = plan_of(phash_neardup_pairs(ph), mode="simple")
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_retract_serve_is_anti_join_over_state_scan(spark, tmp_path):
+    """Serving the keep-decision from the retraction-maintained cluster
+    state is one anti join over parquet scans — the LSH machinery never
+    appears in the plan."""
+    from vcf_pg_loader_spark.streaming.retract import DedupClusterMaintSink
+
+    docs = spark.createDataFrame(
+        [(i, f"doc text number {i} with tokens") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    sink = DedupClusterMaintSink(str(tmp_path / "st"))
+    sink.apply_batch(docs, 0)
+    plan = plan_of(sink.keep(spark), mode="simple")
+    assert "LeftAnti" in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    # state scan only: no shingle explode / minhash aggregation
+    assert "posexplode" not in plan.lower()
