@@ -982,10 +982,9 @@ def q_semdedup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches = [
         z(emb.filter(v % 2 == 0), 1),
         z(emb.filter(v % 2 == 1), 1),
-        z(emb.filter(v % 7 == 3), -1),
-        z(emb.filter((v % 7 == 3) & (v % 3 == 0)), 1).unionByName(
-            z(emb.filter(v % 11 == 5), -1)
-        ),
+        z(emb.filter((v % 7 == 3) & (v % 3 == 0)), 1)
+        .unionByName(z(emb.filter(v % 7 == 3), -1))
+        .unionByName(z(emb.filter(v % 11 == 5), -1)),
     ]
     root = _served_root(sf_dir, "zdel_semdedup", "embeddings.parquet")
     sink = SemDeDupIngestSink(
@@ -1621,6 +1620,25 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         MEDIA_SCHEMA,
     )
     return audio_neardup_clusters(media)
+
+
+def _planted_cluster_sql(n_groups: int) -> str:
+    """The perceptual-dedup fixtures carry their own ground truth: group
+    g's three re-encoded variants (ids g*10..g*10+2) must all label
+    g*10.  The decode seams are Python, so no SQL can RECOMPUTE the
+    hashes — but the planted expectation is itself a complete, engine-
+    independent oracle, which upgrades the driver's check from
+    rows-only to value-exact."""
+    rows = ", ".join(
+        f"({g * 10 + v}, {g * 10})"
+        for g in range(n_groups)
+        for v in range(3)
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS t(media_id, cluster_id)"
+
+
+Q_IMAGE_NEARDUP_SQL = _planted_cluster_sql(IMG_GROUPS)
+Q_AUDIO_NEARDUP_SQL = _planted_cluster_sql(AUDIO_GROUPS)
 
 
 # --------------------------------------------------------------------------
@@ -2726,19 +2744,21 @@ def q_drop_reasons_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 # RETRACTION-maintained served structures (streaming/retract.py): the
 # takedown/GDPR-delete path.  Each query drives the corresponding sink
 # through a fixed interleaved insert+delete batch sequence — two insert
-# halves, a delete wave, then a mixed batch that re-inserts some deleted
-# docs and deletes others (one doc is re-inserted AND re-deleted in the
-# same batch, exercising Z-set cancellation) — and serves the result
-# from the maintained state WITHOUT any rebuild.  The oracles recompute
-# the full pipeline over exactly the retained rows, so value-equality
-# proves the incremental maintenance exact.
+# halves, then a mixed retraction batch that deletes two id waves while
+# simultaneously carrying +1 rows for part of the first wave (those
+# consolidate to net-zero no-ops, exercising Z-set cancellation; docs
+# hit by both waves net to a delete) — and serves the result from the
+# maintained state WITHOUT any rebuild.  The oracles recompute the full
+# pipeline over exactly the retained rows, so value-equality proves the
+# incremental maintenance exact.  (The longer delete-then-reinsert-
+# later lineage is pytest-covered: tests/test_round8.py
+# reinsert/interleaving cases.)
 #
 # Batch algebra (documents table, doc_id ranges are SF-independent):
 #   b1 ins:  doc_id % 2 = 0          b2 ins:  doc_id % 2 = 1
-#   b3 del:  doc_id % 7 = 3
-#   b4 ins:  doc_id % 7 = 3 AND doc_id % 3 = 0,  del: doc_id % 11 = 5
-# Final retained set (consolidation gives the b4 ins∩del doc net-zero,
-# so it stays deleted):
+#   b3 ins:  doc_id % 7 = 3 AND doc_id % 3 = 0
+#      del:  doc_id % 7 = 3          del: doc_id % 11 = 5
+# Final retained set:
 ZDEL_RETAIN_SQL = (
     "(doc_id % 11 <> 5) AND (doc_id % 7 <> 3 OR doc_id % 3 = 0)"
 )
@@ -2755,10 +2775,9 @@ def _zdel_batches(docs: DataFrame) -> list[DataFrame]:
     return [
         z(docs.filter(d % 2 == 0), 1),
         z(docs.filter(d % 2 == 1), 1),
-        z(docs.filter(d % 7 == 3), -1),
-        z(docs.filter((d % 7 == 3) & (d % 3 == 0)), 1).unionByName(
-            z(docs.filter(d % 11 == 5), -1)
-        ),
+        z(docs.filter((d % 7 == 3) & (d % 3 == 0)), 1)
+        .unionByName(z(docs.filter(d % 7 == 3), -1))
+        .unionByName(z(docs.filter(d % 11 == 5), -1)),
     ]
 
 
@@ -3241,6 +3260,8 @@ ORACLE = {
     "q_drop_reasons_retract": Q_DROP_REASONS_RETRACT_SQL,
     "q_semdedup_retract": Q_SEMDEDUP_RETRACT_SQL,
     "q_ann_retract": Q_ANN_RETRACT_SQL,
+    "q_image_neardup": Q_IMAGE_NEARDUP_SQL,
+    "q_audio_neardup": Q_AUDIO_NEARDUP_SQL,
     "q_length_batches": Q_LENGTH_BATCHES_SQL,
     "q_lm_perplexity": Q_LM_PERPLEXITY_SQL,
     "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
