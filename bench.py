@@ -285,8 +285,9 @@ def served_paths(spark, sf_dir: str) -> dict:
     amortizes over every downstream consumer.  The structures are
     already on disk here (the main loop built them), so each timing is
     a pure serve."""
-    from vcf_pg_loader_spark.queries import pipeline as QP
+    from vcf_pg_loader_spark.queries import all_queries
 
+    registry = all_queries()
     out: dict = {}
     for name in (
         "q_dedup_keep_served",
@@ -304,7 +305,7 @@ def served_paths(spark, sf_dir: str) -> dict:
         "q_rollup_retract",
     ):
         try:
-            fn = QP.QUERIES[name]
+            fn = registry[name]
             fn(spark, sf_dir).count()  # ensure built + warm
             best = None
             for _ in range(2):
