@@ -37,5 +37,7 @@ class TestDocNLL:
             .toString()
         )
         assert "EvalPython" not in plan and "Arrow" not in plan
-        # bigrams come from a PER-DOC window, never a global sort
-        assert "windowspecdefinition(doc_id" in plan
+        # bigrams are built array-side (round 8): no window, no sort —
+        # adjacency never pays an exchange
+        assert "windowspecdefinition" not in plan
+        assert "Sort" not in plan.split("HashAggregate")[-1]

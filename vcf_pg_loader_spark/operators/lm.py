@@ -5,11 +5,14 @@ trained on the corpus itself, scoring every document's mean negative
 log-likelihood.  High-NLL docs are boilerplate/garbled/outlier text;
 low-NLL docs are fluent under the corpus distribution.
 
-Scale shape: one tokenize/explode pass; bigrams via a PER-DOCUMENT lead
-window (keyed — never global); two keyed count aggregations (bigram and
-unigram tables, both vocabulary-sized, both partial-aggregated map-side
-before their shuffles); scoring is one join per table plus a broadcast
-vocabulary scalar.  Zero Python anywhere.
+Scale shape: bigrams are built ARRAY-side (zip the token array against
+its own 1-shift, one explode — zero exchanges; round 8 replaced a
+posexplode + per-doc lead window that paid a shuffle to rediscover
+adjacency the array already encodes); two keyed count aggregations
+(bigram and unigram tables, both vocabulary-sized, both
+partial-aggregated map-side before their shuffles); scoring is one
+join per table plus a broadcast vocabulary scalar.  Zero Python
+anywhere.
 
 Determinism: counts are exact integers; the single ln() per bigram runs
 on identical doubles in Spark and DuckDB; per-doc sums fold through the
@@ -27,7 +30,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 DEC = "decimal(24,12)"
 SMOOTH_K = 0.5
@@ -36,17 +38,24 @@ SMOOTH_K = 0.5
 def _doc_bigrams(
     docs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """(doc, w1, w2) adjacent-token pairs via a per-doc lead window."""
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w1"),
-    ).filter(F.col("w1") != "")
-    w = Window.partitionBy(id_col).orderBy("pos")
-    return (
-        toks.withColumn("w2", F.lead("w1").over(w))
-        .filter(F.col("w2").isNotNull())
-        .select(id_col, "w1", "w2")
+    """(doc, w1, w2) adjacent-token pairs, built ARRAY-side: zip the
+    token array against its own 1-shift (the q_pmi_bigrams kernel) and
+    explode once.  Round 8: this replaces a posexplode + per-doc lead
+    window — adjacency is already explicit in the array, so paying a
+    shuffle + sort to rediscover it was pure waste; the whole bigram
+    build now stays inside whole-stage codegen with zero exchanges."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    # single-token and empty docs have no bigram: clamp the slice length
+    # (slice rejects negative lengths)
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
+    return docs.select(
+        F.col(id_col), F.explode(grams).alias("g")
+    ).select(id_col, "g.w1", "g.w2")
 
 
 def doc_nll(
