@@ -2908,6 +2908,106 @@ Q_DROP_REASONS_RETRACT_SQL = _drop_reasons_retract_sql()
 
 
 # --------------------------------------------------------------------------
+# dataset card: the one-row-per-source summary a corpus release ships —
+# volume, token mass, quality keep-rate, exact-dup rate, and the mean
+# LM negative log-likelihood, composed from the already-oracled gates.
+# Every aggregate folds through decimals (queries/_util.py) so the card
+# is bit-reproducible.
+# --------------------------------------------------------------------------
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators.lm import doc_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    qual = quality_verdict(docs).select("doc_id", "keep")
+    nll = doc_nll(docs).select("doc_id", "nll")
+    fp = T.fingerprint(docs.select("doc_id", "text")).select(
+        "doc_id", "doc_fp"
+    )
+    canon = fp.groupBy("doc_fp").agg(F.min("doc_id").alias("doc_id"))
+    exact_losers = fp.join(canon.select("doc_id"), "doc_id", "left_anti")
+
+    per_doc = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(T.tokens(F.col("text"))).alias("n_tokens"),
+        )
+        .join(qual, "doc_id")
+        .join(nll, "doc_id", "left")
+        .join(
+            exact_losers.select("doc_id").withColumn("_dup", F.lit(1)),
+            "doc_id",
+            "left",
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
+            F.round(
+                F.sum(F.col("keep").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("quality_keep_rate"),
+            F.round(
+                F.sum(
+                    F.coalesce(F.col("_dup"), F.lit(0)).cast("decimal(18,6)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("exact_dup_rate"),
+            F.round(
+                F.sum(F.col("nll").cast("decimal(24,12)")).cast("double")
+                / F.count(F.col("nll")),
+                6,
+            ).alias("mean_nll"),
+        )
+    )
+
+
+Q_DATASET_CARD_SQL = f"""
+WITH q AS ({Q_QUALITY_FILTER_SQL}),
+nll AS ({{NLL}}),
+fp AS (SELECT doc_id, md5(regexp_replace(trim(text), ' +', ' ', 'g'))
+              AS doc_fp
+       FROM documents),
+canon AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY doc_fp),
+per_doc AS (
+  SELECT d.doc_id, d.source,
+         len(string_split(d.text, ' ')) AS n_tokens,
+         q.keep,
+         n.nll,
+         CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM canon)
+              THEN 1 ELSE 0 END AS _dup
+  FROM documents d
+  JOIN q USING (doc_id)
+  LEFT JOIN nll n USING (doc_id)
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(CAST(CAST(keep AS INT) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS quality_keep_rate,
+       ROUND(CAST(SUM(CAST(_dup AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS exact_dup_rate,
+       ROUND(CAST(SUM(CAST(nll AS DECIMAL(24,12))) AS DOUBLE)
+             / COUNT(nll), 6) AS mean_nll
+FROM per_doc
+GROUP BY 1
+"""
+
+
+def _dataset_card_sql() -> str:
+    from vcf_pg_loader_spark.operators.lm import sql_doc_nll
+
+    return Q_DATASET_CARD_SQL.replace("{NLL}", sql_doc_nll("documents"))
+
+
+Q_DATASET_CARD_SQL = _dataset_card_sql()
+
+
+# --------------------------------------------------------------------------
 # KMV distinct sketch (operators/sketch.py): estimated distinct users
 # per event type — the deterministic, mergeable alternative to HLL whose
 # estimate the DuckDB oracle reproduces bit-for-bit (HLL register
@@ -3166,6 +3266,7 @@ QUERIES = {
     "q_multimodal_dedup": q_multimodal_dedup,
     "q_image_neardup": q_image_neardup,
     "q_audio_neardup": q_audio_neardup,
+    "q_dataset_card": q_dataset_card,
     "q_token_rarity": q_token_rarity,
     "q_mix_temperature": q_mix_temperature,
     "q_ngram_novelty": q_ngram_novelty,
@@ -3262,6 +3363,7 @@ ORACLE = {
     "q_ann_retract": Q_ANN_RETRACT_SQL,
     "q_image_neardup": Q_IMAGE_NEARDUP_SQL,
     "q_audio_neardup": Q_AUDIO_NEARDUP_SQL,
+    "q_dataset_card": Q_DATASET_CARD_SQL,
     "q_length_batches": Q_LENGTH_BATCHES_SQL,
     "q_lm_perplexity": Q_LM_PERPLEXITY_SQL,
     "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
