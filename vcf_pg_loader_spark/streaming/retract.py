@@ -132,6 +132,10 @@ class DedupClusterMaintSink(ParquetUpsertSink):
         """Keep-decision over the current corpus: one anti-join against
         the maintained loser set (DedupClusterStore.serve_keep shape)."""
         corpus = self._table(spark, "corpus")
+        if corpus is None:
+            raise FileNotFoundError(
+                f"no maintained state at {self.target}; apply a batch first"
+            )
         cc = self._table(spark, "clusters")
         ids = corpus.select("doc_id")
         if cc is None:
@@ -291,7 +295,12 @@ class FunnelReportSink(ParquetUpsertSink):
 
     # -- serve ----------------------------------------------------------
     def report(self, spark) -> DataFrame:
-        return self._table(spark, "report")
+        rep = self._table(spark, "report")
+        if rep is None:
+            raise FileNotFoundError(
+                f"no maintained state at {self.target}; apply a batch first"
+            )
+        return rep
 
     # -- maintenance -----------------------------------------------------
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
