@@ -1047,3 +1047,51 @@ class TestGoldenProgressiveFixture:
         assert dec[0, 15].tolist() == [73, 76, 30]
         assert dec[15, 0].tolist() == [156, 60, 156]
         assert dec[15, 15].tolist() == [59, 222, 178]
+
+
+class TestWinnowIndexSink:
+    def test_delete_matches_fresh_winnow(self, spark, tmp_path):
+        from vcf_pg_loader_spark.operators import text as T
+        from vcf_pg_loader_spark.streaming.retract import WinnowIndexSink
+
+        rows = [(i, (BASE + f" extra{i % 4}") * 2) for i in range(8)]
+        sink = WinnowIndexSink(str(tmp_path / "wn"))
+        sink.apply_batch(_zdf(spark, rows[:5]), 0)
+        sink.apply_batch(_zdf(spark, rows[5:]), 1)
+        sink.apply_batch(_zdf(spark, rows[2:4], mult=-1), 2)
+        got = {
+            (r.d1, r.d2, r.n_shared)
+            for r in sink.overlap_pairs(spark, 10, 3).collect()
+        }
+        retained = _zdf(spark, rows[:2] + rows[4:])
+        want = {
+            (r.d1, r.d2, r.n_shared)
+            for r in T.winnow_overlap_pairs(
+                T.winnow_fingerprints(retained), 10, 3
+            ).collect()
+        }
+        assert got == want and got  # non-trivial overlap set
+
+    def test_replay_and_reinsert(self, spark, tmp_path):
+        from vcf_pg_loader_spark.streaming.retract import WinnowIndexSink
+
+        sink = WinnowIndexSink(str(tmp_path / "wn"))
+        b0 = _zdf(spark, [(1, BASE * 2), (2, OTHER * 2)])
+        sink.apply_batch(b0, 0)
+        n0 = spark.read.parquet(f"{sink.target}/fps").count()
+        sink.apply_batch(b0, 0)  # replay: no-op
+        assert spark.read.parquet(f"{sink.target}/fps").count() == n0
+        sink.apply_batch(_zdf(spark, [(1, BASE * 2)], mult=-1), 1)
+        ids = {
+            r.doc_id
+            for r in spark.read.parquet(f"{sink.target}/fps")
+            .select("doc_id").distinct().collect()
+        }
+        assert ids == {2}
+        sink.apply_batch(_zdf(spark, [(1, BASE * 2)], mult=1), 2)
+        ids2 = {
+            r.doc_id
+            for r in spark.read.parquet(f"{sink.target}/fps")
+            .select("doc_id").distinct().collect()
+        }
+        assert ids2 == {1, 2}

@@ -1038,6 +1038,22 @@ WHERE {ZDEL_VEC_RETAIN_SQL.replace('vec_id', 'e.vec_id')}
 Q_SEMDEDUP_RETRACT_SQL = _semdedup_retract_sql()
 
 
+def q_winnow_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-reuse overlap pairs served from the retraction-maintained
+    winnowing fingerprint index (streaming/retract.py WinnowIndexSink):
+    the O(len·w) rolling-hash work runs once per doc at arrival; a
+    takedown anti-joins the posting table; serving re-derives document
+    frequencies and the fp equi-join from the index alone.  Oracle: the
+    full winnowing pipeline recomputed over exactly the retained docs."""
+    from vcf_pg_loader_spark.streaming.retract import WinnowIndexSink
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = _served_root(sf_dir, "zdel_winnow", "documents.parquet")
+    sink = WinnowIndexSink(f"{root}/state")
+    _run_zdel_batches(sink, docs.select("doc_id", "text"))
+    return sink.overlap_pairs(spark, WINNOW_MAX_DF, WINNOW_MIN_SHARED)
+
+
 def q_ann_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN served from a persisted index maintained through
     deletions and re-insertions (VectorIndex.apply_delta): retractions
@@ -2905,6 +2921,7 @@ FROM {retained} d JOIN q USING (doc_id)
 
 
 Q_DROP_REASONS_RETRACT_SQL = _drop_reasons_retract_sql()
+Q_WINNOW_RETRACT_SQL = _over_retained(Q_WINNOW_SQL)
 
 
 # --------------------------------------------------------------------------
@@ -3292,6 +3309,7 @@ QUERIES = {
     "q_drop_reasons_retract": q_drop_reasons_retract,
     "q_semdedup_retract": q_semdedup_retract,
     "q_ann_retract": q_ann_retract,
+    "q_winnow_retract": q_winnow_retract,
     "q_length_batches": q_length_batches,
     "q_lm_perplexity": q_lm_perplexity,
     "q_chunk_dedup": q_chunk_dedup,
@@ -3361,6 +3379,7 @@ ORACLE = {
     "q_drop_reasons_retract": Q_DROP_REASONS_RETRACT_SQL,
     "q_semdedup_retract": Q_SEMDEDUP_RETRACT_SQL,
     "q_ann_retract": Q_ANN_RETRACT_SQL,
+    "q_winnow_retract": Q_WINNOW_RETRACT_SQL,
     "q_image_neardup": Q_IMAGE_NEARDUP_SQL,
     "q_audio_neardup": Q_AUDIO_NEARDUP_SQL,
     "q_dataset_card": Q_DATASET_CARD_SQL,

@@ -423,3 +423,69 @@ class FunnelReportSink(ParquetUpsertSink):
             frames, batch_id, count_table="report", keep_tables=keep
         )
         self._record(batch_id, n)
+
+
+class WinnowIndexSink(ParquetUpsertSink):
+    """Maintained passage-reuse (winnowing) fingerprint index under
+    interleaved inserts and retractions — the plagiarism/reuse-detection
+    sibling of the BM25 index: the expensive per-doc work (rolling
+    char-k-gram hashing + window minima, O(len·w) per doc) runs exactly
+    once at arrival; a retraction is a keyed anti-join on the posting
+    table.  State, one swap-atomic directory:
+
+      fps/ (doc_id, fp, bucket)  — winnowing fingerprints, partitioned
+                                   by a hash bucket of fp so overlap
+                                   probes prune on disk
+
+    Serving overlap pairs (winnow_overlap_pairs over the maintained
+    table) re-derives document frequencies and the fp equi-join from
+    the index alone — no text is ever re-hashed.  Fingerprints are a
+    pure per-doc function, so the maintained table equals a fresh
+    winnowing of exactly the retained docs (q_winnow_retract's oracle
+    recomputes that)."""
+
+    N_FP_BUCKETS = 64
+
+    def __init__(self, target: str):
+        super().__init__(target, key=["doc_id"])
+
+    def overlap_pairs(
+        self, spark, max_df: int = 10, min_shared: int = 3
+    ) -> DataFrame:
+        from vcf_pg_loader_spark.operators.text import winnow_overlap_pairs
+
+        fps = self._table(spark, "fps")
+        if fps is None:
+            raise FileNotFoundError(
+                f"no maintained state at {self.target}; apply a batch first"
+            )
+        return winnow_overlap_pairs(
+            fps.select("doc_id", "fp"), max_df, min_shared
+        )
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from vcf_pg_loader_spark.operators.text import winnow_fingerprints
+
+        if self.applied(batch_id):
+            return
+        self._recover()
+        marker = self._read_marker()
+        if marker is not None and marker["batch_id"] == batch_id:
+            self._record(batch_id, marker["n_rows"])
+            return
+        spark = batch_df.sparkSession
+        ins, dels = split_zset(batch_df, "doc_id")
+        ins = ins.dropDuplicates(["doc_id"])
+        touched = dels.unionByName(ins.select("doc_id")).distinct()
+        old = _without(self._table(spark, "fps"), touched, "doc_id")
+        new = winnow_fingerprints(ins.select("doc_id", "text")).withColumn(
+            "bucket", F.pmod(F.col("fp"), F.lit(self.N_FP_BUCKETS))
+        )
+        fps = new if old is None else old.unionByName(new)
+        n = self._swap_in_frames(
+            {"fps": fps},
+            batch_id,
+            count_table="fps",
+            partition_by={"fps": ["bucket"]},
+        )
+        self._record(batch_id, n)
