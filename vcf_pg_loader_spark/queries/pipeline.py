@@ -2590,13 +2590,25 @@ NLL_MAX = 3.45  # ~97th percentile of the corpus NLL distribution
 
 
 def q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
     from vcf_pg_loader_spark.operators.lm import doc_nll
 
     docs = load_table(spark, sf_dir, "documents")
-    qual = q_quality_filter(spark, sf_dir)
+    # qual and lm_losers each feed TWO plan branches (the gate chain and
+    # the final attribution joins) — persist them or the corpus-wide
+    # quality metrics and the whole LM execute twice (SCALE.md
+    # multiply-consumed-lineage rule).  Both are small ID-LEVEL frames;
+    # `surv` also feeds two branches but carries full text, and an A/B
+    # measured caching it as a net LOSS (cache write/read of the text
+    # column outweighs re-deriving it) — so it stays lazy.  The
+    # caller/bench owns the cache lifetime, as with the LSH shingles.
+    qual = q_quality_filter(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     lm_losers = (
         doc_nll(docs).filter(F.col("nll") > NLL_MAX).select("doc_id")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     kept_q = docs.join(
         qual.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
