@@ -62,16 +62,26 @@ def hdr_partial(
     value_col: str,
     sub_bits: int = SUB_BITS,
     scale: int = SCALE,
+    mult_col: str | None = None,
 ) -> DataFrame:
     """Per-group histogram partial: (group..., bucket, cnt).  Nulls and
     non-positive values are out of the sketch's domain and are dropped
-    (same stance as kmv_sketch's null drop)."""
+    (same stance as kmv_sketch's null drop).  `mult_col` names a Z-set
+    multiplicity column: bucket counts are then SIGNED sums, so a
+    retraction batch decrements the histogram exactly — bucket counts
+    are linear, the deletable-sketch case (unlike KMV's order
+    statistics, which are not)."""
     iv = F.floor(F.col(value_col) * scale).cast("bigint")
+    m = (
+        F.col(mult_col).cast("bigint")
+        if mult_col
+        else F.lit(1).cast("bigint")
+    )
     return (
         df.filter(F.col(value_col).isNotNull() & (iv > 0))
-        .select(*group_cols, _bucket_id(iv, sub_bits).alias("bucket"))
+        .select(*group_cols, _bucket_id(iv, sub_bits).alias("bucket"), m.alias("_m"))
         .groupBy(*group_cols, "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("_m").alias("cnt"))
     )
 
 

@@ -299,16 +299,28 @@ def cms_partial(
     value_col: str,
     rows: int = CMS_ROWS,
     width: int = CMS_WIDTH,
+    mult_col: str | None = None,
 ) -> DataFrame:
     """(row, pos, cnt) sketch of the multiset in `value_col` (nulls are
-    out of domain, as in kmv_sketch)."""
+    out of domain, as in kmv_sketch).  `mult_col` names a Z-set
+    multiplicity column (operators/ivm.py MULT): counters are then
+    SIGNED sums, so a retraction batch decrements the sketch exactly —
+    Count-Min is a linear sketch, the textbook deletable case."""
+    m = (
+        F.col(mult_col).cast("bigint")
+        if mult_col
+        else F.lit(1).cast("bigint")
+    )
     return (
         df.filter(F.col(value_col).isNotNull())
-        .select(h60(F.col(value_col), salt="cms:").alias("_h"))
-        .select(F.explode(_cms_rowpos_pairs(F.col("_h"), rows, width)).alias("_rp"))
-        .select(F.col("_rp.row").alias("row"), F.col("_rp.pos").alias("pos"))
+        .select(h60(F.col(value_col), salt="cms:").alias("_h"), m.alias("_m"))
+        .select(
+            F.col("_m"),
+            F.explode(_cms_rowpos_pairs(F.col("_h"), rows, width)).alias("_rp"),
+        )
+        .select(F.col("_rp.row").alias("row"), F.col("_rp.pos").alias("pos"), "_m")
         .groupBy("row", "pos")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("_m").alias("cnt"))
     )
 
 

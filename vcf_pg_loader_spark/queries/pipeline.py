@@ -2085,6 +2085,98 @@ FROM est LEFT JOIN tc USING (token)
 Q_CMS_TOKENS_SQL = _cms_sql()
 
 
+# --------------------------------------------------------------------------
+# linear sketches under retraction: Count-Min counters and HDR bucket
+# counts are LINEAR in the input multiset, so Z-set deltas decrement
+# them exactly (the deletable-sketch case; KMV's order statistics are
+# not deletable and keep their rebuild stance).  Additive folds are
+# non-idempotent, so the delete waves target only present rows — the
+# q_rollup_retract batch algebra.
+# --------------------------------------------------------------------------
+def _additive_zdel_batches(frame: DataFrame, id_col: str) -> list[DataFrame]:
+    from vcf_pg_loader_spark.operators.ivm import MULT
+
+    e = F.col(id_col)
+
+    def z(df, mult):
+        return df.withColumn(MULT, F.lit(mult).cast("bigint"))
+
+    return [
+        z(frame.filter(e % 2 == 0), 1),
+        z(frame.filter(e % 2 == 1), 1),
+        z(frame.filter((e % 7 == 3) & (e % 3 == 0)), 1)
+        .unionByName(z(frame.filter(e % 7 == 3), -1))
+        .unionByName(
+            z(frame.filter((e % 11 == 5) & ((e % 7 != 3) | (e % 3 == 0))), -1)
+        ),
+    ]
+
+
+def q_cms_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency estimates served from a CMS maintained through
+    interleaved insert+delete doc batches: each batch's tokens fold
+    into the counter table with SIGNED multiplicities; zeroed counters
+    consolidate away.  Oracle: the full sketch + probe pipeline
+    recomputed over exactly the retained docs."""
+    from vcf_pg_loader_spark.operators import sketch as SK
+    from vcf_pg_loader_spark.operators.ivm import MULT
+
+    docs = load_table(spark, sf_dir, "documents")
+    sk = None
+    for b in _additive_zdel_batches(docs.select("doc_id", "text"), "doc_id"):
+        toks = b.select(
+            F.explode(F.split(F.col("text"), " ")).alias("token"),
+            F.col(MULT),
+        )
+        part = SK.cms_partial(toks, "token", mult_col=MULT)
+        sk = part if sk is None else SK.cms_merge(sk, part)
+    sk = sk.filter(F.col("cnt") != 0)
+    probes = spark.createDataFrame(
+        [(t,) for t in CMS_PROBES], "token string"
+    )
+    est = SK.cms_estimate(sk, probes, "token")
+    retained = docs.filter(
+        (F.col("doc_id") % 11 != 5)
+        & ((F.col("doc_id") % 7 != 3) | (F.col("doc_id") % 3 == 0))
+    )
+    true_cnt = (
+        retained.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token").isin(CMS_PROBES))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    return est.join(true_cnt, "token", "left").select(
+        "token",
+        "cms_est",
+        F.coalesce(F.col("true_cnt"), F.lit(0).cast("bigint")).alias(
+            "true_cnt"
+        ),
+    )
+
+
+def q_hdr_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type quantile estimates served from HDR partials
+    maintained through interleaved insert+delete event batches (signed
+    bucket counts; zero buckets consolidate away).  Oracle: the sketch
+    recomputed over exactly the retained events."""
+    from vcf_pg_loader_spark.operators import histogram as H
+    from vcf_pg_loader_spark.operators.ivm import MULT
+
+    ev = load_table(spark, sf_dir, "events")
+    partials = None
+    for b in _additive_zdel_batches(
+        ev.select("event_id", "event_type", "value"), "event_id"
+    ):
+        part = H.hdr_partial(b, ["event_type"], "value", mult_col=MULT)
+        partials = (
+            part
+            if partials is None
+            else H.hdr_merge(partials, part, ["event_type"])
+        )
+    partials = partials.filter(F.col("cnt") != 0)
+    return H.hdr_quantiles(partials, ["event_type"], HDR_QS)
+
+
 def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality estimate for lineitem ⋈ orders from KB-sized
     sketches, beside the true size — the broadcast-vs-shuffle planning
@@ -2934,6 +3026,13 @@ FROM {retained} d JOIN q USING (doc_id)
 
 Q_DROP_REASONS_RETRACT_SQL = _drop_reasons_retract_sql()
 Q_WINNOW_RETRACT_SQL = _over_retained(Q_WINNOW_SQL)
+Q_CMS_RETRACT_SQL = _over_retained(Q_CMS_TOKENS_SQL)
+ZDEL_EV_RETAIN_SQL = (
+    "(event_id % 11 <> 5) AND (event_id % 7 <> 3 OR event_id % 3 = 0)"
+)
+Q_HDR_RETRACT_SQL = Q_HDR_QUANTILES_SQL.replace(
+    "FROM events", f"FROM (SELECT * FROM events WHERE {ZDEL_EV_RETAIN_SQL})"
+)
 
 
 # --------------------------------------------------------------------------
@@ -3322,6 +3421,8 @@ QUERIES = {
     "q_semdedup_retract": q_semdedup_retract,
     "q_ann_retract": q_ann_retract,
     "q_winnow_retract": q_winnow_retract,
+    "q_cms_retract": q_cms_retract,
+    "q_hdr_retract": q_hdr_retract,
     "q_length_batches": q_length_batches,
     "q_lm_perplexity": q_lm_perplexity,
     "q_chunk_dedup": q_chunk_dedup,
@@ -3392,6 +3493,8 @@ ORACLE = {
     "q_semdedup_retract": Q_SEMDEDUP_RETRACT_SQL,
     "q_ann_retract": Q_ANN_RETRACT_SQL,
     "q_winnow_retract": Q_WINNOW_RETRACT_SQL,
+    "q_cms_retract": Q_CMS_RETRACT_SQL,
+    "q_hdr_retract": Q_HDR_RETRACT_SQL,
     "q_image_neardup": Q_IMAGE_NEARDUP_SQL,
     "q_audio_neardup": Q_AUDIO_NEARDUP_SQL,
     "q_dataset_card": Q_DATASET_CARD_SQL,
