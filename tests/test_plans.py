@@ -373,18 +373,20 @@ def test_substring_dedup_stays_jvm_side(spark, sf):
 
 
 def test_hdr_sketch_stays_jvm_and_partials_preaggregate(spark, sf):
-    """The histogram partial must show a partial_count before its
+    """The histogram partial must show a partial aggregate before its
     exchange (map-side combine): the sketch's 100 TB story is that only
-    (group, bucket) rows ever shuffle."""
+    (group, bucket) rows ever shuffle.  (Since round 8 the accumulator
+    is a signed SUM — retraction support — so the partial appears as
+    partial_sum rather than partial_count; the combine is identical.)"""
     from vcf_pg_loader_spark.operators.histogram import hdr_partial
     from vcf_pg_loader_spark.sources.tables import load_table
 
     ev = load_table(spark, sf, "events")
     plan = plan_of(hdr_partial(ev, ["event_type"], "value"), mode="simple")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "partial_count" in plan
+    assert "partial_sum" in plan
     exch = plan.index("Exchange hashpartitioning")
-    assert "partial_count" in plan[exch:]
+    assert "partial_sum" in plan[exch:]
 
 
 def test_ivm_delta_joins_broadcast_small_deltas(spark, sf):
