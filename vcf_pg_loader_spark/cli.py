@@ -501,6 +501,17 @@ def cmd_retract_corpus(args) -> int:
 
 
 def build_parser() -> argparse.ArgumentParser:
+    # the dedup/retract defaults ARE the pipeline constants: a CLI batch
+    # applied with different parameters against pipeline-built state is
+    # refused by the sink's persisted fingerprint, so the defaults must
+    # never drift from queries/pipeline.py (test_cli pins the equality)
+    from vcf_pg_loader_spark.queries.pipeline import (
+        JACCARD_T,
+        MINHASH_BANDS,
+        MINHASH_K,
+        NGRAM,
+    )
+
     p = argparse.ArgumentParser(prog="vcf-pg-loader-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -616,10 +627,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--clusters", required=True,
                     help="cluster-table dir (reused unless --rebuild)")
     sp.add_argument("--rebuild", action="store_true")
-    sp.add_argument("--ngram", type=int, default=3)
-    sp.add_argument("--minhash-k", type=int, default=8)
-    sp.add_argument("--bands", type=int, default=4)
-    sp.add_argument("--threshold", type=float, default=0.8)
+    sp.add_argument("--ngram", type=int, default=NGRAM)
+    sp.add_argument("--minhash-k", type=int, default=MINHASH_K)
+    sp.add_argument("--bands", type=int, default=MINHASH_BANDS)
+    sp.add_argument("--threshold", type=float, default=JACCARD_T)
 
     sp = add("retract-corpus", cmd_retract_corpus,
              help="apply a Z-set insert/retraction batch to the "
@@ -633,10 +644,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--batch-id", type=int, required=True,
                     help="exactly-once batch id (replays are no-ops)")
     sp.add_argument("--out", help="write the kept corpus here")
-    sp.add_argument("--ngram", type=int, default=3)
-    sp.add_argument("--minhash-k", type=int, default=8)
-    sp.add_argument("--bands", type=int, default=4)
-    sp.add_argument("--threshold", type=float, default=0.8)
+    sp.add_argument("--ngram", type=int, default=NGRAM)
+    sp.add_argument("--minhash-k", type=int, default=MINHASH_K)
+    sp.add_argument("--bands", type=int, default=MINHASH_BANDS)
+    sp.add_argument("--threshold", type=float, default=JACCARD_T)
 
     sp = add("build-rsid-index", cmd_build_rsid_index,
              help="materialize the rsid-sorted point-lookup copy")

@@ -189,3 +189,51 @@ def maintain_agg_join_view_counted(
         .filter(F.col("_cnt") != 0)
     )
     return folded
+
+
+def zset_snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    cmp_cols: list[str] | None = None,
+) -> DataFrame:
+    """Z-set delta between two corpus SNAPSHOTS — the CDC bridge: given
+    the previously-ingested snapshot and a fresh one, emit exactly the
+    batch that moves every retraction-maintained structure (streaming/
+    retract.py sinks, VectorIndex.apply_delta) from `old` to `new`
+    without a rebuild.
+
+      removed rows  -> old tuple with _mult = -1
+      added rows    -> new tuple with _mult = +1
+      changed rows  -> BOTH (the -1 and +1 tuples differ, so Z-set
+                       consolidation keeps them; the sinks' touched-id
+                       logic then rebuilds the doc's state from the
+                       arriving tuple)
+      unchanged     -> nothing (the whole point: per-batch cost is
+                       O(|delta|), not O(|snapshot|))
+
+    Rows are compared by xxhash64 over `cmp_cols` (default: every
+    non-id column of `new`), so only (id, hash) pairs ride the
+    anti-join shuffles — never the text/payload columns.  Applying the
+    result to a sink bootstrapped on `old` yields state identical to a
+    fresh bootstrap on `new` (pinned by tests/test_round9.py)."""
+    from pyspark.sql import functions as F
+
+    cols = cmp_cols or [c for c in new.columns if c != id_col]
+    oh = old.withColumn("_snap_fp", F.xxhash64(*[F.col(c) for c in cols]))
+    nh = new.withColumn("_snap_fp", F.xxhash64(*[F.col(c) for c in cols]))
+    dead = (
+        oh.join(
+            nh.select(id_col, "_snap_fp"), [id_col, "_snap_fp"], "left_anti"
+        )
+        .drop("_snap_fp")
+        .withColumn(MULT, F.lit(-1).cast("bigint"))
+    )
+    born = (
+        nh.join(
+            oh.select(id_col, "_snap_fp"), [id_col, "_snap_fp"], "left_anti"
+        )
+        .drop("_snap_fp")
+        .withColumn(MULT, F.lit(1).cast("bigint"))
+    )
+    return dead.unionByName(born)

@@ -57,14 +57,27 @@ def rank_split_bounds(
 
 
 def hash_sample_bounds(
-    df: DataFrame, key_col: str, n_ranges: int, k: int = 4096
+    df: DataFrame,
+    key_col: str,
+    n_ranges: int,
+    k: int = 4096,
+    uniq_col: str | None = None,
 ) -> list[float]:
     """Range-split bounds from a DETERMINISTIC bottom-k-by-hash row
     sample of the rank key — the KMV order-statistics idea (Beyer 2007,
     operators/sketch.py) moved from distinct-counting to rank space:
-    keep the k rows whose xxhash64(key) is smallest (a uniform row
-    sample, since the hash is uniform and independent of the key
-    order), then read the (i/n)-quantiles off the sample.
+    keep the k rows whose hash is smallest (a uniform row sample, since
+    the hash is uniform and independent of the key order), then read
+    the (i/n)-quantiles off the sample.
+
+    The hash covers (key, uniq_col) when `uniq_col` names a per-row
+    unique column, which keeps the sample row-uniform even when many
+    rows share a key VALUE.  Without it the hash is of the key alone,
+    so all rows sharing a value enter or leave the sample as ONE unit —
+    fine only when key_col is (near-)distinct per row; under tie-heavy
+    keys a value-level sample over-weights hot values in rank space and
+    the bounds skew.  Callers with duplicate keys must pass uniq_col
+    (length_batches passes its id column).
 
     Why not the HDR sketch: its log buckets resolve RELATIVE differences
     (~3%), so a tie-heavy composite key — 90% of rows at v*·2^24 plus a
@@ -74,9 +87,11 @@ def hash_sample_bounds(
     cluster.  Mergeable (bottom-k of a union = bottom-k of the merged
     bottom-ks) and deterministic, unlike repartitionByRange's reservoir.
     Driver footprint: k values — control-plane tiny."""
+    hash_cols = [F.col(key_col)]
+    if uniq_col is not None:
+        hash_cols.append(F.col(uniq_col))
     sample = (
-        df.select(F.col(key_col).alias("_k"))
-        .withColumn("_h", F.xxhash64(F.col("_k")))
+        df.select(F.col(key_col).alias("_k"), F.xxhash64(*hash_cols).alias("_h"))
         .orderBy("_h")
         .limit(k)
     )
@@ -184,7 +199,9 @@ def length_batches(
         )
         keyed = t.withColumn("_skey", key)
         n = num_ranges or docs.sparkSession.sparkContext.defaultParallelism
-        bounds = hash_sample_bounds(keyed, "_skey", n)
+        # uniq_col keeps the sample row-uniform even where _skey
+        # saturates (ids beyond 2^24 share one _skey value)
+        bounds = hash_sample_bounds(keyed, "_skey", n, uniq_col=id_col)
         ranked = global_rank(
             keyed, order, split_col="_skey", split_bounds=bounds
         ).drop("_skey")

@@ -30,6 +30,11 @@ NGRAM = 3
 MINHASH_K = 16
 MINHASH_BANDS = 4
 JACCARD_T = 0.8
+# bump when the SEMANTICS of any persisted/maintained structure change
+# (it is part of every _served_root identity): a state dir built under
+# the old semantics must never serve the new queries.  9 = round-9
+# delete-wins fix in VectorIndex.apply_delta.
+STATE_VERSION = 9
 
 
 # --------------------------------------------------------------------------
@@ -1747,6 +1752,7 @@ def _served_root(sf_dir: str, name: str, fixture: str) -> str:
     ident = (
         f"{os.path.abspath(p)}:{st.st_mtime_ns}:{st.st_size}"
         f":k{MINHASH_K}b{MINHASH_BANDS}t{JACCARD_T}:n{NLL_MAX}"
+        f":v{STATE_VERSION}"
     )
     key = hashlib.sha256(ident.encode()).hexdigest()[:16]
     return os.path.join(

@@ -122,7 +122,12 @@ class VectorIndex:
         (and `codes/` when the PQ artifacts exist); insertions route
         against the PERSISTED centroids (and encode against the
         persisted codebooks) — k-means and PQ training never re-run.
-        Re-sent ids upsert (their old rows leave first).  Centroids,
+        Re-sent ids upsert (their old rows leave first); an id named by
+        BOTH `inserts` and `delete_ids` in one delta is DELETED —
+        delete-wins, matching the recompute-over-retained oracle
+        (q_ann_retract) and the Z-set consolidation rule the other
+        maintained stores follow (streaming/retract.py split_zset:
+        a +1 and a -1 for the same tuple cancel).  Centroids,
         codebooks, and meta are frozen parameters: they file-copy into
         the staging directory, and the whole root swaps atomically as
         in build() — a crash mid-delta leaves the old index servable.
@@ -143,12 +148,12 @@ class VectorIndex:
         )
         spark = self.spark
         touched = spark.createDataFrame([], "vid long")
+        dels = None
         if delete_ids is not None:
-            touched = touched.unionByName(
-                delete_ids.select(
-                    F.col(delete_ids.columns[0]).cast("long").alias("vid")
-                )
-            )
+            dels = delete_ids.select(
+                F.col(delete_ids.columns[0]).cast("long").alias("vid")
+            ).distinct()
+            touched = touched.unionByName(dels)
         if inserts is not None:
             touched = touched.unionByName(
                 inserts.select(F.col(id_col).cast("long").alias("vid"))
@@ -170,6 +175,12 @@ class VectorIndex:
                     vec_col=vec_col,
                 ).join(assigned.select("vid", "cid"), "vid")
                 codes = codes.unionByName(new_codes.select(*codes.columns))
+        if dels is not None and inserts is not None:
+            # delete-wins: an id in both frames of this delta must not
+            # survive via the insert union above
+            vectors = vectors.join(dels, "vid", "left_anti")
+            if codes is not None:
+                codes = codes.join(dels, "vid", "left_anti")
 
         staging = tempfile.mkdtemp(prefix="vector_index_delta_")
         for frozen in ("centroids", "codebooks", "meta"):

@@ -60,6 +60,14 @@ class NearDupIngestSink(ParquetUpsertSink):
         self.bands = bands
         self.threshold = threshold
 
+    def _params_fingerprint(self) -> dict:
+        return {
+            "ngram": self.ngram,
+            "k": self.k,
+            "bands": self.bands,
+            "threshold": self.threshold,
+        }
+
     # -- state ----------------------------------------------------------
     def read_corpus(self, spark) -> DataFrame:
         return self._table(spark, "corpus")
@@ -149,6 +157,7 @@ class NearDupIngestSink(ParquetUpsertSink):
         if self.applied(batch_id):
             return
         self._recover()
+        self._validate_params()
         marker = self._read_marker()
         if marker is not None and marker["batch_id"] == batch_id:
             self._record(batch_id, marker["n_rows"])
@@ -223,6 +232,7 @@ class BM25IndexSink(ParquetUpsertSink):
         if self.applied(batch_id):
             return
         self._recover()
+        self._validate_params()
         marker = self._read_marker()
         if marker is not None and marker["batch_id"] == batch_id:
             self._record(batch_id, marker["n_rows"])
@@ -356,6 +366,15 @@ class SemDeDupIngestSink(ParquetUpsertSink):
         self.id_col = id_col
         self.vec_col = vec_col
 
+    def _params_fingerprint(self) -> dict:
+        return {
+            "k_centroids": self.k_centroids,
+            "n_iter": self.n_iter,
+            "tau": self.tau,
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+        }
+
     # -- state ------------------------------------------------------------
     def centroids(self, spark) -> DataFrame | None:
         return self._table(spark, "centroids")
@@ -414,6 +433,7 @@ class SemDeDupIngestSink(ParquetUpsertSink):
         if self.applied(batch_id):
             return
         self._recover()
+        self._validate_params()
         marker = self._read_marker()
         if marker is not None and marker["batch_id"] == batch_id:
             self._record(batch_id, marker["n_rows"])

@@ -61,11 +61,12 @@ def split_zset(
     """(inserts-without-MULT, deleted-ids) from a Z-set batch.  The
     batch is consolidated first, so an insert and a retraction of the
     same tuple within one batch cancel to a no-op.  A batch without a
-    MULT column is all inserts."""
+    MULT column is all inserts.  The empty deleted-ids frame inherits
+    the batch's own id type (a string-keyed sink must not get a long
+    frame that later unions/anti-joins would reject or silently
+    cast)."""
     if MULT not in batch.columns:
-        return batch, batch.sparkSession.createDataFrame(
-            [], f"{id_col} long"
-        )
+        return batch, batch.select(id_col).limit(0)
     z = zset_normalize(batch)
     ins = z.filter(F.col(MULT) > 0).drop(MULT)
     dels = z.filter(F.col(MULT) < 0).select(id_col)
@@ -126,6 +127,17 @@ class DedupClusterMaintSink(ParquetUpsertSink):
         self.k = k
         self.bands = bands
         self.threshold = threshold
+
+    def _params_fingerprint(self) -> dict:
+        # persisted with the state, validated on every apply_batch: a
+        # batch applied under different LSH parameters would mix
+        # incompatible band tables and corrupt candidate generation
+        return {
+            "ngram": self.ngram,
+            "k": self.k,
+            "bands": self.bands,
+            "threshold": self.threshold,
+        }
 
     # -- serve ----------------------------------------------------------
     def keep(self, spark) -> DataFrame:
@@ -199,6 +211,7 @@ class DedupClusterMaintSink(ParquetUpsertSink):
         if self.applied(batch_id):
             return
         self._recover()
+        self._validate_params()
         marker = self._read_marker()
         if marker is not None and marker["batch_id"] == batch_id:
             self._record(batch_id, marker["n_rows"])
@@ -293,6 +306,15 @@ class FunnelReportSink(ParquetUpsertSink):
             target, ngram, k, bands, threshold
         )
 
+    def _params_fingerprint(self) -> dict:
+        return {
+            "ngram": self.ngram,
+            "k": self.k,
+            "bands": self.bands,
+            "threshold": self.threshold,
+            "nll_max": self.nll_max,
+        }
+
     # -- serve ----------------------------------------------------------
     def report(self, spark) -> DataFrame:
         rep = self._table(spark, "report")
@@ -313,6 +335,7 @@ class FunnelReportSink(ParquetUpsertSink):
         if self.applied(batch_id):
             return
         self._recover()
+        self._validate_params()
         marker = self._read_marker()
         if marker is not None and marker["batch_id"] == batch_id:
             self._record(batch_id, marker["n_rows"])

@@ -99,6 +99,42 @@ class ParquetUpsertSink:
         with open(p) as fh:
             return json.load(fh)
 
+    # -- parameter fingerprint -------------------------------------------
+    def _params_fingerprint(self) -> dict | None:
+        """Subclasses whose state tables are only meaningful under the
+        parameters they were built with (LSH ngram/k/bands/threshold, LM
+        gate threshold, ...) return them here; the fingerprint then
+        persists inside the swapped state (`_params.json`, atomic with
+        the data) and `_validate_params` refuses to apply a batch under
+        different parameters — mixing band tables built with different
+        hash counts silently corrupts candidate generation."""
+        return None
+
+    def _validate_params(self) -> None:
+        fp = self._params_fingerprint()
+        if fp is None:
+            return
+        p = os.path.join(self.target, "_params.json")
+        if not os.path.exists(p):
+            return  # no state yet (or pre-fingerprint state): first batch stamps it
+        with open(p) as fh:
+            on_disk = json.load(fh)
+        if on_disk != fp:
+            raise ValueError(
+                f"maintained state at {self.target} was built with "
+                f"parameters {on_disk}, but this sink was constructed "
+                f"with {fp}; mixing band/posting tables across "
+                f"parameters corrupts candidate generation — rebuild "
+                f"the state or construct the sink with the persisted "
+                f"parameters"
+            )
+
+    def _stamp_params(self, staging: str) -> None:
+        fp = self._params_fingerprint()
+        if fp is not None:
+            with open(os.path.join(staging, "_params.json"), "w") as fh:
+                json.dump(fp, fh, sort_keys=True)
+
     # -- merge ----------------------------------------------------------
     def _merge(self, spark, batch_df: DataFrame) -> DataFrame:
         """Combine one micro-batch with the current target; subclasses
@@ -113,6 +149,7 @@ class ParquetUpsertSink:
         if self.applied(batch_id):
             return  # replayed batch after recovery — already visible
         self._recover()
+        self._validate_params()
         marker = self._read_marker()
         if marker is not None and marker["batch_id"] == batch_id:
             # Swap landed but the crash beat the ledger write: the data
@@ -133,6 +170,7 @@ class ParquetUpsertSink:
         n = df.sparkSession.read.parquet(staging).count()
         with open(os.path.join(staging, "_applied_batch.json"), "w") as fh:
             json.dump({"batch_id": batch_id, "n_rows": n}, fh)
+        self._stamp_params(staging)
         old = self._old_path()
         shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(self.target):
@@ -176,6 +214,7 @@ class ParquetUpsertSink:
         n = spark.read.parquet(os.path.join(staging, count_table)).count()
         with open(os.path.join(staging, "_applied_batch.json"), "w") as fh:
             json.dump({"batch_id": batch_id, "n_rows": n}, fh)
+        self._stamp_params(staging)
         old = self._old_path()
         shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(self.target):
