@@ -1,0 +1,390 @@
+"""Round-10 regressions: the judge + advisor items.
+
+1. Per-structure state versions: bumping one structure's semantic
+   version moves only THAT structure's served roots (round 9's global
+   STATE_VERSION bump forced all seven persisted structures to rebuild
+   for a one-structure fix).
+2. zset_snapshot_delta is verified end-to-end: a changed row emits both
+   ±1 tuples, a sink bootstrapped on the old snapshot plus the delta
+   equals a fresh bootstrap on the new snapshot, replays are no-ops,
+   and VectorIndex consumes the delta through apply_zset (UPDATE
+   semantics — changed ids survive with their new vector, which
+   apply_delta's id-level delete-wins rule would drop).
+3. Fingerprint sweep: KMV k, BM25 column bindings, winnow bucket
+   geometry, and rollup bucket granularity all refuse mismatched
+   state; pre-fingerprint state warns instead of being silently
+   blessed with the current parameters.
+4. The sync-corpus CLI verb (snapshot CDC) end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+BASE = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 3
+NEAR = BASE.rsplit(" ", 1)[0] + " zulu"
+OTHER = "one two three four five six seven eight nine ten " * 3
+THIRD = "red orange yellow green blue indigo violet gray black white " * 3
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _vecs(spark, ids, seed_base=100):
+    return spark.createDataFrame(
+        [
+            (
+                i,
+                [
+                    float(x)
+                    for x in np.random.default_rng(seed_base + i).normal(size=8)
+                ],
+            )
+            for i in ids
+        ],
+        "vec_id int, embedding array<double>",
+    )
+
+
+class TestPerStructureStateVersions:
+    def test_targeted_bump_moves_only_that_structure(self, monkeypatch, sf_dir):
+        from vcf_pg_loader_spark.queries import pipeline as P
+
+        names = {
+            "dedup_clusters": "documents.parquet",
+            "bm25_index": "documents.parquet",
+            "zdel_funnel": "documents.parquet",
+            "ivf_index": "embeddings.parquet",
+            "zdel_ann": "embeddings.parquet",
+        }
+        before = {n: P._served_root(sf_dir, n, f) for n, f in names.items()}
+        monkeypatch.setitem(P.STATE_VERSIONS, "ann", 99)
+        after = {n: P._served_root(sf_dir, n, f) for n, f in names.items()}
+        # only the ann-group roots move; every other structure keeps
+        # serving its persisted state
+        assert after["ivf_index"] != before["ivf_index"]
+        assert after["zdel_ann"] != before["zdel_ann"]
+        for name in ("dedup_clusters", "bm25_index", "zdel_funnel"):
+            assert after[name] == before[name]
+
+    def test_every_served_root_name_is_registered(self):
+        import inspect
+        import re
+
+        from vcf_pg_loader_spark.queries import pipeline as P
+
+        src = inspect.getsource(P)
+        names = set(re.findall(r'_served_root\(\s*sf_dir,\s*"(\w+)"', src))
+        assert names, "expected _served_root call sites in pipeline.py"
+        unregistered = names - set(P._STRUCTURE_OF)
+        assert not unregistered, (
+            f"persisted structures without a STATE_VERSIONS group: "
+            f"{unregistered}"
+        )
+
+
+class TestZsetSnapshotDelta:
+    def test_delta_row_classes(self, spark):
+        from vcf_pg_loader_spark.operators.ivm import MULT, zset_snapshot_delta
+
+        old = _docs(spark, [(1, "a"), (2, "b"), (3, "c")])
+        new = _docs(spark, [(2, "b"), (3, "c-changed"), (4, "d")])
+        rows = {
+            (r.doc_id, r.text, r[MULT])
+            for r in zset_snapshot_delta(old, new, "doc_id").collect()
+        }
+        assert rows == {
+            (1, "a", -1),           # removed: old tuple retracts
+            (3, "c", -1),           # changed: BOTH tuples ride the batch
+            (3, "c-changed", 1),
+            (4, "d", 1),            # added
+        }  # doc 2 unchanged: contributes nothing
+
+    def test_sink_on_old_plus_delta_equals_fresh_on_new(self, spark, tmp_path):
+        from vcf_pg_loader_spark.operators.ivm import MULT, zset_snapshot_delta
+        from vcf_pg_loader_spark.streaming.retract import DedupClusterMaintSink
+
+        # old snapshot: 1=BASE, 2=NEAR (near-dups), 10=OTHER, 20=stale text
+        old = _docs(
+            spark,
+            [(1, BASE), (2, NEAR), (10, OTHER), (20, THIRD + " stale-rev")],
+        )
+        # new snapshot: 1 removed (2 must be promoted to canonical),
+        # 20 changed to a near-dup of 10 (its pairs must rebuild),
+        # 30 added
+        new = _docs(
+            spark,
+            [
+                (2, NEAR),
+                (10, OTHER),
+                (20, OTHER.rsplit(" ", 1)[0] + " eleven"),
+                (30, THIRD),
+            ],
+        )
+        maintained = DedupClusterMaintSink(str(tmp_path / "maint"))
+        maintained.apply_batch(
+            old.withColumn(MULT, F.lit(1).cast("bigint")), 0
+        )
+        maintained.apply_batch(zset_snapshot_delta(old, new, "doc_id"), 1)
+
+        fresh = DedupClusterMaintSink(str(tmp_path / "fresh"))
+        fresh.apply_batch(new, 0)
+
+        kept_m = {r.doc_id for r in maintained.keep(spark).collect()}
+        kept_f = {r.doc_id for r in fresh.keep(spark).collect()}
+        assert kept_m == kept_f
+        # the changed doc's new text made it a near-dup of 10: exactly
+        # one of them survives, and the state agrees tuple-for-tuple
+        assert len(kept_m & {10, 20}) == 1
+        corpus_m = {
+            (r.doc_id, r.text)
+            for r in maintained._table(spark, "corpus").collect()
+        }
+        corpus_f = {
+            (r.doc_id, r.text)
+            for r in fresh._table(spark, "corpus").collect()
+        }
+        assert corpus_m == corpus_f
+        pairs_m = {
+            (r.d1, r.d2) for r in maintained._table(spark, "pairs").collect()
+        }
+        pairs_f = {
+            (r.d1, r.d2) for r in fresh._table(spark, "pairs").collect()
+        }
+        assert pairs_m == pairs_f
+
+    def test_replayed_delta_batch_is_a_noop(self, spark, tmp_path):
+        from vcf_pg_loader_spark.operators.ivm import MULT, zset_snapshot_delta
+        from vcf_pg_loader_spark.streaming.retract import DedupClusterMaintSink
+
+        old = _docs(spark, [(1, BASE), (10, OTHER)])
+        new = _docs(spark, [(10, OTHER), (30, THIRD)])
+        sink = DedupClusterMaintSink(str(tmp_path / "st"))
+        sink.apply_batch(old.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        delta = zset_snapshot_delta(old, new, "doc_id")
+        sink.apply_batch(delta, 1)
+        before = {
+            (r.doc_id, r.text) for r in sink._table(spark, "corpus").collect()
+        }
+        sink.apply_batch(delta, 1)  # replay after a crash: must not churn
+        after = {
+            (r.doc_id, r.text) for r in sink._table(spark, "corpus").collect()
+        }
+        assert before == after == {(10, OTHER), (30, THIRD)}
+
+
+class TestVectorIndexApplyZset:
+    def test_changed_id_survives_with_new_vector(self, spark, tmp_path):
+        from vcf_pg_loader_spark.operators.ivm import MULT, zset_snapshot_delta
+        from vcf_pg_loader_spark.sources.vector_index import VectorIndex
+
+        old = _vecs(spark, range(16))
+        # new snapshot: 5 removed, 16 added, 3 CHANGED (new random vec)
+        changed = _vecs(spark, [3], seed_base=900)
+        new = (
+            _vecs(spark, [i for i in range(16) if i not in (3, 5)])
+            .unionByName(changed)
+            .unionByName(_vecs(spark, [16]))
+        )
+        idx = VectorIndex(spark, str(tmp_path / "idx"))
+        idx.build(old, k_centroids=4, m=2, k_sub=4)
+        delta = zset_snapshot_delta(old, new, "vec_id")
+        assert (
+            delta.filter((F.col("vec_id") == 3)).count() == 2
+        )  # both ±1 tuples for the changed id
+        idx.apply_zset(delta)
+
+        vecs = {
+            r.vid: list(r.vec)
+            for r in spark.read.parquet(f"{idx.root}/vectors").collect()
+        }
+        assert set(vecs) == (set(range(16)) - {3, 5}) | {3, 16}
+        want = changed.first().embedding
+        assert vecs[3] == pytest.approx(list(want))
+        # and the codes table tracked the same id set
+        code_ids = {
+            r.vid for r in spark.read.parquet(f"{idx.root}/codes").collect()
+        }
+        assert code_ids == set(vecs)
+
+    def test_apply_zset_consolidates_before_splitting(self, spark, tmp_path):
+        """An insert and a retraction of the IDENTICAL tuple in one
+        batch cancel to a no-op (the split_zset rule), so the index is
+        untouched."""
+        from vcf_pg_loader_spark.operators.ivm import MULT
+        from vcf_pg_loader_spark.sources.vector_index import VectorIndex
+
+        base = _vecs(spark, range(8))
+        idx = VectorIndex(spark, str(tmp_path / "idx"))
+        idx.build(base, k_centroids=2, m=2, k_sub=4, pq=False)
+        tup = _vecs(spark, [2])
+        batch = tup.withColumn(MULT, F.lit(1).cast("bigint")).unionByName(
+            tup.withColumn(MULT, F.lit(-1).cast("bigint"))
+        )
+        idx.apply_zset(batch)
+        ids = {
+            r.vid for r in spark.read.parquet(f"{idx.root}/vectors").collect()
+        }
+        assert ids == set(range(8))
+
+
+class TestFingerprintSweep:
+    def _events(self, spark):
+        return spark.createDataFrame(
+            [
+                ("2024-01-01 10:00:00", "click", 1.0, 7),
+                ("2024-01-01 10:30:00", "view", 2.0, 8),
+                ("2024-01-01 11:00:00", "click", 3.0, 7),
+            ],
+            "ts_s string, event_type string, value double, user_id bigint",
+        ).select(
+            F.to_timestamp("ts_s").alias("ts"), "event_type", "value",
+            "user_id",
+        )
+
+    def test_kmv_sink_refuses_mismatched_k(self, spark, tmp_path):
+        from vcf_pg_loader_spark.streaming.sink import KMVDistinctSink
+
+        target = str(tmp_path / "kmv")
+        KMVDistinctSink(target, ["event_type"], "user_id", k=64).apply_batch(
+            self._events(spark), 0
+        )
+        with pytest.raises(ValueError, match="parameters"):
+            KMVDistinctSink(
+                target, ["event_type"], "user_id", k=128
+            ).apply_batch(self._events(spark), 1)
+
+    def test_bm25_sink_refuses_mismatched_columns(self, spark, tmp_path):
+        from vcf_pg_loader_spark.streaming.dedup_ingest import BM25IndexSink
+
+        target = str(tmp_path / "bm25")
+        BM25IndexSink(target).apply_batch(
+            _docs(spark, [(1, BASE), (2, OTHER)]), 0
+        )
+        with pytest.raises(ValueError, match="parameters"):
+            BM25IndexSink(target, text_col="body").apply_batch(
+                _docs(spark, [(3, THIRD)]), 1
+            )
+
+    def test_winnow_sink_refuses_mismatched_bucket_geometry(
+        self, spark, tmp_path
+    ):
+        from vcf_pg_loader_spark.streaming.retract import WinnowIndexSink
+
+        class Rebucketed(WinnowIndexSink):
+            N_FP_BUCKETS = 32
+
+        target = str(tmp_path / "wn")
+        WinnowIndexSink(target).apply_batch(
+            _docs(spark, [(1, BASE), (2, OTHER)]), 0
+        )
+        with pytest.raises(ValueError, match="parameters"):
+            Rebucketed(target).apply_batch(_docs(spark, [(3, THIRD)]), 1)
+
+    def test_rollup_sink_refuses_mismatched_granularity(self, spark, tmp_path):
+        from vcf_pg_loader_spark.streaming.sink import RollupMaintenanceSink
+
+        target = str(tmp_path / "rollup")
+        RollupMaintenanceSink(target, bucket="hour").apply_batch(
+            self._events(spark), 0
+        )
+        with pytest.raises(ValueError, match="parameters"):
+            RollupMaintenanceSink(target, bucket="day").apply_batch(
+                self._events(spark), 1
+            )
+
+    def test_pre_fingerprint_state_warns_instead_of_silent_stamp(
+        self, spark, tmp_path
+    ):
+        from vcf_pg_loader_spark.streaming.retract import DedupClusterMaintSink
+
+        target = str(tmp_path / "st")
+        sink = DedupClusterMaintSink(target)
+        sink.apply_batch(_docs(spark, [(1, BASE), (10, OTHER)]), 0)
+        # simulate round-8-built state: data present, fingerprint absent
+        os.remove(os.path.join(target, "_params.json"))
+        with pytest.warns(UserWarning, match="predates parameter"):
+            sink.apply_batch(_docs(spark, [(30, THIRD)]), 1)
+        # the migrating apply re-stamped the fingerprint with the data
+        with open(os.path.join(target, "_params.json")) as fh:
+            assert json.load(fh) == sink._params_fingerprint()
+
+    def test_default_constructed_sinks_match_pipeline_constants(self):
+        from vcf_pg_loader_spark.queries.pipeline import (
+            JACCARD_T,
+            MINHASH_BANDS,
+            MINHASH_K,
+            NGRAM,
+        )
+        from vcf_pg_loader_spark.streaming.dedup_ingest import (
+            NearDupIngestSink,
+        )
+        from vcf_pg_loader_spark.streaming.retract import (
+            DedupClusterMaintSink,
+            FunnelReportSink,
+        )
+
+        for sink in (
+            NearDupIngestSink("unused_target"),
+            DedupClusterMaintSink("unused_target"),
+            FunnelReportSink("unused_target", nll_max=3.45),
+        ):
+            assert sink.ngram == NGRAM
+            assert sink.k == MINHASH_K
+            assert sink.bands == MINHASH_BANDS
+            assert sink.threshold == JACCARD_T
+
+
+class TestSyncCorpusCLI:
+    def test_snapshot_sync_end_to_end(self, spark, tmp_path, capsys):
+        from vcf_pg_loader_spark.cli import main
+        from vcf_pg_loader_spark.streaming.retract import DedupClusterMaintSink
+
+        v1 = str(tmp_path / "v1")
+        v2 = str(tmp_path / "v2")
+        _docs(
+            spark, [(1, BASE), (2, NEAR), (10, OTHER), (20, THIRD + " old")]
+        ).coalesce(1).write.parquet(v1)
+        # v2: 1 removed, 20 changed, 30 added, 2/10 unchanged
+        _docs(
+            spark, [(2, NEAR), (10, OTHER), (20, THIRD), (30, BASE)]
+        ).coalesce(1).write.parquet(v2)
+        state = str(tmp_path / "state")
+        out = str(tmp_path / "kept")
+
+        assert main(
+            ["sync-corpus", "--state", state, "--snapshot", v1,
+             "--batch-id", "0"]
+        ) == 0
+        boot = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert boot["rows_upserted"] == 4 and boot["rows_retracted"] == 0
+
+        assert main(
+            ["sync-corpus", "--state", state, "--snapshot", v2,
+             "--batch-id", "1", "--out", out]
+        ) == 0
+        sync = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # delta: -1 for removed 1, ±1 for changed 20, +1 for added 30
+        assert sync["rows_retracted"] == 2
+        assert sync["rows_upserted"] == 2
+        assert sync["docs_in_state"] == 4
+
+        got = {
+            (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
+        }
+        fresh = DedupClusterMaintSink(str(tmp_path / "fresh"))
+        fresh.apply_batch(spark.read.parquet(v2), 0)
+        kept_f = fresh.keep(spark)
+        want = {
+            (r.doc_id, r.text)
+            for r in fresh._table(spark, "corpus")
+            .join(kept_f, "doc_id", "left_semi")
+            .collect()
+        }
+        assert got == want

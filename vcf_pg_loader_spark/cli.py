@@ -500,6 +500,61 @@ def cmd_retract_corpus(args) -> int:
     return 0
 
 
+def cmd_sync_corpus(args) -> int:
+    """Synchronize the retraction-maintained cluster state with a NEW
+    corpus snapshot — the CDC bridge for the most common 100 TB flow
+    (a re-crawl arrives as a whole snapshot, not a delta stream):
+    diff the snapshot against the state's current corpus with
+    zset_snapshot_delta (operators/ivm.py) and apply the resulting
+    Z-set batch.  Removed docs retract, new docs insert, CHANGED docs
+    upsert (both ±1 tuples ride the batch; the sink rebuilds their
+    state from the arriving text), and unchanged docs cost nothing —
+    per-sync work is O(|delta|), not O(|snapshot|).  Exactly-once per
+    --batch-id, like retract-corpus.  Reference analogue: idempotent
+    delete-then-reload (loader.py:230-252), generalized to
+    diff-then-apply."""
+    from pyspark.sql import functions as F
+
+    from vcf_pg_loader_spark.operators.ivm import MULT, zset_snapshot_delta
+    from vcf_pg_loader_spark.streaming.retract import DedupClusterMaintSink
+
+    spark = _spark()
+    sink = DedupClusterMaintSink(
+        args.state, args.ngram, args.minhash_k, args.bands, args.threshold
+    )
+    new = spark.read.parquet(args.snapshot).select("doc_id", "text")
+    old = sink._table(spark, "corpus")
+    if old is None:
+        # no state yet: the whole snapshot is the delta (bootstrap)
+        old = spark.createDataFrame([], "doc_id long, text string")
+    delta = zset_snapshot_delta(old, new, "doc_id")
+    stats = {
+        (r[MULT]): r["n"]
+        for r in delta.groupBy(MULT).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sink.apply_batch(delta, args.batch_id)
+    kept = sink.keep(spark)
+    if args.out:
+        corpus = sink._table(spark, "corpus")
+        corpus.join(kept, "doc_id", "left_semi").write.mode(
+            "overwrite"
+        ).parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "state": args.state,
+                "batch_id": args.batch_id,
+                "rows_retracted": stats.get(-1, 0),
+                "rows_upserted": stats.get(1, 0),
+                "docs_in_state": sink._table(spark, "corpus").count(),
+                "docs_kept": kept.count(),
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     # the dedup/retract defaults ARE the pipeline constants: a CLI batch
     # applied with different parameters against pipeline-built state is
@@ -641,6 +696,21 @@ def build_parser() -> argparse.ArgumentParser:
                     help="parquet Z-set batch (doc_id, text, _mult)")
     sp.add_argument("--delete-ids",
                     help="parquet of doc ids to retract (first column)")
+    sp.add_argument("--batch-id", type=int, required=True,
+                    help="exactly-once batch id (replays are no-ops)")
+    sp.add_argument("--out", help="write the kept corpus here")
+    sp.add_argument("--ngram", type=int, default=NGRAM)
+    sp.add_argument("--minhash-k", type=int, default=MINHASH_K)
+    sp.add_argument("--bands", type=int, default=MINHASH_BANDS)
+    sp.add_argument("--threshold", type=float, default=JACCARD_T)
+
+    sp = add("sync-corpus", cmd_sync_corpus,
+             help="diff a new corpus snapshot against the maintained "
+                  "cluster state and apply the Z-set delta (CDC path)")
+    sp.add_argument("--state", required=True,
+                    help="DedupClusterMaintSink state dir")
+    sp.add_argument("--snapshot", required=True,
+                    help="parquet of the NEW corpus snapshot (doc_id, text)")
     sp.add_argument("--batch-id", type=int, required=True,
                     help="exactly-once batch id (replays are no-ops)")
     sp.add_argument("--out", help="write the kept corpus here")

@@ -208,7 +208,7 @@ def zset_snapshot_delta(
       changed rows  -> BOTH (the -1 and +1 tuples differ, so Z-set
                        consolidation keeps them; the sinks' touched-id
                        logic then rebuilds the doc's state from the
-                       arriving tuple)
+                       arriving tuple — an UPDATE, not a delete)
       unchanged     -> nothing (the whole point: per-batch cost is
                        O(|delta|), not O(|snapshot|))
 
@@ -216,7 +216,17 @@ def zset_snapshot_delta(
     non-id column of `new`), so only (id, hash) pairs ride the
     anti-join shuffles — never the text/payload columns.  Applying the
     result to a sink bootstrapped on `old` yields state identical to a
-    fresh bootstrap on `new` (pinned by tests/test_round9.py)."""
+    fresh bootstrap on `new` — pinned by tests/test_round10.py for
+    DedupClusterMaintSink and VectorIndex, and oracled end-to-end by
+    q_cdc_snapshot (queries/pipeline.py) at every SF.  Consumers:
+    the retract sinks take the batch as-is (their split_zset applies
+    update semantics per touched id); VectorIndex must take it through
+    `apply_zset`, NOT apply_delta, whose id-level delete-wins rule
+    would drop the changed rows' +1 tuples.  CLI: `sync-corpus`.
+
+    Reference analogue: idempotent delete-then-reload semantics
+    (vcf-pg-loader loader.py:230-252), generalized to diff-then-apply
+    so unchanged rows cost nothing."""
     from pyspark.sql import functions as F
 
     cols = cmp_cols or [c for c in new.columns if c != id_col]

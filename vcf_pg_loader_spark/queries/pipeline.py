@@ -30,11 +30,40 @@ NGRAM = 3
 MINHASH_K = 16
 MINHASH_BANDS = 4
 JACCARD_T = 0.8
-# bump when the SEMANTICS of any persisted/maintained structure change
-# (it is part of every _served_root identity): a state dir built under
-# the old semantics must never serve the new queries.  9 = round-9
-# delete-wins fix in VectorIndex.apply_delta.
-STATE_VERSION = 9
+# Per-STRUCTURE semantic versions (round 10; was one global STATE_VERSION
+# whose round-9 bump for the vector-index delete-wins fix forced every
+# unrelated persisted structure to rebuild — ~160 s of the r9 bench
+# headline, a multi-hour rebuild at 100 TB).  Bump a structure's version
+# when ITS persisted state's semantics change: only that structure's
+# _served_root moves, everything else keeps serving its existing state.
+# All groups sit at 9 so round-9-built state stays valid verbatim.
+STATE_VERSIONS = {
+    "dedup": 9,     # LSH cluster stores (dedup_clusters, zdel_clusters)
+    "semdedup": 9,  # semantic cluster stores
+    "ann": 9,       # VectorIndex roots (9 = delete-wins fix)
+    "bm25": 9,      # inverted-index stores
+    "winnow": 9,    # winnowing fingerprint index
+    "funnel": 9,    # drop-reason funnel state (incl. frozen LM)
+    "cdc": 10,      # snapshot-diff CDC state (new in round 10)
+}
+
+# _served_root name -> structure group; every persisted root must be
+# registered here (a KeyError on an unregistered name is deliberate —
+# an unversioned structure would never invalidate on a semantic fix)
+_STRUCTURE_OF = {
+    "dedup_clusters": "dedup",
+    "zdel_clusters": "dedup",
+    "semdedup_clusters": "semdedup",
+    "zdel_semdedup": "semdedup",
+    "ivf_index": "ann",
+    "zdel_ann": "ann",
+    "bm25_index": "bm25",
+    "zdel_bm25": "bm25",
+    "zdel_winnow": "winnow",
+    "drop_reasons_nll": "funnel",
+    "zdel_funnel": "funnel",
+    "cdc_snapshot": "cdc",
+}
 
 
 # --------------------------------------------------------------------------
@@ -1748,11 +1777,13 @@ def _served_root(sf_dir: str, name: str, fixture: str) -> str:
     st = os.stat(p)
     # the operator constants are part of the identity: a parameter
     # change (e.g. the round-8 rows-per-band bump) must invalidate every
-    # structure built under the old parameters
+    # structure built under the old parameters.  The version component
+    # is PER STRUCTURE (STATE_VERSIONS) so a semantic fix in one store
+    # rebuilds only that store's state.
     ident = (
         f"{os.path.abspath(p)}:{st.st_mtime_ns}:{st.st_size}"
         f":k{MINHASH_K}b{MINHASH_BANDS}t{JACCARD_T}:n{NLL_MAX}"
-        f":v{STATE_VERSION}"
+        f":v{STATE_VERSIONS[_STRUCTURE_OF[name]]}"
     )
     key = hashlib.sha256(ident.encode()).hexdigest()[:16]
     return os.path.join(
@@ -3042,6 +3073,66 @@ Q_HDR_RETRACT_SQL = Q_HDR_QUANTILES_SQL.replace(
 
 
 # --------------------------------------------------------------------------
+# snapshot CDC (round 10): the most common real-world maintenance flow at
+# 100 TB is a re-crawl arriving as a whole NEW SNAPSHOT, not a delta
+# stream.  zset_snapshot_delta (operators/ivm.py) diffs the incoming
+# snapshot against the maintained corpus by (id, xxhash64-of-payload)
+# anti-joins — removed rows emit -1, added rows +1, CHANGED rows both
+# (an upsert to the sinks' touched-id logic), unchanged rows nothing —
+# and the resulting Z-set batch feeds the SAME maintained sinks as the
+# streaming retract path.  CLI twin: `sync-corpus`.
+#
+# Snapshot algebra (doc_id ranges SF-independent):
+#   OLD snapshot: doc_id % 5 <> 4, with the text of doc_id % 13 = 2 rows
+#                 carrying a stale suffix (a "previous crawl revision")
+#   NEW snapshot: doc_id % 3 <> 1, texts as in the documents table
+# so the delta exercises all three row classes: removals (in old only),
+# additions (in new only), and changes (in both, text differs).  The
+# oracle recomputes the full LSH+CC keep-decision over exactly the NEW
+# snapshot — bootstrapped-on-old + delta must equal fresh-bootstrap-on-
+# new, which is the guarantee zset_snapshot_delta's docstring states.
+# --------------------------------------------------------------------------
+CDC_NEW_RETAIN_SQL = "doc_id % 3 <> 1"
+
+
+def _cdc_snapshots(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    d = F.col("doc_id")
+    old = docs.filter(d % 5 != 4).withColumn(
+        "text",
+        F.when(
+            d % 13 == 2, F.concat(F.col("text"), F.lit(" legacy-revision"))
+        ).otherwise(F.col("text")),
+    )
+    new = docs.filter(d % 3 != 1)
+    return old, new
+
+
+def q_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup keep-decision after a snapshot sync: the cluster state
+    bootstraps on the OLD snapshot, then ONE zset_snapshot_delta batch
+    moves it to the NEW snapshot — removals retract, additions insert,
+    changed docs rebuild from their arriving text, unchanged docs are
+    untouched.  Oracle: the batch LSH+CC keep recomputed over exactly
+    the new snapshot."""
+    from vcf_pg_loader_spark.operators.ivm import MULT, zset_snapshot_delta
+    from vcf_pg_loader_spark.streaming.retract import DedupClusterMaintSink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old, new = _cdc_snapshots(docs)
+    root = _served_root(sf_dir, "cdc_snapshot", "documents.parquet")
+    sink = DedupClusterMaintSink(
+        f"{root}/state", NGRAM, MINHASH_K, MINHASH_BANDS, JACCARD_T
+    )
+    if not sink.applied(1):
+        sink.apply_batch(old.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        sink.apply_batch(zset_snapshot_delta(old, new, "doc_id"), 1)
+    return sink.keep(spark)
+
+
+Q_CDC_SNAPSHOT_SQL = _over_retained(Q_DEDUP_KEEP_SQL, CDC_NEW_RETAIN_SQL)
+
+
+# --------------------------------------------------------------------------
 # dataset card: the one-row-per-source summary a corpus release ships —
 # volume, token mass, quality keep-rate, exact-dup rate, and the mean
 # LM negative log-likelihood, composed from the already-oracled gates.
@@ -3427,6 +3518,7 @@ QUERIES = {
     "q_semdedup_retract": q_semdedup_retract,
     "q_ann_retract": q_ann_retract,
     "q_winnow_retract": q_winnow_retract,
+    "q_cdc_snapshot": q_cdc_snapshot,
     "q_cms_retract": q_cms_retract,
     "q_hdr_retract": q_hdr_retract,
     "q_length_batches": q_length_batches,
@@ -3499,6 +3591,7 @@ ORACLE = {
     "q_semdedup_retract": Q_SEMDEDUP_RETRACT_SQL,
     "q_ann_retract": Q_ANN_RETRACT_SQL,
     "q_winnow_retract": Q_WINNOW_RETRACT_SQL,
+    "q_cdc_snapshot": Q_CDC_SNAPSHOT_SQL,
     "q_cms_retract": Q_CMS_RETRACT_SQL,
     "q_hdr_retract": Q_HDR_RETRACT_SQL,
     "q_image_neardup": Q_IMAGE_NEARDUP_SQL,

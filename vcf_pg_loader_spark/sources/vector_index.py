@@ -123,11 +123,16 @@ class VectorIndex:
         against the PERSISTED centroids (and encode against the
         persisted codebooks) — k-means and PQ training never re-run.
         Re-sent ids upsert (their old rows leave first); an id named by
-        BOTH `inserts` and `delete_ids` in one delta is DELETED —
-        delete-wins, matching the recompute-over-retained oracle
-        (q_ann_retract) and the Z-set consolidation rule the other
-        maintained stores follow (streaming/retract.py split_zset:
-        a +1 and a -1 for the same tuple cancel).  Centroids,
+        BOTH `inserts` and `delete_ids` in one delta is DELETED.
+
+        NOTE this is delete-wins at ID granularity — STRICTER than the
+        retract sinks' tuple-level Z-set cancellation (streaming/
+        retract.py split_zset cancels only IDENTICAL ± tuples; an id
+        whose -1 and +1 tuples differ is an UPDATE there).  A caller
+        performing an update must therefore NOT list the id in
+        `delete_ids` (the insert path already evicts the old row) — or
+        use `apply_zset`, which applies the sinks' consolidation rule
+        to a raw Z-set batch and maps updates correctly.  Centroids,
         codebooks, and meta are frozen parameters: they file-copy into
         the staging directory, and the whole root swaps atomically as
         in build() — a crash mid-delta leaves the old index servable.
@@ -202,6 +207,40 @@ class VectorIndex:
             )
         _heal_dir(self.root)
         _swap_dir(staging, self.root)
+
+    def apply_zset(
+        self,
+        batch: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Apply a raw Z-set batch (rows carrying operators/ivm.py MULT,
+        +1 insert / -1 retraction) with the SAME id-level semantics as
+        the retract sinks: the batch consolidates first (identical ±
+        tuples cancel), a net -1 whose id also has a net +1 tuple is an
+        UPDATE (the arriving vector replaces the old row — the id must
+        survive), and only ids with no surviving +1 tuple are deleted.
+        This is the entry point `zset_snapshot_delta` output feeds —
+        a changed row's (-1 old, +1 new) pair lands as an upsert, not a
+        delete (round-10; applying such a delta through apply_delta's
+        id-level delete-wins rule would drop updated rows).
+        Pinned by tests/test_round10.py against fresh-bootstrap-on-new.
+        """
+        from pyspark.sql import functions as F
+
+        from vcf_pg_loader_spark.streaming.retract import split_zset
+
+        ins, dels = split_zset(batch, id_col)
+        ins = ins.dropDuplicates([id_col]).select(id_col, vec_col)
+        # pure deletions only: an id that re-arrives in this batch is an
+        # update — apply_delta's insert path already evicts its old row
+        pure_dels = dels.join(
+            ins.select(F.col(id_col)), id_col, "left_anti"
+        )
+        self.apply_delta(
+            inserts=ins, delete_ids=pure_dels, id_col=id_col,
+            vec_col=vec_col,
+        )
 
     # -- serve ----------------------------------------------------------
     def search(

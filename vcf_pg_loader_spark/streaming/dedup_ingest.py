@@ -49,16 +49,26 @@ class NearDupIngestSink(ParquetUpsertSink):
     def __init__(
         self,
         target: str,
-        ngram: int = 3,
-        k: int = 8,
-        bands: int = 4,
-        threshold: float = 0.8,
+        ngram: int | None = None,
+        k: int | None = None,
+        bands: int | None = None,
+        threshold: float | None = None,
     ):
         super().__init__(target, key=["doc_id"])
-        self.ngram = ngram
-        self.k = k
-        self.bands = bands
-        self.threshold = threshold
+        # defaults ARE the pipeline constants (round-10; a default-
+        # constructed sink against pipeline/CLI-built state must pass
+        # the fingerprint check, not raise)
+        from vcf_pg_loader_spark.queries.pipeline import (
+            JACCARD_T,
+            MINHASH_BANDS,
+            MINHASH_K,
+            NGRAM,
+        )
+
+        self.ngram = NGRAM if ngram is None else ngram
+        self.k = MINHASH_K if k is None else k
+        self.bands = MINHASH_BANDS if bands is None else bands
+        self.threshold = JACCARD_T if threshold is None else threshold
 
     def _params_fingerprint(self) -> dict:
         return {
@@ -220,6 +230,18 @@ class BM25IndexSink(ParquetUpsertSink):
         super().__init__(target, key=[id_col])
         self.id_col = id_col
         self.text_col = text_col
+
+    def _params_fingerprint(self) -> dict:
+        from vcf_pg_loader_spark.sources.bm25_index import N_TERM_BUCKETS
+
+        # postings are only mergeable under one tokenizer and one
+        # on-disk bucket layout
+        return {
+            "id_col": self.id_col,
+            "text_col": self.text_col,
+            "tokenizer": "whitespace",
+            "n_term_buckets": N_TERM_BUCKETS,
+        }
 
     def index(self, spark):
         from vcf_pg_loader_spark.sources.bm25_index import BM25Index

@@ -117,16 +117,26 @@ class DedupClusterMaintSink(ParquetUpsertSink):
     def __init__(
         self,
         target: str,
-        ngram: int = 3,
-        k: int = 8,
-        bands: int = 4,
-        threshold: float = 0.8,
+        ngram: int | None = None,
+        k: int | None = None,
+        bands: int | None = None,
+        threshold: float | None = None,
     ):
         super().__init__(target, key=["doc_id"])
-        self.ngram = ngram
-        self.k = k
-        self.bands = bands
-        self.threshold = threshold
+        # defaults ARE the pipeline constants (round-10; a default-
+        # constructed sink against pipeline/CLI-built state must pass
+        # the fingerprint check, not raise)
+        from vcf_pg_loader_spark.queries.pipeline import (
+            JACCARD_T,
+            MINHASH_BANDS,
+            MINHASH_K,
+            NGRAM,
+        )
+
+        self.ngram = NGRAM if ngram is None else ngram
+        self.k = MINHASH_K if k is None else k
+        self.bands = MINHASH_BANDS if bands is None else bands
+        self.threshold = JACCARD_T if threshold is None else threshold
 
     def _params_fingerprint(self) -> dict:
         # persisted with the state, validated on every apply_batch: a
@@ -291,20 +301,22 @@ class FunnelReportSink(ParquetUpsertSink):
         self,
         target: str,
         nll_max: float,
-        ngram: int = 3,
-        k: int = 8,
-        bands: int = 4,
-        threshold: float = 0.8,
+        ngram: int | None = None,
+        k: int | None = None,
+        bands: int | None = None,
+        threshold: float | None = None,
     ):
         super().__init__(target, key=["doc_id"])
         self.nll_max = nll_max
-        self.ngram = ngram
-        self.k = k
-        self.bands = bands
-        self.threshold = threshold
+        # LSH defaults resolve to the pipeline constants, via the same
+        # None-sentinel rule as DedupClusterMaintSink
         self._pair_maker = DedupClusterMaintSink(
             target, ngram, k, bands, threshold
         )
+        self.ngram = self._pair_maker.ngram
+        self.k = self._pair_maker.k
+        self.bands = self._pair_maker.bands
+        self.threshold = self._pair_maker.threshold
 
     def _params_fingerprint(self) -> dict:
         return {
@@ -472,6 +484,17 @@ class WinnowIndexSink(ParquetUpsertSink):
     def __init__(self, target: str):
         super().__init__(target, key=["doc_id"])
 
+    def _params_fingerprint(self) -> dict:
+        from vcf_pg_loader_spark.operators.text import WINNOW_K, WINNOW_W
+
+        # fingerprints are only comparable under one (k, w) winnowing
+        # geometry, and the on-disk bucket layout under one bucket count
+        return {
+            "k": WINNOW_K,
+            "w": WINNOW_W,
+            "n_fp_buckets": self.N_FP_BUCKETS,
+        }
+
     def overlap_pairs(
         self, spark, max_df: int = 10, min_shared: int = 3
     ) -> DataFrame:
@@ -492,6 +515,7 @@ class WinnowIndexSink(ParquetUpsertSink):
         if self.applied(batch_id):
             return
         self._recover()
+        self._validate_params()
         marker = self._read_marker()
         if marker is not None and marker["batch_id"] == batch_id:
             self._record(batch_id, marker["n_rows"])

