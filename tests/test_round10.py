@@ -341,6 +341,60 @@ class TestFingerprintSweep:
             assert sink.threshold == JACCARD_T
 
 
+class TestDatasetCardSink:
+    def _batch(self, spark, rows, mult=None):
+        from vcf_pg_loader_spark.operators.ivm import MULT
+
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, text string, source string"
+        )
+        if mult is None:
+            return df
+        return df.withColumn(MULT, F.lit(mult).cast("bigint"))
+
+    def test_deletion_reelects_canon_and_updates_card(self, spark, tmp_path):
+        from vcf_pg_loader_spark.streaming.retract import DatasetCardSink
+
+        sink = DatasetCardSink(str(tmp_path / "card"))
+        # 1 and 2 are exact dups (same fingerprint): 2 is the loser
+        sink.apply_batch(
+            self._batch(
+                spark,
+                [(1, BASE, "web"), (2, BASE, "web"), (10, OTHER, "books")],
+            ),
+            0,
+        )
+        card0 = {r.source: r.asDict() for r in sink.card(spark).collect()}
+        assert card0["web"]["n_docs"] == 2
+        assert card0["web"]["exact_dup_rate"] == pytest.approx(0.5)
+        assert card0["books"]["exact_dup_rate"] == pytest.approx(0.0)
+
+        # retract the canonical copy: 2 must be re-elected, dup rate 0
+        sink.apply_batch(self._batch(spark, [(1, BASE, "web")], -1), 1)
+        card1 = {r.source: r.asDict() for r in sink.card(spark).collect()}
+        assert card1["web"]["n_docs"] == 1
+        assert card1["web"]["exact_dup_rate"] == pytest.approx(0.0)
+        # untouched source is untouched
+        assert card1["books"] == card0["books"]
+
+    def test_lm_frozen_and_replay_noop(self, spark, tmp_path):
+        from vcf_pg_loader_spark.streaming.retract import DatasetCardSink
+
+        def rows(df):
+            return sorted(tuple(r) for r in df.collect())
+
+        sink = DatasetCardSink(str(tmp_path / "card"))
+        sink.apply_batch(self._batch(spark, [(1, BASE, "web")]), 0)
+        lm_before = rows(sink._table(spark, "lm_c12"))
+        batch1 = self._batch(spark, [(10, OTHER, "books")])
+        sink.apply_batch(batch1, 1)
+        # the gate model trained at bootstrap never retrains
+        assert rows(sink._table(spark, "lm_c12")) == lm_before
+        card = rows(sink.card(spark))
+        sink.apply_batch(batch1, 1)  # replay: must not churn state
+        assert rows(sink.card(spark)) == card
+
+
 class TestSyncCorpusCLI:
     def test_snapshot_sync_end_to_end(self, spark, tmp_path, capsys):
         from vcf_pg_loader_spark.cli import main

@@ -45,6 +45,7 @@ STATE_VERSIONS = {
     "winnow": 9,    # winnowing fingerprint index
     "funnel": 9,    # drop-reason funnel state (incl. frozen LM)
     "cdc": 10,      # snapshot-diff CDC state (new in round 10)
+    "card": 10,     # maintained dataset-card state (new in round 10)
 }
 
 # _served_root name -> structure group; every persisted root must be
@@ -63,6 +64,8 @@ _STRUCTURE_OF = {
     "drop_reasons_nll": "funnel",
     "zdel_funnel": "funnel",
     "cdc_snapshot": "cdc",
+    "cdc_ann": "cdc",
+    "zdel_card": "card",
 }
 
 
@@ -930,15 +933,18 @@ Q_SEMDEDUP_SQL = _semdedup_sql()
 
 
 def _ivf_frozen_assignment_ctes(
-    train_where: str, assign_where: str
-) -> tuple[list[str], str]:
+    train_where: str, assign_where: str, assign_src: str = "embeddings"
+) -> tuple[list[str], str, str]:
     """K-means trained on ONE subset, final assignment over ANOTHER —
     the frozen-centroid deployment shape (SemDeDupIngestSink bootstraps
     its routing table on the first batch and routes every later arrival
-    against it).  Returns (ctes, assignment_name): the assignment CTE
-    holds (vid, vec, cid) for the `assign_where` rows under centroids
-    fit on the `train_where` rows, bit-matching ivf_fit + ivf_assign
-    with kernel="exact"."""
+    against it).  `assign_src` may be any table expression exposing
+    (vec_id, embedding) — the snapshot-CDC oracle passes the NEW
+    snapshot with its changed vectors.  Returns (ctes, assignment_name,
+    centroid_name): the assignment CTE holds (vid, vec, cid) for the
+    `assign_where` rows of `assign_src` under centroids fit on the
+    `train_where` rows, bit-matching ivf_fit + ivf_assign with
+    kernel="exact"; the centroid CTE routes probe queries."""
     dist = S.sql_sq_dist("vec", "cvec")
     ctes = [
         "vt AS (SELECT vec_id AS vid,"
@@ -974,7 +980,7 @@ def _ivf_frozen_assignment_ctes(
     ctes.append(
         "va AS (SELECT vec_id AS vid,"
         " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec"
-        f" FROM embeddings WHERE {assign_where})"
+        f" FROM {assign_src} WHERE {assign_where})"
     )
     ctes.append(
         f"""af AS (
@@ -984,7 +990,7 @@ def _ivf_frozen_assignment_ctes(
     FROM (SELECT vid, vec, cid, {dist} AS d FROM va CROSS JOIN {prev})
   ) WHERE rn = 1)"""
     )
-    return ctes, "af"
+    return ctes, "af", prev
 
 
 # interleaved insert+delete maintenance of the semantic cluster store —
@@ -1034,7 +1040,7 @@ def q_semdedup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semdedup_retract_sql() -> str:
-    ctes, assign = _ivf_frozen_assignment_ctes(
+    ctes, assign, _prev = _ivf_frozen_assignment_ctes(
         "vec_id % 2 = 0", ZDEL_VEC_RETAIN_SQL
     )
     ctes.append(
@@ -3133,12 +3139,152 @@ Q_CDC_SNAPSHOT_SQL = _over_retained(Q_DEDUP_KEEP_SQL, CDC_NEW_RETAIN_SQL)
 
 
 # --------------------------------------------------------------------------
+# snapshot CDC through the vector index: the same re-crawl flow on the
+# embedding side — a new snapshot removes vectors, adds vectors, and
+# CHANGES some (re-embedded documents).  The diff feeds
+# VectorIndex.apply_zset, whose update semantics make a changed id
+# survive with its NEW vector and re-route under the FROZEN centroids
+# (apply_delta's id-level delete-wins rule would drop it — the round-9
+# advisory divergence, now oracle-pinned, not just pytest-pinned).
+#
+# Snapshot algebra (vec_id ranges SF-independent):
+#   OLD: vec_id % 5 <> 4, vectors as stored
+#   NEW: vec_id % 3 <> 1, with the embedding of vec_id % 13 = 2 rows
+#        REVERSED (a deterministic, SQL-expressible "re-embedding";
+#        vec_id 2 is also a query, so a mishandled update shows up in
+#        the served ranks, not just the id set)
+# Oracle: IVF-Flat search over the NEW snapshot assigned under
+# centroids trained on the OLD snapshot (what build() froze).
+# --------------------------------------------------------------------------
+CDC_VEC_TRAIN_SQL = "vec_id % 5 <> 4"
+CDC_VEC_NEW_RETAIN_SQL = "vec_id % 3 <> 1"
+CDC_VEC_NEW_SRC = (
+    "(SELECT vec_id,"
+    " CASE WHEN vec_id % 13 = 2 THEN list_reverse(embedding)"
+    " ELSE embedding END AS embedding FROM embeddings)"
+)
+
+
+def _cdc_vec_snapshots(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    v = F.col("vec_id")
+    old = emb.filter(v % 5 != 4)
+    new = emb.filter(v % 3 != 1).withColumn(
+        "embedding",
+        F.when(v % 13 == 2, F.reverse(F.col("embedding"))).otherwise(
+            F.col("embedding")
+        ),
+    )
+    return old, new
+
+
+def q_cdc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN served from a persisted index synced to a new
+    snapshot by ONE zset_snapshot_delta batch through apply_zset:
+    removals anti-join, additions and changed vectors route against
+    the frozen centroids — k-means never re-runs, updates are upserts.
+    Oracle: the IVF search recomputed over exactly the new snapshot
+    under centroids trained on the old one."""
+    import os
+
+    from vcf_pg_loader_spark.operators.ivm import zset_snapshot_delta
+    from vcf_pg_loader_spark.sources.vector_index import VectorIndex
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    old, new = _cdc_vec_snapshots(emb)
+    idx = VectorIndex(
+        spark, _served_root(sf_dir, "cdc_ann", "embeddings.parquet")
+    )
+    flag = os.path.join(idx.root, "_cdc_done")
+    if not os.path.exists(flag):
+        idx.build(
+            old,
+            k_centroids=IVF_CENTROIDS,
+            n_iter=IVF_ITER,
+            kernel="exact",
+            pq=False,
+        )
+        idx.apply_zset(zset_snapshot_delta(old, new, "vec_id"))
+        with open(flag, "w") as fh:
+            fh.write("done")
+    queries = new.filter(F.col("vec_id") < N_QUERY_VECS)
+    return idx.search_flat(queries, TOP_K, IVF_NPROBE)
+
+
+def _cdc_ann_sql() -> str:
+    ctes, assign, prev = _ivf_frozen_assignment_ctes(
+        CDC_VEC_TRAIN_SQL, CDC_VEC_NEW_RETAIN_SQL, assign_src=CDC_VEC_NEW_SRC
+    )
+    dist = S.sql_sq_dist("vec", "cvec")
+    ctes.append(
+        f"cand AS (SELECT vid AS cand_id, vec AS c_vec, cid FROM {assign})"
+    )
+    ctes.append(
+        f"""probes AS (
+  SELECT vid AS query_id, vec AS q_vec, cid FROM (
+    SELECT vid, vec, cid,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d ASC, cid ASC) AS rn
+    FROM (SELECT vid, vec, cid, {dist} AS d
+          FROM (SELECT * FROM va WHERE vid < {N_QUERY_VECS}) q
+          CROSS JOIN {prev})
+  ) WHERE rn <= {IVF_NPROBE})"""
+    )
+    ctes.append(
+        f"""scored AS (
+  SELECT query_id, cand_id, {S.sql_cosine('q_vec', 'c_vec')} AS cos_sim
+  FROM probes JOIN cand USING (cid)
+  WHERE query_id <> cand_id)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT query_id, cand_id, cos_sim, rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, cand_id ASC) AS rn
+      FROM scored)
+WHERE rn <= {TOP_K}
+"""
+
+
+Q_CDC_ANN_SQL = _cdc_ann_sql()
+
+
+# --------------------------------------------------------------------------
 # dataset card: the one-row-per-source summary a corpus release ships —
 # volume, token mass, quality keep-rate, exact-dup rate, and the mean
 # LM negative log-likelihood, composed from the already-oracled gates.
 # Every aggregate folds through decimals (queries/_util.py) so the card
 # is bit-reproducible.
 # --------------------------------------------------------------------------
+def dataset_card_aggregate(per_doc: DataFrame) -> DataFrame:
+    """The card's per-source aggregation over a (doc_id, source,
+    n_tokens, keep, nll, _dup) frame — shared by the one-shot
+    q_dataset_card and the retraction-maintained DatasetCardSink so
+    both serve the exact decimal-folded shapes the oracle computes."""
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
+        F.round(
+            F.sum(F.col("keep").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("quality_keep_rate"),
+        F.round(
+            F.sum(
+                F.coalesce(F.col("_dup"), F.lit(0)).cast("decimal(18,6)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("exact_dup_rate"),
+        F.round(
+            F.sum(F.col("nll").cast("decimal(24,12)")).cast("double")
+            / F.count(F.col("nll")),
+            6,
+        ).alias("mean_nll"),
+    )
+
+
 def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vcf_pg_loader_spark.operators.lm import doc_nll
 
@@ -3165,33 +3311,10 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
     )
-    return (
-        per_doc.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
-            F.round(
-                F.sum(F.col("keep").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("quality_keep_rate"),
-            F.round(
-                F.sum(
-                    F.coalesce(F.col("_dup"), F.lit(0)).cast("decimal(18,6)")
-                ).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("exact_dup_rate"),
-            F.round(
-                F.sum(F.col("nll").cast("decimal(24,12)")).cast("double")
-                / F.count(F.col("nll")),
-                6,
-            ).alias("mean_nll"),
-        )
-    )
+    return dataset_card_aggregate(per_doc)
 
 
-Q_DATASET_CARD_SQL = f"""
+_DATASET_CARD_TEMPLATE = f"""
 WITH q AS ({Q_QUALITY_FILTER_SQL}),
 nll AS ({{NLL}}),
 fp AS (SELECT doc_id, md5(regexp_replace(trim(text), ' +', ' ', 'g'))
@@ -3226,10 +3349,42 @@ GROUP BY 1
 def _dataset_card_sql() -> str:
     from vcf_pg_loader_spark.operators.lm import sql_doc_nll
 
-    return Q_DATASET_CARD_SQL.replace("{NLL}", sql_doc_nll("documents"))
+    return _DATASET_CARD_TEMPLATE.replace("{NLL}", sql_doc_nll("documents"))
 
 
 Q_DATASET_CARD_SQL = _dataset_card_sql()
+
+
+def q_dataset_card_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release card served from RETRACTION-MAINTAINED per-doc state
+    (streaming/retract.py DatasetCardSink): quality verdicts, token
+    counts, frozen-LM scores, and content fingerprints are each
+    computed once at a doc's arrival and maintained by keyed anti-join/
+    union under Z-set batches; the card itself re-derives with the
+    min-id canon election plus ONE aggregation — the release-report
+    path is incremental like the funnel.  The LM scores under the model
+    frozen at bootstrap (batch 1 = even doc_ids), which the oracle
+    mirrors by training its nll CTE on that subset."""
+    from vcf_pg_loader_spark.streaming.retract import DatasetCardSink
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = _served_root(sf_dir, "zdel_card", "documents.parquet")
+    sink = DatasetCardSink(f"{root}/state")
+    _run_zdel_batches(sink, docs.select("doc_id", "text", "source"))
+    return sink.card(spark)
+
+
+def _dataset_card_retract_sql() -> str:
+    from vcf_pg_loader_spark.operators.lm import sql_doc_nll_frozen
+
+    retained = f"(SELECT * FROM documents WHERE {ZDEL_RETAIN_SQL})"
+    boot = "(SELECT * FROM documents WHERE doc_id % 2 = 0)"
+    return _over_retained(_DATASET_CARD_TEMPLATE).replace(
+        "{NLL}", sql_doc_nll_frozen(retained, boot)
+    )
+
+
+Q_DATASET_CARD_RETRACT_SQL = _dataset_card_retract_sql()
 
 
 # --------------------------------------------------------------------------
@@ -3519,6 +3674,8 @@ QUERIES = {
     "q_ann_retract": q_ann_retract,
     "q_winnow_retract": q_winnow_retract,
     "q_cdc_snapshot": q_cdc_snapshot,
+    "q_cdc_ann": q_cdc_ann,
+    "q_dataset_card_retract": q_dataset_card_retract,
     "q_cms_retract": q_cms_retract,
     "q_hdr_retract": q_hdr_retract,
     "q_length_batches": q_length_batches,
@@ -3592,6 +3749,8 @@ ORACLE = {
     "q_ann_retract": Q_ANN_RETRACT_SQL,
     "q_winnow_retract": Q_WINNOW_RETRACT_SQL,
     "q_cdc_snapshot": Q_CDC_SNAPSHOT_SQL,
+    "q_cdc_ann": Q_CDC_ANN_SQL,
+    "q_dataset_card_retract": Q_DATASET_CARD_RETRACT_SQL,
     "q_cms_retract": Q_CMS_RETRACT_SQL,
     "q_hdr_retract": Q_HDR_RETRACT_SQL,
     "q_image_neardup": Q_IMAGE_NEARDUP_SQL,

@@ -460,6 +460,117 @@ class FunnelReportSink(ParquetUpsertSink):
         self._record(batch_id, n)
 
 
+class DatasetCardSink(ParquetUpsertSink):
+    """Retraction-maintained dataset card (q_dataset_card's release
+    report) — with the funnel, sketches, and rollups already
+    retraction-maintained, this makes the release-report path
+    incremental too.  State, one swap-atomic directory:
+
+      lm_c12/, lm_c1/, lm_v/  — the bigram LM, trained on the FIRST
+                                batch and frozen (the CCNet deployment
+                                shape; same stance as FunnelReportSink)
+      stats/ (doc_id, source, n_tokens, keep, nll) — per-doc facts,
+                                each a pure function of the doc (and
+                                the frozen LM), computed ONCE at
+                                arrival
+      fp/    (doc_id, doc_fp) — content fingerprints for the exact-dup
+                                rate's min-id canon election
+
+    Per batch, the per-doc work (quality metrics, token count, frozen-
+    LM scoring, fingerprint) runs on the ARRIVING docs only; deletions
+    are keyed anti-joins.  Serving re-derives the card with the canon
+    election plus ONE per-source aggregation (the exact decimal-folded
+    shapes of q_dataset_card via dataset_card_aggregate), so the
+    q_dataset_card_retract oracle — the whole card recomputed over the
+    retained rows with the nll CTE trained on the bootstrap subset —
+    matches value-exactly."""
+
+    def __init__(self, target: str):
+        super().__init__(target, key=["doc_id"])
+
+    # -- serve ----------------------------------------------------------
+    def card(self, spark) -> DataFrame:
+        from vcf_pg_loader_spark.queries.pipeline import (
+            dataset_card_aggregate,
+        )
+
+        stats = self._table(spark, "stats")
+        if stats is None:
+            raise FileNotFoundError(
+                f"no maintained state at {self.target}; apply a batch first"
+            )
+        fp = self._table(spark, "fp")
+        canon = fp.groupBy("doc_fp").agg(F.min("doc_id").alias("doc_id"))
+        losers = (
+            fp.join(canon.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id")
+            .withColumn("_dup", F.lit(1))
+        )
+        return dataset_card_aggregate(stats.join(losers, "doc_id", "left"))
+
+    # -- maintenance -----------------------------------------------------
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from vcf_pg_loader_spark.operators.lm import (
+            bigram_model,
+            doc_nll_frozen,
+        )
+        from vcf_pg_loader_spark.operators.text import tokens
+        from vcf_pg_loader_spark.queries.pipeline import quality_verdict
+
+        if self.applied(batch_id):
+            return
+        self._recover()
+        self._validate_params()
+        marker = self._read_marker()
+        if marker is not None and marker["batch_id"] == batch_id:
+            self._record(batch_id, marker["n_rows"])
+            return
+        spark = batch_df.sparkSession
+        ins, dels = split_zset(batch_df, "doc_id")
+        ins = ins.dropDuplicates(["doc_id"])
+        touched = dels.unionByName(ins.select("doc_id")).distinct()
+
+        c12 = self._table(spark, "lm_c12")
+        bootstrap = c12 is None
+        if bootstrap:
+            c12, c1, vocab = bigram_model(ins)
+        else:
+            c1 = self._table(spark, "lm_c1")
+            vocab = self._table(spark, "lm_v")
+
+        qual_new = quality_verdict(ins).select("doc_id", "keep")
+        nll_new = doc_nll_frozen(ins, c12, c1, vocab).select("doc_id", "nll")
+        stats_new = (
+            ins.select(
+                "doc_id",
+                "source",
+                F.size(tokens(F.col("text"))).alias("n_tokens"),
+            )
+            .join(qual_new, "doc_id")
+            .join(nll_new, "doc_id", "left")
+        )
+        fp_new = fingerprint(ins.select("doc_id", "text")).select(
+            "doc_id", "doc_fp"
+        )
+
+        stats = _without(self._table(spark, "stats"), touched, "doc_id")
+        stats = stats_new if stats is None else stats.unionByName(stats_new)
+        fp = _without(self._table(spark, "fp"), touched, "doc_id")
+        fp = fp_new if fp is None else fp.unionByName(fp_new)
+
+        frames = {"stats": stats, "fp": fp}
+        keep: list[str] = []
+        if bootstrap:
+            frames.update({"lm_c12": c12, "lm_c1": c1, "lm_v": vocab})
+        else:
+            # the LM is FROZEN after bootstrap: file-copy, never rewrite
+            keep = ["lm_c12", "lm_c1", "lm_v"]
+        n = self._swap_in_frames(
+            frames, batch_id, count_table="stats", keep_tables=keep
+        )
+        self._record(batch_id, n)
+
+
 class WinnowIndexSink(ParquetUpsertSink):
     """Maintained passage-reuse (winnowing) fingerprint index under
     interleaved inserts and retractions — the plagiarism/reuse-detection
