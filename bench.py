@@ -303,6 +303,12 @@ def served_paths(spark, sf_dir: str) -> dict:
         "q_semdedup_retract",
         "q_ann_retract",
         "q_rollup_retract",
+        # snapshot-CDC and maintained-card paths (round 10): serve from
+        # the synced state, no re-diff and no rebuild
+        "q_cdc_snapshot",
+        "q_cdc_funnel",
+        "q_cdc_ann",
+        "q_dataset_card_retract",
     ):
         try:
             fn = registry[name]

@@ -377,6 +377,28 @@ class TestDatasetCardSink:
         # untouched source is untouched
         assert card1["books"] == card0["books"]
 
+    def test_card_serve_is_state_scan_plus_aggregation(self, spark, tmp_path):
+        """Serving the card reads the maintained per-doc state only —
+        no quality regexes, no LM joins, no fingerprint md5, and no
+        Python anywhere in the plan."""
+        import io
+        from contextlib import redirect_stdout
+
+        from vcf_pg_loader_spark.streaming.retract import DatasetCardSink
+
+        sink = DatasetCardSink(str(tmp_path / "card"))
+        sink.apply_batch(
+            self._batch(spark, [(1, BASE, "web"), (10, OTHER, "books")]), 0
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            sink.card(spark).explain(mode="simple")
+        plan = buf.getvalue()
+        assert "EvalPython" not in plan and "MapInPandas" not in plan
+        low = plan.lower()
+        for rebuild_marker in ("regexp", "md5", "posexplode"):
+            assert rebuild_marker not in low
+
     def test_lm_frozen_and_replay_noop(self, spark, tmp_path):
         from vcf_pg_loader_spark.streaming.retract import DatasetCardSink
 
@@ -410,18 +432,19 @@ class TestSyncCorpusCLI:
             spark, [(2, NEAR), (10, OTHER), (20, THIRD), (30, BASE)]
         ).coalesce(1).write.parquet(v2)
         state = str(tmp_path / "state")
+        funnel = str(tmp_path / "funnel")
         out = str(tmp_path / "kept")
 
         assert main(
             ["sync-corpus", "--state", state, "--snapshot", v1,
-             "--batch-id", "0"]
+             "--batch-id", "0", "--funnel-state", funnel]
         ) == 0
         boot = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert boot["rows_upserted"] == 4 and boot["rows_retracted"] == 0
 
         assert main(
             ["sync-corpus", "--state", state, "--snapshot", v2,
-             "--batch-id", "1", "--out", out]
+             "--batch-id", "1", "--out", out, "--funnel-state", funnel]
         ) == 0
         sync = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         # delta: -1 for removed 1, ±1 for changed 20, +1 for added 30
@@ -442,3 +465,9 @@ class TestSyncCorpusCLI:
             .collect()
         }
         assert got == want
+        # the lockstep-synced funnel covers exactly the new snapshot
+        from vcf_pg_loader_spark.streaming.retract import FunnelReportSink
+        from vcf_pg_loader_spark.queries.pipeline import NLL_MAX
+
+        report = FunnelReportSink(funnel, NLL_MAX).report(spark)
+        assert {r.doc_id for r in report.collect()} == {2, 10, 20, 30}

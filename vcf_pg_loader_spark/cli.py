@@ -527,12 +527,31 @@ def cmd_sync_corpus(args) -> int:
     if old is None:
         # no state yet: the whole snapshot is the delta (bootstrap)
         old = spark.createDataFrame([], "doc_id long, text string")
-    delta = zset_snapshot_delta(old, new, "doc_id")
+    # materialize the delta BEFORE any apply: the cluster sink's swap
+    # replaces the very corpus files the lazy delta plan reads, so a
+    # second consumer (the funnel sink) re-executing the plan would hit
+    # deleted files.  localCheckpoint is distributed — the delta never
+    # lands on the driver.
+    delta = zset_snapshot_delta(old, new, "doc_id").localCheckpoint(
+        eager=True
+    )
     stats = {
         (r[MULT]): r["n"]
         for r in delta.groupBy(MULT).agg(F.count(F.lit(1)).alias("n")).collect()
     }
     sink.apply_batch(delta, args.batch_id)
+    if args.funnel_state:
+        # the funnel's own corpus/ holds quality+LM SURVIVORS only, so
+        # it cannot self-diff — it consumes the delta computed against
+        # the cluster state's full corpus, which is correct exactly when
+        # the two states have been synced in lockstep (same snapshots,
+        # same batch ids); exactly-once per state via each sink's ledger
+        from vcf_pg_loader_spark.streaming.retract import FunnelReportSink
+
+        FunnelReportSink(
+            args.funnel_state, args.nll_max, args.ngram, args.minhash_k,
+            args.bands, args.threshold,
+        ).apply_batch(delta, args.batch_id)
     kept = sink.keep(spark)
     if args.out:
         corpus = sink._table(spark, "corpus")
@@ -565,6 +584,7 @@ def build_parser() -> argparse.ArgumentParser:
         MINHASH_BANDS,
         MINHASH_K,
         NGRAM,
+        NLL_MAX,
     )
 
     p = argparse.ArgumentParser(prog="vcf-pg-loader-spark")
@@ -714,6 +734,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--batch-id", type=int, required=True,
                     help="exactly-once batch id (replays are no-ops)")
     sp.add_argument("--out", help="write the kept corpus here")
+    sp.add_argument("--funnel-state",
+                    help="also apply the delta to this FunnelReportSink "
+                         "state (must be synced in lockstep with --state)")
+    sp.add_argument("--nll-max", type=float, default=NLL_MAX,
+                    help="LM gate threshold for --funnel-state")
     sp.add_argument("--ngram", type=int, default=NGRAM)
     sp.add_argument("--minhash-k", type=int, default=MINHASH_K)
     sp.add_argument("--bands", type=int, default=MINHASH_BANDS)

@@ -64,6 +64,7 @@ _STRUCTURE_OF = {
     "drop_reasons_nll": "funnel",
     "zdel_funnel": "funnel",
     "cdc_snapshot": "cdc",
+    "cdc_funnel": "cdc",
     "cdc_ann": "cdc",
     "zdel_card": "card",
 }
@@ -3025,12 +3026,21 @@ def q_drop_reasons_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _drop_reasons_retract_sql() -> str:
+    return _funnel_frozen_sql(
+        ZDEL_RETAIN_SQL, "(SELECT * FROM documents WHERE doc_id % 2 = 0)"
+    )
+
+
+def _funnel_frozen_sql(retained_pred: str, boot: str) -> str:
+    """The drop-attribution funnel recomputed over the docs retained by
+    `retained_pred`, with the LM gate trained on the `boot` table
+    expression (the frozen-at-bootstrap deployment shape) — the shared
+    oracle of q_drop_reasons_retract and q_cdc_funnel."""
     from vcf_pg_loader_spark.operators.lm import sql_doc_nll_frozen
 
-    retained = f"(SELECT * FROM documents WHERE {ZDEL_RETAIN_SQL})"
-    boot = "(SELECT * FROM documents WHERE doc_id % 2 = 0)"
-    qual = _over_retained(Q_QUALITY_FILTER_SQL)
-    lsh = _over_retained(Q_MINHASH_LSH_SQL)
+    retained = f"(SELECT * FROM documents WHERE {retained_pred})"
+    qual = _over_retained(Q_QUALITY_FILTER_SQL, retained_pred)
+    lsh = _over_retained(Q_MINHASH_LSH_SQL, retained_pred)
     return f"""
 WITH RECURSIVE q AS ({qual}),
 nll AS ({sql_doc_nll_frozen(retained, boot)}),
@@ -3136,6 +3146,42 @@ def q_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_CDC_SNAPSHOT_SQL = _over_retained(Q_DEDUP_KEEP_SQL, CDC_NEW_RETAIN_SQL)
+
+# the OLD snapshot as a SQL table expression — the funnel CDC oracle
+# trains its frozen LM gate on it (suffix-modified texts included,
+# exactly what FunnelReportSink's bootstrap batch saw)
+CDC_OLD_SRC_SQL = (
+    "(SELECT doc_id,"
+    " CASE WHEN doc_id % 13 = 2 THEN text || ' legacy-revision'"
+    " ELSE text END AS text"
+    " FROM documents WHERE doc_id % 5 <> 4)"
+)
+
+
+def q_cdc_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-attribution report after a snapshot sync: the funnel state
+    (quality verdicts, frozen-LM scores, fingerprints, bands, pairs)
+    bootstraps on the OLD snapshot — training the LM gate on it — and
+    ONE zset_snapshot_delta batch moves it to the NEW snapshot; only
+    the delta's docs re-run the per-doc stages.  Oracle: the whole
+    funnel recomputed over the new snapshot with the nll CTE trained on
+    the old one."""
+    from vcf_pg_loader_spark.operators.ivm import MULT, zset_snapshot_delta
+    from vcf_pg_loader_spark.streaming.retract import FunnelReportSink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old, new = _cdc_snapshots(docs)
+    root = _served_root(sf_dir, "cdc_funnel", "documents.parquet")
+    sink = FunnelReportSink(
+        f"{root}/state", NLL_MAX, NGRAM, MINHASH_K, MINHASH_BANDS, JACCARD_T
+    )
+    if not sink.applied(1):
+        sink.apply_batch(old.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        sink.apply_batch(zset_snapshot_delta(old, new, "doc_id"), 1)
+    return sink.report(spark)
+
+
+Q_CDC_FUNNEL_SQL = _funnel_frozen_sql(CDC_NEW_RETAIN_SQL, CDC_OLD_SRC_SQL)
 
 
 # --------------------------------------------------------------------------
@@ -3674,6 +3720,7 @@ QUERIES = {
     "q_ann_retract": q_ann_retract,
     "q_winnow_retract": q_winnow_retract,
     "q_cdc_snapshot": q_cdc_snapshot,
+    "q_cdc_funnel": q_cdc_funnel,
     "q_cdc_ann": q_cdc_ann,
     "q_dataset_card_retract": q_dataset_card_retract,
     "q_cms_retract": q_cms_retract,
@@ -3749,6 +3796,7 @@ ORACLE = {
     "q_ann_retract": Q_ANN_RETRACT_SQL,
     "q_winnow_retract": Q_WINNOW_RETRACT_SQL,
     "q_cdc_snapshot": Q_CDC_SNAPSHOT_SQL,
+    "q_cdc_funnel": Q_CDC_FUNNEL_SQL,
     "q_cdc_ann": Q_CDC_ANN_SQL,
     "q_dataset_card_retract": Q_DATASET_CARD_RETRACT_SQL,
     "q_cms_retract": Q_CMS_RETRACT_SQL,
