@@ -308,6 +308,9 @@ def served_paths(spark, sf_dir: str) -> dict:
         "q_cdc_snapshot",
         "q_cdc_funnel",
         "q_cdc_ann",
+        "q_cdc_bm25",
+        "q_cdc_winnow",
+        "q_cdc_semdedup",
         "q_dataset_card_retract",
     ):
         try:

@@ -66,6 +66,9 @@ _STRUCTURE_OF = {
     "cdc_snapshot": "cdc",
     "cdc_funnel": "cdc",
     "cdc_ann": "cdc",
+    "cdc_bm25": "cdc",
+    "cdc_winnow": "cdc",
+    "cdc_semdedup": "cdc",
     "zdel_card": "card",
 }
 
@@ -3184,6 +3187,108 @@ def q_cdc_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_CDC_FUNNEL_SQL = _funnel_frozen_sql(CDC_NEW_RETAIN_SQL, CDC_OLD_SRC_SQL)
 
 
+def q_cdc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 search after a snapshot sync: the maintained inverted index
+    bootstraps on the OLD snapshot (stale texts indexed), then ONE
+    snapshot-diff batch retracts removed docs' postings, appends new
+    docs', and re-tokenizes CHANGED docs only — idf decrements through
+    the consolidated doclens.  Oracle: BM25 over exactly the new
+    snapshot."""
+    from vcf_pg_loader_spark.operators.ivm import MULT, zset_snapshot_delta
+    from vcf_pg_loader_spark.sources.bm25_index import BM25Index
+    from vcf_pg_loader_spark.streaming.dedup_ingest import BM25IndexSink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old, new = _cdc_snapshots(docs)
+    root = _served_root(sf_dir, "cdc_bm25", "documents.parquet")
+    sink = BM25IndexSink(f"{root}/state")
+    if not sink.applied(1):
+        sink.apply_batch(old.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        sink.apply_batch(zset_snapshot_delta(old, new, "doc_id"), 1)
+    return BM25Index(spark, sink.target).search(BM25_TERMS, BM25_K)
+
+
+Q_CDC_BM25_SQL = _over_retained(Q_BM25_SQL, CDC_NEW_RETAIN_SQL)
+
+
+def q_cdc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-reuse overlap pairs after a snapshot sync: the winnowing
+    posting table drops removed/changed docs' fingerprints by keyed
+    anti-join and re-hashes only the delta's arriving texts.  Oracle:
+    the full winnowing pipeline over exactly the new snapshot."""
+    from vcf_pg_loader_spark.operators.ivm import MULT, zset_snapshot_delta
+    from vcf_pg_loader_spark.streaming.retract import WinnowIndexSink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old, new = _cdc_snapshots(docs)
+    root = _served_root(sf_dir, "cdc_winnow", "documents.parquet")
+    sink = WinnowIndexSink(f"{root}/state")
+    if not sink.applied(1):
+        sink.apply_batch(old.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        sink.apply_batch(zset_snapshot_delta(old, new, "doc_id"), 1)
+    return sink.overlap_pairs(spark, WINNOW_MAX_DF, WINNOW_MIN_SHARED)
+
+
+Q_CDC_WINNOW_SQL = _over_retained(Q_WINNOW_SQL, CDC_NEW_RETAIN_SQL)
+
+
+# events-side snapshot algebra: the OLD snapshot carries a stale value
+# for event_id % 13 = 2 rows (doubled — a corrected-measurement
+# revision), so the rollup CDC exercises the additive fold's
+# subtract-old/add-new path, not just insert/delete
+CDC_EV_NEW_RETAIN_SQL = "event_id % 3 <> 1"
+
+
+def _cdc_event_snapshots(ev: DataFrame) -> tuple[DataFrame, DataFrame]:
+    e = F.col("event_id")
+    old = ev.filter(e % 5 != 4).withColumn(
+        "value",
+        F.when(e % 13 == 2, F.col("value") * 2).otherwise(F.col("value")),
+    )
+    new = ev.filter(e % 3 != 1)
+    return old, new
+
+
+def q_cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed COUNT/SUM rollup after a snapshot sync: the
+    counted fold bootstraps on the OLD snapshot (stale values for the
+    changed rows), then folds the snapshot-diff Z-set — a changed
+    event's -1 old tuple subtracts the stale value and its +1 tuple
+    adds the corrected one, so the maintained aggregate lands exactly
+    on the new snapshot's rollup.  Zero-count groups vanish.  Oracle:
+    the single-pass aggregate over exactly the new snapshot."""
+    from vcf_pg_loader_spark.operators.ivm import (
+        MULT,
+        as_zset,
+        zset_snapshot_delta,
+    )
+    from vcf_pg_loader_spark.operators.rollup import (
+        event_rollup_partial_counted,
+        merge_rollup_counted,
+        rollup_final_counted,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    old, new = _cdc_event_snapshots(ev)
+    boot = event_rollup_partial_counted(as_zset(old), "hour").filter(
+        F.col("n_events") != 0
+    )
+    delta = event_rollup_partial_counted(
+        zset_snapshot_delta(old, new, "event_id"), "hour"
+    )
+    return rollup_final_counted(merge_rollup_counted(boot, delta))
+
+
+Q_CDC_ROLLUP_SQL = f"""
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS total_value
+FROM events
+WHERE {CDC_EV_NEW_RETAIN_SQL}
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # snapshot CDC through the vector index: the same re-crawl flow on the
 # embedding side — a new snapshot removes vectors, adds vectors, and
@@ -3294,6 +3399,72 @@ WHERE rn <= {TOP_K}
 
 
 Q_CDC_ANN_SQL = _cdc_ann_sql()
+
+
+def q_cdc_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-decision after a snapshot sync: the semantic
+    cluster store bootstraps on the OLD snapshot — fitting its FROZEN
+    routing centroids there — then one snapshot-diff batch retracts
+    removed vectors, routes added ones, and re-routes the re-embedded
+    (changed) ones; incident semantic-dup edges drop and CC re-runs
+    over the pair table only.  Oracle: frozen-centroid SemDeDup over
+    exactly the new snapshot (centroids trained on the old one)."""
+    from vcf_pg_loader_spark.operators.ivm import MULT, zset_snapshot_delta
+    from vcf_pg_loader_spark.streaming.dedup_ingest import SemDeDupIngestSink
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    old, new = _cdc_vec_snapshots(emb)
+    root = _served_root(sf_dir, "cdc_semdedup", "embeddings.parquet")
+    sink = SemDeDupIngestSink(
+        f"{root}/state",
+        k_centroids=IVF_CENTROIDS,
+        n_iter=IVF_ITER,
+        tau=SEMDEDUP_TAU,
+    )
+    if not sink.applied(1):
+        sink.apply_batch(old.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        sink.apply_batch(zset_snapshot_delta(old, new, "vec_id"), 1)
+    return sink.keep(spark).withColumnRenamed(sink.id_col, "vec_id")
+
+
+def _cdc_semdedup_sql() -> str:
+    ctes, assign, _prev = _ivf_frozen_assignment_ctes(
+        CDC_VEC_TRAIN_SQL, CDC_VEC_NEW_RETAIN_SQL, assign_src=CDC_VEC_NEW_SRC
+    )
+    ctes.append(
+        f"""pairs AS (
+  SELECT d1, d2 FROM (
+    SELECT a.vid AS d1, b.vid AS d2,
+           {S.sql_cosine('a.vec', 'b.vec')} AS cos_sim
+    FROM {assign} a JOIN {assign} b
+      ON a.cid = b.cid AND a.vid < b.vid
+  ) WHERE cos_sim >= {SEMDEDUP_TAU})"""
+    )
+    ctes.append(
+        "und AS (SELECT d1 AS s, d2 AS t FROM pairs"
+        " UNION SELECT d2, d1 FROM pairs)"
+    )
+    ctes.append("nodes AS (SELECT DISTINCT s AS node FROM und)")
+    ctes.append(
+        """walk(node, reach) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT w.node, u.t FROM walk w JOIN und u ON u.s = w.reach)"""
+    )
+    ctes.append(
+        "cc AS (SELECT node, MIN(reach) AS comp FROM walk GROUP BY node)"
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH RECURSIVE {body}
+SELECT vid AS vec_id FROM va
+WHERE vid NOT IN (SELECT node FROM cc WHERE node <> comp)
+"""
+
+
+Q_CDC_SEMDEDUP_SQL = _cdc_semdedup_sql()
 
 
 # --------------------------------------------------------------------------
@@ -3722,6 +3893,10 @@ QUERIES = {
     "q_cdc_snapshot": q_cdc_snapshot,
     "q_cdc_funnel": q_cdc_funnel,
     "q_cdc_ann": q_cdc_ann,
+    "q_cdc_bm25": q_cdc_bm25,
+    "q_cdc_winnow": q_cdc_winnow,
+    "q_cdc_rollup": q_cdc_rollup,
+    "q_cdc_semdedup": q_cdc_semdedup,
     "q_dataset_card_retract": q_dataset_card_retract,
     "q_cms_retract": q_cms_retract,
     "q_hdr_retract": q_hdr_retract,
@@ -3798,6 +3973,10 @@ ORACLE = {
     "q_cdc_snapshot": Q_CDC_SNAPSHOT_SQL,
     "q_cdc_funnel": Q_CDC_FUNNEL_SQL,
     "q_cdc_ann": Q_CDC_ANN_SQL,
+    "q_cdc_bm25": Q_CDC_BM25_SQL,
+    "q_cdc_winnow": Q_CDC_WINNOW_SQL,
+    "q_cdc_rollup": Q_CDC_ROLLUP_SQL,
+    "q_cdc_semdedup": Q_CDC_SEMDEDUP_SQL,
     "q_dataset_card_retract": Q_DATASET_CARD_RETRACT_SQL,
     "q_cms_retract": Q_CMS_RETRACT_SQL,
     "q_hdr_retract": Q_HDR_RETRACT_SQL,
