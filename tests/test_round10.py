@@ -179,6 +179,67 @@ class TestZsetSnapshotDelta:
         assert before == after == {(10, OTHER), (30, THIRD)}
 
 
+class TestSnapshotDeltaProperty:
+    """Randomized snapshot pairs: for ANY (old, new) drawn from a doc
+    pool — including random text revisions — a sink bootstrapped on old
+    plus the snapshot delta equals a fresh bootstrap on new.  The
+    randomized sibling of TestZsetSnapshotDelta's planted case, the way
+    test_round8's interleaving property backs the planted retract
+    tests."""
+
+    POOL = {
+        1: BASE,
+        2: NEAR,
+        10: OTHER,
+        11: OTHER.replace("one", "wun", 1),
+        20: THIRD,
+        21: "completely different short filler text with no overlap",
+    }
+
+    def test_random_snapshot_pairs_match_fresh_bootstrap(
+        self, spark, tmp_path
+    ):
+        import random
+
+        from vcf_pg_loader_spark.operators.ivm import MULT, zset_snapshot_delta
+        from vcf_pg_loader_spark.streaming.retract import DedupClusterMaintSink
+
+        rng = random.Random(42)
+        ids = sorted(self.POOL)
+        for trial in range(3):
+            old_ids = rng.sample(ids, rng.randint(1, 5))
+            new_ids = rng.sample(ids, rng.randint(1, 5))
+            changed = {
+                i for i in new_ids if i in old_ids and rng.random() < 0.5
+            }
+            old = _docs(
+                spark,
+                [
+                    (i, self.POOL[i] + (" rev0" if i in changed else ""))
+                    for i in old_ids
+                ],
+            )
+            new = _docs(spark, [(i, self.POOL[i]) for i in new_ids])
+
+            maintained = DedupClusterMaintSink(str(tmp_path / f"m{trial}"))
+            maintained.apply_batch(
+                old.withColumn(MULT, F.lit(1).cast("bigint")), 0
+            )
+            maintained.apply_batch(zset_snapshot_delta(old, new, "doc_id"), 1)
+            fresh = DedupClusterMaintSink(str(tmp_path / f"f{trial}"))
+            fresh.apply_batch(new, 0)
+
+            for table in ("corpus", "pairs", "clusters"):
+                got = {
+                    tuple(r)
+                    for r in maintained._table(spark, table).collect()
+                }
+                want = {
+                    tuple(r) for r in fresh._table(spark, table).collect()
+                }
+                assert got == want, (trial, table, old_ids, new_ids, changed)
+
+
 class TestVectorIndexApplyZset:
     def test_changed_id_survives_with_new_vector(self, spark, tmp_path):
         from vcf_pg_loader_spark.operators.ivm import MULT, zset_snapshot_delta

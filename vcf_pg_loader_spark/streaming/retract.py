@@ -76,20 +76,28 @@ def split_zset(
 def _without(
     table: DataFrame | None, ids: DataFrame, id_col: str
 ) -> DataFrame | None:
+    # the trailing select pins the column ORDER: a USING join moves its
+    # key to the front, and a maintained table whose on-disk column
+    # order flips between batches is a schema-stability landmine even
+    # when every reader resolves by name
     if table is None:
         return None
     return table.join(
         ids.withColumnRenamed(ids.columns[0], id_col), id_col, "left_anti"
-    )
+    ).select(*table.columns)
 
 
 def _edges_without(pairs: DataFrame | None, ids: DataFrame) -> DataFrame | None:
     """Drop edges incident to any deleted/re-inserted id."""
     if pairs is None:
         return None
-    return pairs.join(
-        ids.withColumnRenamed(ids.columns[0], "d1"), "d1", "left_anti"
-    ).join(ids.withColumnRenamed(ids.columns[0], "d2"), "d2", "left_anti")
+    return (
+        pairs.join(
+            ids.withColumnRenamed(ids.columns[0], "d1"), "d1", "left_anti"
+        )
+        .join(ids.withColumnRenamed(ids.columns[0], "d2"), "d2", "left_anti")
+        .select(*pairs.columns)
+    )
 
 
 class DedupClusterMaintSink(ParquetUpsertSink):
