@@ -494,18 +494,21 @@ class TestSyncCorpusCLI:
         ).coalesce(1).write.parquet(v2)
         state = str(tmp_path / "state")
         funnel = str(tmp_path / "funnel")
+        decontam = str(tmp_path / "decontam")
         out = str(tmp_path / "kept")
 
         assert main(
             ["sync-corpus", "--state", state, "--snapshot", v1,
-             "--batch-id", "0", "--funnel-state", funnel]
+             "--batch-id", "0", "--funnel-state", funnel,
+             "--decontam-state", decontam]
         ) == 0
         boot = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert boot["rows_upserted"] == 4 and boot["rows_retracted"] == 0
 
         assert main(
             ["sync-corpus", "--state", state, "--snapshot", v2,
-             "--batch-id", "1", "--out", out, "--funnel-state", funnel]
+             "--batch-id", "1", "--out", out, "--funnel-state", funnel,
+             "--decontam-state", decontam]
         ) == 0
         sync = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         # delta: -1 for removed 1, ±1 for changed 20, +1 for added 30
@@ -532,3 +535,132 @@ class TestSyncCorpusCLI:
 
         report = FunnelReportSink(funnel, NLL_MAX).report(spark)
         assert {r.doc_id for r in report.collect()} == {2, 10, 20, 30}
+        # the lockstep-synced decontamination index equals a fresh
+        # bootstrap on exactly the new snapshot
+        from vcf_pg_loader_spark.streaming.retract import DecontamIndexSink
+
+        dsink = DecontamIndexSink(decontam)
+        dfresh = DecontamIndexSink(str(tmp_path / "dfresh"))
+        dfresh.apply_batch(spark.read.parquet(v2), 0)
+        got_d = {tuple(r) for r in dsink._table(spark, "sh").collect()}
+        want_d = {tuple(r) for r in dfresh._table(spark, "sh").collect()}
+        assert got_d == want_d
+
+
+class TestDecontamIndexSink:
+    """Maintained train/eval decontamination index: incremental
+    maintenance equals a fresh bootstrap on the retained rows, deletes
+    retract the pairs they induced on either side, replays are no-ops,
+    and mismatched parameters are refused."""
+
+    def _pool(self, spark, ids, rev=()):
+        texts = [BASE, OTHER, THIRD, NEAR]
+        return _docs(
+            spark,
+            [
+                (
+                    i,
+                    texts[i % 4] + (" rev1" if i in rev else ""),
+                )
+                for i in ids
+            ],
+        )
+
+    def test_incremental_equals_bootstrap(self, spark, tmp_path):
+        from vcf_pg_loader_spark.operators.ivm import MULT, zset_snapshot_delta
+        from vcf_pg_loader_spark.streaming.retract import DecontamIndexSink
+
+        b0 = self._pool(spark, range(1, 13))
+        b1 = self._pool(spark, range(13, 25))
+        # batch 2 via snapshot diff: 3,4 removed; 5 revised
+        old = self._pool(spark, range(1, 25))
+        final = self._pool(
+            spark, [i for i in range(1, 25) if i not in (3, 4)], rev={5}
+        )
+        maintained = DecontamIndexSink(str(tmp_path / "m"))
+        maintained.apply_batch(b0, 0)
+        maintained.apply_batch(b1, 1)
+        maintained.apply_batch(zset_snapshot_delta(old, final, "doc_id"), 2)
+        fresh = DecontamIndexSink(str(tmp_path / "f"))
+        fresh.apply_batch(final, 0)
+
+        for table in ("sh", "pairs"):
+            got = {
+                tuple(r) for r in maintained._table(spark, table).collect()
+            }
+            want = {tuple(r) for r in fresh._table(spark, table).collect()}
+            assert got == want, table
+        pairs = maintained.contamination(spark).collect()
+        assert pairs, "pool must plant cross-split contamination"
+
+    def test_delete_retracts_incident_pairs(self, spark, tmp_path):
+        from vcf_pg_loader_spark.operators.ivm import MULT
+        from vcf_pg_loader_spark.streaming.retract import DecontamIndexSink
+
+        docs = self._pool(spark, range(1, 25))
+        sink = DecontamIndexSink(str(tmp_path / "s"))
+        sink.apply_batch(docs, 0)
+        first = sink.contamination(spark).collect()
+        assert first, "pool must plant cross-split contamination"
+        victim = first[0].train_id
+        sink.apply_batch(
+            docs.filter(F.col("doc_id") == victim).withColumn(
+                MULT, F.lit(-1).cast("bigint")
+            ),
+            1,
+        )
+        after = sink.contamination(spark).collect()
+        assert all(r.train_id != victim for r in after)
+        # and the posting table forgot the doc entirely
+        sh_ids = {r.doc_id for r in sink._table(spark, "sh").collect()}
+        assert victim not in sh_ids
+
+        fresh = DecontamIndexSink(str(tmp_path / "fr"))
+        fresh.apply_batch(docs.filter(F.col("doc_id") != victim), 0)
+        got = {(r.eval_id, r.train_id, r.n_shared) for r in after}
+        want = {
+            (r.eval_id, r.train_id, r.n_shared)
+            for r in fresh.contamination(spark).collect()
+        }
+        assert got == want
+
+    def test_replayed_batch_is_a_noop(self, spark, tmp_path):
+        from vcf_pg_loader_spark.operators.ivm import MULT
+        from vcf_pg_loader_spark.streaming.retract import DecontamIndexSink
+
+        docs = self._pool(spark, range(1, 13))
+        sink = DecontamIndexSink(str(tmp_path / "s"))
+        sink.apply_batch(docs, 0)
+        batch = self._pool(spark, range(13, 19)).withColumn(
+            MULT, F.lit(1).cast("bigint")
+        )
+        sink.apply_batch(batch, 1)
+        before = {tuple(r) for r in sink._table(spark, "pairs").collect()}
+        sink.apply_batch(batch, 1)  # replay after a crash: must not churn
+        after = {tuple(r) for r in sink._table(spark, "pairs").collect()}
+        assert before == after
+
+    def test_mismatched_params_refused(self, spark, tmp_path):
+        from vcf_pg_loader_spark.streaming.retract import DecontamIndexSink
+
+        docs = self._pool(spark, range(1, 13))
+        DecontamIndexSink(str(tmp_path / "s")).apply_batch(docs, 0)
+        other = DecontamIndexSink(str(tmp_path / "s"), min_shared=1)
+        with pytest.raises(ValueError, match="parameters"):
+            other.apply_batch(self._pool(spark, range(13, 15)), 1)
+
+    def test_default_params_match_pipeline_constants(self, tmp_path):
+        from vcf_pg_loader_spark.queries.pipeline import (
+            DECON_MIN_SHARED,
+            NGRAM,
+            SPLIT_WEIGHTS,
+        )
+        from vcf_pg_loader_spark.streaming.retract import DecontamIndexSink
+
+        sink = DecontamIndexSink(str(tmp_path / "s"))
+        fp = sink._params_fingerprint()
+        assert fp["ngram"] == NGRAM
+        assert fp["min_shared"] == DECON_MIN_SHARED
+        assert fp["weights"] == {
+            k: SPLIT_WEIGHTS[k] for k in sorted(SPLIT_WEIGHTS)
+        }

@@ -552,6 +552,15 @@ def cmd_sync_corpus(args) -> int:
             args.funnel_state, args.nll_max, args.ngram, args.minhash_k,
             args.bands, args.threshold,
         ).apply_batch(delta, args.batch_id)
+    if args.decontam_state:
+        # same lockstep rule as --funnel-state: the decontamination
+        # index consumes the delta computed against the cluster state's
+        # corpus, exactly-once via its own ledger
+        from vcf_pg_loader_spark.streaming.retract import DecontamIndexSink
+
+        DecontamIndexSink(args.decontam_state, args.ngram).apply_batch(
+            delta, args.batch_id
+        )
     kept = sink.keep(spark)
     if args.out:
         corpus = sink._table(spark, "corpus")
@@ -736,6 +745,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--out", help="write the kept corpus here")
     sp.add_argument("--funnel-state",
                     help="also apply the delta to this FunnelReportSink "
+                         "state (must be synced in lockstep with --state)")
+    sp.add_argument("--decontam-state",
+                    help="also apply the delta to this DecontamIndexSink "
                          "state (must be synced in lockstep with --state)")
     sp.add_argument("--nll-max", type=float, default=NLL_MAX,
                     help="LM gate threshold for --funnel-state")

@@ -46,6 +46,7 @@ STATE_VERSIONS = {
     "funnel": 9,    # drop-reason funnel state (incl. frozen LM)
     "cdc": 10,      # snapshot-diff CDC state (new in round 10)
     "card": 10,     # maintained dataset-card state (new in round 10)
+    "decontam": 10,  # maintained decontamination index (new in round 10)
 }
 
 # _served_root name -> structure group; every persisted root must be
@@ -69,7 +70,9 @@ _STRUCTURE_OF = {
     "cdc_bm25": "cdc",
     "cdc_winnow": "cdc",
     "cdc_semdedup": "cdc",
+    "cdc_decontam": "cdc",
     "zdel_card": "card",
+    "zdel_decontam": "decontam",
 }
 
 
@@ -3467,6 +3470,53 @@ WHERE vid NOT IN (SELECT node FROM cc WHERE node <> comp)
 Q_CDC_SEMDEDUP_SQL = _cdc_semdedup_sql()
 
 
+def q_decontam_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination pairs served from the RETRACTION-
+    maintained decontamination index: arriving docs shingle once and
+    probe the persisted posting table; a takedown anti-joins its
+    postings and the pairs it induced on either side.  Because each
+    pair's shared-shingle count is recomputed in full whenever either
+    endpoint arrives (one join side is always the complete other-split
+    posting set), the min_shared threshold holds at maintenance time
+    and only contaminated pairs persist.  Oracle: the full shingle
+    overlap join over the retained rows."""
+    from vcf_pg_loader_spark.streaming.retract import DecontamIndexSink
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = _served_root(sf_dir, "zdel_decontam", "documents.parquet")
+    sink = DecontamIndexSink(f"{root}/state")
+    _run_zdel_batches(sink, docs.select("doc_id", "text"))
+    return sink.contamination(spark)
+
+
+Q_DECONTAM_RETRACT_SQL = _over_retained(Q_DECONTAMINATE_SQL)
+
+
+def q_cdc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination pairs after a snapshot sync: the maintained
+    decontamination index bootstraps on the OLD snapshot (suffix-
+    modified texts shingled as they were), then ONE zset_snapshot_delta
+    batch moves it to the NEW snapshot — removed docs' postings and
+    pairs retract on either split, changed docs re-shingle and recount
+    exactly their own pairs (the split assignment is a pure doc_id
+    hash, so it is snapshot-stable).  Oracle: the full overlap join
+    over exactly the new snapshot."""
+    from vcf_pg_loader_spark.operators.ivm import MULT, zset_snapshot_delta
+    from vcf_pg_loader_spark.streaming.retract import DecontamIndexSink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old, new = _cdc_snapshots(docs)
+    root = _served_root(sf_dir, "cdc_decontam", "documents.parquet")
+    sink = DecontamIndexSink(f"{root}/state")
+    if not sink.applied(1):
+        sink.apply_batch(old.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        sink.apply_batch(zset_snapshot_delta(old, new, "doc_id"), 1)
+    return sink.contamination(spark)
+
+
+Q_CDC_DECONTAM_SQL = _over_retained(Q_DECONTAMINATE_SQL, CDC_NEW_RETAIN_SQL)
+
+
 # --------------------------------------------------------------------------
 # dataset card: the one-row-per-source summary a corpus release ships —
 # volume, token mass, quality keep-rate, exact-dup rate, and the mean
@@ -3897,6 +3947,8 @@ QUERIES = {
     "q_cdc_winnow": q_cdc_winnow,
     "q_cdc_rollup": q_cdc_rollup,
     "q_cdc_semdedup": q_cdc_semdedup,
+    "q_decontam_retract": q_decontam_retract,
+    "q_cdc_decontam": q_cdc_decontam,
     "q_dataset_card_retract": q_dataset_card_retract,
     "q_cms_retract": q_cms_retract,
     "q_hdr_retract": q_hdr_retract,
@@ -3977,6 +4029,8 @@ ORACLE = {
     "q_cdc_winnow": Q_CDC_WINNOW_SQL,
     "q_cdc_rollup": Q_CDC_ROLLUP_SQL,
     "q_cdc_semdedup": Q_CDC_SEMDEDUP_SQL,
+    "q_decontam_retract": Q_DECONTAM_RETRACT_SQL,
+    "q_cdc_decontam": Q_CDC_DECONTAM_SQL,
     "q_dataset_card_retract": Q_DATASET_CARD_RETRACT_SQL,
     "q_cms_retract": Q_CMS_RETRACT_SQL,
     "q_hdr_retract": Q_HDR_RETRACT_SQL,

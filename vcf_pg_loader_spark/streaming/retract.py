@@ -655,3 +655,169 @@ class WinnowIndexSink(ParquetUpsertSink):
             partition_by={"fps": ["bucket"]},
         )
         self._record(batch_id, n)
+
+
+class DecontamIndexSink(ParquetUpsertSink):
+    """Maintained train/eval decontamination index under interleaved
+    inserts and retractions — the incremental completion of
+    q_decontaminate (queries/pipeline.py), which recomputes the full
+    shingle self-join per release.  In the re-crawl flow a new train
+    snapshot arrives as a Z-set delta; only the delta's docs should pay
+    the shingle + overlap-probe cost, and a takedown must also retract
+    the contamination rows it induced.  State, one swap-atomic
+    directory:
+
+      sh/    (doc_id, split, shingle, bucket) — distinct word-n-gram
+                                shingle postings for BOTH splits,
+                                partitioned by a hash bucket of the
+                                shingle so overlap probes prune on disk
+      pairs/ (eval_id, train_id, n_shared) — contaminated pairs at
+                                >= min_shared shared shingles
+
+    Each pair's n_shared is a pure function of the TWO docs' shingle
+    sets, and every recount joins an arriving doc against the FULL
+    other-side posting table — so a pair's count never accumulates
+    across batches and the min_shared threshold can be applied at
+    maintenance time: only contaminated pairs persist (the state stays
+    bounded by real contamination, not by the quadratic >=1-shared pair
+    set).  Deletions are keyed anti-joins on the posting table and on
+    BOTH pair columns; a changed doc re-shingles and recounts exactly
+    its own pairs.  The split is a pure hash of doc_id
+    (operators/sampling.assign_split), so batches stay (doc_id, text)
+    Z-sets and the assignment is snapshot-stable.  The
+    q_decontam_retract oracle recomputes the whole overlap join over
+    the retained rows and matches value-exactly."""
+
+    N_SH_BUCKETS = 64
+
+    def __init__(
+        self,
+        target: str,
+        ngram: int | None = None,
+        weights: dict[str, float] | None = None,
+        min_shared: int | None = None,
+    ):
+        super().__init__(target, key=["doc_id"])
+        # None-sentinels resolve to the pipeline constants (same rule as
+        # DedupClusterMaintSink) so a default-constructed sink validates
+        # against pipeline/CLI-built state
+        from vcf_pg_loader_spark.queries.pipeline import (
+            DECON_MIN_SHARED,
+            NGRAM,
+            SPLIT_WEIGHTS,
+        )
+
+        self.ngram = NGRAM if ngram is None else ngram
+        self.weights = dict(SPLIT_WEIGHTS if weights is None else weights)
+        self.min_shared = (
+            DECON_MIN_SHARED if min_shared is None else min_shared
+        )
+
+    def _params_fingerprint(self) -> dict:
+        # postings are only comparable under one shingle width, pairs
+        # only meaningful under one admission threshold, and the split
+        # assignment under one weight vector
+        return {
+            "ngram": self.ngram,
+            "weights": {k: self.weights[k] for k in sorted(self.weights)},
+            "min_shared": self.min_shared,
+            "n_sh_buckets": self.N_SH_BUCKETS,
+        }
+
+    # -- serve ----------------------------------------------------------
+    def contamination(self, spark) -> DataFrame:
+        pairs = self._table(spark, "pairs")
+        if pairs is None:
+            raise FileNotFoundError(
+                f"no maintained state at {self.target}; apply a batch first"
+            )
+        return pairs.select("eval_id", "train_id", "n_shared")
+
+    # -- maintenance -----------------------------------------------------
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from vcf_pg_loader_spark.operators.sampling import assign_split
+
+        if self.applied(batch_id):
+            return
+        self._recover()
+        self._validate_params()
+        marker = self._read_marker()
+        if marker is not None and marker["batch_id"] == batch_id:
+            self._record(batch_id, marker["n_rows"])
+            return
+        spark = batch_df.sparkSession
+        ins, dels = split_zset(batch_df, "doc_id")
+        ins = ins.dropDuplicates(["doc_id"])
+        touched = dels.unionByName(ins.select("doc_id")).distinct()
+
+        sh_old = _without(self._table(spark, "sh"), touched, "doc_id")
+        pairs_old = self._table(spark, "pairs")
+        if pairs_old is not None:
+            # drop every pair a touched doc induced, on EITHER side —
+            # its recount below is complete, so no count accumulates
+            pairs_old = (
+                pairs_old.join(
+                    touched.withColumnRenamed("doc_id", "eval_id"),
+                    "eval_id",
+                    "left_anti",
+                )
+                .join(
+                    touched.withColumnRenamed("doc_id", "train_id"),
+                    "train_id",
+                    "left_anti",
+                )
+                .select("eval_id", "train_id", "n_shared")
+            )
+
+        ins_split = assign_split(ins, "doc_id", self.weights)
+        sh_new = (
+            D.shingles(ins_split, "doc_id", "text", self.ngram)
+            .join(ins_split.select("doc_id", "split"), "doc_id")
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("shingle"), F.lit(self.N_SH_BUCKETS)),
+            )
+            .select("doc_id", "split", "shingle", "bucket")
+        )
+        sh = sh_new if sh_old is None else sh_old.unionByName(sh_new)
+
+        is_train = F.col("split") == "train"
+        tr_new = sh_new.filter(is_train).select(
+            F.col("doc_id").alias("train_id"), "shingle"
+        )
+        ev_new = sh_new.filter(~is_train).select(
+            F.col("doc_id").alias("eval_id"), "shingle"
+        )
+        # arriving-train x ALL evals covers every pair whose train side
+        # arrived; retained-train x arriving-evals covers the rest —
+        # train sources are disjoint, so no pair is counted twice
+        ev_all = ev_new
+        if sh_old is not None:
+            ev_all = sh_old.filter(~is_train).select(
+                F.col("doc_id").alias("eval_id"), "shingle"
+            ).unionByName(ev_new)
+        hits = tr_new.join(ev_all, "shingle").select("eval_id", "train_id")
+        if sh_old is not None:
+            tr_old = sh_old.filter(is_train).select(
+                F.col("doc_id").alias("train_id"), "shingle"
+            )
+            hits = hits.unionByName(
+                tr_old.join(ev_new, "shingle").select("eval_id", "train_id")
+            )
+        pairs_new = (
+            hits.groupBy("eval_id", "train_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= self.min_shared)
+        )
+        pairs = (
+            pairs_new
+            if pairs_old is None
+            else pairs_old.unionByName(pairs_new)
+        )
+        n = self._swap_in_frames(
+            {"sh": sh, "pairs": pairs},
+            batch_id,
+            count_table="pairs",
+            partition_by={"sh": ["bucket"]},
+        )
+        self._record(batch_id, n)
