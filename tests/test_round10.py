@@ -664,3 +664,68 @@ class TestDecontamIndexSink:
         assert fp["weights"] == {
             k: SPLIT_WEIGHTS[k] for k in sorted(SPLIT_WEIGHTS)
         }
+
+
+class TestVectorIndexReindex:
+    def test_reindex_equals_fresh_build_on_current_corpus(
+        self, spark, tmp_path
+    ):
+        from vcf_pg_loader_spark.operators.ivm import MULT, zset_snapshot_delta
+        from vcf_pg_loader_spark.sources.vector_index import VectorIndex
+
+        old = _vecs(spark, range(24))
+        # new snapshot: 0-7 removed, 24-31 added, 9 re-embedded
+        new = _vecs(spark, range(8, 32)).withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") == 9, F.reverse(F.col("embedding"))
+            ).otherwise(F.col("embedding")),
+        )
+        drifted = VectorIndex(spark, str(tmp_path / "drift"))
+        drifted.build(old, k_centroids=4, kernel="exact", pq=False)
+        drifted.apply_zset(zset_snapshot_delta(old, new, "vec_id"))
+        drifted.reindex()
+
+        fresh = VectorIndex(spark, str(tmp_path / "fresh"))
+        fresh.build(new, k_centroids=4, kernel="exact", pq=False)
+
+        for table in ("centroids", "vectors"):
+            got = {
+                tuple(map(str, r))
+                for r in spark.read.parquet(f"{drifted.root}/{table}").collect()
+            }
+            want = {
+                tuple(map(str, r))
+                for r in spark.read.parquet(f"{fresh.root}/{table}").collect()
+            }
+            assert got == want, table
+
+    def test_cell_stats_reflects_persisted_assignment(self, spark, tmp_path):
+        from vcf_pg_loader_spark.sources.vector_index import VectorIndex
+
+        idx = VectorIndex(spark, str(tmp_path / "i"))
+        idx.build(_vecs(spark, range(20)), k_centroids=4, kernel="exact",
+                  pq=False)
+        stats = {r.cid: r.n_vecs for r in idx.cell_stats().collect()}
+        vecs = spark.read.parquet(f"{idx.root}/vectors")
+        want = {
+            r.cid: r.n
+            for r in vecs.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert stats == want
+        assert sum(stats.values()) == 20
+
+    def test_reindex_preserves_pq_artifacts(self, spark, tmp_path):
+        import os
+
+        from vcf_pg_loader_spark.sources.vector_index import VectorIndex
+
+        idx = VectorIndex(spark, str(tmp_path / "i"))
+        idx.build(_vecs(spark, range(32)), k_centroids=4, m=2, k_sub=4)
+        idx.reindex()
+        # a PQ-bearing index reindexes its codebooks and codes too
+        assert os.path.isdir(f"{idx.root}/codebooks")
+        assert os.path.isdir(f"{idx.root}/codes")
+        n = spark.read.parquet(f"{idx.root}/codes").count()
+        assert n == 32

@@ -59,6 +59,7 @@ _STRUCTURE_OF = {
     "zdel_semdedup": "semdedup",
     "ivf_index": "ann",
     "zdel_ann": "ann",
+    "ann_reindex": "ann",
     "bm25_index": "bm25",
     "zdel_bm25": "bm25",
     "zdel_winnow": "winnow",
@@ -940,23 +941,29 @@ Q_SEMDEDUP_SQL = _semdedup_sql()
 
 
 def _ivf_frozen_assignment_ctes(
-    train_where: str, assign_where: str, assign_src: str = "embeddings"
+    train_where: str,
+    assign_where: str,
+    assign_src: str = "embeddings",
+    train_src: str = "embeddings",
 ) -> tuple[list[str], str, str]:
     """K-means trained on ONE subset, final assignment over ANOTHER —
     the frozen-centroid deployment shape (SemDeDupIngestSink bootstraps
     its routing table on the first batch and routes every later arrival
-    against it).  `assign_src` may be any table expression exposing
-    (vec_id, embedding) — the snapshot-CDC oracle passes the NEW
-    snapshot with its changed vectors.  Returns (ctes, assignment_name,
+    against it).  `assign_src`/`train_src` may be any table expression
+    exposing (vec_id, embedding) — the snapshot-CDC oracle passes the
+    NEW snapshot with its changed vectors as the assign side; the
+    reindex oracle passes it as BOTH sides (train == assign is the
+    post-retrain shape).  Returns (ctes, assignment_name,
     centroid_name): the assignment CTE holds (vid, vec, cid) for the
     `assign_where` rows of `assign_src` under centroids fit on the
-    `train_where` rows, bit-matching ivf_fit + ivf_assign with
-    kernel="exact"; the centroid CTE routes probe queries."""
+    `train_where` rows of `train_src`, bit-matching ivf_fit +
+    ivf_assign with kernel="exact"; the centroid CTE routes probe
+    queries."""
     dist = S.sql_sq_dist("vec", "cvec")
     ctes = [
         "vt AS (SELECT vec_id AS vid,"
         " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec"
-        f" FROM embeddings WHERE {train_where})",
+        f" FROM {train_src} WHERE {train_where})",
         f"c0 AS (SELECT vid AS cid, vec AS cvec FROM vt"
         f" ORDER BY vid LIMIT {IVF_CENTROIDS})",
     ]
@@ -3331,13 +3338,12 @@ def _cdc_vec_snapshots(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     return old, new
 
 
-def q_cdc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN served from a persisted index synced to a new
-    snapshot by ONE zset_snapshot_delta batch through apply_zset:
-    removals anti-join, additions and changed vectors route against
-    the frozen centroids — k-means never re-runs, updates are upserts.
-    Oracle: the IVF search recomputed over exactly the new snapshot
-    under centroids trained on the old one."""
+def _cdc_ann_index(spark: SparkSession, sf_dir: str):
+    """The snapshot-synced (drifted) vector index shared by q_cdc_ann
+    and q_ann_cell_stats: built on the OLD snapshot, moved to the NEW
+    one by ONE zset_snapshot_delta batch through apply_zset — so its
+    corpus is the new snapshot routed under centroids still trained on
+    the old one.  Idempotent per root; both consumers are read-only."""
     import os
 
     from vcf_pg_loader_spark.operators.ivm import zset_snapshot_delta
@@ -3362,15 +3368,26 @@ def q_cdc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.apply_zset(zset_snapshot_delta(old, new, "vec_id"))
         with open(flag, "w") as fh:
             fh.write("done")
+    return idx, new
+
+
+def q_cdc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN served from a persisted index synced to a new
+    snapshot by ONE zset_snapshot_delta batch through apply_zset:
+    removals anti-join, additions and changed vectors route against
+    the frozen centroids — k-means never re-runs, updates are upserts.
+    Oracle: the IVF search recomputed over exactly the new snapshot
+    under centroids trained on the old one."""
+    idx, new = _cdc_ann_index(spark, sf_dir)
     queries = new.filter(F.col("vec_id") < N_QUERY_VECS)
     return idx.search_flat(queries, TOP_K, IVF_NPROBE)
 
 
-def _cdc_ann_sql() -> str:
-    ctes, assign, prev = _ivf_frozen_assignment_ctes(
-        CDC_VEC_TRAIN_SQL, CDC_VEC_NEW_RETAIN_SQL, assign_src=CDC_VEC_NEW_SRC
-    )
+def _ivf_flat_topk_sql(ctes: list[str], assign: str, prev: str) -> str:
+    """nprobe-cell exact cosine top-k over an assignment CTE chain —
+    the serving half shared by the CDC and reindex ANN oracles."""
     dist = S.sql_sq_dist("vec", "cvec")
+    ctes = list(ctes)
     ctes.append(
         f"cand AS (SELECT vid AS cand_id, vec AS c_vec, cid FROM {assign})"
     )
@@ -3401,7 +3418,86 @@ WHERE rn <= {TOP_K}
 """
 
 
-Q_CDC_ANN_SQL = _cdc_ann_sql()
+Q_CDC_ANN_SQL = _ivf_flat_topk_sql(
+    *_ivf_frozen_assignment_ctes(
+        CDC_VEC_TRAIN_SQL, CDC_VEC_NEW_RETAIN_SQL, assign_src=CDC_VEC_NEW_SRC
+    )
+)
+
+
+def q_ann_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-occupancy monitor over the snapshot-synced index — the
+    aging signal for the frozen-centroid maintenance path: syncs keep
+    per-batch cost O(|delta|) precisely BY freezing the quantizer, so
+    occupancy drifts as the corpus moves away from the distribution the
+    centroids were trained on; operations watch max/avg here and
+    trigger `reindex` past a threshold.  Oracle: per-cell counts of the
+    new snapshot assigned under old-snapshot-trained centroids."""
+    idx, _new = _cdc_ann_index(spark, sf_dir)
+    return idx.cell_stats().withColumnRenamed("cid", "cell_id")
+
+
+def _ann_cell_stats_sql() -> str:
+    ctes, assign, _prev = _ivf_frozen_assignment_ctes(
+        CDC_VEC_TRAIN_SQL, CDC_VEC_NEW_RETAIN_SQL, assign_src=CDC_VEC_NEW_SRC
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT cid AS cell_id, COUNT(*) AS n_vecs FROM {assign} GROUP BY cid
+"""
+
+
+Q_ANN_CELL_STATS_SQL = _ann_cell_stats_sql()
+
+
+def q_ann_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN served AFTER a reindex: the index drifts through
+    the same snapshot sync as q_cdc_ann (old-snapshot centroids, new
+    corpus), then `VectorIndex.reindex` retrains the routing table over
+    the CURRENT persisted corpus and swaps every artifact atomically —
+    the answer to the aging q_ann_cell_stats measures.  Retraining is
+    deterministic (lowest-id seeds, fixed Lloyd rounds), so the
+    reindexed structure equals a fresh build on the new snapshot, and
+    the oracle trains its k-means on exactly that: the drift the frozen
+    path accepted is now gone from the served ranks."""
+    import os
+
+    from vcf_pg_loader_spark.operators.ivm import zset_snapshot_delta
+    from vcf_pg_loader_spark.sources.vector_index import VectorIndex
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    old, new = _cdc_vec_snapshots(emb)
+    idx = VectorIndex(
+        spark, _served_root(sf_dir, "ann_reindex", "embeddings.parquet")
+    )
+    flag = os.path.join(idx.root, "_reindexed")
+    if not os.path.exists(flag):
+        idx.build(
+            old,
+            k_centroids=IVF_CENTROIDS,
+            n_iter=IVF_ITER,
+            kernel="exact",
+            pq=False,
+        )
+        idx.apply_zset(zset_snapshot_delta(old, new, "vec_id"))
+        idx.reindex(n_iter=IVF_ITER)
+        with open(flag, "w") as fh:
+            fh.write("done")
+    queries = new.filter(F.col("vec_id") < N_QUERY_VECS)
+    return idx.search_flat(queries, TOP_K, IVF_NPROBE)
+
+
+Q_ANN_REINDEX_SQL = _ivf_flat_topk_sql(
+    *_ivf_frozen_assignment_ctes(
+        CDC_VEC_NEW_RETAIN_SQL,
+        CDC_VEC_NEW_RETAIN_SQL,
+        assign_src=CDC_VEC_NEW_SRC,
+        train_src=CDC_VEC_NEW_SRC,
+    )
+)
 
 
 def q_cdc_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3949,6 +4045,8 @@ QUERIES = {
     "q_cdc_semdedup": q_cdc_semdedup,
     "q_decontam_retract": q_decontam_retract,
     "q_cdc_decontam": q_cdc_decontam,
+    "q_ann_cell_stats": q_ann_cell_stats,
+    "q_ann_reindex": q_ann_reindex,
     "q_dataset_card_retract": q_dataset_card_retract,
     "q_cms_retract": q_cms_retract,
     "q_hdr_retract": q_hdr_retract,
@@ -4031,6 +4129,8 @@ ORACLE = {
     "q_cdc_semdedup": Q_CDC_SEMDEDUP_SQL,
     "q_decontam_retract": Q_DECONTAM_RETRACT_SQL,
     "q_cdc_decontam": Q_CDC_DECONTAM_SQL,
+    "q_ann_cell_stats": Q_ANN_CELL_STATS_SQL,
+    "q_ann_reindex": Q_ANN_REINDEX_SQL,
     "q_dataset_card_retract": Q_DATASET_CARD_RETRACT_SQL,
     "q_cms_retract": Q_CMS_RETRACT_SQL,
     "q_hdr_retract": Q_HDR_RETRACT_SQL,

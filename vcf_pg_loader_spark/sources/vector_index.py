@@ -242,6 +242,59 @@ class VectorIndex:
             vec_col=vec_col,
         )
 
+    def cell_stats(self) -> DataFrame:
+        """Per-cell occupancy of the persisted index, the aging monitor
+        for the frozen-centroid maintenance path: apply_delta/apply_zset
+        route arrivals against centroids trained at build time, so under
+        distribution drift (a re-crawl re-embeds, a new source skews the
+        embedding space) cells go imbalanced — nprobe search then scans
+        ever-fatter hot cells while cold cells waste probes.  Returns
+        (cid, n_vecs); the operational trigger is max/avg occupancy
+        drifting past a threshold, at which point `reindex` retrains.
+        Reads only `vectors/` partition metadata-sized aggregates —
+        never the vector payloads' full scan output."""
+        from pyspark.sql import functions as F
+
+        v = self.spark.read.parquet(self._p("vectors"))
+        return v.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+    def reindex(
+        self,
+        k_centroids: int | None = None,
+        n_iter: int = 2,
+        kernel: str | None = None,
+    ) -> None:
+        """Retrain the routing table over the CURRENT persisted corpus
+        and rebuild every derived artifact, atomically — the answer to
+        index aging: the incremental path deliberately freezes centroids
+        (and PQ codebooks) so syncs stay O(|delta|), which is correct
+        for recall but lets cell occupancy drift as the corpus moves
+        away from the distribution the quantizer was trained on.
+        Reindex = build() from `vectors/` (full-precision rows are
+        always kept, exactly so retraining never needs the original
+        source), inheriting the persisted geometry unless overridden.
+        Stage-then-swap: every artifact is computed and written to
+        staging while the old index is still fully servable; a crash
+        mid-reindex leaves the old index in place."""
+        meta = self.spark.read.json(self._p("meta")).first()
+        has_pq = os.path.isdir(self._p("codes"))
+        corpus = self.spark.read.parquet(self._p("vectors")).select(
+            "vid", "vec"
+        )
+        self.build(
+            corpus,
+            k_centroids=int(
+                meta.k_centroids if k_centroids is None else k_centroids
+            ),
+            m=int(meta.m),
+            k_sub=int(meta.k_sub),
+            id_col="vid",
+            vec_col="vec",
+            n_iter=n_iter,
+            kernel=str(meta.kernel) if kernel is None else kernel,
+            pq=has_pq,
+        )
+
     # -- serve ----------------------------------------------------------
     def search(
         self,
