@@ -729,3 +729,55 @@ class TestVectorIndexReindex:
         assert os.path.isdir(f"{idx.root}/codes")
         n = spark.read.parquet(f"{idx.root}/codes").count()
         assert n == 32
+
+
+class TestDecontamStreamingWiring:
+    def test_streaming_equals_direct(self, spark, tmp_path):
+        from vcf_pg_loader_spark.streaming.retract import DecontamIndexSink
+
+        src = str(tmp_path / "in")
+        rows0 = [(i, [BASE, OTHER, THIRD, NEAR][i % 4]) for i in range(1, 13)]
+        rows1 = [(i, [BASE, OTHER, THIRD, NEAR][i % 4]) for i in range(13, 19)]
+        _docs(spark, rows0).coalesce(1).write.mode("append").parquet(src)
+        _docs(spark, rows1).coalesce(1).write.mode("append").parquet(src)
+
+        stream = spark.readStream.schema(
+            "doc_id bigint, text string"
+        ).parquet(src)
+        sink = DecontamIndexSink(str(tmp_path / "stream_state"))
+        (
+            stream.writeStream.foreachBatch(sink.apply_batch)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .option("maxFilesPerTrigger", 1)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        direct = DecontamIndexSink(str(tmp_path / "direct_state"))
+        direct.apply_batch(_docs(spark, rows0 + rows1), 0)
+        got = {tuple(r) for r in sink.contamination(spark).collect()}
+        want = {tuple(r) for r in direct.contamination(spark).collect()}
+        assert got == want and got
+
+
+class TestStateStatsCLI:
+    def test_audit_report(self, spark, tmp_path, capsys):
+        from vcf_pg_loader_spark.cli import main
+        from vcf_pg_loader_spark.streaming.retract import DecontamIndexSink
+
+        state = str(tmp_path / "state")
+        sink = DecontamIndexSink(state)
+        rows = [(i, [BASE, OTHER, THIRD, NEAR][i % 4]) for i in range(1, 13)]
+        sink.apply_batch(_docs(spark, rows), 0)
+        sink.apply_batch(
+            _docs(spark, [(13, BASE), (14, OTHER)]), 1
+        )
+
+        assert main(["state-stats", "--state", state]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert set(rep["tables"]) == {"sh", "pairs"}
+        assert rep["tables"]["sh"]["rows"] > 0
+        assert rep["tables"]["sh"]["bytes"] > 0
+        assert rep["applied_batch"]["batch_id"] == 1
+        assert rep["params"] == sink._params_fingerprint()
+        assert rep["ledger_batches"] == [0, 1]

@@ -583,6 +583,68 @@ def cmd_sync_corpus(args) -> int:
     return 0
 
 
+def cmd_state_stats(args) -> int:
+    """Operational audit of a maintained state directory (any
+    ParquetUpsertSink-family target): per-table row counts and on-disk
+    bytes, the embedded applied-batch marker, the persisted parameter
+    fingerprint, and the exactly-once ledger's batch ids — what an
+    operator checks before trusting a state, syncing a snapshot into
+    it, or deciding a structure needs compaction/reindexing.  Pure
+    read; never touches the state."""
+    import os
+
+    spark = _spark()
+    root = args.state.rstrip("/")
+    tables = {}
+    for name in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+        full = os.path.join(root, name)
+        if not os.path.isdir(full) or name.startswith("_"):
+            continue
+        nbytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _dirs, files in os.walk(full)
+            for f in files
+        )
+        try:
+            rows = spark.read.parquet(full).count()
+        except Exception:
+            # non-parquet sidecar (e.g. a VectorIndex meta/ json table)
+            rows = None
+        tables[name] = {"rows": rows, "bytes": nbytes}
+
+    def _load(p):
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return None
+
+    ledger_dir = f"{root}_ledger"
+    batches = (
+        sorted(
+            int(f[:-5])
+            for f in os.listdir(ledger_dir)
+            if f.endswith(".json")
+        )
+        if os.path.isdir(ledger_dir)
+        else []
+    )
+    print(
+        json.dumps(
+            {
+                "state": root,
+                "tables": tables,
+                "applied_batch": _load(
+                    os.path.join(root, "_applied_batch.json")
+                ),
+                "params": _load(os.path.join(root, "_params.json")),
+                "ledger_batches": batches,
+            },
+            sort_keys=True,
+        )
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     # the dedup/retract defaults ARE the pipeline constants: a CLI batch
     # applied with different parameters against pipeline-built state is
@@ -755,6 +817,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--minhash-k", type=int, default=MINHASH_K)
     sp.add_argument("--bands", type=int, default=MINHASH_BANDS)
     sp.add_argument("--threshold", type=float, default=JACCARD_T)
+
+    sp = add("state-stats", cmd_state_stats,
+             help="audit a maintained state dir: per-table rows/bytes, "
+                  "applied batch, params fingerprint, ledger")
+    sp.add_argument("--state", required=True,
+                    help="a sink state dir (DedupClusterMaintSink, "
+                         "FunnelReportSink, DecontamIndexSink, ...)")
 
     sp = add("build-rsid-index", cmd_build_rsid_index,
              help="materialize the rsid-sorted point-lookup copy")
