@@ -371,6 +371,43 @@ def ivf_kernel_compare(spark, sf_dir: str) -> dict:
     return out
 
 
+def ann_aging_evidence(spark, sf_dir: str) -> dict:
+    """Cell-occupancy balance of the DRIFTED index (new snapshot routed
+    under old-snapshot centroids — the frozen-quantizer maintenance
+    shape) vs the REINDEXED one: the measured payoff of
+    VectorIndex.reindex, so 'reindex restores balance' ships as numbers
+    beside the recall/serve timings, not as a claim.  max/mean
+    occupancy over the occupied cells, plus the occupied-cell counts
+    (drift can also empty cells entirely)."""
+    out: dict = {}
+    try:
+        from vcf_pg_loader_spark.queries import pipeline as P
+        from vcf_pg_loader_spark.sources.vector_index import VectorIndex
+
+        def balance(idx):
+            occ = [r.n_vecs for r in idx.cell_stats().collect()]
+            return {
+                "cells": len(occ),
+                "max_over_mean": round(
+                    max(occ) / (sum(occ) / len(occ)), 3
+                ),
+            }
+
+        drifted, _new = P._cdc_ann_index(spark, sf_dir)
+        P.q_ann_reindex(spark, sf_dir).count()  # idempotent state build
+        reindexed = VectorIndex(
+            spark,
+            P._served_root(sf_dir, "ann_reindex", "embeddings.parquet"),
+        )
+        out = {
+            "drifted": balance(drifted),
+            "reindexed": balance(reindexed),
+        }
+    except Exception as exc:  # pragma: no cover - defensive bench path
+        out["error"] = f"{type(exc).__name__}: {exc}"[:500]
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -485,6 +522,9 @@ def main() -> None:
     kernels = ivf_kernel_compare(spark, sf_dir)
     print(f"# ivf_kernels: {kernels}", file=sys.stderr)
 
+    aging = ann_aging_evidence(spark, sf_dir)
+    print(f"# ann_aging: {aging}", file=sys.stderr)
+
     served = served_paths(spark, sf_dir)
     print(f"# served_paths: {served}", file=sys.stderr)
 
@@ -500,6 +540,7 @@ def main() -> None:
         "skew_rehearsal": skew,
         "scaling_curve": curve,
         "ivf_kernel_compare": kernels,
+        "ann_aging": aging,
         "served_paths": served,
     }
     detail_path = os.path.join(

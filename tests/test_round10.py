@@ -781,3 +781,57 @@ class TestStateStatsCLI:
         assert rep["applied_batch"]["batch_id"] == 1
         assert rep["params"] == sink._params_fingerprint()
         assert rep["ledger_batches"] == [0, 1]
+
+
+class TestDecontamSnapshotProperty:
+    """Randomized snapshot pairs through the decontamination index:
+    for ANY (old, new) drawn from a doc pool — including random text
+    revisions — bootstrapped-on-old + snapshot delta equals a fresh
+    bootstrap on new, tuple-for-tuple on both state tables."""
+
+    def test_random_snapshot_pairs_match_fresh_bootstrap(
+        self, spark, tmp_path
+    ):
+        import random
+
+        from vcf_pg_loader_spark.operators.ivm import MULT, zset_snapshot_delta
+        from vcf_pg_loader_spark.streaming.retract import DecontamIndexSink
+
+        texts = [BASE, OTHER, THIRD, NEAR]
+        pool = {i: texts[i % 4] for i in range(1, 25)}
+        rng = random.Random(7)
+        ids = sorted(pool)
+        for trial in range(3):
+            old_ids = rng.sample(ids, rng.randint(6, 18))
+            new_ids = rng.sample(ids, rng.randint(6, 18))
+            changed = {
+                i for i in new_ids if i in old_ids and rng.random() < 0.4
+            }
+            old = _docs(
+                spark,
+                [
+                    (i, pool[i] + (" rev0" if i in changed else ""))
+                    for i in old_ids
+                ],
+            )
+            new = _docs(spark, [(i, pool[i]) for i in new_ids])
+
+            maintained = DecontamIndexSink(str(tmp_path / f"dm{trial}"))
+            maintained.apply_batch(
+                old.withColumn(MULT, F.lit(1).cast("bigint")), 0
+            )
+            maintained.apply_batch(
+                zset_snapshot_delta(old, new, "doc_id"), 1
+            )
+            fresh = DecontamIndexSink(str(tmp_path / f"df{trial}"))
+            fresh.apply_batch(new, 0)
+
+            for table in ("sh", "pairs"):
+                got = {
+                    tuple(r)
+                    for r in maintained._table(spark, table).collect()
+                }
+                want = {
+                    tuple(r) for r in fresh._table(spark, table).collect()
+                }
+                assert got == want, (trial, table, old_ids, new_ids, changed)
