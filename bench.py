@@ -408,6 +408,126 @@ def ann_aging_evidence(spark, sf_dir: str) -> dict:
     return out
 
 
+def _inode_size_map(table_dir: str) -> dict:
+    m = {}
+    for d in os.listdir(table_dir):
+        p = os.path.join(table_dir, d)
+        if "=" in d and os.path.isdir(p):
+            m[d] = {
+                f: (
+                    os.stat(os.path.join(p, f)).st_ino,
+                    os.stat(os.path.join(p, f)).st_size,
+                )
+                for f in os.listdir(p)
+                if not f.startswith(("_", "."))
+            }
+    return m
+
+
+def _pruned_split(before: dict, after: dict, wall: float) -> dict:
+    linked_b = rewritten_b = 0
+    linked_d = rewritten_d = 0
+    for d, files in after.items():
+        if before.get(d) == files:
+            linked_d += 1
+            linked_b += sum(sz for _, sz in files.values())
+        else:
+            rewritten_d += 1
+            rewritten_b += sum(sz for _, sz in files.values())
+    return {
+        "dirs_linked": linked_d,
+        "dirs_rewritten": rewritten_d,
+        "bytes_linked": linked_b,
+        "bytes_rewritten": rewritten_b,
+        "delta_wall_sec": round(wall, 3),
+    }
+
+
+def pruned_maintenance_evidence(spark, sf_dir: str) -> dict:
+    """Measured write amplification of one maintenance delta against two
+    pruned-swap structures: the CELL-partitioned semantic store (a
+    vector touches exactly one cell, so pruning is intrinsic) and a
+    BUCKET-partitioned posting index at a production-shaped bucket
+    count (posting pruning helps exactly when bucket count >> delta
+    postings — the 64-bucket test default is deliberately coarse; a
+    real deployment sizes buckets to state the way shuffle partitions
+    are sized).  The round-10 claim ('maintenance writes are O(touched
+    partitions), not O(state)') as numbers — the linked fraction is
+    state that never re-shuffles, recomputes, or rewrites."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    out: dict = {}
+    root = _tf.mkdtemp(prefix="bench_pruned_")
+    try:
+        from pyspark.sql import functions as F
+
+        from vcf_pg_loader_spark.operators.ivm import MULT
+        from vcf_pg_loader_spark.sources.tables import load_table
+        from vcf_pg_loader_spark.streaming.dedup_ingest import (
+            SemDeDupIngestSink,
+        )
+        from vcf_pg_loader_spark.streaming.retract import WinnowIndexSink
+
+        # -- cell-partitioned vectors --------------------------------
+        vecs = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        vsink = SemDeDupIngestSink(os.path.join(root, "v"), k_centroids=64)
+        vsink.apply_batch(vecs, 0)
+        vdir = os.path.join(vsink.target, "vectors")
+        before = _inode_size_map(vdir)
+        victims = vecs.limit(5)
+        vdelta = victims.withColumn(
+            "embedding", F.reverse(F.col("embedding"))
+        ).withColumn(MULT, F.lit(1).cast("bigint")).unionByName(
+            victims.withColumn(MULT, F.lit(-1).cast("bigint"))
+        )
+        t0 = time.perf_counter()
+        vsink.apply_batch(vdelta, 1)
+        out["vectors_cell_partitioned"] = {
+            "delta_vecs": 5,
+            "cells": 64,
+            **_pruned_split(
+                before, _inode_size_map(vdir), time.perf_counter() - t0
+            ),
+        }
+
+        # -- bucket-partitioned postings ------------------------------
+        class WideWinnow(WinnowIndexSink):
+            N_FP_BUCKETS = 1024
+
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .limit(2000)
+        )
+        wsink = WideWinnow(os.path.join(root, "w"))
+        wsink.apply_batch(docs, 0)
+        wdir = os.path.join(wsink.target, "fps")
+        before = _inode_size_map(wdir)
+        victim = docs.limit(1)
+        wdelta = victim.withColumn(
+            "text", F.concat(F.col("text"), F.lit(" revised"))
+        ).withColumn(MULT, F.lit(1).cast("bigint")).unionByName(
+            victim.withColumn(MULT, F.lit(-1).cast("bigint"))
+        )
+        t0 = time.perf_counter()
+        wsink.apply_batch(wdelta, 1)
+        out["postings_bucket_partitioned"] = {
+            "delta_docs": 1,
+            "buckets": 1024,
+            **_pruned_split(
+                before, _inode_size_map(wdir), time.perf_counter() - t0
+            ),
+        }
+    except Exception as exc:  # pragma: no cover - defensive bench path
+        out["error"] = f"{type(exc).__name__}: {exc}"[:500]
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -525,6 +645,9 @@ def main() -> None:
     aging = ann_aging_evidence(spark, sf_dir)
     print(f"# ann_aging: {aging}", file=sys.stderr)
 
+    pruned = pruned_maintenance_evidence(spark, sf_dir)
+    print(f"# pruned_maintenance: {pruned}", file=sys.stderr)
+
     served = served_paths(spark, sf_dir)
     print(f"# served_paths: {served}", file=sys.stderr)
 
@@ -541,6 +664,7 @@ def main() -> None:
         "scaling_curve": curve,
         "ivf_kernel_compare": kernels,
         "ann_aging": aging,
+        "pruned_maintenance": pruned,
         "served_paths": served,
     }
     detail_path = os.path.join(

@@ -1,0 +1,369 @@
+"""Partition-pruned maintenance writes (round 10).
+
+The bucketed state tables (BM25 postings by term bucket, winnowing
+fingerprints by fp bucket, decontamination shingles by shingle bucket,
+SemDeDup vectors by cell) previously rewrote EVERY partition on every
+apply_batch — O(|state|) write amplification per sync, which at 100 TB
+means a small delta rewrites a multi-terabyte posting table to update
+two buckets.  `_swap_in_frames(prune=...)` now recomputes only the
+touched partitions and hard-links every untouched partition directory
+from the live state into staging (streaming/sink.py _link_tree), and
+frozen tables (`keep_tables`: the funnel LM, the semdedup centroids)
+link instead of copying.
+
+These tests pin the claim at the INODE level: after a small delta, the
+untouched partition directories in the new state are literally the same
+files (st_ino equality), not re-written copies — while the maintained
+tables stay tuple-equal to a fresh bootstrap over the retained docs
+(the content-equality half is also covered by the existing sink suites,
+which now run through the pruned path).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from vcf_pg_loader_spark.operators.ivm import MULT
+
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango "
+).split()
+
+
+def _doc_text(i: int) -> str:
+    # distinct, long-enough text per doc so every doc yields shingles,
+    # winnow fingerprints, and BM25 postings
+    return " ".join(WORDS[(i + j) % len(WORDS)] + str(i * 7 + j) for j in range(30))
+
+
+def _docs(spark, ids):
+    return spark.createDataFrame(
+        [(i, _doc_text(i)) for i in ids], "doc_id bigint, text string"
+    )
+
+
+def _inodes(table_dir: str) -> dict[str, dict[str, int]]:
+    """{partition_dir: {file: inode}} for every hive-style partition."""
+    out = {}
+    for entry in os.listdir(table_dir):
+        p = os.path.join(table_dir, entry)
+        if "=" in entry and os.path.isdir(p):
+            out[entry] = {
+                f: os.stat(os.path.join(p, f)).st_ino
+                for f in os.listdir(p)
+                if not f.startswith(("_", "."))
+            }
+    return out
+
+
+def _flat_inodes(table_dir: str) -> dict[str, int]:
+    out = {}
+    for root, _dirs, files in os.walk(table_dir):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                rel = os.path.relpath(os.path.join(root, f), table_dir)
+                out[rel] = os.stat(os.path.join(root, f)).st_ino
+    return out
+
+
+def _assert_pruned(before: dict, after: dict, touched: set[str]) -> None:
+    """Every partition dir present before and NOT touched must carry the
+    exact same files by inode; and the delta must have left at least one
+    such linked dir (otherwise the test lost its teeth)."""
+    untouched = [d for d in before if d not in touched and d in after]
+    assert untouched, "fixture must leave some partitions untouched"
+    for d in untouched:
+        assert after[d] == before[d], f"partition {d} was rewritten"
+
+
+class TestWinnowPrunedSwap:
+    def test_untouched_fp_buckets_hardlink_through_delta(
+        self, spark, tmp_path
+    ):
+        from vcf_pg_loader_spark.operators.text import winnow_fingerprints
+        from vcf_pg_loader_spark.streaming.retract import WinnowIndexSink
+
+        sink = WinnowIndexSink(str(tmp_path / "w"))
+        sink.apply_batch(_docs(spark, range(1, 9)), 0)
+        before = _inodes(os.path.join(sink.target, "fps"))
+
+        # delta: doc 2 deleted, doc 9 inserted
+        delta = _docs(spark, [9]).withColumn(
+            MULT, F.lit(1).cast("bigint")
+        ).unionByName(
+            _docs(spark, [2]).withColumn(MULT, F.lit(-1).cast("bigint"))
+        )
+        # expected touched buckets, computed independently of the sink
+        nb = sink.N_FP_BUCKETS
+        tb = {
+            f"bucket={r[0]}"
+            for r in winnow_fingerprints(_docs(spark, [2, 9]))
+            .select(F.pmod(F.col("fp"), F.lit(nb)).alias("b"))
+            .distinct()
+            .collect()
+        }
+        sink.apply_batch(delta, 1)
+        after = _inodes(os.path.join(sink.target, "fps"))
+        _assert_pruned(before, after, tb)
+
+        # and the maintained table equals a fresh build on the retained docs
+        fresh = WinnowIndexSink(str(tmp_path / "f"))
+        fresh.apply_batch(_docs(spark, [1, 3, 4, 5, 6, 7, 8, 9]), 0)
+        got = {tuple(r) for r in sink._table(spark, "fps").collect()}
+        want = {tuple(r) for r in fresh._table(spark, "fps").collect()}
+        assert got == want
+
+    def test_insert_only_batch_prunes_too(self, spark, tmp_path):
+        from vcf_pg_loader_spark.streaming.retract import WinnowIndexSink
+
+        sink = WinnowIndexSink(str(tmp_path / "w"))
+        sink.apply_batch(_docs(spark, range(1, 9)), 0)
+        before = _inodes(os.path.join(sink.target, "fps"))
+        sink.apply_batch(_docs(spark, [10]), 1)
+        after = _inodes(os.path.join(sink.target, "fps"))
+        linked = sum(
+            1 for d in before if d in after and after[d] == before[d]
+        )
+        assert linked > 0, "an insert-only batch must not rewrite all buckets"
+
+
+class TestBM25PrunedSwap:
+    def test_untouched_term_buckets_hardlink_through_delta(
+        self, spark, tmp_path
+    ):
+        from vcf_pg_loader_spark.sources.bm25_index import _term_bucket
+        from vcf_pg_loader_spark.streaming.dedup_ingest import BM25IndexSink
+
+        sink = BM25IndexSink(str(tmp_path / "b"))
+        sink.apply_batch(_docs(spark, range(1, 9)), 0)
+        before = _inodes(os.path.join(sink.target, "postings"))
+
+        delta = _docs(spark, [9]).withColumn(
+            MULT, F.lit(1).cast("bigint")
+        ).unionByName(
+            _docs(spark, [3]).withColumn(MULT, F.lit(-1).cast("bigint"))
+        )
+        tb = {
+            f"bucket={r[0]}"
+            for r in _docs(spark, [3, 9])
+            .select(F.explode(F.split("text", " ")).alias("term"))
+            .filter(F.col("term") != "")
+            .select(_term_bucket(F.col("term")).alias("b"))
+            .distinct()
+            .collect()
+        }
+        sink.apply_batch(delta, 1)
+        after = _inodes(os.path.join(sink.target, "postings"))
+        _assert_pruned(before, after, tb)
+
+        fresh = BM25IndexSink(str(tmp_path / "f"))
+        fresh.apply_batch(_docs(spark, [1, 2, 4, 5, 6, 7, 8, 9]), 0)
+        for table in ("postings", "doclens"):
+            got = {tuple(r) for r in sink._table(spark, table).collect()}
+            want = {tuple(r) for r in fresh._table(spark, table).collect()}
+            assert got == want, table
+        g = sink._table(spark, "stats").collect()[0]
+        w = fresh._table(spark, "stats").collect()[0]
+        assert g.n_docs == w.n_docs
+        assert abs(g.avgdl - w.avgdl) < 1e-12
+
+
+class TestDecontamPrunedSwap:
+    def test_untouched_shingle_buckets_hardlink_through_delta(
+        self, spark, tmp_path
+    ):
+        from vcf_pg_loader_spark.streaming.retract import DecontamIndexSink
+
+        sink = DecontamIndexSink(str(tmp_path / "d"))
+        sink.apply_batch(_docs(spark, range(1, 13)), 0)
+        before = _inodes(os.path.join(sink.target, "sh"))
+        old_sh = sink._table(spark, "sh")
+        tb_del = {
+            f"bucket={r[0]}"
+            for r in old_sh.filter(F.col("doc_id") == 5)
+            .select("bucket")
+            .distinct()
+            .collect()
+        }
+
+        delta = _docs(spark, [13]).withColumn(
+            MULT, F.lit(1).cast("bigint")
+        ).unionByName(
+            _docs(spark, [5]).withColumn(MULT, F.lit(-1).cast("bigint"))
+        )
+        nb = sink.N_SH_BUCKETS
+        from vcf_pg_loader_spark.operators import dedup as D
+
+        tb_ins = {
+            f"bucket={r[0]}"
+            for r in D.shingles(_docs(spark, [13]), "doc_id", "text", sink.ngram)
+            .select(
+                F.pmod(F.xxhash64("shingle"), F.lit(nb)).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        sink.apply_batch(delta, 1)
+        after = _inodes(os.path.join(sink.target, "sh"))
+        _assert_pruned(before, after, tb_del | tb_ins)
+
+        fresh = DecontamIndexSink(str(tmp_path / "f"))
+        fresh.apply_batch(
+            _docs(spark, [i for i in range(1, 14) if i != 5]), 0
+        )
+        for table in ("sh", "pairs"):
+            got = {tuple(r) for r in sink._table(spark, table).collect()}
+            want = {tuple(r) for r in fresh._table(spark, table).collect()}
+            assert got == want, table
+
+
+class TestSemDeDupPrunedSwap:
+    def _vecs(self, spark, ids):
+        return spark.createDataFrame(
+            [
+                (
+                    i,
+                    [
+                        float(x)
+                        for x in np.random.default_rng(100 + i).normal(size=8)
+                    ],
+                )
+                for i in ids
+            ],
+            "vec_id int, embedding array<double>",
+        )
+
+    def test_untouched_cells_and_centroids_hardlink(self, spark, tmp_path):
+        from vcf_pg_loader_spark.streaming.dedup_ingest import (
+            SemDeDupIngestSink,
+        )
+
+        sink = SemDeDupIngestSink(str(tmp_path / "s"), k_centroids=8)
+        sink.apply_batch(self._vecs(spark, range(1, 33)), 0)
+        before = _inodes(os.path.join(sink.target, "vectors"))
+        cents_before = _flat_inodes(os.path.join(sink.target, "centroids"))
+
+        delta = self._vecs(spark, [40, 41]).withColumn(
+            MULT, F.lit(1).cast("bigint")
+        )
+        from vcf_pg_loader_spark.operators import similarity as S
+
+        cents = sink.centroids(spark)
+        tc = {
+            f"cid={r[0]}"
+            for r in S.ivf_assign(
+                self._vecs(spark, [40, 41]),
+                cents,
+                "vec_id",
+                "embedding",
+                kernel="exact",
+            )
+            .select("cid")
+            .distinct()
+            .collect()
+        }
+        sink.apply_batch(delta, 1)
+        after = _inodes(os.path.join(sink.target, "vectors"))
+        _assert_pruned(before, after, tc)
+        # the frozen routing table hard-links, never rewrites
+        cents_after = _flat_inodes(os.path.join(sink.target, "centroids"))
+        assert cents_after == cents_before
+
+        # and the maintained vectors equal a routing of all retained
+        # vectors under the frozen centroids
+        want = {
+            (r.vid, r.cid)
+            for r in S.ivf_assign(
+                self._vecs(spark, list(range(1, 33)) + [40, 41]),
+                cents,
+                "vec_id",
+                "embedding",
+                kernel="exact",
+            ).collect()
+        }
+        got = {
+            (r.vid, r.cid)
+            for r in sink._table(spark, "vectors").collect()
+        }
+        assert got == want
+
+
+class TestLedgerCompaction:
+    """compact-ledger rolls the per-batch exactly-once files into one
+    _compacted.json without weakening replay guarantees: applied()
+    consults the union of both forms, replays after compaction stay
+    no-ops, and compaction is idempotent + crash-tolerant (duplicates
+    left by a crash between replace and unlinks are absorbed)."""
+
+    def test_compacted_ids_still_guard_replays(self, spark, tmp_path):
+        from vcf_pg_loader_spark.streaming.retract import WinnowIndexSink
+
+        sink = WinnowIndexSink(str(tmp_path / "w"))
+        for i in range(3):
+            sink.apply_batch(_docs(spark, [10 * i + 1, 10 * i + 2]), i)
+        out = sink.compact_ledger()
+        assert out == {"batch_ids": 3, "files_removed": 3}
+        assert sorted(sink.applied_ids()) == [0, 1, 2]
+        assert sink.applied(1) and not sink.applied(3)
+
+        # a replayed pre-compaction batch is still a no-op
+        before = {tuple(r) for r in sink._table(spark, "fps").collect()}
+        sink.apply_batch(_docs(spark, [999]), 1)
+        after = {tuple(r) for r in sink._table(spark, "fps").collect()}
+        assert after == before
+
+        # new batches append per-batch files again; re-compaction absorbs
+        sink.apply_batch(_docs(spark, [31]), 3)
+        assert sorted(sink.applied_ids()) == [0, 1, 2, 3]
+        out2 = sink.compact_ledger()
+        assert out2 == {"batch_ids": 4, "files_removed": 1}
+        assert sink.applied(3)
+
+    def test_compaction_is_idempotent(self, spark, tmp_path):
+        from vcf_pg_loader_spark.streaming.retract import WinnowIndexSink
+
+        sink = WinnowIndexSink(str(tmp_path / "w"))
+        sink.apply_batch(_docs(spark, [1]), 0)
+        sink.compact_ledger()
+        out = sink.compact_ledger()
+        assert out == {"batch_ids": 1, "files_removed": 0}
+        assert sink.applied(0)
+
+    def test_cli_verbs(self, spark, tmp_path, capsys):
+        import json
+
+        from vcf_pg_loader_spark.cli import main
+        from vcf_pg_loader_spark.streaming.retract import WinnowIndexSink
+
+        sink = WinnowIndexSink(str(tmp_path / "w"))
+        sink.apply_batch(_docs(spark, [1, 2]), 0)
+        sink.apply_batch(_docs(spark, [3]), 1)
+        assert main(["compact-ledger", "--state", sink.target]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["batch_ids"] == 2 and out["files_removed"] == 2
+        # state-stats reports the compacted ids
+        assert main(["state-stats", "--state", sink.target]) == 0
+        st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert st["ledger_batches"] == [0, 1]
+
+
+class TestFrozenLMHardlinks:
+    def test_funnel_lm_tables_link_not_copy(self, spark, tmp_path):
+        from vcf_pg_loader_spark.streaming.retract import FunnelReportSink
+
+        sink = FunnelReportSink(str(tmp_path / "fr"), nll_max=1e9)
+        sink.apply_batch(_docs(spark, range(1, 9)), 0)
+        lm_before = {
+            t: _flat_inodes(os.path.join(sink.target, t))
+            for t in ("lm_c12", "lm_c1", "lm_v")
+        }
+        sink.apply_batch(_docs(spark, [9, 10]), 1)
+        lm_after = {
+            t: _flat_inodes(os.path.join(sink.target, t))
+            for t in ("lm_c12", "lm_c1", "lm_v")
+        }
+        assert lm_after == lm_before

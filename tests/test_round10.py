@@ -485,22 +485,26 @@ class TestSyncCorpusCLI:
 
         v1 = str(tmp_path / "v1")
         v2 = str(tmp_path / "v2")
+        src = F.when(F.col("doc_id") < 15, F.lit("web")).otherwise(
+            F.lit("books")
+        )
         _docs(
             spark, [(1, BASE), (2, NEAR), (10, OTHER), (20, THIRD + " old")]
-        ).coalesce(1).write.parquet(v1)
+        ).withColumn("source", src).coalesce(1).write.parquet(v1)
         # v2: 1 removed, 20 changed, 30 added, 2/10 unchanged
         _docs(
             spark, [(2, NEAR), (10, OTHER), (20, THIRD), (30, BASE)]
-        ).coalesce(1).write.parquet(v2)
+        ).withColumn("source", src).coalesce(1).write.parquet(v2)
         state = str(tmp_path / "state")
         funnel = str(tmp_path / "funnel")
         decontam = str(tmp_path / "decontam")
+        card = str(tmp_path / "card")
         out = str(tmp_path / "kept")
 
         assert main(
             ["sync-corpus", "--state", state, "--snapshot", v1,
              "--batch-id", "0", "--funnel-state", funnel,
-             "--decontam-state", decontam]
+             "--decontam-state", decontam, "--card-state", card]
         ) == 0
         boot = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert boot["rows_upserted"] == 4 and boot["rows_retracted"] == 0
@@ -508,7 +512,7 @@ class TestSyncCorpusCLI:
         assert main(
             ["sync-corpus", "--state", state, "--snapshot", v2,
              "--batch-id", "1", "--out", out, "--funnel-state", funnel,
-             "--decontam-state", decontam]
+             "--decontam-state", decontam, "--card-state", card]
         ) == 0
         sync = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         # delta: -1 for removed 1, ±1 for changed 20, +1 for added 30
@@ -541,10 +545,36 @@ class TestSyncCorpusCLI:
 
         dsink = DecontamIndexSink(decontam)
         dfresh = DecontamIndexSink(str(tmp_path / "dfresh"))
-        dfresh.apply_batch(spark.read.parquet(v2), 0)
+        dfresh.apply_batch(spark.read.parquet(v2).select("doc_id", "text"), 0)
         got_d = {tuple(r) for r in dsink._table(spark, "sh").collect()}
         want_d = {tuple(r) for r in dfresh._table(spark, "sh").collect()}
         assert got_d == want_d
+        # the lockstep-synced release card covers exactly the new
+        # snapshot, with the snapshot's source column carried; the
+        # per-doc-pure card columns match a fresh bootstrap on v2
+        # (mean_nll excluded — the synced card's LM froze on v1, which
+        # is the q_cdc_card oracle's job to pin value-exactly)
+        from vcf_pg_loader_spark.streaming.retract import DatasetCardSink
+
+        csink = DatasetCardSink(card)
+        assert {
+            r.doc_id for r in csink._table(spark, "stats").collect()
+        } == {2, 10, 20, 30}
+        cfresh = DatasetCardSink(str(tmp_path / "cfresh"))
+        cfresh.apply_batch(
+            spark.read.parquet(v2).select("doc_id", "text", "source"), 0
+        )
+        pure = ("source", "n_docs", "total_tokens", "quality_keep_rate",
+                "exact_dup_rate")
+        got_c = {
+            tuple(getattr(r, c) for c in pure)
+            for r in csink.card(spark).collect()
+        }
+        want_c = {
+            tuple(getattr(r, c) for c in pure)
+            for r in cfresh.card(spark).collect()
+        }
+        assert got_c == want_c
 
 
 class TestDecontamIndexSink:

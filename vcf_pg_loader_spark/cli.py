@@ -561,6 +561,28 @@ def cmd_sync_corpus(args) -> int:
         DecontamIndexSink(args.decontam_state, args.ngram).apply_batch(
             delta, args.batch_id
         )
+    if args.card_state:
+        # the release card syncs from the same delta in lockstep.  The
+        # snapshot's source column rides along when present (deleted
+        # rows need only their doc_id, so the left join's nulls on the
+        # -1 tuples are harmless); a (doc_id, text)-only snapshot
+        # defaults to 'unknown'.  Note the diff key is the TEXT
+        # payload: a snapshot row whose text is unchanged but whose
+        # source moved does not re-sync.
+        from vcf_pg_loader_spark.streaming.retract import DatasetCardSink
+
+        snap = spark.read.parquet(args.snapshot)
+        if "source" in snap.columns:
+            card_delta = delta.join(
+                snap.select("doc_id", "source"), "doc_id", "left"
+            ).withColumn(
+                "source", F.coalesce(F.col("source"), F.lit("unknown"))
+            )
+        else:
+            card_delta = delta.withColumn("source", F.lit("unknown"))
+        DatasetCardSink(args.card_state).apply_batch(
+            card_delta, args.batch_id
+        )
     kept = sink.keep(spark)
     if args.out:
         corpus = sink._table(spark, "corpus")
@@ -580,6 +602,21 @@ def cmd_sync_corpus(args) -> int:
             }
         )
     )
+    return 0
+
+
+def cmd_compact_ledger(args) -> int:
+    """Roll a maintained state's per-batch exactly-once ledger files
+    into one `_compacted.json` (streaming/sink.py compact_ledger) —
+    the ledger otherwise grows one tiny file per micro-batch forever.
+    Crash-safe and idempotent; replay guarantees are unchanged because
+    `applied` consults the union of both ledger forms.  The only
+    state-stats field this changes is how the same batch ids are
+    stored."""
+    from vcf_pg_loader_spark.streaming.sink import ParquetUpsertSink
+
+    out = ParquetUpsertSink(args.state, key=[]).compact_ledger()
+    print(json.dumps({"state": args.state.rstrip("/"), **out}))
     return 0
 
 
@@ -618,16 +655,9 @@ def cmd_state_stats(args) -> int:
                 return json.load(fh)
         return None
 
-    ledger_dir = f"{root}_ledger"
-    batches = (
-        sorted(
-            int(f[:-5])
-            for f in os.listdir(ledger_dir)
-            if f.endswith(".json")
-        )
-        if os.path.isdir(ledger_dir)
-        else []
-    )
+    from vcf_pg_loader_spark.streaming.sink import ParquetUpsertSink
+
+    batches = sorted(ParquetUpsertSink(root, key=[]).applied_ids())
     print(
         json.dumps(
             {
@@ -811,6 +841,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--decontam-state",
                     help="also apply the delta to this DecontamIndexSink "
                          "state (must be synced in lockstep with --state)")
+    sp.add_argument("--card-state",
+                    help="also apply the delta to this DatasetCardSink "
+                         "state (must be synced in lockstep with --state); "
+                         "the snapshot's source column rides along when "
+                         "present")
     sp.add_argument("--nll-max", type=float, default=NLL_MAX,
                     help="LM gate threshold for --funnel-state")
     sp.add_argument("--ngram", type=int, default=NGRAM)
@@ -824,6 +859,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--state", required=True,
                     help="a sink state dir (DedupClusterMaintSink, "
                          "FunnelReportSink, DecontamIndexSink, ...)")
+
+    sp = add("compact-ledger", cmd_compact_ledger,
+             help="roll a state's per-batch ledger files into one "
+                  "_compacted.json (exactly-once guarantees unchanged)")
+    sp.add_argument("--state", required=True,
+                    help="the sink state dir whose ledger to compact")
 
     sp = add("build-rsid-index", cmd_build_rsid_index,
              help="materialize the rsid-sorted point-lookup copy")

@@ -73,6 +73,7 @@ _STRUCTURE_OF = {
     "cdc_semdedup": "cdc",
     "cdc_decontam": "cdc",
     "zdel_card": "card",
+    "cdc_card": "cdc",
     "zdel_decontam": "decontam",
 }
 
@@ -3750,6 +3751,42 @@ def _dataset_card_retract_sql() -> str:
 Q_DATASET_CARD_RETRACT_SQL = _dataset_card_retract_sql()
 
 
+def q_cdc_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release card after a snapshot sync — the last maintained
+    structure joins the snapshot-CDC family: DatasetCardSink bootstraps
+    on the OLD snapshot (training its frozen LM there, legacy-revision
+    texts included), then ONE zset_snapshot_delta batch moves the
+    per-doc state to the NEW snapshot; only the delta's docs re-run the
+    per-doc stages (quality, tokens, frozen-LM nll, fingerprint).
+    Oracle: the whole card recomputed over exactly the new snapshot
+    with the nll CTE trained on the old one."""
+    from vcf_pg_loader_spark.operators.ivm import MULT, zset_snapshot_delta
+    from vcf_pg_loader_spark.streaming.retract import DatasetCardSink
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    old, new = _cdc_snapshots(docs)
+    root = _served_root(sf_dir, "cdc_card", "documents.parquet")
+    sink = DatasetCardSink(f"{root}/state")
+    if not sink.applied(1):
+        sink.apply_batch(old.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        sink.apply_batch(zset_snapshot_delta(old, new, "doc_id"), 1)
+    return sink.card(spark)
+
+
+def _cdc_card_sql() -> str:
+    from vcf_pg_loader_spark.operators.lm import sql_doc_nll_frozen
+
+    retained = f"(SELECT * FROM documents WHERE {CDC_NEW_RETAIN_SQL})"
+    return _over_retained(_DATASET_CARD_TEMPLATE, CDC_NEW_RETAIN_SQL).replace(
+        "{NLL}", sql_doc_nll_frozen(retained, CDC_OLD_SRC_SQL)
+    )
+
+
+Q_CDC_CARD_SQL = _cdc_card_sql()
+
+
 # --------------------------------------------------------------------------
 # KMV distinct sketch (operators/sketch.py): estimated distinct users
 # per event type — the deterministic, mergeable alternative to HLL whose
@@ -4045,6 +4082,7 @@ QUERIES = {
     "q_cdc_semdedup": q_cdc_semdedup,
     "q_decontam_retract": q_decontam_retract,
     "q_cdc_decontam": q_cdc_decontam,
+    "q_cdc_card": q_cdc_card,
     "q_ann_cell_stats": q_ann_cell_stats,
     "q_ann_reindex": q_ann_reindex,
     "q_dataset_card_retract": q_dataset_card_retract,
@@ -4129,6 +4167,7 @@ ORACLE = {
     "q_cdc_semdedup": Q_CDC_SEMDEDUP_SQL,
     "q_decontam_retract": Q_DECONTAM_RETRACT_SQL,
     "q_cdc_decontam": Q_CDC_DECONTAM_SQL,
+    "q_cdc_card": Q_CDC_CARD_SQL,
     "q_ann_cell_stats": Q_ANN_CELL_STATS_SQL,
     "q_ann_reindex": Q_ANN_REINDEX_SQL,
     "q_dataset_card_retract": Q_DATASET_CARD_RETRACT_SQL,

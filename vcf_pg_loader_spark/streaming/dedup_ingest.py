@@ -264,12 +264,11 @@ class BM25IndexSink(ParquetUpsertSink):
 
         batch, dels = split_zset(batch_df, self.id_col)
         batch = batch.dropDuplicates([self.id_col])
-        old_tf_all = self._table(spark, "postings")
+        tf_full = self._table(spark, "postings")
         old_dl = self._table(spark, "doclens")
+        del_ids = dels.select(F.col(self.id_col).alias("doc_id"))
         if old_dl is not None:
             # retraction = consolidation: the doc's rows cancel out
-            del_ids = dels.select(F.col(self.id_col).alias("doc_id"))
-            old_tf_all = old_tf_all.join(del_ids, "doc_id", "left_anti")
             old_dl = old_dl.join(del_ids, "doc_id", "left_anti")
         if old_dl is not None:
             batch = batch.join(
@@ -295,8 +294,38 @@ class BM25IndexSink(ParquetUpsertSink):
             "doc_id",
             "left",
         ).select("doc_id", F.coalesce("dl", F.lit(0).cast("bigint")).alias("dl"))
-        old_tf = old_tf_all
-        new_tf = tf if old_tf is None else old_tf.unionByName(tf)
+        from pyspark.storagelevel import StorageLevel
+
+        if tf_full is None:
+            new_tf, prune = tf, None
+        else:
+            # arriving postings feed both the touched-bucket lookup and
+            # the write below — compute them once
+            tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+            # bucket-pruned rewrite of the posting table: only the term
+            # buckets where arriving postings land or where a deleted
+            # doc's postings live recompute; every other bucket dir
+            # hard-links through the swap unchanged (re-sent live ids
+            # were dropped by the idempotence gate above, so deletions
+            # are the only removals).  Both lookups are control-plane
+            # tiny (<= N_TERM_BUCKETS values).
+            from vcf_pg_loader_spark.streaming.sink import isin_values
+
+            tb = {
+                r[0] for r in tf.select("bucket").distinct().collect()
+            } | {
+                r[0]
+                for r in tf_full.join(del_ids, "doc_id", "left_semi")
+                .select("bucket")
+                .distinct()
+                .collect()
+            }
+            new_tf = (
+                tf_full.filter(isin_values(F.col("bucket"), tb))
+                .join(del_ids, "doc_id", "left_anti")
+                .unionByName(tf)
+            )
+            prune = {"postings": {f"bucket={b}" for b in tb}}
         new_dl = dl if old_dl is None else old_dl.unionByName(dl)
         # n_docs over every doc; avgdl over tokenized docs only — the
         # exact aggregation shape of BM25Index.build
@@ -307,12 +336,16 @@ class BM25IndexSink(ParquetUpsertSink):
                 / F.count(F.when(F.col("dl") > 0, F.lit(1)))
             ).alias("avgdl"),
         )
-        n = self._swap_in_frames(
-            {"postings": new_tf, "doclens": new_dl, "stats": stats},
-            batch_id,
-            count_table="doclens",
-            partition_by={"postings": ["bucket"]},
-        )
+        try:
+            n = self._swap_in_frames(
+                {"postings": new_tf, "doclens": new_dl, "stats": stats},
+                batch_id,
+                count_table="doclens",
+                partition_by={"postings": ["bucket"]},
+                prune=prune,
+            )
+        finally:
+            tf.unpersist()
         self._record(batch_id, n)
 
 
@@ -468,8 +501,9 @@ class SemDeDupIngestSink(ParquetUpsertSink):
             split_zset,
         )
 
-        old_vec = self._table(spark, "vectors")
+        old_vec_full = self._table(spark, "vectors")
         old_pairs = self._table(spark, "pairs")
+        touched = None
         if MULT in batch_df.columns:
             batch, dels = split_zset(batch_df, self.id_col)
             batch = batch.dropDuplicates([self.id_col])
@@ -477,20 +511,20 @@ class SemDeDupIngestSink(ParquetUpsertSink):
             # re-inserts so their vector and pairs rebuild from the
             # arriving row (Z-set batches carry upsert semantics)
             touched = dels.unionByName(batch.select(self.id_col)).distinct()
-            old_vec = _without(old_vec, touched, "vid")
             old_pairs = _edges_without(old_pairs, touched)
         else:
             # plain insert batch: first arrival wins (ingest idempotence)
             batch = batch_df.dropDuplicates([self.id_col])
-            if old_vec is not None:
+            if old_vec_full is not None:
                 batch = batch.join(
-                    old_vec.select(F.col("vid").alias(self.id_col)),
+                    old_vec_full.select(F.col("vid").alias(self.id_col)),
                     self.id_col,
                     "left_anti",
                 )
         self._old_pairs = old_pairs
         cents = self._table(spark, "centroids")
-        if cents is None:
+        bootstrap = cents is None
+        if bootstrap:
             # bootstrap: first batch fits the (frozen) routing table
             cents, assigned = S.ivf_fit(
                 batch,
@@ -506,11 +540,47 @@ class SemDeDupIngestSink(ParquetUpsertSink):
             )
         assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            self._apply_assigned(spark, batch_id, assigned, cents, old_vec)
+            # cell-pruned rewrite: only the cells where arriving vectors
+            # land or where a touched id's old vector lives recompute;
+            # every other cid dir hard-links through the swap unchanged.
+            # The candidate probes below only ever read landing cells,
+            # which the touched set contains by construction.
+            if old_vec_full is None:
+                old_vec, prune = None, None
+            else:
+                from vcf_pg_loader_spark.streaming.sink import isin_values
+
+                tc = {
+                    r[0]
+                    for r in assigned.select("cid").distinct().collect()
+                }
+                if touched is not None:
+                    tc |= {
+                        r[0]
+                        for r in old_vec_full.join(
+                            touched.withColumnRenamed(self.id_col, "vid"),
+                            "vid",
+                            "left_semi",
+                        )
+                        .select("cid")
+                        .distinct()
+                        .collect()
+                    }
+                old_vec = old_vec_full.filter(
+                    isin_values(F.col("cid"), tc)
+                )
+                if touched is not None:
+                    old_vec = _without(old_vec, touched, "vid")
+                prune = {"vectors": {f"cid={c}" for c in tc}}
+            self._apply_assigned(
+                spark, batch_id, assigned, cents, old_vec, prune, bootstrap
+            )
         finally:
             assigned.unpersist()
 
-    def _apply_assigned(self, spark, batch_id, assigned, cents, old_vec):
+    def _apply_assigned(
+        self, spark, batch_id, assigned, cents, old_vec, prune, bootstrap
+    ):
         new_pairs = self._sem_pairs(assigned, assigned, same=True)
         if old_vec is not None:
             # only the landing cells' existing vectors are candidates —
@@ -548,15 +618,20 @@ class SemDeDupIngestSink(ParquetUpsertSink):
         new_vectors = (
             assigned if old_vec is None else old_vec.unionByName(assigned)
         )
+        frames = {"vectors": new_vectors, "pairs": pairs, "clusters": cc}
+        keep: list[str] = []
+        if bootstrap:
+            frames["centroids"] = cents
+        else:
+            # the routing table is FROZEN after bootstrap: hard-link,
+            # never rewrite
+            keep = ["centroids"]
         n = self._swap_in_frames(
-            {
-                "centroids": cents,
-                "vectors": new_vectors,
-                "pairs": pairs,
-                "clusters": cc,
-            },
+            frames,
             batch_id,
             count_table="vectors",
             partition_by={"vectors": ["cid"]},
+            prune=prune,
+            keep_tables=keep,
         )
         self._record(batch_id, n)

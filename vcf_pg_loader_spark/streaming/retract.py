@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 from vcf_pg_loader_spark.operators import dedup as D
 from vcf_pg_loader_spark.operators.ivm import MULT, zset_normalize
 from vcf_pg_loader_spark.operators.text import fingerprint
-from vcf_pg_loader_spark.streaming.sink import ParquetUpsertSink
+from vcf_pg_loader_spark.streaming.sink import ParquetUpsertSink, isin_values
 
 
 def split_zset(
@@ -643,17 +643,47 @@ class WinnowIndexSink(ParquetUpsertSink):
         ins, dels = split_zset(batch_df, "doc_id")
         ins = ins.dropDuplicates(["doc_id"])
         touched = dels.unionByName(ins.select("doc_id")).distinct()
-        old = _without(self._table(spark, "fps"), touched, "doc_id")
+        from pyspark.storagelevel import StorageLevel
+
+        old_full = self._table(spark, "fps")
         new = winnow_fingerprints(ins.select("doc_id", "text")).withColumn(
             "bucket", F.pmod(F.col("fp"), F.lit(self.N_FP_BUCKETS))
         )
-        fps = new if old is None else old.unionByName(new)
-        n = self._swap_in_frames(
-            {"fps": fps},
-            batch_id,
-            count_table="fps",
-            partition_by={"fps": ["bucket"]},
-        )
+        if old_full is None:
+            fps, prune = new, None
+        else:
+            # the arriving fps feed both the touched-bucket lookup and
+            # the write below — compute them once
+            new = new.persist(StorageLevel.MEMORY_AND_DISK)
+            # bucket-pruned rewrite: only the partitions where arriving
+            # fingerprints land or where a touched doc's old rows live
+            # are recomputed; every other bucket dir hard-links through
+            # the swap unchanged.  Both lookups are control-plane tiny
+            # (<= N_FP_BUCKETS values); the old-side probe reads two
+            # columns of the posting table, never the fingerprints.
+            tb = {
+                r[0]
+                for r in new.select("bucket").distinct().collect()
+            } | {
+                r[0]
+                for r in old_full.join(touched, "doc_id", "left_semi")
+                .select("bucket")
+                .distinct()
+                .collect()
+            }
+            old_t = old_full.filter(isin_values(F.col("bucket"), tb))
+            fps = _without(old_t, touched, "doc_id").unionByName(new)
+            prune = {"fps": {f"bucket={b}" for b in tb}}
+        try:
+            n = self._swap_in_frames(
+                {"fps": fps},
+                batch_id,
+                count_table="fps",
+                partition_by={"fps": ["bucket"]},
+                prune=prune,
+            )
+        finally:
+            new.unpersist()
         self._record(batch_id, n)
 
 
@@ -750,7 +780,8 @@ class DecontamIndexSink(ParquetUpsertSink):
         ins = ins.dropDuplicates(["doc_id"])
         touched = dels.unionByName(ins.select("doc_id")).distinct()
 
-        sh_old = _without(self._table(spark, "sh"), touched, "doc_id")
+        sh_full = self._table(spark, "sh")
+        sh_old = _without(sh_full, touched, "doc_id")
         pairs_old = self._table(spark, "pairs")
         if pairs_old is not None:
             # drop every pair a touched doc induced, on EITHER side —
@@ -779,7 +810,35 @@ class DecontamIndexSink(ParquetUpsertSink):
             )
             .select("doc_id", "split", "shingle", "bucket")
         )
-        sh = sh_new if sh_old is None else sh_old.unionByName(sh_new)
+        from pyspark.storagelevel import StorageLevel
+
+        # arriving shingles feed the touched-bucket lookup, the write,
+        # and both overlap probes — compute them once
+        sh_new = sh_new.persist(StorageLevel.MEMORY_AND_DISK)
+        # WRITE side is bucket-pruned (only partitions holding arriving
+        # or touched-doc postings recompute; the rest hard-link through
+        # the swap); the PROBE side below stays the full retained
+        # posting table — an arriving doc must see every shingle of the
+        # other split, that read is the operator's semantics.
+        if sh_full is None:
+            sh, prune = sh_new, None
+        else:
+            tb = {
+                r[0]
+                for r in sh_new.select("bucket").distinct().collect()
+            } | {
+                r[0]
+                for r in sh_full.join(touched, "doc_id", "left_semi")
+                .select("bucket")
+                .distinct()
+                .collect()
+            }
+            sh = _without(
+                sh_full.filter(isin_values(F.col("bucket"), tb)),
+                touched,
+                "doc_id",
+            ).unionByName(sh_new)
+            prune = {"sh": {f"bucket={b}" for b in tb}}
 
         is_train = F.col("split") == "train"
         tr_new = sh_new.filter(is_train).select(
@@ -814,10 +873,14 @@ class DecontamIndexSink(ParquetUpsertSink):
             if pairs_old is None
             else pairs_old.unionByName(pairs_new)
         )
-        n = self._swap_in_frames(
-            {"sh": sh, "pairs": pairs},
-            batch_id,
-            count_table="pairs",
-            partition_by={"sh": ["bucket"]},
-        )
+        try:
+            n = self._swap_in_frames(
+                {"sh": sh, "pairs": pairs},
+                batch_id,
+                count_table="pairs",
+                partition_by={"sh": ["bucket"]},
+                prune=prune,
+            )
+        finally:
+            sh_new.unpersist()
         self._record(batch_id, n)

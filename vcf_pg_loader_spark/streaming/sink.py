@@ -48,6 +48,34 @@ from vcf_pg_loader_spark.operators.rollup import (
 from vcf_pg_loader_spark.operators.sketch import kmv_merge, kmv_sketch
 
 
+def _link_tree(src: str, dst: str) -> None:
+    """Populate dst with hard-links to every file under src (copy2 on
+    cross-device).  Parquet files are immutable once written — the
+    engine never appends or rewrites a part file in place — so target
+    and staging sharing inodes is safe: the post-swap rmtree of the old
+    directory only drops link counts.  This is the local-filesystem
+    analogue of a metadata-only rename on an object store / HDFS."""
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(out, exist_ok=True)
+        for f in files:
+            s, d = os.path.join(root, f), os.path.join(out, f)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
+def isin_values(col, values) -> "F.Column":
+    """`col.isin(values)` that is well-defined for the empty set (false
+    for every row) — touched-partition sets can legitimately be empty
+    (a batch that consolidates to a no-op)."""
+    if not values:
+        return F.lit(False)
+    return col.isin(list(values))
+
+
 class ParquetUpsertSink:
     """Maintains a keyed parquet table from a stream of upserts.
 
@@ -67,8 +95,53 @@ class ParquetUpsertSink:
     def _ledger_path(self, batch_id: int) -> str:
         return os.path.join(self.ledger_dir, f"{batch_id}.json")
 
+    def _compacted_path(self) -> str:
+        return os.path.join(self.ledger_dir, "_compacted.json")
+
+    def _compacted_ids(self) -> set[int]:
+        p = self._compacted_path()
+        if not os.path.exists(p):
+            return set()
+        with open(p) as fh:
+            return set(json.load(fh)["batch_ids"])
+
     def applied(self, batch_id: int) -> bool:
-        return os.path.exists(self._ledger_path(batch_id))
+        return (
+            os.path.exists(self._ledger_path(batch_id))
+            or batch_id in self._compacted_ids()
+        )
+
+    def applied_ids(self) -> set[int]:
+        """Every batch id this sink has applied (per-batch files plus
+        the compacted roll-up) — what state-stats audits."""
+        ids = self._compacted_ids()
+        if os.path.isdir(self.ledger_dir):
+            for f in os.listdir(self.ledger_dir):
+                if f.endswith(".json") and not f.startswith("_"):
+                    ids.add(int(f[: -len(".json")]))
+        return ids
+
+    def compact_ledger(self) -> dict:
+        """Roll the per-batch ledger files into one `_compacted.json`.
+        The ledger otherwise grows one tiny file per micro-batch forever
+        — at streaming cadence that is millions of filesystem entries a
+        year per structure.  Crash-safe: the compacted file is written
+        whole and os.replace'd before any per-batch file is unlinked,
+        and `applied` consults the UNION of both forms, so a crash
+        between the replace and the unlinks only leaves duplicates that
+        the next compaction absorbs.  Idempotent."""
+        ids = self.applied_ids()
+        os.makedirs(self.ledger_dir, exist_ok=True)
+        tmp = self._compacted_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batch_ids": sorted(ids)}, fh)
+        os.replace(tmp, self._compacted_path())
+        removed = 0
+        for f in os.listdir(self.ledger_dir):
+            if f.endswith(".json") and not f.startswith("_"):
+                os.unlink(os.path.join(self.ledger_dir, f))
+                removed += 1
+        return {"batch_ids": len(ids), "files_removed": removed}
 
     def _record(self, batch_id: int, n_rows: int) -> None:
         os.makedirs(self.ledger_dir, exist_ok=True)
@@ -177,12 +250,20 @@ class ParquetUpsertSink:
         n = self._swap_in(merged, batch_id)
         self._record(batch_id, n)
 
+    def _staging_dir(self, prefix: str) -> str:
+        """Staging lives BESIDE the target (same filesystem), so the
+        final move is a rename and untouched-partition hard-links never
+        cross a device boundary."""
+        parent = os.path.dirname(self.target) or "."
+        os.makedirs(parent, exist_ok=True)
+        return tempfile.mkdtemp(prefix=prefix, dir=parent)
+
     def _swap_in(self, df: DataFrame, batch_id: int) -> int:
         """Stage, count from the STAGED files (the merged plan reads the
         pre-swap target lazily — re-counting it after the swap would scan
         deleted files), embed the batch marker so data+provenance move as
         one unit, then swap; returns the staged row count."""
-        staging = tempfile.mkdtemp(prefix="stream_upsert_")
+        staging = self._staging_dir("stream_upsert_")
         df.write.mode("overwrite").parquet(staging)
         n = df.sparkSession.read.parquet(staging).count()
         with open(os.path.join(staging, "_applied_batch.json"), "w") as fh:
@@ -203,6 +284,7 @@ class ParquetUpsertSink:
         count_table: str,
         partition_by: dict[str, list[str]] | None = None,
         keep_tables: list[str] | None = None,
+        prune: dict[str, set[str]] | None = None,
     ) -> int:
         """Multi-table variant of _swap_in: stage every frame under one
         directory, embed the batch marker, swap the whole directory —
@@ -211,13 +293,25 @@ class ParquetUpsertSink:
         table's on-disk partitioning (e.g. postings by term bucket)
         across maintenance rewrites.  `keep_tables` names state tables
         that did NOT change this batch (frozen parameters like a
-        bootstrap LM or centroids): they file-copy into staging instead
-        of re-executing a Spark write — same crash atomicity, no plan."""
-        staging = tempfile.mkdtemp(prefix="stream_multi_")
+        bootstrap LM or centroids): they hard-link into staging instead
+        of re-executing a Spark write — same crash atomicity, no plan.
+
+        `prune` maps a partitioned table's name to the set of TOUCHED
+        partition directory names (e.g. {"bucket=3", "bucket=17"}): the
+        frame passed for that table must contain ONLY the touched
+        partitions' rows, and every existing partition directory NOT in
+        the set hard-links from the live state unchanged.  This is what
+        keeps maintenance writes O(|touched partitions|) instead of
+        O(|state|) — at 100 TB a small delta must not rewrite a
+        multi-terabyte posting table to update two buckets.  A touched
+        partition whose rows all disappeared is simply absent from both
+        the write and the links, so it vanishes — correct for a
+        fully-retracted bucket."""
+        staging = self._staging_dir("stream_multi_")
         for name in keep_tables or []:
             src = os.path.join(self.target, name)
             if os.path.isdir(src):
-                shutil.copytree(src, os.path.join(staging, name))
+                _link_tree(src, os.path.join(staging, name))
         spark = None
         for name, df in frames.items():
             spark = df.sparkSession
@@ -228,6 +322,18 @@ class ParquetUpsertSink:
                     "overwrite"
                 ).partitionBy(*cols)
             writer.parquet(os.path.join(staging, name))
+        for name, touched in (prune or {}).items():
+            src_tbl = os.path.join(self.target, name)
+            if not os.path.isdir(src_tbl):
+                continue
+            dst_tbl = os.path.join(staging, name)
+            os.makedirs(dst_tbl, exist_ok=True)
+            for entry in os.listdir(src_tbl):
+                if "=" in entry and entry not in touched:
+                    _link_tree(
+                        os.path.join(src_tbl, entry),
+                        os.path.join(dst_tbl, entry),
+                    )
         n = spark.read.parquet(os.path.join(staging, count_table)).count()
         with open(os.path.join(staging, "_applied_batch.json"), "w") as fh:
             json.dump({"batch_id": batch_id, "n_rows": n}, fh)
