@@ -521,6 +521,32 @@ def pruned_maintenance_evidence(spark, sf_dir: str) -> dict:
                 before, _inode_size_map(wdir), time.perf_counter() - t0
             ),
         }
+
+        # -- id-bucketed corpus (the headline: document TEXT no longer
+        # rewrites whole per batch) ------------------------------------
+        from vcf_pg_loader_spark.streaming.retract import (
+            DedupClusterMaintSink,
+        )
+
+        csink = DedupClusterMaintSink(os.path.join(root, "c"))
+        csink.apply_batch(docs, 0)
+        cdir = os.path.join(csink.target, "corpus")
+        before = _inode_size_map(cdir)
+        victims = docs.limit(5)
+        cdelta = victims.withColumn(
+            "text", F.concat(F.col("text"), F.lit(" revised"))
+        ).withColumn(MULT, F.lit(1).cast("bigint")).unionByName(
+            victims.withColumn(MULT, F.lit(-1).cast("bigint"))
+        )
+        t0 = time.perf_counter()
+        csink.apply_batch(cdelta, 1)
+        out["corpus_id_bucketed"] = {
+            "delta_docs": 5,
+            "buckets": 64,
+            **_pruned_split(
+                before, _inode_size_map(cdir), time.perf_counter() - t0
+            ),
+        }
     except Exception as exc:  # pragma: no cover - defensive bench path
         out["error"] = f"{type(exc).__name__}: {exc}"[:500]
     finally:

@@ -34,10 +34,25 @@ WORDS = (
 ).split()
 
 
+STOP = (
+    "the cat and the dog ran to the big house of the old king with a "
+    "very small bird near the open door"
+)
+
+
 def _doc_text(i: int) -> str:
-    # distinct, long-enough text per doc so every doc yields shingles,
-    # winnow fingerprints, and BM25 postings
-    return " ".join(WORDS[(i + j) % len(WORDS)] + str(i * 7 + j) for j in range(30))
+    # distinct, long-enough, digit-free text per doc so every doc
+    # yields shingles, winnow fingerprints, and BM25 postings AND
+    # passes the quality gate (the funnel's corpus holds quality
+    # survivors only — stopword-rich filler + concatenated-pair body
+    # for token diversity)
+    # the two moduli (20-word list and 19) are coprime, so texts do
+    # not repeat until i = 380 — every test id stays distinct
+    body = " ".join(
+        WORDS[(i * 7 + j) % len(WORDS)] + WORDS[(i + j * 5) % 19]
+        for j in range(15)
+    )
+    return STOP + " " + body
 
 
 def _docs(spark, ids):
@@ -290,6 +305,151 @@ class TestSemDeDupPrunedSwap:
             for r in sink._table(spark, "vectors").collect()
         }
         assert got == want
+
+
+class TestIdBucketedPrunedSwap:
+    """The id-keyed state tables (cluster/ingest corpus + bands, funnel
+    per-doc tables, card stats/fp, BM25 doclens) partition by
+    ib = id_bucket(doc_id) — a pure function of the key, so touched
+    partitions come from the batch alone and untouched ones hard-link
+    through the swap.  `_table()` drops the layout column, so every
+    reader sees the original schema."""
+
+    def test_cluster_sink_corpus_and_bands_prune(self, spark, tmp_path):
+        from vcf_pg_loader_spark.streaming.retract import (
+            DedupClusterMaintSink,
+        )
+        from vcf_pg_loader_spark.streaming.sink import id_bucket
+
+        sink = DedupClusterMaintSink(str(tmp_path / "c"))
+        sink.apply_batch(_docs(spark, range(1, 17)), 0)
+        before = {
+            t: _inodes(os.path.join(sink.target, t))
+            for t in ("corpus", "bands")
+        }
+        delta = _docs(spark, [20]).withColumn(
+            MULT, F.lit(1).cast("bigint")
+        ).unionByName(
+            _docs(spark, [3]).withColumn(MULT, F.lit(-1).cast("bigint"))
+        )
+        # expected touched buckets, straight from the pure function
+        tb = {
+            f"ib={r[0]}"
+            for r in _docs(spark, [3, 20])
+            .select(id_bucket(F.col("doc_id")).alias("b"))
+            .collect()
+        }
+        sink.apply_batch(delta, 1)
+        for t in ("corpus", "bands"):
+            _assert_pruned(
+                before[t], _inodes(os.path.join(sink.target, t)), tb
+            )
+        # reader-facing schema is unchanged (layout column dropped)
+        corpus = sink._table(spark, "corpus")
+        assert corpus.columns == ["doc_id", "text"]
+        assert {r.doc_id for r in corpus.collect()} == (
+            set(range(1, 17)) - {3}
+        ) | {20}
+
+    def test_funnel_per_doc_tables_prune(self, spark, tmp_path):
+        from vcf_pg_loader_spark.streaming.retract import FunnelReportSink
+
+        sink = FunnelReportSink(str(tmp_path / "f"), nll_max=1e9)
+        sink.apply_batch(_docs(spark, range(1, 17)), 0)
+        before = {
+            t: _inodes(os.path.join(sink.target, t))
+            for t in ("qual", "corpus", "fp", "bands")
+        }
+        sink.apply_batch(
+            _docs(spark, [20]).withColumn(
+                MULT, F.lit(1).cast("bigint")
+            ).unionByName(
+                _docs(spark, [3]).withColumn(MULT, F.lit(-1).cast("bigint"))
+            ),
+            1,
+        )
+        for t in ("qual", "corpus", "fp", "bands"):
+            assert before[t], f"{t}: fixture docs must pass the gates"
+            after = _inodes(os.path.join(sink.target, t))
+            linked = [
+                d for d in before[t] if d in after and after[d] == before[t][d]
+            ]
+            assert linked, f"{t}: no partition survived by hard-link"
+        # and the served report reflects the delta
+        stages = {r.doc_id: r.stage for r in sink.report(spark).collect()}
+        assert 3 not in stages and stages[20] == "kept"
+
+    def test_neardup_ingest_insert_only_prunes(self, spark, tmp_path):
+        from vcf_pg_loader_spark.streaming.dedup_ingest import (
+            NearDupIngestSink,
+        )
+
+        sink = NearDupIngestSink(str(tmp_path / "n"))
+        sink.apply_batch(_docs(spark, range(1, 17)), 0)
+        before = _inodes(os.path.join(sink.target, "corpus"))
+        sink.apply_batch(_docs(spark, [20, 21]), 1)
+        after = _inodes(os.path.join(sink.target, "corpus"))
+        linked = [d for d in before if d in after and after[d] == before[d]]
+        assert linked, "insert-only batch must hard-link untouched buckets"
+        assert {r.doc_id for r in sink.read_corpus(spark).collect()} == set(
+            range(1, 17)
+        ) | {20, 21}
+
+
+class TestLegacyStateMigration:
+    def test_unbucketed_state_migrates_with_one_full_rewrite(
+        self, spark, tmp_path, recwarn
+    ):
+        """A state built before the id-bucket layout (no ib partitions,
+        no _params.json) must keep working: the first apply migrates the
+        table with one full rewrite (pruning against dirs laid out under
+        different rules would strand stale rows), warns about the
+        unverifiable parameters, and subsequent applies prune."""
+        import shutil
+        import warnings
+
+        from vcf_pg_loader_spark.streaming.retract import DatasetCardSink
+
+        sink = DatasetCardSink(str(tmp_path / "c"))
+        src = _docs(spark, range(1, 9)).withColumn("source", F.lit("web"))
+        sink.apply_batch(src, 0)
+
+        # forge the legacy layout: unpartitioned tables, no fingerprint
+        for t in ("stats", "fp"):
+            p = os.path.join(sink.target, t)
+            flat = sink._table(spark, t)  # ib dropped
+            tmp = str(tmp_path / f"flat_{t}")
+            flat.write.parquet(tmp)
+            shutil.rmtree(p)
+            shutil.move(tmp, p)
+        os.remove(os.path.join(sink.target, "_params.json"))
+
+        delta = _docs(spark, [9]).withColumn(
+            "source", F.lit("web")
+        ).withColumn(MULT, F.lit(1).cast("bigint")).unionByName(
+            _docs(spark, [2]).withColumn("source", F.lit("web")).withColumn(
+                MULT, F.lit(-1).cast("bigint")
+            )
+        )
+        with warnings.catch_warnings(record=True) as ws:
+            warnings.simplefilter("always")
+            sink.apply_batch(delta, 1)
+        assert any("predates parameter" in str(w.message) for w in ws)
+
+        # migrated: bucketed layout on disk, correct retained rows
+        stats_dir = os.path.join(sink.target, "stats")
+        assert any("=" in d for d in os.listdir(stats_dir))
+        got = {r.doc_id for r in sink._table(spark, "stats").collect()}
+        assert got == (set(range(1, 9)) - {2}) | {9}
+
+        # and the NEXT apply prunes (untouched dirs hard-link)
+        before = _inodes(stats_dir)
+        sink.apply_batch(
+            _docs(spark, [10]).withColumn("source", F.lit("web")), 2
+        )
+        after = _inodes(stats_dir)
+        linked = [d for d in before if d in after and after[d] == before[d]]
+        assert linked
 
 
 class TestLedgerCompaction:

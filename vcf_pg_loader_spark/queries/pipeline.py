@@ -38,14 +38,16 @@ JACCARD_T = 0.8
 # _served_root moves, everything else keeps serving its existing state.
 # All groups sit at 9 so round-9-built state stays valid verbatim.
 STATE_VERSIONS = {
-    "dedup": 9,     # LSH cluster stores (dedup_clusters, zdel_clusters)
-    "semdedup": 9,  # semantic cluster stores
-    "ann": 9,       # VectorIndex roots (9 = delete-wins fix)
-    "bm25": 9,      # inverted-index stores
-    "winnow": 9,    # winnowing fingerprint index
-    "funnel": 9,    # drop-reason funnel state (incl. frozen LM)
-    "cdc": 10,      # snapshot-diff CDC state (new in round 10)
-    "card": 10,     # maintained dataset-card state (new in round 10)
+    # 10.1 = id-bucketed state-table layout (corpus/bands/doclens/
+    # per-doc tables partition by ib so maintenance writes prune);
+    # groups whose on-disk layout did not change keep their version
+    "dedup": 10.1,   # LSH cluster stores (corpus/bands now id-bucketed)
+    "semdedup": 9,   # semantic cluster stores (vectors already by cid)
+    "ann": 9,        # VectorIndex roots (9 = delete-wins fix)
+    "bm25": 10.1,    # inverted-index stores (doclens now id-bucketed)
+    "winnow": 9,     # winnowing fingerprint index (already fp-bucketed)
+    "funnel": 10.1,  # drop-reason funnel state (per-doc tables bucketed)
+    "card": 10.1,    # maintained dataset-card state (stats/fp bucketed)
     "decontam": 10,  # maintained decontamination index (new in round 10)
 }
 
@@ -65,15 +67,18 @@ _STRUCTURE_OF = {
     "zdel_winnow": "winnow",
     "drop_reasons_nll": "funnel",
     "zdel_funnel": "funnel",
-    "cdc_snapshot": "cdc",
-    "cdc_funnel": "cdc",
-    "cdc_ann": "cdc",
-    "cdc_bm25": "cdc",
-    "cdc_winnow": "cdc",
-    "cdc_semdedup": "cdc",
-    "cdc_decontam": "cdc",
+    # CDC demo states ARE instances of the underlying sinks, so they
+    # version with the structure they carry — a layout or semantic fix
+    # in one sink invalidates exactly its own CDC state, nothing else
+    "cdc_snapshot": "dedup",
+    "cdc_funnel": "funnel",
+    "cdc_ann": "ann",
+    "cdc_bm25": "bm25",
+    "cdc_winnow": "winnow",
+    "cdc_semdedup": "semdedup",
+    "cdc_decontam": "decontam",
     "zdel_card": "card",
-    "cdc_card": "cdc",
+    "cdc_card": "card",
     "zdel_decontam": "decontam",
 }
 

@@ -71,11 +71,14 @@ class NearDupIngestSink(ParquetUpsertSink):
         self.threshold = JACCARD_T if threshold is None else threshold
 
     def _params_fingerprint(self) -> dict:
+        from vcf_pg_loader_spark.streaming.sink import N_ID_BUCKETS
+
         return {
             "ngram": self.ngram,
             "k": self.k,
             "bands": self.bands,
             "threshold": self.threshold,
+            "n_id_buckets": N_ID_BUCKETS,
         }
 
     # -- state ----------------------------------------------------------
@@ -173,31 +176,46 @@ class NearDupIngestSink(ParquetUpsertSink):
             self._record(batch_id, marker["n_rows"])
             return
         spark = batch_df.sparkSession
-        admitted = self._admit(spark, batch_df)
-        corpus_old = self._table(spark, "corpus")
-        new_corpus = (
-            admitted
-            if corpus_old is None
-            else corpus_old.unionByName(admitted)
+        from pyspark.storagelevel import StorageLevel
+
+        # the admitted set feeds the corpus write, the band build, and
+        # the touched-bucket lookup — run the admission gates once
+        admitted = self._admit(spark, batch_df).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        add_bands = D.lsh_band_table(
-            D.minhash_signatures(
-                D.shingles(admitted, "doc_id", "text", self.ngram), self.k
-            ),
-            self.k,
-            self.bands,
-        )
-        bands_old = self._table(spark, "bands")
-        new_bands = (
-            add_bands
-            if bands_old is None
-            else bands_old.unionByName(add_bands)
-        )
-        n = self._swap_in_frames(
-            {"corpus": new_corpus, "bands": new_bands},
-            batch_id,
-            count_table="corpus",
-        )
+        try:
+            add_bands = D.lsh_band_table(
+                D.minhash_signatures(
+                    D.shingles(admitted, "doc_id", "text", self.ngram),
+                    self.k,
+                ),
+                self.k,
+                self.bands,
+            )
+            # insert-only sink: the touched partitions are exactly the
+            # admitted ids' buckets; every other corpus/bands dir
+            # hard-links through the swap
+            touched = admitted.select("doc_id")
+            new_corpus, c_prune = self._merge_id_bucketed(
+                self._table_raw(spark, "corpus"), admitted, touched, "doc_id"
+            )
+            new_bands, b_prune = self._merge_id_bucketed(
+                self._table_raw(spark, "bands"), add_bands, touched, "doc_id"
+            )
+            prune = {}
+            if c_prune is not None:
+                prune["corpus"] = c_prune
+            if b_prune is not None:
+                prune["bands"] = b_prune
+            n = self._swap_in_frames(
+                {"corpus": new_corpus, "bands": new_bands},
+                batch_id,
+                count_table="corpus",
+                partition_by={"corpus": ["ib"], "bands": ["ib"]},
+                prune=prune or None,
+            )
+        finally:
+            admitted.unpersist()
         self._record(batch_id, n)
 
 
@@ -233,6 +251,7 @@ class BM25IndexSink(ParquetUpsertSink):
 
     def _params_fingerprint(self) -> dict:
         from vcf_pg_loader_spark.sources.bm25_index import N_TERM_BUCKETS
+        from vcf_pg_loader_spark.streaming.sink import N_ID_BUCKETS
 
         # postings are only mergeable under one tokenizer and one
         # on-disk bucket layout
@@ -241,6 +260,7 @@ class BM25IndexSink(ParquetUpsertSink):
             "text_col": self.text_col,
             "tokenizer": "whitespace",
             "n_term_buckets": N_TERM_BUCKETS,
+            "n_id_buckets": N_ID_BUCKETS,
         }
 
     def index(self, spark):
@@ -296,8 +316,12 @@ class BM25IndexSink(ParquetUpsertSink):
         ).select("doc_id", F.coalesce("dl", F.lit(0).cast("bigint")).alias("dl"))
         from pyspark.storagelevel import StorageLevel
 
+        # dl feeds the touched-bucket lookup, the pruned write, and the
+        # stats fold — compute the arriving doclens once
+        dl = dl.persist(StorageLevel.MEMORY_AND_DISK)
+        prune: dict[str, set[str]] = {}
         if tf_full is None:
-            new_tf, prune = tf, None
+            new_tf = tf
         else:
             # arriving postings feed both the touched-bucket lookup and
             # the write below — compute them once
@@ -325,8 +349,18 @@ class BM25IndexSink(ParquetUpsertSink):
                 .join(del_ids, "doc_id", "left_anti")
                 .unionByName(tf)
             )
-            prune = {"postings": {f"bucket={b}" for b in tb}}
+            prune["postings"] = {f"bucket={b}" for b in tb}
         new_dl = dl if old_dl is None else old_dl.unionByName(dl)
+        # doclens WRITE is id-bucket-pruned (the stats aggregation below
+        # still folds the FULL doclens — idf needs every doc)
+        touched_dl = del_ids.unionByName(
+            dl.select(F.col("doc_id"))
+        ).distinct()
+        dl_write, dl_prune = self._merge_id_bucketed(
+            self._table_raw(spark, "doclens"), dl, touched_dl, "doc_id"
+        )
+        if dl_prune is not None:
+            prune["doclens"] = dl_prune
         # n_docs over every doc; avgdl over tokenized docs only — the
         # exact aggregation shape of BM25Index.build
         stats = new_dl.agg(
@@ -338,14 +372,15 @@ class BM25IndexSink(ParquetUpsertSink):
         )
         try:
             n = self._swap_in_frames(
-                {"postings": new_tf, "doclens": new_dl, "stats": stats},
+                {"postings": new_tf, "doclens": dl_write, "stats": stats},
                 batch_id,
                 count_table="doclens",
-                partition_by={"postings": ["bucket"]},
-                prune=prune,
+                partition_by={"postings": ["bucket"], "doclens": ["ib"]},
+                prune=prune or None,
             )
         finally:
             tf.unpersist()
+            dl.unpersist()
         self._record(batch_id, n)
 
 

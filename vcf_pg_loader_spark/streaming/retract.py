@@ -150,11 +150,14 @@ class DedupClusterMaintSink(ParquetUpsertSink):
         # persisted with the state, validated on every apply_batch: a
         # batch applied under different LSH parameters would mix
         # incompatible band tables and corrupt candidate generation
+        from vcf_pg_loader_spark.streaming.sink import N_ID_BUCKETS
+
         return {
             "ngram": self.ngram,
             "k": self.k,
             "bands": self.bands,
             "threshold": self.threshold,
+            "n_id_buckets": N_ID_BUCKETS,
         }
 
     # -- serve ----------------------------------------------------------
@@ -249,20 +252,29 @@ class DedupClusterMaintSink(ParquetUpsertSink):
         bands_new, pairs_new = self._new_pairs(
             ins.select("doc_id", "text"), corpus_old, bands_old
         )
-        corpus = (
-            ins.select("doc_id", "text")
-            if corpus_old is None
-            else corpus_old.unionByName(ins.select("doc_id", "text"))
+        # WRITE side of the id-keyed tables is bucket-pruned (the probe
+        # reads above stay full — a new doc must collide against the
+        # whole index, that is the operator's semantics); pairs and
+        # clusters rewrite whole, they are tiny next to the corpus
+        corpus, c_prune = self._merge_id_bucketed(
+            self._table_raw(spark, "corpus"),
+            ins.select("doc_id", "text"),
+            touched,
+            "doc_id",
         )
-        bands = (
-            bands_new if bands_old is None
-            else bands_old.unionByName(bands_new)
+        bands, b_prune = self._merge_id_bucketed(
+            self._table_raw(spark, "bands"), bands_new, touched, "doc_id"
         )
         pairs = (
             pairs_new if pairs_old is None
             else pairs_old.unionByName(pairs_new).distinct()
         )
         clusters = D.connected_components(pairs, "d1", "d2")
+        prune = {}
+        if c_prune is not None:
+            prune["corpus"] = c_prune
+        if b_prune is not None:
+            prune["bands"] = b_prune
         n = self._swap_in_frames(
             {
                 "corpus": corpus,
@@ -272,6 +284,8 @@ class DedupClusterMaintSink(ParquetUpsertSink):
             },
             batch_id,
             count_table="corpus",
+            partition_by={"corpus": ["ib"], "bands": ["ib"]},
+            prune=prune or None,
         )
         self._record(batch_id, n)
 
@@ -327,12 +341,15 @@ class FunnelReportSink(ParquetUpsertSink):
         self.threshold = self._pair_maker.threshold
 
     def _params_fingerprint(self) -> dict:
+        from vcf_pg_loader_spark.streaming.sink import N_ID_BUCKETS
+
         return {
             "ngram": self.ngram,
             "k": self.k,
             "bands": self.bands,
             "threshold": self.threshold,
             "nll_max": self.nll_max,
+            "n_id_buckets": N_ID_BUCKETS,
         }
 
     # -- serve ----------------------------------------------------------
@@ -447,23 +464,40 @@ class FunnelReportSink(ParquetUpsertSink):
             )
             .select("doc_id", stage.alias("stage"))
         )
-        frames = {
-            "qual": qual,
-            "lml": lml,
-            "corpus": corpus,
-            "fp": fp,
-            "bands": bands,
-            "pairs": pairs,
-            "report": report,
-        }
+        # the full frames above feed the report derivation (canon
+        # election and CC are global); the WRITES of the id-keyed
+        # tables are bucket-pruned — only touched partitions recompute,
+        # the rest hard-link.  The report itself rewrites whole: a
+        # changed doc can flip another doc's stage anywhere.
+        prune: dict[str, set[str]] = {}
+        frames = {"pairs": pairs, "report": report}
+        for name, new_rows in (
+            ("qual", qual_new),
+            ("lml", lml_new),
+            ("corpus", kept_new),
+            ("fp", fp_new),
+            ("bands", bands_new),
+        ):
+            frames[name], p = self._merge_id_bucketed(
+                self._table_raw(spark, name), new_rows, touched, "doc_id"
+            )
+            if p is not None:
+                prune[name] = p
         keep: list[str] = []
         if bootstrap:
             frames.update({"lm_c12": c12, "lm_c1": c1, "lm_v": vocab})
         else:
-            # the LM is FROZEN after bootstrap: file-copy, never rewrite
+            # the LM is FROZEN after bootstrap: hard-link, never rewrite
             keep = ["lm_c12", "lm_c1", "lm_v"]
         n = self._swap_in_frames(
-            frames, batch_id, count_table="report", keep_tables=keep
+            frames,
+            batch_id,
+            count_table="report",
+            keep_tables=keep,
+            partition_by={
+                n_: ["ib"] for n_ in ("qual", "lml", "corpus", "fp", "bands")
+            },
+            prune=prune or None,
         )
         self._record(batch_id, n)
 
@@ -495,6 +529,13 @@ class DatasetCardSink(ParquetUpsertSink):
 
     def __init__(self, target: str):
         super().__init__(target, key=["doc_id"])
+
+    def _params_fingerprint(self) -> dict:
+        from vcf_pg_loader_spark.streaming.sink import N_ID_BUCKETS
+
+        # the on-disk id-bucket layout: pruning against directories laid
+        # out under a different bucket count would strand stale rows
+        return {"n_id_buckets": N_ID_BUCKETS}
 
     # -- serve ----------------------------------------------------------
     def card(self, spark) -> DataFrame:
@@ -561,20 +602,34 @@ class DatasetCardSink(ParquetUpsertSink):
             "doc_id", "doc_fp"
         )
 
-        stats = _without(self._table(spark, "stats"), touched, "doc_id")
-        stats = stats_new if stats is None else stats.unionByName(stats_new)
-        fp = _without(self._table(spark, "fp"), touched, "doc_id")
-        fp = fp_new if fp is None else fp.unionByName(fp_new)
+        # id-bucket-pruned writes: per-doc facts are pure functions of
+        # the doc, so untouched buckets hard-link through the swap
+        stats, s_prune = self._merge_id_bucketed(
+            self._table_raw(spark, "stats"), stats_new, touched, "doc_id"
+        )
+        fp, f_prune = self._merge_id_bucketed(
+            self._table_raw(spark, "fp"), fp_new, touched, "doc_id"
+        )
+        prune = {}
+        if s_prune is not None:
+            prune["stats"] = s_prune
+        if f_prune is not None:
+            prune["fp"] = f_prune
 
         frames = {"stats": stats, "fp": fp}
         keep: list[str] = []
         if bootstrap:
             frames.update({"lm_c12": c12, "lm_c1": c1, "lm_v": vocab})
         else:
-            # the LM is FROZEN after bootstrap: file-copy, never rewrite
+            # the LM is FROZEN after bootstrap: hard-link, never rewrite
             keep = ["lm_c12", "lm_c1", "lm_v"]
         n = self._swap_in_frames(
-            frames, batch_id, count_table="stats", keep_tables=keep
+            frames,
+            batch_id,
+            count_table="stats",
+            keep_tables=keep,
+            partition_by={"stats": ["ib"], "fp": ["ib"]},
+            prune=prune or None,
         )
         self._record(batch_id, n)
 

@@ -76,6 +76,20 @@ def isin_values(col, values) -> "F.Column":
     return col.isin(list(values))
 
 
+# id-keyed state tables (corpus texts, per-doc verdicts/fingerprints/
+# band rows, doclens) partition by a deterministic hash of their key so
+# maintenance writes prune: the bucket is a PURE function of the id, so
+# a batch's touched partitions are computable from the batch alone — no
+# state scan, no bucket lookup table.
+N_ID_BUCKETS = 64
+
+
+def id_bucket(col) -> "F.Column":
+    # int, to match what partition-value inference reads back from the
+    # ib=<n> directory names
+    return F.pmod(F.xxhash64(col), F.lit(N_ID_BUCKETS)).cast("int")
+
+
 class ParquetUpsertSink:
     """Maintains a keyed parquet table from a stream of upserts.
 
@@ -347,8 +361,73 @@ class ParquetUpsertSink:
         return n
 
     def _table(self, spark, name: str) -> DataFrame | None:
+        """Read a state table WITHOUT its internal layout column — `ib`
+        is the on-disk partition key of the id-bucketed tables, a pure
+        function of the row's id, and no reader should see it."""
+        df = self._table_raw(spark, name)
+        if df is not None and "ib" in df.columns:
+            df = df.drop("ib")
+        return df
+
+    def _table_raw(self, spark, name: str) -> DataFrame | None:
         p = os.path.join(self.target, name)
-        return spark.read.parquet(p) if os.path.isdir(p) else None
+        if not os.path.isdir(p):
+            return None
+        # a PARTITIONED empty write leaves only _SUCCESS (no
+        # schema-bearing part file, unlike an unpartitioned empty
+        # write) — a data-less table is absent, not an error
+        for root, _dirs, files in os.walk(p):
+            if any(not f.startswith(("_", ".")) for f in files):
+                return spark.read.parquet(p)
+        return None
+
+    def _merge_id_bucketed(
+        self,
+        old_raw: DataFrame | None,
+        new: DataFrame,
+        touched: DataFrame,
+        id_col: str,
+    ) -> tuple[DataFrame, set[str] | None]:
+        """(write_frame, prune_dirs) for an id-keyed state table
+        partitioned by ib = id_bucket(id): the write frame holds only
+        the TOUCHED buckets' rows (existing rows there minus touched
+        ids, plus the arriving rows re-stamped), and every other bucket
+        directory hard-links through the swap.  The partition filter is
+        on the partition column itself, so the rewrite plan's read
+        prunes on disk too — per-batch maintenance I/O is O(touched
+        buckets), never O(state).  Bootstrap (no old table) writes
+        everything with no pruning."""
+        new_ib = new.withColumn("ib", id_bucket(F.col(id_col)))
+        if old_raw is None:
+            return new_ib, None
+        if "ib" not in old_raw.columns:
+            # legacy unbucketed state: ONE full rewrite migrates the
+            # layout (no pruning this batch — pruning against dirs laid
+            # out under different rules would strand stale rows)
+            old_all = old_raw.join(
+                touched.withColumnRenamed(touched.columns[0], id_col),
+                id_col,
+                "left_anti",
+            ).withColumn("ib", id_bucket(F.col(id_col)))
+            return old_all.select(*new_ib.columns).unionByName(new_ib), None
+        tb = {
+            r[0]
+            for r in touched.select(
+                id_bucket(F.col(touched.columns[0])).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        old_t = (
+            old_raw.filter(isin_values(F.col("ib"), tb))
+            .join(
+                touched.withColumnRenamed(touched.columns[0], id_col),
+                id_col,
+                "left_anti",
+            )
+            .select(*new_ib.columns)
+        )
+        return old_t.unionByName(new_ib), {f"ib={b}" for b in tb}
 
     def read(self, spark) -> DataFrame:
         return spark.read.parquet(self.target)
