@@ -396,6 +396,25 @@ class TestIdBucketedPrunedSwap:
         ) | {20, 21}
 
 
+class TestStagingCleanup:
+    def test_crashed_staging_leftovers_are_swept(self, spark, tmp_path):
+        """Staging lives beside the target (same-device hard-links);
+        a crash mid-stage leaves it there, and _recover sweeps it —
+        scoped by the target's own prefix so a sibling sink's staging
+        is never touched."""
+        from vcf_pg_loader_spark.streaming.retract import WinnowIndexSink
+
+        sink = WinnowIndexSink(str(tmp_path / "w"))
+        leftover = tmp_path / f"{sink._staging_prefix()}crashed"
+        leftover.mkdir()
+        (leftover / "part-0.parquet").write_bytes(b"junk")
+        sibling = tmp_path / ".stg_other_crashed"
+        sibling.mkdir()
+        sink.apply_batch(_docs(spark, [1, 2]), 0)
+        assert not leftover.exists()
+        assert sibling.exists()  # not ours — untouched
+
+
 class TestLegacyStateMigration:
     def test_unbucketed_state_migrates_with_one_full_rewrite(
         self, spark, tmp_path, recwarn

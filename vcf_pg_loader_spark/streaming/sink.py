@@ -171,6 +171,16 @@ class ParquetUpsertSink:
         target missing + _old present (crash between the two moves) →
         restore the accumulated state; both present (crash before the
         final cleanup) → the swap completed, drop the stale _old."""
+        parent = os.path.dirname(self.target) or "."
+        if os.path.isdir(parent):
+            # staging from a crashed apply (it lives beside the target
+            # so hard-links stay same-device): incomplete by
+            # construction — the swap had not started — so drop it
+            for entry in os.listdir(parent):
+                if entry.startswith(self._staging_prefix()):
+                    shutil.rmtree(
+                        os.path.join(parent, entry), ignore_errors=True
+                    )
         old = self._old_path()
         if not os.path.exists(old):
             return
@@ -264,20 +274,26 @@ class ParquetUpsertSink:
         n = self._swap_in(merged, batch_id)
         self._record(batch_id, n)
 
-    def _staging_dir(self, prefix: str) -> str:
+    def _staging_prefix(self) -> str:
+        # scoped to THIS target (one writer per target), so crash
+        # cleanup in _recover can never touch a sibling sink's staging;
+        # the leading dot keeps parquet directory listings blind to it
+        return f".stg_{os.path.basename(self.target)}_"
+
+    def _staging_dir(self) -> str:
         """Staging lives BESIDE the target (same filesystem), so the
         final move is a rename and untouched-partition hard-links never
         cross a device boundary."""
         parent = os.path.dirname(self.target) or "."
         os.makedirs(parent, exist_ok=True)
-        return tempfile.mkdtemp(prefix=prefix, dir=parent)
+        return tempfile.mkdtemp(prefix=self._staging_prefix(), dir=parent)
 
     def _swap_in(self, df: DataFrame, batch_id: int) -> int:
         """Stage, count from the STAGED files (the merged plan reads the
         pre-swap target lazily — re-counting it after the swap would scan
         deleted files), embed the batch marker so data+provenance move as
         one unit, then swap; returns the staged row count."""
-        staging = self._staging_dir("stream_upsert_")
+        staging = self._staging_dir()
         df.write.mode("overwrite").parquet(staging)
         n = df.sparkSession.read.parquet(staging).count()
         with open(os.path.join(staging, "_applied_batch.json"), "w") as fh:
@@ -321,7 +337,7 @@ class ParquetUpsertSink:
         partition whose rows all disappeared is simply absent from both
         the write and the links, so it vanishes — correct for a
         fully-retracted bucket."""
-        staging = self._staging_dir("stream_multi_")
+        staging = self._staging_dir()
         for name in keep_tables or []:
             src = os.path.join(self.target, name)
             if os.path.isdir(src):
