@@ -396,6 +396,57 @@ class TestIdBucketedPrunedSwap:
         ) | {20, 21}
 
 
+class TestVectorIndexPrunedDelta:
+    def test_untouched_cells_hardlink_through_apply_zset(
+        self, spark, tmp_path
+    ):
+        from vcf_pg_loader_spark.sources.vector_index import VectorIndex
+
+        vecs = spark.createDataFrame(
+            [
+                (
+                    i,
+                    [
+                        float(x)
+                        for x in np.random.default_rng(7 + i).normal(size=8)
+                    ],
+                )
+                for i in range(1, 65)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        idx = VectorIndex(spark, str(tmp_path / "idx"))
+        idx.build(vecs, k_centroids=16, m=4)
+        before = {
+            t: _inodes(os.path.join(idx.root, t))
+            for t in ("vectors", "codes")
+        }
+        cents_before = _flat_inodes(os.path.join(idx.root, "centroids"))
+
+        victims = vecs.filter(F.col("vec_id").isin([3, 5]))
+        delta = victims.withColumn(
+            "embedding", F.reverse(F.col("embedding"))
+        ).withColumn(MULT, F.lit(1).cast("bigint")).unionByName(
+            vecs.filter(F.col("vec_id") == 9).withColumn(
+                MULT, F.lit(-1).cast("bigint")
+            )
+        )
+        idx.apply_zset(delta)
+        for t in ("vectors", "codes"):
+            after = _inodes(os.path.join(idx.root, t))
+            linked = [
+                d for d in before[t] if d in after and after[d] == before[t][d]
+            ]
+            assert linked, f"{t}: no cell survived by hard-link"
+        # frozen routing/codebook artifacts hard-link, never rewrite
+        assert _flat_inodes(
+            os.path.join(idx.root, "centroids")
+        ) == cents_before
+        # state is correct: 9 gone, 3/5 updated in place
+        got = {r.vid for r in spark.read.parquet(idx._p("vectors")).collect()}
+        assert got == set(range(1, 65)) - {9}
+
+
 class TestStagingCleanup:
     def test_crashed_staging_leftovers_are_swept(self, spark, tmp_path):
         """Staging lives beside the target (same-device hard-links);

@@ -133,9 +133,13 @@ class VectorIndex:
         `delete_ids` (the insert path already evicts the old row) — or
         use `apply_zset`, which applies the sinks' consolidation rule
         to a raw Z-set batch and maps updates correctly.  Centroids,
-        codebooks, and meta are frozen parameters: they file-copy into
+        codebooks, and meta are frozen parameters: they hard-link into
         the staging directory, and the whole root swaps atomically as
         in build() — a crash mid-delta leaves the old index servable.
+        Writes are CELL-PRUNED (round 10): only the cid partitions
+        holding a touched id's old row or an arriving vector recompute;
+        untouched cell directories hard-link through the swap, so a
+        delta's write cost is O(touched cells), never O(index).
         The takedown path for the ANN structure, completing the
         retract family (streaming/retract.py)."""
         import shutil
@@ -145,10 +149,26 @@ class VectorIndex:
         from vcf_pg_loader_spark.operators.similarity import ivf_assign
         from vcf_pg_loader_spark.operators.pq import pq_encode
 
+        from vcf_pg_loader_spark.streaming.sink import (
+            _link_tree,
+            isin_values,
+        )
+
+        # sweep staging left by a crashed delta (it lives beside the
+        # root so hard-links stay same-device; scoped by this root's
+        # basename — single writer per index)
+        parent = os.path.dirname(self.root) or "."
+        if os.path.isdir(parent):
+            for entry in os.listdir(parent):
+                if entry.startswith(f".stg_{os.path.basename(self.root)}_"):
+                    shutil.rmtree(
+                        os.path.join(parent, entry), ignore_errors=True
+                    )
+
         meta = self.spark.read.json(self._p("meta")).first()
         has_pq = os.path.isdir(self._p("codes"))
-        vectors = self.spark.read.parquet(self._p("vectors"))
-        codes = (
+        vectors_full = self.spark.read.parquet(self._p("vectors"))
+        codes_full = (
             self.spark.read.parquet(self._p("codes")) if has_pq else None
         )
         spark = self.spark
@@ -164,15 +184,47 @@ class VectorIndex:
                 inserts.select(F.col(id_col).cast("long").alias("vid"))
             )
         touched = touched.distinct()
-        vectors = vectors.join(touched, "vid", "left_anti")
-        if codes is not None:
-            codes = codes.join(touched, "vid", "left_anti")
+
+        assigned = None
         if inserts is not None:
+            from pyspark.storagelevel import StorageLevel
+
             cents = self.spark.read.parquet(self._p("centroids"))
             assigned = ivf_assign(
                 inserts, cents, id_col, vec_col, kernel=str(meta.kernel)
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+
+        # cell-pruned rewrite: only the cells holding a touched id's
+        # old row or an arriving vector recompute; every other cid
+        # directory hard-links through the swap unchanged.  The old-row
+        # lookup reads two columns; the landing-cell lookup is the
+        # routing result the write needs anyway.
+        tc = {
+            r[0]
+            for r in vectors_full.join(touched, "vid", "left_semi")
+            .select("cid")
+            .distinct()
+            .collect()
+        }
+        if assigned is not None:
+            tc |= {
+                r[0]
+                for r in assigned.select("cid").distinct().collect()
+            }
+        touched_dirs = {f"cid={c}" for c in tc}
+
+        vectors = vectors_full.filter(
+            isin_values(F.col("cid"), tc)
+        ).join(touched, "vid", "left_anti")
+        codes = None
+        if codes_full is not None:
+            codes = codes_full.filter(
+                isin_values(F.col("cid"), tc)
+            ).join(touched, "vid", "left_anti")
+        if assigned is not None:
+            vectors = vectors.unionByName(
+                assigned.select(*vectors.columns)
             )
-            vectors = vectors.unionByName(assigned.select(*vectors.columns))
             if codes is not None:
                 books = self.spark.read.parquet(self._p("codebooks"))
                 new_codes = pq_encode(
@@ -187,11 +239,15 @@ class VectorIndex:
             if codes is not None:
                 codes = codes.join(dels, "vid", "left_anti")
 
-        staging = tempfile.mkdtemp(prefix="vector_index_delta_")
+        # staging beside the root: hard-links stay same-device and the
+        # final swap is a rename
+        staging = tempfile.mkdtemp(
+            prefix=f".stg_{os.path.basename(self.root)}_", dir=parent
+        )
         for frozen in ("centroids", "codebooks", "meta"):
             src = self._p(frozen)
             if os.path.isdir(src):
-                shutil.copytree(src, os.path.join(staging, frozen))
+                _link_tree(src, os.path.join(staging, frozen))
         (
             vectors.repartition("cid")
             .sortWithinPartitions("vid")
@@ -205,6 +261,18 @@ class VectorIndex:
                 .write.partitionBy("cid")
                 .parquet(os.path.join(staging, "codes"))
             )
+        for table in ("vectors",) + (("codes",) if codes is not None else ()):
+            src_tbl = self._p(table)
+            dst_tbl = os.path.join(staging, table)
+            os.makedirs(dst_tbl, exist_ok=True)
+            for entry in os.listdir(src_tbl):
+                if "=" in entry and entry not in touched_dirs:
+                    _link_tree(
+                        os.path.join(src_tbl, entry),
+                        os.path.join(dst_tbl, entry),
+                    )
+        if assigned is not None:
+            assigned.unpersist()
         _heal_dir(self.root)
         _swap_dir(staging, self.root)
 
