@@ -547,6 +547,30 @@ def pruned_maintenance_evidence(spark, sf_dir: str) -> dict:
                 before, _inode_size_map(cdir), time.perf_counter() - t0
             ),
         }
+
+        # -- cell-pruned VectorIndex delta (apply_zset) -----------------
+        from vcf_pg_loader_spark.operators.ivm import MULT as _M
+        from vcf_pg_loader_spark.sources.vector_index import VectorIndex
+
+        idx = VectorIndex(spark, os.path.join(root, "ix"))
+        idx.build(vecs, k_centroids=64, m=4)
+        ixdir = os.path.join(idx.root, "vectors")
+        before = _inode_size_map(ixdir)
+        vv = vecs.limit(5)
+        ixdelta = vv.withColumn(
+            "embedding", F.reverse(F.col("embedding"))
+        ).withColumn(_M, F.lit(1).cast("bigint")).unionByName(
+            vv.withColumn(_M, F.lit(-1).cast("bigint"))
+        )
+        t0 = time.perf_counter()
+        idx.apply_zset(ixdelta)
+        out["index_cell_pruned"] = {
+            "delta_vecs": 5,
+            "cells": 64,
+            **_pruned_split(
+                before, _inode_size_map(ixdir), time.perf_counter() - t0
+            ),
+        }
     except Exception as exc:  # pragma: no cover - defensive bench path
         out["error"] = f"{type(exc).__name__}: {exc}"[:500]
     finally:
