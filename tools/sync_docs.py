@@ -26,6 +26,13 @@ Guarded claims:
     against past artifacts and are exempt.
 
 Run: python tools/sync_docs.py   (repo root; exits 0 = in sync)
+     python tools/sync_docs.py --fix   rewrites every out-of-sync
+     registry-count / parse-rate claim in the living docs to the value
+     in the LATEST committed artifact (nearest artifact rate, same
+     M/k formatting), making the gate structurally un-stale-able: the
+     round-close checklist runs `--fix` after the driver's artifacts
+     land instead of hand-editing numbers.  Wall-time claims are not
+     auto-fixed (they are prose-bound; the checker still flags them).
 """
 
 from __future__ import annotations
@@ -204,11 +211,105 @@ def check(
     return errors
 
 
+_RATE_PAT = re.compile(
+    r"\b(\d+(?:[.,]\d+)*)\s*([MkK])?\s*(?:variants)?/s", re.ASCII
+)
+
+
+def _rate_exempt(text: str, start: int) -> bool:
+    """Same exemptions as check(): reference-baseline and target lines."""
+    line = text[text.rfind("\n", 0, start) + 1 : start]
+    return (
+        "reference" in line.lower()
+        or line.rstrip().endswith(("≥", ">=", "~106k", "(≥"))
+        or "≥" in line[-8:]
+    )
+
+
+def _fmt_rate(r: float) -> str:
+    return f"{r / 1e6:.2f}M" if r >= 1e6 else f"{r / 1e3:.0f}k"
+
+
+def fix_file(
+    path: str,
+    bench: dict | None,
+    n_registry: int,
+    extra_rates: list[float] | None = None,
+) -> int:
+    """Rewrite stale count/rate claims in-place from the artifact.
+
+    Returns the number of claims rewritten.  Only rewrites claims the
+    checker would flag; in-tolerance numbers are left verbatim so diffs
+    stay minimal."""
+    with open(path) as fh:
+        text = fh.read()
+    n_fixed = 0
+
+    ok_counts = {n_registry}
+    if bench and bench.get("queries_total"):
+        ok_counts.add(int(bench["queries_total"]))
+
+    def fix_count(m: re.Match) -> str:
+        nonlocal n_fixed
+        if int(m.group(1)) in ok_counts:
+            return m.group(0)
+        n_fixed += 1
+        return m.group(0).replace(m.group(1), str(n_registry), 1)
+
+    text = re.sub(
+        r"\b(\d{2,4})\s+(?:oracled\s+)?quer(?:y|ies)", fix_count, text
+    )
+
+    rates = []
+    if bench:
+        rates = [
+            bench.get("vcf_parse_variants_per_sec"),
+            bench.get("vcf_parse_full_features_variants_per_sec"),
+            bench.get("vcf_parse_bgzf_single_file_variants_per_sec"),
+            bench.get("vcf_parse_giab_shape_variants_per_sec"),
+            *(extra_rates or []),
+        ]
+        rates = [r for r in rates if r]
+    if rates:
+
+        def fix_rate(m: re.Match) -> str:
+            nonlocal n_fixed
+            if _rate_exempt(text, m.start()):
+                return m.group(0)
+            num = float(m.group(1).replace(",", ""))
+            unit = (m.group(2) or "").upper()
+            value = num * (1e6 if unit == "M" else 1e3 if unit == "K" else 1)
+            if value < 50_000:
+                return m.group(0)
+            if any(abs(value - r) / r <= 0.10 for r in rates):
+                return m.group(0)
+            nearest = min(rates, key=lambda r: abs(value - r))
+            n_fixed += 1
+            old_num = m.group(1) + (m.group(2) or "")
+            return m.group(0).replace(old_num, _fmt_rate(nearest), 1)
+
+        text = _RATE_PAT.sub(fix_rate, text)
+
+    if n_fixed:
+        with open(path, "w") as fh:
+            fh.write(text)
+    return n_fixed
+
+
 def main() -> int:
+    fix = "--fix" in sys.argv
     bench = latest_bench()
     n_registry = registry_size()
     detail = bench_detail()
     extra_rates = _detail_parse_rates(detail)
+    if fix:
+        total = 0
+        for path in doc_files():
+            n = fix_file(path, bench, n_registry, extra_rates)
+            if n:
+                print(f"fixed {n} claim(s) in {os.path.relpath(path, REPO)}")
+            total += n
+        print(f"--fix rewrote {total} claim(s); re-checking...")
     all_errors: list[str] = []
     for path in doc_files():
         all_errors.extend(check(path, bench, n_registry, extra_rates))
