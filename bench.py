@@ -578,6 +578,36 @@ def pruned_maintenance_evidence(spark, sf_dir: str) -> dict:
     return out
 
 
+# Box-drift control (round-10 verdict item 5): two rounds running, the
+# bench's absolute numbers moved for non-code reasons (r9 one-time
+# rebuilds, r10 environment).  These two queries' code paths have been
+# untouched since round 7, so their wall time measures the BOX, not the
+# round's changes; round-over-round comparisons should use
+# warm_total / control — a code regression moves the ratio, a slow box
+# moves numerator and denominator together and cancels.
+_CONTROL_QUERIES = ("q01_pricing_summary", "q06_forecast_revenue")
+
+
+def bench_control(spark, sf_dir: str, reps: int = 5) -> dict:
+    from vcf_pg_loader_spark.queries import all_queries
+
+    q = all_queries()
+    walls = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for name in _CONTROL_QUERIES:
+            q[name](spark, sf_dir).count()
+        walls.append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    walls.sort()
+    return {
+        "queries": list(_CONTROL_QUERIES),
+        "reps": reps,
+        "median_wall_sec": round(walls[len(walls) // 2], 3),
+        "walls_sec": [round(w, 3) for w in walls],
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -701,7 +731,18 @@ def main() -> None:
     served = served_paths(spark, sf_dir)
     print(f"# served_paths: {served}", file=sys.stderr)
 
+    control = bench_control(spark, sf_dir)
+    print(f"# control: {control}", file=sys.stderr)
+    warm_total = round(
+        sum(t["warm_sec"] for t in timings.values() if t.get("warm_sec")), 3
+    )
+    ctrl = control["median_wall_sec"]
+    warm_over_control = round(warm_total / ctrl, 2) if ctrl else None
+
     detail = {
+        "control": control,
+        "warm_total_sec": warm_total,
+        "warm_over_control": warm_over_control,
         "sf": sf,
         "sf_dir": sf_dir,
         "total_sec": round(total, 3),
@@ -766,6 +807,9 @@ def main() -> None:
                     default=None,
                 ),
                 "ivf_exact_over_fast": kernels.get("exact_over_fast"),
+                "control_sec": control["median_wall_sec"],
+                "warm_total_sec": warm_total,
+                "warm_over_control": warm_over_control,
                 "detail": "BENCH_DETAIL.json",
             }
         )

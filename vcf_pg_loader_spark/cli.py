@@ -562,27 +562,61 @@ def cmd_sync_corpus(args) -> int:
             delta, args.batch_id
         )
     if args.card_state:
-        # the release card syncs from the same delta in lockstep.  The
-        # snapshot's source column rides along when present (deleted
-        # rows need only their doc_id, so the left join's nulls on the
-        # -1 tuples are harmless); a (doc_id, text)-only snapshot
-        # defaults to 'unknown'.  Note the diff key is the TEXT
-        # payload: a snapshot row whose text is unchanged but whose
-        # source moved does not re-sync.
+        # The release card diffs ITS OWN state against the snapshot, on
+        # (content-fingerprint, source) — NOT the text-keyed delta the
+        # other sinks consume: a snapshot row whose text is unchanged
+        # but whose source moved still re-syncs (per-source card
+        # tallies must follow the snapshot; reference analogue:
+        # ON CONFLICT DO UPDATE, gwas/loader.py:467-491 — an attribute
+        # change updates, never no-ops), while the text-keyed
+        # cluster/funnel/decontam states correctly see no delta for
+        # it.  Self-contained on the card's stats/fp tables (doc_fp is
+        # a pure function of the text, so no text payload is re-read
+        # from state): a card that fell behind its lockstep siblings
+        # (partial failure, or --card-state added to an existing
+        # pipeline) heals on the next sync instead of drifting.
+        from vcf_pg_loader_spark.operators.text import fingerprint
         from vcf_pg_loader_spark.streaming.retract import DatasetCardSink
 
+        card_sink = DatasetCardSink(args.card_state)
         snap = spark.read.parquet(args.snapshot)
-        if "source" in snap.columns:
-            card_delta = delta.join(
-                snap.select("doc_id", "source"), "doc_id", "left"
-            ).withColumn(
-                "source", F.coalesce(F.col("source"), F.lit("unknown"))
-            )
-        else:
-            card_delta = delta.withColumn("source", F.lit("unknown"))
-        DatasetCardSink(args.card_state).apply_batch(
-            card_delta, args.batch_id
+        src_col = (
+            F.coalesce(F.col("source"), F.lit("unknown"))
+            if "source" in snap.columns
+            else F.lit("unknown")
         )
+        new_card = snap.withColumn("source", src_col).select(
+            "doc_id", "text", "source"
+        )
+        new_card = new_card.join(
+            fingerprint(new_card.select("doc_id", "text")).select(
+                "doc_id", "doc_fp"
+            ),
+            "doc_id",
+        ).select("doc_id", "text", "source", "doc_fp")
+        stats_old = card_sink._table(spark, "stats")
+        fp_old = card_sink._table(spark, "fp")
+        if stats_old is None or fp_old is None:
+            old_card = new_card.limit(0)  # bootstrap: everything inserts
+        else:
+            # deleted docs' -1 tuples need only doc_id downstream, so
+            # the old side's text is a typed null, never a state read
+            old_card = (
+                stats_old.select("doc_id", "source")
+                .join(fp_old.select("doc_id", "doc_fp"), "doc_id")
+                .withColumn("text", F.lit(None).cast("string"))
+                .select("doc_id", "text", "source", "doc_fp")
+            )
+        # eager: the card sink's swap replaces the very stats/fp files
+        # the lazy diff plan reads (same rule as the main delta)
+        card_delta = (
+            zset_snapshot_delta(
+                old_card, new_card, "doc_id", cmp_cols=["doc_fp", "source"]
+            )
+            .drop("doc_fp")
+            .localCheckpoint(eager=True)
+        )
+        card_sink.apply_batch(card_delta, args.batch_id)
     kept = sink.keep(spark)
     if args.out:
         corpus = sink._table(spark, "corpus")
@@ -616,6 +650,24 @@ def cmd_compact_ledger(args) -> int:
     from vcf_pg_loader_spark.streaming.sink import ParquetUpsertSink
 
     out = ParquetUpsertSink(args.state, key=[]).compact_ledger()
+    print(json.dumps({"state": args.state.rstrip("/"), **out}))
+    return 0
+
+
+def cmd_rebucket(args) -> int:
+    """Grow (or shrink) a maintained state's hash-bucket layout in
+    place (streaming/sink.py rebucket_state): exactly one full rewrite
+    of the tables carrying the layout column, everything else
+    hard-links through the atomic swap, and the parameter fingerprint
+    restamps with the new count — the migration path when a layout
+    constant changes in config, instead of a from-scratch rebuild via
+    a semantic-version bump."""
+    from vcf_pg_loader_spark.streaming.sink import rebucket_state
+
+    spark = _spark()
+    out = rebucket_state(
+        spark, args.state, args.key, args.n, id_col=args.id_col
+    )
     print(json.dumps({"state": args.state.rstrip("/"), **out}))
     return 0
 
@@ -865,6 +917,19 @@ def build_parser() -> argparse.ArgumentParser:
                   "_compacted.json (exactly-once guarantees unchanged)")
     sp.add_argument("--state", required=True,
                     help="the sink state dir whose ledger to compact")
+
+    sp = add("rebucket", cmd_rebucket,
+             help="migrate a maintained state to a new bucket count "
+                  "for one layout key and restamp its fingerprint")
+    sp.add_argument("--state", required=True)
+    sp.add_argument("--key", required=True,
+                    help="layout fingerprint key: n_id_buckets, "
+                         "n_term_buckets, or n_fp_buckets")
+    sp.add_argument("--n", required=True, type=int,
+                    help="the new bucket count")
+    sp.add_argument("--id-col", default="doc_id",
+                    help="id column the ib layout hashes (n_id_buckets "
+                         "only)")
 
     sp = add("build-rsid-index", cmd_build_rsid_index,
              help="materialize the rsid-sorted point-lookup copy")

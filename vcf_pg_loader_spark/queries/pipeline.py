@@ -77,8 +77,10 @@ _STRUCTURE_OF = {
     "cdc_winnow": "winnow",
     "cdc_semdedup": "semdedup",
     "cdc_decontam": "decontam",
+    "cdc_decontam_eval": "decontam",
     "zdel_card": "card",
     "cdc_card": "card",
+    "cdc_card_srcmove": "card",
     "zdel_decontam": "decontam",
 }
 
@@ -3619,6 +3621,52 @@ def q_cdc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_CDC_DECONTAM_SQL = _over_retained(Q_DECONTAMINATE_SQL, CDC_NEW_RETAIN_SQL)
 
 
+def q_cdc_decontam_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination CDC at the EVAL boundary (round-10 stretch):
+    between snapshots the TRAIN side is identical and only the eval
+    membership changes — a new benchmark arrives (eval-split docs with
+    doc_id % 4 == 1 were absent from the old snapshot) and a retired
+    one leaves (doc_id % 4 == 2 eval docs drop out).  The snapshot
+    delta is therefore pure eval-split rows, exercising exactly the
+    paths the posting-both-splits design exists for: arriving evals
+    probe the full RETAINED train posting table (tr_old x ev_new), and
+    departing evals retract their pairs without any train doc
+    re-shingling.  Oracle: the full overlap join over exactly the new
+    snapshot."""
+    from vcf_pg_loader_spark.operators import sampling as SP
+    from vcf_pg_loader_spark.operators.ivm import MULT, zset_snapshot_delta
+    from vcf_pg_loader_spark.streaming.retract import DecontamIndexSink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ds = SP.assign_split(docs, "doc_id", SPLIT_WEIGHTS)
+    is_train = F.col("split") == "train"
+    old = ds.filter(is_train | (F.col("doc_id") % 4 != 1)).select(
+        "doc_id", "text"
+    )
+    new = ds.filter(is_train | (F.col("doc_id") % 4 != 2)).select(
+        "doc_id", "text"
+    )
+    root = _served_root(sf_dir, "cdc_decontam_eval", "documents.parquet")
+    sink = DecontamIndexSink(f"{root}/state")
+    if not sink.applied(1):
+        sink.apply_batch(old.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        sink.apply_batch(zset_snapshot_delta(old, new, "doc_id"), 1)
+    return sink.contamination(spark)
+
+
+def _cdc_decontam_eval_sql() -> str:
+    from vcf_pg_loader_spark.operators import sampling as SP
+
+    case = SP.sql_assign_split("doc_id", SPLIT_WEIGHTS)
+    return _over_retained(
+        Q_DECONTAMINATE_SQL,
+        f"({case}) = 'train' OR doc_id % 4 <> 2",
+    )
+
+
+Q_CDC_DECONTAM_EVAL_SQL = _cdc_decontam_eval_sql()
+
+
 # --------------------------------------------------------------------------
 # dataset card: the one-row-per-source summary a corpus release ships —
 # volume, token mass, quality keep-rate, exact-dup rate, and the mean
@@ -3790,6 +3838,55 @@ def _cdc_card_sql() -> str:
 
 
 Q_CDC_CARD_SQL = _cdc_card_sql()
+
+
+def q_cdc_card_source_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-CDC card where some rows' SOURCE moved while their text
+    did not (round-10 verdict item 2: an attribute change must update,
+    not no-op — the reference's ON CONFLICT DO UPDATE semantics,
+    gwas/loader.py:467-491).  The OLD snapshot carries a 'legacy-'
+    prefix on every (doc_id % 7 == 5) doc's source; the NEW snapshot
+    has the true sources.  The sink bootstraps on the old snapshot and
+    ONE zset_snapshot_delta batch — diffed on (text, source), not text
+    alone — moves it: the source-only movers' ±1 tuples rebuild their
+    stats rows under the new source, so the card's per-source tallies
+    follow the snapshot.  Oracle: the card recomputed over exactly the
+    new snapshot (true sources) with the nll CTE trained on the old
+    one — if the delta dropped source from the comparison, the stale
+    'legacy-*' rows would survive in the Spark card and hash-mismatch.
+    Texts change per _cdc_snapshots too, so both mover kinds coexist."""
+    from vcf_pg_loader_spark.operators.ivm import MULT, zset_snapshot_delta
+    from vcf_pg_loader_spark.streaming.retract import DatasetCardSink
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    old, new = _cdc_snapshots(docs)
+    old = old.withColumn(
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 5,
+            F.concat(F.lit("legacy-"), F.col("source")),
+        ).otherwise(F.col("source")),
+    )
+    root = _served_root(sf_dir, "cdc_card_srcmove", "documents.parquet")
+    sink = DatasetCardSink(f"{root}/state")
+    if not sink.applied(1):
+        sink.apply_batch(old.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        sink.apply_batch(
+            zset_snapshot_delta(
+                old, new, "doc_id", cmp_cols=["text", "source"]
+            ),
+            1,
+        )
+    return sink.card(spark)
+
+
+# same oracle shape as q_cdc_card: the moved sources exist only in the
+# OLD snapshot, which the SQL touches solely as the LM training set
+# (text-only), so the card over the NEW snapshot is textually the same
+# query — the Spark side is what must prove it converged to it
+Q_CDC_CARD_SOURCE_MOVE_SQL = Q_CDC_CARD_SQL
 
 
 # --------------------------------------------------------------------------
@@ -4087,7 +4184,9 @@ QUERIES = {
     "q_cdc_semdedup": q_cdc_semdedup,
     "q_decontam_retract": q_decontam_retract,
     "q_cdc_decontam": q_cdc_decontam,
+    "q_cdc_decontam_eval": q_cdc_decontam_eval,
     "q_cdc_card": q_cdc_card,
+    "q_cdc_card_source_move": q_cdc_card_source_move,
     "q_ann_cell_stats": q_ann_cell_stats,
     "q_ann_reindex": q_ann_reindex,
     "q_dataset_card_retract": q_dataset_card_retract,
@@ -4172,7 +4271,9 @@ ORACLE = {
     "q_cdc_semdedup": Q_CDC_SEMDEDUP_SQL,
     "q_decontam_retract": Q_DECONTAM_RETRACT_SQL,
     "q_cdc_decontam": Q_CDC_DECONTAM_SQL,
+    "q_cdc_decontam_eval": Q_CDC_DECONTAM_EVAL_SQL,
     "q_cdc_card": Q_CDC_CARD_SQL,
+    "q_cdc_card_source_move": Q_CDC_CARD_SOURCE_MOVE_SQL,
     "q_ann_cell_stats": Q_ANN_CELL_STATS_SQL,
     "q_ann_reindex": Q_ANN_REINDEX_SQL,
     "q_dataset_card_retract": Q_DATASET_CARD_RETRACT_SQL,

@@ -26,6 +26,7 @@ rebuilt index over the same corpus is byte-identical.
 
 from __future__ import annotations
 
+import functools
 import os
 import tempfile
 
@@ -33,6 +34,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 from vcf_pg_loader_spark.operators.pq import ivf_pq_search, pq_encode, pq_fit
 from vcf_pg_loader_spark.sources.store import _heal_dir, _swap_dir
+
+
+def _leased(fn):
+    """Run the wrapped maintenance method under the index root's writer
+    lease (streaming/sink.py writer_lease): apply_delta's staging sweep
+    assumes one writer per index, and the lease turns that comment into
+    an enforced contract — a second concurrent applier is refused, a
+    dead one's lease is taken over.  reindex and apply_zset inherit the
+    lease through the build/apply_delta they delegate to (no
+    nesting)."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        from vcf_pg_loader_spark.streaming.sink import writer_lease
+
+        with writer_lease(self.root):
+            return fn(self, *args, **kwargs)
+
+    return wrapper
 
 
 class VectorIndex:
@@ -51,6 +71,7 @@ class VectorIndex:
         return os.path.isdir(self._p("meta"))
 
     # -- build ----------------------------------------------------------
+    @_leased
     def build(
         self,
         corpus: DataFrame,
@@ -110,6 +131,7 @@ class VectorIndex:
         _swap_dir(staging, self.root)
 
     # -- maintenance -----------------------------------------------------
+    @_leased
     def apply_delta(
         self,
         inserts: DataFrame | None = None,

@@ -166,15 +166,7 @@ class NearDupIngestSink(ParquetUpsertSink):
         return admitted
 
     # -- exactly-once apply --------------------------------------------
-    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        if self.applied(batch_id):
-            return
-        self._recover()
-        self._validate_params()
-        marker = self._read_marker()
-        if marker is not None and marker["batch_id"] == batch_id:
-            self._record(batch_id, marker["n_rows"])
-            return
+    def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         from pyspark.storagelevel import StorageLevel
 
@@ -268,17 +260,9 @@ class BM25IndexSink(ParquetUpsertSink):
 
         return BM25Index(spark, self.target)
 
-    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+    def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         from vcf_pg_loader_spark.sources.bm25_index import _term_bucket
 
-        if self.applied(batch_id):
-            return
-        self._recover()
-        self._validate_params()
-        marker = self._read_marker()
-        if marker is not None and marker["batch_id"] == batch_id:
-            self._record(batch_id, marker["n_rows"])
-            return
         spark = batch_df.sparkSession
         from vcf_pg_loader_spark.streaming.retract import split_zset
 
@@ -515,19 +499,11 @@ class SemDeDupIngestSink(ParquetUpsertSink):
         )
 
     # -- exactly-once apply ------------------------------------------------
-    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+    def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.storagelevel import StorageLevel
 
         from vcf_pg_loader_spark.operators import similarity as S
 
-        if self.applied(batch_id):
-            return
-        self._recover()
-        self._validate_params()
-        marker = self._read_marker()
-        if marker is not None and marker["batch_id"] == batch_id:
-            self._record(batch_id, marker["n_rows"])
-            return
         spark = batch_df.sparkSession
         from vcf_pg_loader_spark.operators.ivm import MULT
         from vcf_pg_loader_spark.streaming.retract import (

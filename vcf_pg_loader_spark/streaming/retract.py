@@ -228,15 +228,7 @@ class DedupClusterMaintSink(ParquetUpsertSink):
         finally:
             sh_new.unpersist()
 
-    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        if self.applied(batch_id):
-            return
-        self._recover()
-        self._validate_params()
-        marker = self._read_marker()
-        if marker is not None and marker["batch_id"] == batch_id:
-            self._record(batch_id, marker["n_rows"])
-            return
+    def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # consolidate BEFORE keyed dedup: an insert and a retraction of
         # the same doc in one batch must cancel, not race
@@ -362,21 +354,13 @@ class FunnelReportSink(ParquetUpsertSink):
         return rep
 
     # -- maintenance -----------------------------------------------------
-    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+    def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         from vcf_pg_loader_spark.operators.lm import (
             bigram_model,
             doc_nll_frozen,
         )
         from vcf_pg_loader_spark.queries.pipeline import quality_verdict
 
-        if self.applied(batch_id):
-            return
-        self._recover()
-        self._validate_params()
-        marker = self._read_marker()
-        if marker is not None and marker["batch_id"] == batch_id:
-            self._record(batch_id, marker["n_rows"])
-            return
         spark = batch_df.sparkSession
         # consolidate BEFORE keyed dedup: an insert and a retraction of
         # the same doc in one batch must cancel, not race
@@ -558,7 +542,7 @@ class DatasetCardSink(ParquetUpsertSink):
         return dataset_card_aggregate(stats.join(losers, "doc_id", "left"))
 
     # -- maintenance -----------------------------------------------------
-    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+    def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         from vcf_pg_loader_spark.operators.lm import (
             bigram_model,
             doc_nll_frozen,
@@ -566,14 +550,6 @@ class DatasetCardSink(ParquetUpsertSink):
         from vcf_pg_loader_spark.operators.text import tokens
         from vcf_pg_loader_spark.queries.pipeline import quality_verdict
 
-        if self.applied(batch_id):
-            return
-        self._recover()
-        self._validate_params()
-        marker = self._read_marker()
-        if marker is not None and marker["batch_id"] == batch_id:
-            self._record(batch_id, marker["n_rows"])
-            return
         spark = batch_df.sparkSession
         ins, dels = split_zset(batch_df, "doc_id")
         ins = ins.dropDuplicates(["doc_id"])
@@ -683,17 +659,9 @@ class WinnowIndexSink(ParquetUpsertSink):
             fps.select("doc_id", "fp"), max_df, min_shared
         )
 
-    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+    def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         from vcf_pg_loader_spark.operators.text import winnow_fingerprints
 
-        if self.applied(batch_id):
-            return
-        self._recover()
-        self._validate_params()
-        marker = self._read_marker()
-        if marker is not None and marker["batch_id"] == batch_id:
-            self._record(batch_id, marker["n_rows"])
-            return
         spark = batch_df.sparkSession
         ins, dels = split_zset(batch_df, "doc_id")
         ins = ins.dropDuplicates(["doc_id"])
@@ -819,17 +787,9 @@ class DecontamIndexSink(ParquetUpsertSink):
         return pairs.select("eval_id", "train_id", "n_shared")
 
     # -- maintenance -----------------------------------------------------
-    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+    def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         from vcf_pg_loader_spark.operators.sampling import assign_split
 
-        if self.applied(batch_id):
-            return
-        self._recover()
-        self._validate_params()
-        marker = self._read_marker()
-        if marker is not None and marker["batch_id"] == batch_id:
-            self._record(batch_id, marker["n_rows"])
-            return
         spark = batch_df.sparkSession
         ins, dels = split_zset(batch_df, "doc_id")
         ins = ins.dropDuplicates(["doc_id"])
