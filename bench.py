@@ -548,6 +548,29 @@ def pruned_maintenance_evidence(spark, sf_dir: str) -> dict:
             ),
         }
 
+        # -- shard-partitioned training layout -------------------------
+        from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+        ssink = TrainingShardSink(os.path.join(root, "s"))
+        ssink.apply_batch(docs, 0)
+        sdir = os.path.join(ssink.target, "layout")
+        before = _inode_size_map(sdir)
+        victim = docs.limit(1)
+        sdelta = victim.withColumn(
+            "text", F.concat(F.col("text"), F.lit(" revised"))
+        ).withColumn(MULT, F.lit(1).cast("bigint")).unionByName(
+            victim.withColumn(MULT, F.lit(-1).cast("bigint"))
+        )
+        t0 = time.perf_counter()
+        ssink.apply_batch(sdelta, 1)
+        out["shards_layout_partitioned"] = {
+            "delta_docs": 1,
+            "shards": 16,
+            **_pruned_split(
+                before, _inode_size_map(sdir), time.perf_counter() - t0
+            ),
+        }
+
         # -- cell-pruned VectorIndex delta (apply_zset) -----------------
         from vcf_pg_loader_spark.operators.ivm import MULT as _M
         from vcf_pg_loader_spark.sources.vector_index import VectorIndex

@@ -1,0 +1,136 @@
+"""Corpus-epoch stamps and the verify-consistency verb.
+
+sync-corpus stamps every lockstep-synced state with the snapshot's
+content fingerprint + batch id; verify-consistency proves N states are
+views of the same corpus (or refutes it) from the stamps alone.
+"""
+
+from __future__ import annotations
+
+import json
+
+from vcf_pg_loader_spark.cli import main
+from vcf_pg_loader_spark.streaming.sink import ParquetUpsertSink
+
+STOP = (
+    "the cat and the dog ran to the big house of the old king with a "
+    "very small bird near the open door"
+)
+
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango "
+).split()
+
+
+def _text(i: int) -> str:
+    body = " ".join(
+        WORDS[(i * 7 + j) % len(WORDS)] + WORDS[(i + j * 5) % 19]
+        for j in range(15)
+    )
+    return STOP + " " + body
+
+
+def _write_snapshot(spark, path, ids):
+    spark.createDataFrame(
+        [(i, _text(i), f"src{i % 3}") for i in ids],
+        "doc_id bigint, text string, source string",
+    ).coalesce(1).write.parquet(path)
+
+
+def _sync(state_dirs, snapshot, batch_id):
+    state, funnel, card = state_dirs
+    return main(
+        ["sync-corpus", "--state", state, "--snapshot", snapshot,
+         "--batch-id", str(batch_id), "--funnel-state", funnel,
+         "--card-state", card]
+    )
+
+
+class TestEpochStamp:
+    def test_lockstep_sync_is_consistent(self, spark, tmp_path, capsys):
+        v1 = str(tmp_path / "v1")
+        _write_snapshot(spark, v1, range(12))
+        dirs = tuple(str(tmp_path / n) for n in ("state", "funnel", "card"))
+        assert _sync(dirs, v1, 0) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "epoch_fp" in out
+
+        assert main(["verify-consistency", "--states", *dirs]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["consistent"]
+        fps = {s["epoch"]["epoch_fp"] for s in rep["states"]}
+        assert fps == {out["epoch_fp"]}
+        assert all(s["epoch_applied"] for s in rep["states"])
+
+    def test_partial_sync_detected(self, spark, tmp_path, capsys):
+        v1, v2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+        _write_snapshot(spark, v1, range(12))
+        _write_snapshot(spark, v2, [i for i in range(14) if i != 3])
+        dirs = tuple(str(tmp_path / n) for n in ("state", "funnel", "card"))
+        assert _sync(dirs, v1, 0) == 0
+        # the second sync advances ONLY the cluster state — the funnel
+        # and card are now views of the old snapshot
+        assert main(
+            ["sync-corpus", "--state", dirs[0], "--snapshot", v2,
+             "--batch-id", "1"]
+        ) == 0
+        capsys.readouterr()
+        assert main(["verify-consistency", "--states", *dirs]) == 1
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert not rep["consistent"]
+        fps = {s["epoch"]["epoch_fp"] for s in rep["states"]}
+        assert len(fps) == 2
+
+    def test_missing_stamp_detected(self, tmp_path, capsys):
+        # a state that was never epoch-stamped (built pre-stamp, or
+        # synced out of band) fails the audit rather than passing
+        bare = str(tmp_path / "bare")
+        ParquetUpsertSink(bare, key=[])._record(0, 1)
+        assert main(["verify-consistency", "--states", bare]) == 1
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert not rep["consistent"]
+        assert rep["states"][0]["epoch"] is None
+
+    def test_shards_state_syncs_lockstep(self, spark, tmp_path, capsys):
+        from vcf_pg_loader_spark.operators import shards as SH
+        from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+        v1, v2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+        _write_snapshot(spark, v1, range(20))
+        _write_snapshot(spark, v2, [i for i in range(24) if i % 9 != 4])
+        dirs = tuple(str(tmp_path / n) for n in ("state", "shards"))
+        for bid, snap in enumerate((v1, v2)):
+            assert main(
+                ["sync-corpus", "--state", dirs[0], "--snapshot", snap,
+                 "--batch-id", str(bid), "--shards-state", dirs[1]]
+            ) == 0
+        capsys.readouterr()
+        assert main(["verify-consistency", "--states", *dirs]) == 0
+        served = (
+            TrainingShardSink(dirs[1]).manifest(spark)
+            .orderBy("shard").collect()
+        )
+        scratch = (
+            SH.shard_manifest(
+                SH.shard_layout(spark.read.parquet(v2))
+            ).orderBy("shard").collect()
+        )
+        assert served == scratch
+
+    def test_epoch_fp_is_content_keyed(self, spark, tmp_path, capsys):
+        # identical snapshot content at a different path -> same fp
+        v1, v1b = str(tmp_path / "v1"), str(tmp_path / "v1b")
+        _write_snapshot(spark, v1, range(8))
+        _write_snapshot(spark, v1b, range(8))
+        d1 = tuple(str(tmp_path / n) for n in ("s1", "f1", "c1"))
+        d2 = tuple(str(tmp_path / n) for n in ("s2", "f2", "c2"))
+        assert _sync(d1, v1, 0) == 0
+        out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert _sync(d2, v1b, 0) == 0
+        out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out1["epoch_fp"] == out2["epoch_fp"]
+        # and the two pipelines cross-verify as one corpus
+        assert main(
+            ["verify-consistency", "--states", *d1, *d2]
+        ) == 0

@@ -1,0 +1,244 @@
+"""Training-shard layout (operators/shards.py, streaming/shards.py).
+
+Packing invariants, incremental-equals-scratch maintenance, replay
+idempotence, parameter-fingerprint refusal, and the inode-level pin
+that a small delta rewrites only the touched shard partitions.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from vcf_pg_loader_spark.operators import shards as SH
+from vcf_pg_loader_spark.operators.ivm import MULT, zset_snapshot_delta
+from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+WORDS = "alpha bravo charlie delta echo foxtrot golf hotel india".split()
+
+
+def _docs(spark, ids):
+    rows = [
+        (i, " ".join(WORDS[(i + j) % len(WORDS)] for j in range((i % 17) + 3)))
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _scratch(docs):
+    return (
+        SH.shard_manifest(SH.shard_layout(docs))
+        .orderBy("shard")
+        .collect()
+    )
+
+
+def _served(sink, spark):
+    return sink.manifest(spark).orderBy("shard").collect()
+
+
+class TestLayoutInvariants:
+    def test_offsets_contiguous_per_shard(self, spark):
+        lay = SH.shard_layout(_docs(spark, range(200))).collect()
+        by_shard: dict[int, list] = {}
+        for r in lay:
+            by_shard.setdefault(r.shard, []).append(r)
+        assert len(by_shard) > 1
+        for rows in by_shard.values():
+            rows.sort(key=lambda r: (r.okey, r.doc_id))
+            pos = 0
+            for r in rows:
+                assert r.start_offset == pos
+                assert r.first_seq == pos // SH.SEQ_LEN
+                last = pos + r.n_tokens - 1
+                assert r.n_crossings == last // SH.SEQ_LEN - r.first_seq
+                pos += r.n_tokens
+
+    def test_assignment_is_pure_function_of_id(self, spark):
+        a = {
+            r.doc_id: (r.shard, r.okey)
+            for r in SH.shard_layout(_docs(spark, range(50))).collect()
+        }
+        # a different corpus containing some of the same ids assigns
+        # them identically — the property that confines deltas
+        b = {
+            r.doc_id: (r.shard, r.okey)
+            for r in SH.shard_layout(
+                _docs(spark, range(0, 100, 2))
+            ).collect()
+        }
+        for i in set(a) & set(b):
+            assert a[i] == b[i]
+
+    def test_manifest_covers_packing(self, spark):
+        docs = _docs(spark, range(120))
+        man = {r.shard: r for r in _scratch(docs)}
+        lay = SH.shard_layout(docs).collect()
+        for s, r in man.items():
+            toks = sum(x.n_tokens for x in lay if x.shard == s)
+            assert r.n_tokens == toks
+            assert r.n_seqs == -(-toks // SH.SEQ_LEN)
+
+
+class TestShardSequences:
+    def test_spans_tile_sequences_and_documents(self, spark):
+        docs = _docs(spark, range(180))
+        lay = SH.shard_layout(docs)
+        spans = SH.shard_sequences(lay).collect()
+
+        # every document's spans tile [0, n_tokens) in order
+        ntok = {r.doc_id: r.n_tokens for r in lay.collect()}
+        by_doc: dict[int, list] = {}
+        for r in spans:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for d, rows in by_doc.items():
+            rows.sort(key=lambda r: r.tok_start)
+            pos = 0
+            for r in rows:
+                assert r.tok_start == pos
+                assert r.tok_len > 0
+                pos += r.tok_len
+            assert pos == ntok[d]
+
+        # every sequence's spans tile [0, seq_len) except the shard's
+        # final (ragged) sequence
+        by_seq: dict[tuple, list] = {}
+        for r in spans:
+            by_seq.setdefault((r.shard, r.seq_id), []).append(r)
+        last_seq = {}
+        for (s, q) in by_seq:
+            last_seq[s] = max(last_seq.get(s, -1), q)
+        for (s, q), rows in by_seq.items():
+            rows.sort(key=lambda r: r.seq_off)
+            pos = 0
+            for r in rows:
+                assert r.seq_off == pos
+                pos += r.tok_len
+            if q < last_seq[s]:
+                assert pos == SH.SEQ_LEN
+            else:
+                assert 0 < pos <= SH.SEQ_LEN
+
+
+class TestMaintainedShards:
+    def test_incremental_equals_scratch(self, spark, tmp_path):
+        sink = TrainingShardSink(str(tmp_path / "state"))
+        d0 = _docs(spark, range(100))
+        sink.apply_batch(d0.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        assert _served(sink, spark) == _scratch(d0)
+
+        # delete some, change some, insert some — one Z-set batch
+        d1 = _docs(spark, [i for i in range(130) if i % 9 != 4]).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 11 == 3,
+                F.concat(F.col("text"), F.lit(" changed")),
+            ).otherwise(F.col("text")),
+        )
+        sink.apply_batch(zset_snapshot_delta(d0, d1, "doc_id"), 1)
+        assert _served(sink, spark) == _scratch(d1)
+        lay = (
+            sink.layout(spark)
+            .orderBy("shard", "okey", "doc_id")
+            .drop("shard")
+            .collect()
+        )
+        scratch_lay = (
+            SH.shard_layout(d1)
+            .orderBy("shard", "okey", "doc_id")
+            .drop("shard")
+            .collect()
+        )
+        assert lay == scratch_lay
+
+    def test_replay_is_noop(self, spark, tmp_path):
+        sink = TrainingShardSink(str(tmp_path / "state"))
+        d0 = _docs(spark, range(40))
+        sink.apply_batch(d0.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        before = _served(sink, spark)
+        sink.apply_batch(d0.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        assert _served(sink, spark) == before
+
+    def test_param_mismatch_refused(self, spark, tmp_path):
+        t = str(tmp_path / "state")
+        sink = TrainingShardSink(t)
+        sink.apply_batch(
+            _docs(spark, range(20)).withColumn(
+                MULT, F.lit(1).cast("bigint")
+            ),
+            0,
+        )
+        other = TrainingShardSink(t, seq_len=SH.SEQ_LEN * 2)
+        with pytest.raises(ValueError, match="parameters"):
+            other.apply_batch(
+                _docs(spark, range(20, 25)).withColumn(
+                    MULT, F.lit(1).cast("bigint")
+                ),
+                1,
+            )
+
+    def test_fully_retracted_shard_vanishes(self, spark, tmp_path):
+        sink = TrainingShardSink(str(tmp_path / "state"))
+        d0 = _docs(spark, range(60))
+        sink.apply_batch(d0.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        # retract every doc of one shard
+        sh = {r.doc_id: r.shard for r in SH.shard_layout(d0).collect()}
+        victim = sh[0]
+        keep_ids = [i for i, s in sh.items() if s != victim]
+        d1 = _docs(spark, keep_ids)
+        sink.apply_batch(zset_snapshot_delta(d0, d1, "doc_id"), 1)
+        served = _served(sink, spark)
+        assert victim not in {r.shard for r in served}
+        assert served == _scratch(d1)
+
+
+class TestPrunedShardWrites:
+    def _inodes(self, table_dir):
+        out = {}
+        for entry in os.listdir(table_dir):
+            p = os.path.join(table_dir, entry)
+            if "=" in entry and os.path.isdir(p):
+                out[entry] = {
+                    f: os.stat(os.path.join(p, f)).st_ino
+                    for f in os.listdir(p)
+                    if not f.startswith(("_", "."))
+                }
+        return out
+
+    def test_untouched_shards_hard_link(self, spark, tmp_path):
+        t = str(tmp_path / "state")
+        sink = TrainingShardSink(t)
+        d0 = _docs(spark, range(150))
+        sink.apply_batch(d0.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        before = {
+            tbl: self._inodes(os.path.join(t, tbl))
+            for tbl in ("layout", "manifest")
+        }
+
+        # one changed doc -> exactly one touched shard
+        d1 = d0.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") == 7,
+                F.concat(F.col("text"), F.lit(" moved")),
+            ).otherwise(F.col("text")),
+        )
+        sink.apply_batch(zset_snapshot_delta(d0, d1, "doc_id"), 1)
+        touched = f"shard={[r.shard for r in SH.shard_layout(d1).filter(F.col('doc_id') == 7).collect()][0]}"
+
+        for tbl in ("layout", "manifest"):
+            after = self._inodes(os.path.join(t, tbl))
+            assert touched in after
+            same = [
+                p
+                for p in after
+                if p != touched and after[p] == before[tbl][p]
+            ]
+            # every untouched shard directory survived by hard-link
+            assert len(same) == len(after) - 1
+            assert after[touched] != before[tbl].get(touched)
+        assert _served(sink, spark) == _scratch(d1)

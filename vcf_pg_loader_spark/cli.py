@@ -539,7 +539,35 @@ def cmd_sync_corpus(args) -> int:
         (r[MULT]): r["n"]
         for r in delta.groupBy(MULT).agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    # corpus-epoch identity: an order-independent content fingerprint
+    # of the snapshot every lockstep sink is about to be synced to —
+    # stamped beside each state after its apply, so verify-consistency
+    # can prove (or refute) that N states are views of the SAME corpus
+    # without re-reading any of them.  One narrow agg over the
+    # already-loaded snapshot.
+    from vcf_pg_loader_spark.functions.hashing import h60
+
+    ep = new.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(
+            F.bit_xor(
+                h60(
+                    F.concat_ws(
+                        ":", F.col("doc_id").cast("string"), F.md5("text")
+                    ),
+                    "epoch:",
+                )
+            ),
+            F.lit(0),
+        ).alias("fp"),
+    ).collect()[0]
+    epoch = {
+        "epoch_fp": int(ep.fp),
+        "n_docs": int(ep.n_docs),
+        "batch_id": args.batch_id,
+    }
     sink.apply_batch(delta, args.batch_id)
+    sink.stamp_epoch(epoch)
     if args.funnel_state:
         # the funnel's own corpus/ holds quality+LM SURVIVORS only, so
         # it cannot self-diff — it consumes the delta computed against
@@ -548,19 +576,30 @@ def cmd_sync_corpus(args) -> int:
         # same batch ids); exactly-once per state via each sink's ledger
         from vcf_pg_loader_spark.streaming.retract import FunnelReportSink
 
-        FunnelReportSink(
+        funnel_sink = FunnelReportSink(
             args.funnel_state, args.nll_max, args.ngram, args.minhash_k,
             args.bands, args.threshold,
-        ).apply_batch(delta, args.batch_id)
+        )
+        funnel_sink.apply_batch(delta, args.batch_id)
+        funnel_sink.stamp_epoch(epoch)
     if args.decontam_state:
         # same lockstep rule as --funnel-state: the decontamination
         # index consumes the delta computed against the cluster state's
         # corpus, exactly-once via its own ledger
         from vcf_pg_loader_spark.streaming.retract import DecontamIndexSink
 
-        DecontamIndexSink(args.decontam_state, args.ngram).apply_batch(
-            delta, args.batch_id
-        )
+        dec_sink = DecontamIndexSink(args.decontam_state, args.ngram)
+        dec_sink.apply_batch(delta, args.batch_id)
+        dec_sink.stamp_epoch(epoch)
+    if args.shards_state:
+        # the training-shard layout syncs from the same text-keyed
+        # delta (a doc's shard/order/length are pure functions of the
+        # row): only the touched shards repack, lockstep like the rest
+        from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+        shard_sink = TrainingShardSink(args.shards_state)
+        shard_sink.apply_batch(delta, args.batch_id)
+        shard_sink.stamp_epoch(epoch)
     if args.card_state:
         # The release card diffs ITS OWN state against the snapshot, on
         # (content-fingerprint, source) — NOT the text-keyed delta the
@@ -617,6 +656,7 @@ def cmd_sync_corpus(args) -> int:
             .localCheckpoint(eager=True)
         )
         card_sink.apply_batch(card_delta, args.batch_id)
+        card_sink.stamp_epoch(epoch)
     kept = sink.keep(spark)
     if args.out:
         corpus = sink._table(spark, "corpus")
@@ -633,10 +673,51 @@ def cmd_sync_corpus(args) -> int:
                 "docs_in_state": sink._table(spark, "corpus").count(),
                 "docs_kept": kept.count(),
                 "out": args.out,
+                "epoch_fp": epoch["epoch_fp"],
             }
         )
     )
     return 0
+
+
+def cmd_verify_consistency(args) -> int:
+    """Prove (or refute) that N maintained states are views of the SAME
+    corpus snapshot: every state must carry an epoch stamp (written by
+    sync-corpus after its apply) with the same content fingerprint and
+    batch id, and that batch id must be in the state's exactly-once
+    ledger.  A partial lockstep sync — crash between sinks, a sink
+    added later, an operator syncing one state out of band — shows up
+    as a mismatched or missing stamp here instead of as silently
+    diverged reports.  Reads only the small JSON artifacts beside each
+    state, never the data."""
+    from vcf_pg_loader_spark.streaming.sink import ParquetUpsertSink
+
+    states = []
+    for root in args.states:
+        sink = ParquetUpsertSink(root, key=[])
+        ep = sink.read_epoch()
+        states.append(
+            {
+                "state": root.rstrip("/"),
+                "epoch": ep,
+                "epoch_applied": (
+                    ep is not None and ep["batch_id"] in sink.applied_ids()
+                ),
+            }
+        )
+    fps = {
+        (s["epoch"]["epoch_fp"], s["epoch"]["batch_id"])
+        for s in states
+        if s["epoch"] is not None
+    }
+    consistent = (
+        len(states) > 0
+        and all(s["epoch"] is not None for s in states)
+        and all(s["epoch_applied"] for s in states)
+        and len(fps) == 1
+    )
+    print(json.dumps({"consistent": consistent, "states": states}))
+    return 0 if consistent else 1
 
 
 def cmd_compact_ledger(args) -> int:
@@ -898,12 +979,23 @@ def build_parser() -> argparse.ArgumentParser:
                          "state (must be synced in lockstep with --state); "
                          "the snapshot's source column rides along when "
                          "present")
+    sp.add_argument("--shards-state",
+                    help="also apply the delta to this TrainingShardSink "
+                         "state (must be synced in lockstep with --state)")
     sp.add_argument("--nll-max", type=float, default=NLL_MAX,
                     help="LM gate threshold for --funnel-state")
     sp.add_argument("--ngram", type=int, default=NGRAM)
     sp.add_argument("--minhash-k", type=int, default=MINHASH_K)
     sp.add_argument("--bands", type=int, default=MINHASH_BANDS)
     sp.add_argument("--threshold", type=float, default=JACCARD_T)
+
+    sp = add("verify-consistency", cmd_verify_consistency,
+             help="check that N maintained states carry the same "
+                  "corpus-epoch stamp (lockstep-sync audit); exit 1 "
+                  "on mismatch")
+    sp.add_argument("--states", required=True, nargs="+",
+                    help="the sink state dirs that should be views of "
+                         "one corpus snapshot")
 
     sp = add("state-stats", cmd_state_stats,
              help="audit a maintained state dir: per-table rows/bytes, "

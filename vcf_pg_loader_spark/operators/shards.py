@@ -1,0 +1,281 @@
+"""Training-shard layout: the corpus's final load-ready form.
+
+A curation pipeline's end product is not a report — it is the shard
+files a trainer streams.  This module computes that layout with three
+deterministic stages, each a pure function of the document set so the
+whole thing is incrementally maintainable (streaming/shards.py) and
+oracle-checkable:
+
+  1. **Stable shard assignment** — ``shard = h60(doc_id, salt) mod
+     n_shards``.  A document's shard never depends on other rows, so a
+     corpus delta touches exactly the shards of the changed documents;
+     at 100 TB ``n_shards`` is sized so one shard (corpus_bytes /
+     n_shards) fits a repack task comfortably.
+  2. **Deterministic within-shard shuffle** — documents order by a
+     second, independent hash (the epoch-shuffle trick,
+     queries/pipeline.py q_epoch_shuffle): trainers see a fixed
+     pseudo-random order without a global sort, and the order is
+     reproducible from doc ids alone.
+  3. **Concat-and-cut packing** — the shard's token stream is cut into
+     ``seq_len``-token sequences (the same semantics as
+     operators/chunking.py pack_contiguous); each document records its
+     start offset, first sequence, and boundary crossings.
+
+The per-shard **manifest** (doc/token/sequence counts plus an
+order-independent ``bit_xor`` content fingerprint over the packed
+rows) is the integrity artifact a trainer checks before reading.
+
+Reference parity: the reference stages load-ready batches before COPY
+(vcf_pg_loader's batched ``copy_records_to_table`` flow,
+loader.py:204-238); this is that staging step re-expressed as a
+deterministic, resumable layout over a distributed corpus.
+
+Scale notes: stage 1 and 2 are narrow column expressions; the only
+wide operation is the per-shard window in stage 3, which shuffles on
+``shard`` — one shuffle, partition count = n_shards, each task a
+single shard's stream.  The manifest is one map-side-combinable
+aggregate over the layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vcf_pg_loader_spark.functions.hashing import h60, sql_h60
+from vcf_pg_loader_spark.operators.text import tokens
+
+N_SHARDS = 16
+SEQ_LEN = 512
+SHARD_SALT = "shard:"
+ORDER_SALT = "sorder:"
+FP_SALT = "sfp:"
+
+
+def shard_of(id_col: Column, n_shards: int = N_SHARDS) -> Column:
+    """Stable shard in [0, n_shards) from the document id alone."""
+    return F.pmod(h60(id_col.cast("string"), SHARD_SALT), F.lit(n_shards))
+
+
+def sql_shard_of(expr: str, n_shards: int = N_SHARDS) -> str:
+    h = sql_h60(f"CAST({expr} AS VARCHAR)", SHARD_SALT)
+    return f"((({h}) % {n_shards}) + {n_shards}) % {n_shards}"
+
+
+def order_key(id_col: Column) -> Column:
+    """Deterministic pseudo-random within-shard order key, independent
+    of the shard hash (different salt)."""
+    return h60(id_col.cast("string"), ORDER_SALT)
+
+
+def sql_order_key(expr: str) -> str:
+    return sql_h60(f"CAST({expr} AS VARCHAR)", ORDER_SALT)
+
+
+def shard_layout_from_lengths(
+    base: DataFrame, seq_len: int = SEQ_LEN
+) -> DataFrame:
+    """Packing stage over per-doc facts (doc_id, shard, okey, n_tokens):
+    within each shard, documents in (okey, doc_id) order lay end-to-end
+    and cut into ``seq_len``-token sequences.  Split out from
+    :func:`shard_layout` so the maintenance sink can repack ONLY touched
+    shards from persisted lengths — the window partitions by shard, so
+    feeding it a touched-shards-only frame recomputes exactly those."""
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("okey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    first_seq = F.floor(start / seq_len)
+    last_seq = F.floor((cum - 1) / seq_len)
+    return base.select(
+        "doc_id",
+        "shard",
+        "okey",
+        "n_tokens",
+        start.cast("bigint").alias("start_offset"),
+        first_seq.cast("bigint").alias("first_seq"),
+        (last_seq - first_seq).cast("int").alias("n_crossings"),
+    )
+
+
+def shard_base(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = N_SHARDS,
+) -> DataFrame:
+    """Per-doc pure facts the layout derives from: id, shard, order
+    key, token count.  Everything downstream (packing, manifest) is a
+    function of this frame alone — the property that makes the
+    maintained form's per-doc work O(|delta|)."""
+    c = F.col(id_col)
+    return df.select(
+        c.alias("doc_id"),
+        shard_of(c, n_shards).alias("shard"),
+        order_key(c).alias("okey"),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+
+
+def shard_layout(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = N_SHARDS,
+    seq_len: int = SEQ_LEN,
+) -> DataFrame:
+    """Full layout from raw documents: assignment + order + packing."""
+    return shard_layout_from_lengths(
+        shard_base(df, id_col, text_col, n_shards), seq_len
+    )
+
+
+def _row_fp() -> Column:
+    return h60(
+        F.concat_ws(
+            ":",
+            F.col("doc_id").cast("string"),
+            F.col("n_tokens").cast("string"),
+            F.col("start_offset").cast("string"),
+        ),
+        FP_SALT,
+    )
+
+
+def shard_manifest(layout: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
+    """Per-shard integrity manifest over a layout frame.  ``shard_fp``
+    is an order-independent bit_xor of per-row hashes that COVER the
+    packed offsets — two states with the same doc set but different
+    packing disagree, so a trainer (or the oracle) can verify a served
+    layout without reading the documents."""
+    return layout.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.floor((F.sum("n_tokens") + seq_len - 1) / seq_len)
+        .cast("bigint")
+        .alias("n_seqs"),
+        F.bit_xor(_row_fp()).alias("shard_fp"),
+    )
+
+
+def shard_sequences(layout: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
+    """Expand the layout into per-(sequence, document) spans: which
+    token range of which document fills each training sequence.  A
+    document spanning k boundaries contributes k+1 rows — generated
+    with F.sequence/explode (narrow, JVM-side), never a join against a
+    sequence table.  ``tok_start`` is the document-local offset of the
+    span; ``seq_off`` is where it lands inside the sequence — together
+    they are the recipe a loader executes to assemble sequence bytes
+    from document bytes."""
+    seqs = F.sequence(
+        F.col("first_seq"), F.col("first_seq") + F.col("n_crossings")
+    )
+    e = layout.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_offset",
+        F.explode(seqs).alias("seq_id"),
+    )
+    span_lo = F.greatest(F.col("start_offset"), F.col("seq_id") * seq_len)
+    span_hi = F.least(
+        F.col("start_offset") + F.col("n_tokens"),
+        (F.col("seq_id") + 1) * seq_len,
+    )
+    return e.select(
+        "shard",
+        "seq_id",
+        "doc_id",
+        (span_lo - F.col("start_offset")).cast("bigint").alias("tok_start"),
+        (span_hi - span_lo).cast("bigint").alias("tok_len"),
+        (span_lo - F.col("seq_id") * seq_len).cast("bigint").alias("seq_off"),
+    )
+
+
+# -- DuckDB twins ----------------------------------------------------------
+
+
+def sql_shard_layout(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = N_SHARDS,
+    seq_len: int = SEQ_LEN,
+) -> str:
+    """DuckDB twin of :func:`shard_layout` (tokens = whitespace split,
+    same as operators/text.py tokens)."""
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id,
+         {sql_shard_of(id_col, n_shards)} AS shard,
+         {sql_order_key(id_col)} AS okey,
+         CAST(len(string_split({text_col}, ' ')) AS BIGINT) AS n_tokens
+  FROM {table}
+), packed AS (
+  SELECT doc_id, shard, okey, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY okey, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, okey, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST(FLOOR((cum - n_tokens) / {seq_len}) AS BIGINT) AS first_seq,
+       CAST(FLOOR((cum - 1) / {seq_len})
+            - FLOOR((cum - n_tokens) / {seq_len}) AS INT) AS n_crossings
+FROM packed
+"""
+
+
+def sql_shard_sequences(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = N_SHARDS,
+    seq_len: int = SEQ_LEN,
+) -> str:
+    """DuckDB twin of :func:`shard_sequences` over a raw table."""
+    layout = sql_shard_layout(table, id_col, text_col, n_shards, seq_len)
+    return f"""
+WITH layout AS ({layout}), e AS (
+  SELECT doc_id, shard, n_tokens, start_offset, CAST(s AS BIGINT) AS seq_id
+  FROM layout, UNNEST(range(first_seq, first_seq + n_crossings + 1)) AS t(s)
+)
+SELECT shard, seq_id, doc_id,
+       CAST(GREATEST(start_offset, seq_id * {seq_len})
+            - start_offset AS BIGINT) AS tok_start,
+       CAST(LEAST(start_offset + n_tokens, (seq_id + 1) * {seq_len})
+            - GREATEST(start_offset, seq_id * {seq_len}) AS BIGINT)
+         AS tok_len,
+       CAST(GREATEST(start_offset, seq_id * {seq_len})
+            - seq_id * {seq_len} AS BIGINT) AS seq_off
+FROM e
+"""
+
+
+def sql_shard_manifest(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = N_SHARDS,
+    seq_len: int = SEQ_LEN,
+) -> str:
+    layout = sql_shard_layout(table, id_col, text_col, n_shards, seq_len)
+    fp_expr = sql_h60(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)"
+        " || ':' || CAST(start_offset AS VARCHAR)",
+        FP_SALT,
+    )
+    return f"""
+WITH layout AS ({layout})
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(FLOOR((SUM(n_tokens) + {seq_len} - 1) / {seq_len}) AS BIGINT)
+         AS n_seqs,
+       CAST(bit_xor({fp_expr}) AS BIGINT) AS shard_fp
+FROM layout
+GROUP BY shard
+"""

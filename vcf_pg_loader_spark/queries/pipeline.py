@@ -49,6 +49,7 @@ STATE_VERSIONS = {
     "funnel": 10.1,  # drop-reason funnel state (per-doc tables bucketed)
     "card": 10.1,    # maintained dataset-card state (stats/fp bucketed)
     "decontam": 10,  # maintained decontamination index (new in round 10)
+    "shards": 11,    # maintained training-shard layout (new in round 11)
 }
 
 # _served_root name -> structure group; every persisted root must be
@@ -82,6 +83,7 @@ _STRUCTURE_OF = {
     "cdc_card": "card",
     "cdc_card_srcmove": "card",
     "zdel_decontam": "decontam",
+    "cdc_shards": "shards",
 }
 
 
@@ -3890,6 +3892,209 @@ Q_CDC_CARD_SOURCE_MOVE_SQL = Q_CDC_CARD_SQL
 
 
 # --------------------------------------------------------------------------
+# training-shard layout (operators/shards.py): the corpus's load-ready
+# form — stable hash sharding, deterministic within-shard shuffle order,
+# concat-and-cut packing into SEQ_LEN-token sequences, and a per-shard
+# integrity manifest (order-independent bit_xor content fingerprint).
+# One shuffle (the per-shard packing window); everything else is narrow.
+# --------------------------------------------------------------------------
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators import shards as SHD
+
+    docs = load_table(spark, sf_dir, "documents")
+    return SHD.shard_manifest(SHD.shard_layout(docs))
+
+
+def _training_shards_sql() -> str:
+    from vcf_pg_loader_spark.operators.shards import sql_shard_manifest
+
+    return sql_shard_manifest()
+
+
+Q_TRAINING_SHARDS_SQL = _training_shards_sql()
+
+# layout detail pinned on a quarter of the shards (bounded output; the
+# packing semantics are identical in every shard)
+SHARD_LAYOUT_MAX = 4
+
+
+def q_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators import shards as SHD
+
+    docs = load_table(spark, sf_dir, "documents")
+    return SHD.shard_layout(docs).filter(
+        F.col("shard") < SHARD_LAYOUT_MAX
+    )
+
+
+def _shard_layout_sql() -> str:
+    from vcf_pg_loader_spark.operators.shards import sql_shard_layout
+
+    return (
+        f"SELECT * FROM ({sql_shard_layout()})"
+        f" WHERE shard < {SHARD_LAYOUT_MAX}"
+    )
+
+
+Q_SHARD_LAYOUT_SQL = _shard_layout_sql()
+
+
+def q_shard_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layout expanded to per-(sequence, document) spans — the
+    exact recipe a loader executes to assemble each training sequence
+    from document token ranges.  Narrow F.sequence/explode over the
+    layout; same bounded-shard cut as q_shard_layout."""
+    from vcf_pg_loader_spark.operators import shards as SHD
+
+    docs = load_table(spark, sf_dir, "documents")
+    return SHD.shard_sequences(SHD.shard_layout(docs)).filter(
+        F.col("shard") < SHARD_LAYOUT_MAX
+    )
+
+
+def _shard_sequences_sql() -> str:
+    from vcf_pg_loader_spark.operators.shards import sql_shard_sequences
+
+    return (
+        f"SELECT * FROM ({sql_shard_sequences()})"
+        f" WHERE shard < {SHARD_LAYOUT_MAX}"
+    )
+
+
+Q_SHARD_SEQUENCES_SQL = _shard_sequences_sql()
+
+
+def q_cdc_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifests after a snapshot sync: TrainingShardSink
+    bootstraps on the OLD snapshot, then ONE zset_snapshot_delta batch
+    moves the layout to the NEW snapshot — only the touched shards
+    repack (their surviving lengths come from the persisted layout, the
+    window partitions by shard) and only their partition directories
+    rewrite; untouched shards hard-link through the swap.  Oracle: the
+    manifest recomputed over exactly the new snapshot — packing offsets
+    ride the fingerprint, so a stale or mis-packed shard hash-fails."""
+    from vcf_pg_loader_spark.operators.ivm import MULT, zset_snapshot_delta
+    from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old, new = _cdc_snapshots(docs)
+    root = _served_root(sf_dir, "cdc_shards", "documents.parquet")
+    sink = TrainingShardSink(f"{root}/state")
+    if not sink.applied(1):
+        sink.apply_batch(old.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        sink.apply_batch(zset_snapshot_delta(old, new, "doc_id"), 1)
+    return sink.manifest(spark)
+
+
+def _cdc_shards_sql() -> str:
+    from vcf_pg_loader_spark.operators.shards import sql_shard_manifest
+
+    return sql_shard_manifest(
+        table=(
+            f"(SELECT doc_id, text FROM documents"
+            f" WHERE {CDC_NEW_RETAIN_SQL})"
+        )
+    )
+
+
+Q_CDC_SHARDS_SQL = _cdc_shards_sql()
+
+
+# --------------------------------------------------------------------------
+# tokenizer-vocabulary induction (operators/vocab.py): BPE merges learn
+# from the WORD-FREQUENCY table (Heaps'-law sized), never the corpus —
+# the trainer's iterated argmax is pytest-pinned against a pure-Python
+# BPE (tests/test_vocab.py); the oracled surface here is the stage the
+# merges consume (iteration-0 pair statistics) and the coverage curve a
+# vocab-size decision reads.
+# --------------------------------------------------------------------------
+BPE_PAIRS_TOP = 20
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators import vocab as VB
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = VB.pair_counts(VB.to_symbol_table(VB.word_counts(docs)))
+    # single-char alphabet² frame — the orderBy/limit compiles to
+    # TakeOrderedAndProject over a tiny input
+    return pairs.orderBy(
+        F.desc("cnt"), F.col("a"), F.col("b")
+    ).limit(BPE_PAIRS_TOP)
+
+
+Q_BPE_PAIRS_SQL = f"""
+WITH wc AS (
+  SELECT w AS word, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) > 0 GROUP BY w
+), pairs AS (
+  SELECT substr(word, CAST(i AS INT), 1) AS a,
+         substr(word, CAST(i AS INT) + 1, 1) AS b,
+         SUM(cnt) AS cnt
+  FROM wc, UNNEST(range(1, len(word))) AS t(i)
+  GROUP BY 1, 2
+)
+SELECT a, b, CAST(cnt AS BIGINT) AS cnt
+FROM pairs ORDER BY cnt DESC, a, b LIMIT {BPE_PAIRS_TOP}
+"""
+
+# coverage checkpoints a vocab-size decision actually reads (the
+# synthetic corpus holds ~31 word types; real corpora would use
+# 10/100/1000-style checkpoints — the plan shape is identical)
+VOCAB_COVERAGE_KS = (5, 10, 20, 30)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative corpus-token share of the top-K words — the curve
+    that sizes a vocabulary (how much of the stream the top 1000 types
+    already cover).  The top-K cut is TakeOrderedAndProject; the
+    running sum windows over the K surviving rows only, never the full
+    type table."""
+    from vcf_pg_loader_spark.operators import vocab as VB
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = VB.word_counts(docs)
+    total = wc.agg(F.sum("cnt").alias("total"))
+    kmax = max(VOCAB_COVERAGE_KS)
+    top = wc.orderBy(F.desc("cnt"), "word").limit(kmax)
+    w = (
+        Window.orderBy(F.desc("cnt"), "word")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), "word"))
+        .alias("k"),
+        F.sum("cnt").over(w).alias("cum_cnt"),
+    ).filter(F.col("k").isin(list(VOCAB_COVERAGE_KS)))
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "k",
+        "cum_cnt",
+        F.round(F.col("cum_cnt") * 1.0 / F.col("total"), 6).alias(
+            "coverage"
+        ),
+    )
+
+
+Q_VOCAB_COVERAGE_SQL = f"""
+WITH wc AS (
+  SELECT w AS word, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) > 0 GROUP BY w
+), ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS k,
+         SUM(cnt) OVER (ORDER BY cnt DESC, word
+                        ROWS UNBOUNDED PRECEDING) AS cum_cnt
+  FROM wc
+)
+SELECT CAST(k AS INT) AS k, CAST(cum_cnt AS BIGINT) AS cum_cnt,
+       ROUND(cum_cnt * 1.0 / (SELECT SUM(cnt) FROM wc), 6) AS coverage
+FROM ranked WHERE k IN {VOCAB_COVERAGE_KS}
+"""
+
+
+# --------------------------------------------------------------------------
 # KMV distinct sketch (operators/sketch.py): estimated distinct users
 # per event type — the deterministic, mergeable alternative to HLL whose
 # estimate the DuckDB oracle reproduces bit-for-bit (HLL register
@@ -4187,6 +4392,12 @@ QUERIES = {
     "q_cdc_decontam_eval": q_cdc_decontam_eval,
     "q_cdc_card": q_cdc_card,
     "q_cdc_card_source_move": q_cdc_card_source_move,
+    "q_training_shards": q_training_shards,
+    "q_shard_layout": q_shard_layout,
+    "q_shard_sequences": q_shard_sequences,
+    "q_cdc_shards": q_cdc_shards,
+    "q_bpe_pairs": q_bpe_pairs,
+    "q_vocab_coverage": q_vocab_coverage,
     "q_ann_cell_stats": q_ann_cell_stats,
     "q_ann_reindex": q_ann_reindex,
     "q_dataset_card_retract": q_dataset_card_retract,
@@ -4274,6 +4485,12 @@ ORACLE = {
     "q_cdc_decontam_eval": Q_CDC_DECONTAM_EVAL_SQL,
     "q_cdc_card": Q_CDC_CARD_SQL,
     "q_cdc_card_source_move": Q_CDC_CARD_SOURCE_MOVE_SQL,
+    "q_training_shards": Q_TRAINING_SHARDS_SQL,
+    "q_shard_layout": Q_SHARD_LAYOUT_SQL,
+    "q_shard_sequences": Q_SHARD_SEQUENCES_SQL,
+    "q_cdc_shards": Q_CDC_SHARDS_SQL,
+    "q_bpe_pairs": Q_BPE_PAIRS_SQL,
+    "q_vocab_coverage": Q_VOCAB_COVERAGE_SQL,
     "q_ann_cell_stats": Q_ANN_CELL_STATS_SQL,
     "q_ann_reindex": Q_ANN_REINDEX_SQL,
     "q_dataset_card_retract": Q_DATASET_CARD_RETRACT_SQL,

@@ -419,6 +419,31 @@ class ParquetUpsertSink:
     def _lease(self):
         return writer_lease(self.target)
 
+    # -- corpus-epoch stamp ----------------------------------------------
+    # Lockstep multi-sink syncs (cli.py sync-corpus) need an auditable
+    # answer to "are these states views of the SAME corpus snapshot?".
+    # The epoch stamp — snapshot content fingerprint + batch id — lives
+    # BESIDE the target (like the lease and ledger: the target directory
+    # itself is replaced wholesale by swaps) and is written after a
+    # successful apply.  It is advisory metadata: a missing or
+    # mismatched stamp never corrupts state, it makes the partial-sync
+    # window DETECTABLE (cli.py verify-consistency) instead of silent.
+    def _epoch_path(self) -> str:
+        return f"{self.target}_epoch.json"
+
+    def stamp_epoch(self, epoch: dict) -> None:
+        tmp = self._epoch_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(epoch, fh, sort_keys=True)
+        os.replace(tmp, self._epoch_path())
+
+    def read_epoch(self) -> dict | None:
+        p = self._epoch_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
     # -- crash recovery --------------------------------------------------
     def _old_path(self) -> str:
         return f"{self.target}_old"
