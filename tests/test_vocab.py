@@ -100,6 +100,24 @@ class TestTrainBPE:
             # concatenating the BPE tokens reconstructs the words
             assert "".join(r.bpe_tokens) == r.text.replace(" ", "")
 
+    def test_arrow_encoder_equals_expression_path(self, spark, sf_dir):
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .limit(200)
+        )
+        merges = V.train_bpe(docs, n_merges=20)
+        assert len(merges) >= 10
+        expr = {
+            r.doc_id: r.bpe_tokens
+            for r in V.apply_bpe(docs, merges).collect()
+        }
+        arrow = {
+            r.doc_id: r.bpe_tokens
+            for r in V.apply_bpe_arrow(docs, merges).collect()
+        }
+        assert expr == arrow
+
     def test_early_stop_on_min_count(self, spark):
         df = spark.createDataFrame(
             [(1, "ab cd ef")], "doc_id int, text string"

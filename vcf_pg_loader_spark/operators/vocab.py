@@ -164,3 +164,63 @@ def apply_bpe(
             word_syms, lambda s: merge_pair_expr(s, a, b)  # noqa: B023
         )
     return df.withColumn(out_col, F.flatten(word_syms))
+
+
+def apply_bpe_arrow(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """The production encode path for LONG merge lists: one Arrow-batched
+    mapInPandas pass applies every merge with a rank-priority encoder —
+    O(word_len × log) per word regardless of merge count, where the
+    expression path stacks one fold PER merge into the plan.  Pinned
+    token-for-token equal to :func:`apply_bpe` in tests/test_vocab.py
+    (rank order — lowest-rank pair first, leftmost on ties — produces
+    the same result as applying the merges sequentially).
+
+    The merge list is a driver-side constant captured in the closure
+    (exactly like the frozen-LM arrays in operators/lm.py): learned
+    distributed, broadcast implicitly with the task, never re-derived
+    per batch."""
+    from pyspark.sql.types import ArrayType, StringType, StructField
+
+    rank = {pair: i for i, pair in enumerate(merges)}
+    schema_fields = df.schema.fields + [
+        StructField(out_col, ArrayType(StringType()))
+    ]
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(schema_fields)
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        if word in cache:
+            return cache[word]
+        syms = list(word)
+        while len(syms) > 1:
+            best_i, best_r = -1, len(rank)
+            for i in range(len(syms) - 1):
+                r = rank.get((syms[i], syms[i + 1]), len(rank))
+                if r < best_r:
+                    best_i, best_r = i, r
+            if best_i < 0 or best_r >= len(rank):
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        cache[word] = syms
+        return syms
+
+    def batches(it):
+        cache: dict = {}
+        for pdf in it:
+            pdf[out_col] = [
+                [
+                    t
+                    for w in (txt.split(" ") if txt else [])
+                    for t in encode_word(w, cache)
+                ]
+                for txt in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
