@@ -112,3 +112,42 @@ class TestBPEEncode:
         )
         out = B.bpe_encode(docs, [("a", "a")]).first()
         assert list(out.pieces) == ["aa", "a", B.END]
+
+
+class TestBPEEncodeArrow:
+    def test_arrow_encoder_equals_expression_path(self, spark, sf_dir):
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .limit(200)
+        )
+        merges = B.bpe_learn(docs, n_merges=20)
+        assert len(merges) >= 10
+        expr = {
+            (r.doc_id, r.w, i): tuple(r.pieces)
+            for i, r in enumerate(B.bpe_encode(docs, merges).collect())
+        }
+        # compare as multisets keyed by (doc, word): occurrence order
+        # differs between explode outputs, segmentation must not
+        from collections import Counter
+
+        def keyed(rows):
+            c = Counter()
+            for r in rows:
+                c[(r.doc_id, r.w, tuple(r.pieces))] += 1
+            return c
+
+        assert keyed(B.bpe_encode(docs, merges).collect()) == keyed(
+            B.bpe_encode_arrow(docs, merges).collect()
+        )
+
+    def test_arrow_rank_priority_equals_sequential_on_runs(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "aaaa aaa ab abab")], "doc_id bigint, text string"
+        )
+        merges = [("a", "a"), ("a", "b"), ("ab", "ab")]
+        def keyed(rows):
+            return sorted((r.w, tuple(r.pieces)) for r in rows)
+        assert keyed(B.bpe_encode(docs, merges).collect()) == keyed(
+            B.bpe_encode_arrow(docs, merges).collect()
+        )

@@ -129,3 +129,69 @@ def bpe_encode(
     for left, right in merges:
         sym = _apply_merge(sym, left, right)
     return words.select(id_col, F.col("w"), sym.alias("pieces"))
+
+
+def bpe_encode_arrow(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The production encode for LONG merge lists (round 11): the
+    expression path stacks one fold into the plan PER merge — fine to
+    ~64 merges, pathological for a production tokenizer's thousands —
+    so this runs ONE Arrow-batched mapInPandas pass with a
+    rank-priority encoder: repeatedly merge the lowest-rank pair
+    present (leftmost on ties).  That is provably equal to replaying
+    the merges in order — a merge's operands can only be produced by
+    lower-rank merges, so while any lower-rank pair exists it is
+    always merged first — and tests/test_bpe.py pins the two paths
+    token-for-token.  A per-task word cache makes encode cost
+    O(unique words), not O(tokens).  The merge list is a driver-side
+    constant captured in the closure (like the frozen-LM arrays in
+    operators/lm.py): learned distributed, shipped with the task.
+
+    Output schema matches :func:`bpe_encode`: (id, w, pieces), one row
+    per word occurrence."""
+    from pyspark.sql.types import (
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rank = {pair: i for i, pair in enumerate(merges)}
+    no_rank = len(rank)
+
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    out_schema = StructType(
+        list(words.schema.fields)
+        + [StructField("pieces", ArrayType(StringType()))]
+    )
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        syms = list(word) + [END]
+        while len(syms) > 1:
+            best_i, best_r = -1, no_rank
+            for i in range(len(syms) - 1):
+                r = rank.get((syms[i], syms[i + 1]), no_rank)
+                if r < best_r:
+                    best_i, best_r = i, r
+            if best_i < 0 or best_r >= no_rank:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        cache[word] = syms
+        return syms
+
+    def batches(it):
+        cache: dict = {}
+        for pdf in it:
+            pdf["pieces"] = [encode_word(w, cache) for w in pdf["w"]]
+            yield pdf
+
+    return words.mapInPandas(batches, schema=out_schema)

@@ -4001,28 +4001,41 @@ Q_CDC_SHARDS_SQL = _cdc_shards_sql()
 
 
 # --------------------------------------------------------------------------
-# tokenizer-vocabulary induction (operators/vocab.py): BPE merges learn
-# from the WORD-FREQUENCY table (Heaps'-law sized), never the corpus —
-# the trainer's iterated argmax is pytest-pinned against a pure-Python
-# BPE (tests/test_vocab.py); the oracled surface here is the stage the
-# merges consume (iteration-0 pair statistics) and the coverage curve a
-# vocab-size decision reads.
+# tokenizer-vocabulary induction (operators/bpe.py, round 6): the
+# trainer's iterated argmax is pytest-pinned against a pure-Python BPE
+# (tests/test_bpe.py) — the documented weaker check.  Round 11 adds the
+# oracled surface AROUND the trainer: the pair statistics the first
+# merge consumes (end-of-word marker included, exactly bpe_learn's
+# iteration-0 frame) and the coverage curve a vocab-size decision reads.
 # --------------------------------------------------------------------------
 BPE_PAIRS_TOP = 20
 
 
 def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vcf_pg_loader_spark.operators import vocab as VB
+    """bpe_learn's iteration-0 pair counts: adjacent symbol pairs over
+    (chars + '</w>') weighted by word frequency — the exact frame whose
+    argmax becomes the first merge.  Alphabet²-sized; the orderBy/limit
+    compiles to TakeOrderedAndProject."""
+    from vcf_pg_loader_spark.operators import bpe as B
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = VB.pair_counts(VB.to_symbol_table(VB.word_counts(docs)))
-    # single-char alphabet² frame — the orderBy/limit compiles to
-    # TakeOrderedAndProject over a tiny input
-    return pairs.orderBy(
-        F.desc("cnt"), F.col("a"), F.col("b")
-    ).limit(BPE_PAIRS_TOP)
+    wc = B.word_counts(docs)
+    state = wc.select(
+        B._initial_symbols(F.col("w")).alias("sym"), F.col("n")
+    )
+    pairs = (
+        state.select(
+            F.explode(B._adjacent_pairs(F.col("sym"))).alias("p"), "n"
+        )
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    return pairs.select(
+        F.col("l").alias("a"), F.col("r").alias("b"), "cnt"
+    ).orderBy(F.desc("cnt"), F.col("a"), F.col("b")).limit(BPE_PAIRS_TOP)
 
 
+# the END marker pair rides as i == len(word): b = '</w>'
 Q_BPE_PAIRS_SQL = f"""
 WITH wc AS (
   SELECT w AS word, COUNT(*) AS cnt
@@ -4030,9 +4043,10 @@ WITH wc AS (
   WHERE len(w) > 0 GROUP BY w
 ), pairs AS (
   SELECT substr(word, CAST(i AS INT), 1) AS a,
-         substr(word, CAST(i AS INT) + 1, 1) AS b,
+         CASE WHEN i < len(word) THEN substr(word, CAST(i AS INT) + 1, 1)
+              ELSE '</w>' END AS b,
          SUM(cnt) AS cnt
-  FROM wc, UNNEST(range(1, len(word))) AS t(i)
+  FROM wc, UNNEST(range(1, len(word) + 1)) AS t(i)
   GROUP BY 1, 2
 )
 SELECT a, b, CAST(cnt AS BIGINT) AS cnt
@@ -4046,27 +4060,26 @@ VOCAB_COVERAGE_KS = (5, 10, 20, 30)
 
 
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative corpus-token share of the top-K words — the curve
-    that sizes a vocabulary (how much of the stream the top 1000 types
-    already cover).  The top-K cut is TakeOrderedAndProject; the
-    running sum windows over the K surviving rows only, never the full
-    type table."""
-    from vcf_pg_loader_spark.operators import vocab as VB
+    """Cumulative corpus-token share of the top-K word types — the
+    curve that sizes a vocabulary.  The top-K cut is
+    TakeOrderedAndProject; the running sum windows over the K surviving
+    rows only, never the full type table."""
+    from vcf_pg_loader_spark.operators import bpe as B
 
     docs = load_table(spark, sf_dir, "documents")
-    wc = VB.word_counts(docs)
-    total = wc.agg(F.sum("cnt").alias("total"))
+    wc = B.word_counts(docs)
+    total = wc.agg(F.sum("n").alias("total"))
     kmax = max(VOCAB_COVERAGE_KS)
-    top = wc.orderBy(F.desc("cnt"), "word").limit(kmax)
+    top = wc.orderBy(F.desc("n"), "w").limit(kmax)
     w = (
-        Window.orderBy(F.desc("cnt"), "word")
+        Window.orderBy(F.desc("n"), "w")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ranked = top.select(
         F.row_number()
-        .over(Window.orderBy(F.desc("cnt"), "word"))
+        .over(Window.orderBy(F.desc("n"), "w"))
         .alias("k"),
-        F.sum("cnt").over(w).alias("cum_cnt"),
+        F.sum("n").over(w).alias("cum_cnt"),
     ).filter(F.col("k").isin(list(VOCAB_COVERAGE_KS)))
     return ranked.crossJoin(F.broadcast(total)).select(
         "k",
