@@ -84,6 +84,7 @@ _STRUCTURE_OF = {
     "cdc_card_srcmove": "card",
     "zdel_decontam": "decontam",
     "cdc_shards": "shards",
+    "shards_store": "shards",
 }
 
 
@@ -3964,6 +3965,24 @@ def _shard_sequences_sql() -> str:
 Q_SHARD_SEQUENCES_SQL = _shard_sequences_sql()
 
 
+def q_training_shards_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_training_shards' manifest served from the maintained
+    TrainingShardSink state: the first call bootstraps the layout (one
+    packing shuffle) and persists; every later call is a plain scan of
+    the 16-row manifest table — the integrity record a trainer checks
+    before each epoch, so it is read far more often than it is built.
+    Same oracle as q_training_shards."""
+    from vcf_pg_loader_spark.operators.ivm import MULT
+    from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = _served_root(sf_dir, "shards_store", "documents.parquet")
+    sink = TrainingShardSink(f"{root}/state")
+    if not sink.applied(0):
+        sink.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+    return sink.manifest(spark)
+
+
 def q_cdc_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard manifests after a snapshot sync: TrainingShardSink
     bootstraps on the OLD snapshot, then ONE zset_snapshot_delta batch
@@ -4408,6 +4427,7 @@ QUERIES = {
     "q_training_shards": q_training_shards,
     "q_shard_layout": q_shard_layout,
     "q_shard_sequences": q_shard_sequences,
+    "q_training_shards_served": q_training_shards_served,
     "q_cdc_shards": q_cdc_shards,
     "q_bpe_pairs": q_bpe_pairs,
     "q_vocab_coverage": q_vocab_coverage,
@@ -4501,6 +4521,7 @@ ORACLE = {
     "q_training_shards": Q_TRAINING_SHARDS_SQL,
     "q_shard_layout": Q_SHARD_LAYOUT_SQL,
     "q_shard_sequences": Q_SHARD_SEQUENCES_SQL,
+    "q_training_shards_served": Q_TRAINING_SHARDS_SQL,
     "q_cdc_shards": Q_CDC_SHARDS_SQL,
     "q_bpe_pairs": Q_BPE_PAIRS_SQL,
     "q_vocab_coverage": Q_VOCAB_COVERAGE_SQL,
