@@ -196,6 +196,32 @@ class TestMaintainedShards:
         assert served == _scratch(d1)
 
 
+class TestShardStreamingWiring:
+    def test_streaming_equals_direct(self, spark, tmp_path):
+        """Structured Streaming ingestion (writeStream -> foreachBatch
+        -> apply_batch across multi-file micro-batches) yields the same
+        layout and manifest as one direct apply of the whole corpus."""
+        src = str(tmp_path / "in")
+        d0 = _docs(spark, range(40))
+        d1 = _docs(spark, range(40, 70))
+        d0.coalesce(1).write.mode("append").parquet(src)
+        d1.coalesce(1).write.mode("append").parquet(src)
+
+        stream = spark.readStream.schema(
+            "doc_id bigint, text string"
+        ).parquet(src)
+        sink = TrainingShardSink(str(tmp_path / "stream_state"))
+        (
+            stream.writeStream.foreachBatch(sink.apply_batch)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .option("maxFilesPerTrigger", 1)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        assert _served(sink, spark) == _scratch(_docs(spark, range(70)))
+
+
 class TestPrunedShardWrites:
     def _inodes(self, table_dir):
         out = {}
