@@ -92,13 +92,35 @@ class TestEpochStamp:
         assert not rep["consistent"]
         assert rep["states"][0]["epoch"] is None
 
-    def test_shards_state_syncs_lockstep(self, spark, tmp_path, capsys):
+    def test_shards_state_tracks_kept_corpus(self, spark, tmp_path, capsys):
+        """--shards-state packs the CURATED corpus: near-dup losers
+        never enter the layout, and a keep-FLIP (an existing doc whose
+        text changes into a near-dup of an earlier doc) retracts it
+        from its shard even though no snapshot row for it was removed."""
         from vcf_pg_loader_spark.operators import shards as SH
         from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
 
+        base = _text(1)
+        near = base + " tail"  # near-dup of doc 1 (high Jaccard)
         v1, v2 = str(tmp_path / "v1"), str(tmp_path / "v2")
-        _write_snapshot(spark, v1, range(20))
-        _write_snapshot(spark, v2, [i for i in range(24) if i % 9 != 4])
+        rows1 = [(i, _text(i), f"src{i % 3}") for i in range(20)]
+        # v1 already contains one loser: doc 15 is a near-dup of doc 1
+        rows1[15] = (15, near, "src0")
+        spark.createDataFrame(
+            rows1, "doc_id bigint, text string, source string"
+        ).coalesce(1).write.parquet(v1)
+        # v2: doc 7's text FLIPS into a near-dup of doc 1 (keep-flip
+        # with no removal); doc 3 is removed outright; doc 21 arrives
+        rows2 = [
+            (i, near if i == 7 else _text(i), f"src{i % 3}")
+            for i in range(22)
+            if i != 3
+        ]
+        rows2 = [r if r[0] != 15 else (15, near, "src0") for r in rows2]
+        spark.createDataFrame(
+            rows2, "doc_id bigint, text string, source string"
+        ).coalesce(1).write.parquet(v2)
+
         dirs = tuple(str(tmp_path / n) for n in ("state", "shards"))
         for bid, snap in enumerate((v1, v2)):
             assert main(
@@ -107,14 +129,25 @@ class TestEpochStamp:
             ) == 0
         capsys.readouterr()
         assert main(["verify-consistency", "--states", *dirs]) == 0
-        served = (
-            TrainingShardSink(dirs[1]).manifest(spark)
-            .orderBy("shard").collect()
+
+        sink = TrainingShardSink(dirs[1])
+        served = sink.manifest(spark).orderBy("shard").collect()
+        kept_ids = {r.doc_id for r in sink.layout(spark).collect()}
+        # losers are out of the layout: 15 (near-dup since v1) and 7
+        # (flipped in v2); doc 1 (cluster canonical) stays; 3 removed
+        assert 1 in kept_ids
+        assert 15 not in kept_ids and 7 not in kept_ids
+        assert 3 not in kept_ids and 21 in kept_ids
+        # and the layout equals a from-scratch build over exactly the
+        # kept docs of v2
+        kept_docs = spark.createDataFrame(
+            [r for r in rows2 if r[0] in kept_ids],
+            "doc_id bigint, text string, source string",
         )
         scratch = (
-            SH.shard_manifest(
-                SH.shard_layout(spark.read.parquet(v2))
-            ).orderBy("shard").collect()
+            SH.shard_manifest(SH.shard_layout(kept_docs))
+            .orderBy("shard")
+            .collect()
         )
         assert served == scratch
 

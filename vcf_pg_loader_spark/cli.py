@@ -591,15 +591,6 @@ def cmd_sync_corpus(args) -> int:
         dec_sink = DecontamIndexSink(args.decontam_state, args.ngram)
         dec_sink.apply_batch(delta, args.batch_id)
         dec_sink.stamp_epoch(epoch)
-    if args.shards_state:
-        # the training-shard layout syncs from the same text-keyed
-        # delta (a doc's shard/order/length are pure functions of the
-        # row): only the touched shards repack, lockstep like the rest
-        from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
-
-        shard_sink = TrainingShardSink(args.shards_state)
-        shard_sink.apply_batch(delta, args.batch_id)
-        shard_sink.stamp_epoch(epoch)
     if args.card_state:
         # The release card diffs ITS OWN state against the snapshot, on
         # (content-fingerprint, source) — NOT the text-keyed delta the
@@ -658,6 +649,43 @@ def cmd_sync_corpus(args) -> int:
         card_sink.apply_batch(card_delta, args.batch_id)
         card_sink.stamp_epoch(epoch)
     kept = sink.keep(spark)
+    if args.shards_state:
+        # The training-shard layout packs the CURATED corpus — the
+        # near-dup keep-decision's survivors — not the raw snapshot: a
+        # trainer streams what curation kept.  The keep set is a
+        # GLOBAL function of the cluster state (an arriving near-dup
+        # can flip an EXISTING doc's keep with no change to that doc's
+        # row), so the shard sink cannot consume the text-keyed
+        # snapshot delta; instead it self-diffs its own layout against
+        # the fresh kept corpus on (doc_id, content-fingerprint) — the
+        # DatasetCardSink pattern — which also heals a shards state
+        # that fell behind its lockstep siblings.  Per-sync cost stays
+        # O(|kept-set delta|): the fingerprints come from the persisted
+        # layout, no text is stored or re-read from shard state.
+        from vcf_pg_loader_spark.operators.shards import doc_fp
+        from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+        shard_sink = TrainingShardSink(args.shards_state)
+        kept_docs = (
+            sink._table(spark, "corpus")
+            .join(kept.select("doc_id"), "doc_id", "left_semi")
+            .select("doc_id", "text")
+        )
+        new_sh = kept_docs.withColumn("dfp", doc_fp(F.col("text")))
+        old_layout = shard_sink._table(spark, "layout")
+        if old_layout is None:
+            old_sh = new_sh.limit(0)  # bootstrap: everything inserts
+        else:
+            old_sh = old_layout.select("doc_id", "dfp").withColumn(
+                "text", F.lit(None).cast("string")
+            ).select("doc_id", "text", "dfp")
+        shard_delta = (
+            zset_snapshot_delta(old_sh, new_sh, "doc_id", cmp_cols=["dfp"])
+            .drop("dfp")
+            .localCheckpoint(eager=True)
+        )
+        shard_sink.apply_batch(shard_delta, args.batch_id)
+        shard_sink.stamp_epoch(epoch)
     if args.out:
         corpus = sink._table(spark, "corpus")
         corpus.join(kept, "doc_id", "left_semi").write.mode(
@@ -980,8 +1008,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "the snapshot's source column rides along when "
                          "present")
     sp.add_argument("--shards-state",
-                    help="also apply the delta to this TrainingShardSink "
-                         "state (must be synced in lockstep with --state)")
+                    help="also maintain this TrainingShardSink state as "
+                         "the packed layout of the KEPT corpus (the "
+                         "near-dup survivors); self-diffs on content "
+                         "fingerprint, lockstep with --state")
     sp.add_argument("--nll-max", type=float, default=NLL_MAX,
                     help="LM gate threshold for --funnel-state")
     sp.add_argument("--ngram", type=int, default=NGRAM)

@@ -95,10 +95,25 @@ def shard_layout_from_lengths(
         "shard",
         "okey",
         "n_tokens",
+        "dfp",
         start.cast("bigint").alias("start_offset"),
         first_seq.cast("bigint").alias("first_seq"),
         (last_seq - first_seq).cast("int").alias("n_crossings"),
     )
+
+
+DOC_SALT = "sdoc:"
+
+
+def doc_fp(text_col: Column) -> Column:
+    """Content fingerprint carried in the layout so a maintainer can
+    self-diff the shard state against a fresh corpus snapshot (the
+    DatasetCardSink pattern) without the state storing any text."""
+    return h60(text_col, DOC_SALT)
+
+
+def sql_doc_fp(expr: str) -> str:
+    return sql_h60(expr, DOC_SALT)
 
 
 def shard_base(
@@ -108,15 +123,17 @@ def shard_base(
     n_shards: int = N_SHARDS,
 ) -> DataFrame:
     """Per-doc pure facts the layout derives from: id, shard, order
-    key, token count.  Everything downstream (packing, manifest) is a
-    function of this frame alone — the property that makes the
-    maintained form's per-doc work O(|delta|)."""
+    key, token count, content fingerprint.  Everything downstream
+    (packing, manifest) is a function of this frame alone — the
+    property that makes the maintained form's per-doc work
+    O(|delta|)."""
     c = F.col(id_col)
     return df.select(
         c.alias("doc_id"),
         shard_of(c, n_shards).alias("shard"),
         order_key(c).alias("okey"),
         F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+        doc_fp(F.col(text_col)).alias("dfp"),
     )
 
 
@@ -212,15 +229,16 @@ WITH base AS (
   SELECT {id_col} AS doc_id,
          {sql_shard_of(id_col, n_shards)} AS shard,
          {sql_order_key(id_col)} AS okey,
-         CAST(len(string_split({text_col}, ' ')) AS BIGINT) AS n_tokens
+         CAST(len(string_split({text_col}, ' ')) AS BIGINT) AS n_tokens,
+         {sql_doc_fp(text_col)} AS dfp
   FROM {table}
 ), packed AS (
-  SELECT doc_id, shard, okey, n_tokens,
+  SELECT doc_id, shard, okey, n_tokens, dfp,
          SUM(n_tokens) OVER (PARTITION BY shard ORDER BY okey, doc_id
                              ROWS UNBOUNDED PRECEDING) AS cum
   FROM base
 )
-SELECT doc_id, CAST(shard AS BIGINT) AS shard, okey, n_tokens,
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, okey, n_tokens, dfp,
        CAST(cum - n_tokens AS BIGINT) AS start_offset,
        CAST(FLOOR((cum - n_tokens) / {seq_len}) AS BIGINT) AS first_seq,
        CAST(FLOOR((cum - 1) / {seq_len})

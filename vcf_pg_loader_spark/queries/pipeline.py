@@ -49,7 +49,9 @@ STATE_VERSIONS = {
     "funnel": 10.1,  # drop-reason funnel state (per-doc tables bucketed)
     "card": 10.1,    # maintained dataset-card state (stats/fp bucketed)
     "decontam": 10,  # maintained decontamination index (new in round 10)
-    "shards": 11,    # maintained training-shard layout (new in round 11)
+    # 11.1 = layout carries the content fingerprint (dfp) the CLI's
+    # kept-corpus self-diff keys on
+    "shards": 11.1,  # maintained training-shard layout (new in round 11)
 }
 
 # _served_root name -> structure group; every persisted root must be

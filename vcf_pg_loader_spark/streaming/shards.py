@@ -53,7 +53,7 @@ from vcf_pg_loader_spark.operators.shards import (
 from vcf_pg_loader_spark.streaming.retract import split_zset
 from vcf_pg_loader_spark.streaming.sink import ParquetUpsertSink, isin_values
 
-_LAYOUT_COLS = ["doc_id", "shard", "okey", "n_tokens"]
+_LAYOUT_COLS = ["doc_id", "shard", "okey", "n_tokens", "dfp"]
 
 
 class TrainingShardSink(ParquetUpsertSink):
@@ -103,6 +103,7 @@ class TrainingShardSink(ParquetUpsertSink):
             F.col("shard").cast("bigint").alias("shard"),
             "okey",
             "n_tokens",
+            "dfp",
             "start_offset",
             "first_seq",
             "n_crossings",
