@@ -196,6 +196,61 @@ class TestMaintainedShards:
         assert served == _scratch(d1)
 
 
+class TestMaterialize:
+    def test_materialize_packs_in_layout_order(self, spark, tmp_path):
+        corpus = _docs(spark, range(80))
+        sink = TrainingShardSink(str(tmp_path / "state"))
+        sink.apply_batch(
+            corpus.withColumn(MULT, F.lit(1).cast("bigint")), 0
+        )
+        out = sink.materialize(spark, corpus, shards=[0, 3]).collect()
+        assert {r.shard for r in out} == {0, 3}
+        texts = {r.doc_id: r.text for r in corpus.collect()}
+        lay = {
+            r.doc_id: r
+            for r in SH.shard_layout(corpus).collect()
+            if r.shard in (0, 3)
+        }
+        assert {r.doc_id for r in out} == set(lay)
+        for r in out:
+            assert r.text == texts[r.doc_id]
+            assert r.start_offset == lay[r.doc_id].start_offset
+
+    def test_export_shard_cli(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from vcf_pg_loader_spark.cli import main
+
+        corpus_path = str(tmp_path / "corpus")
+        corpus = _docs(spark, range(60))
+        corpus.write.parquet(corpus_path)
+        state = str(tmp_path / "state")
+        TrainingShardSink(state).apply_batch(
+            corpus.withColumn(MULT, F.lit(1).cast("bigint")), 0
+        )
+        out = str(tmp_path / "out")
+        assert main(
+            ["export-shard", "--state", state, "--corpus", corpus_path,
+             "--out", out, "--shards", "1,2"]
+        ) == 0
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["shards"] == 2
+        got = spark.read.parquet(out)
+        assert {r.shard for r in got.select("shard").distinct().collect()} \
+            == {1, 2}
+        # per-shard token totals match the manifest
+        man = {
+            r.shard: r.n_tokens
+            for r in TrainingShardSink(state).manifest(spark).collect()
+        }
+        for s in (1, 2):
+            toks = sum(
+                r.n_tokens
+                for r in got.filter(F.col("shard") == s).collect()
+            )
+            assert toks == man[s]
+
+
 class TestShardStreamingWiring:
     def test_streaming_equals_direct(self, spark, tmp_path):
         """Structured Streaming ingestion (writeStream -> foreachBatch

@@ -708,6 +708,57 @@ def cmd_sync_corpus(args) -> int:
     return 0
 
 
+def cmd_export_shard(args) -> int:
+    """Materialize training shards: join the maintained shard layout
+    (streaming/shards.py TrainingShardSink — text-free) against a
+    corpus parquet (e.g. sync-corpus --out, the kept corpus) and write
+    each requested shard's documents in packed order with offsets —
+    the files a dataloader streams.  Reads O(requested shards), never
+    O(corpus)."""
+    from pyspark.sql import functions as F
+
+    from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+    spark = _spark()
+    sink = TrainingShardSink(args.state)
+    corpus = spark.read.parquet(args.corpus)
+    shards = (
+        [int(s) for s in args.shards.split(",")] if args.shards else None
+    )
+    out_df = sink.materialize(spark, corpus, shards)
+    (
+        out_df.repartition("shard")
+        .sortWithinPartitions("shard", "okey", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(args.out)
+    )
+    man = sink.manifest(spark)
+    if shards is not None:
+        from vcf_pg_loader_spark.streaming.sink import isin_values
+
+        man = man.filter(isin_values(F.col("shard"), set(shards)))
+    stats = man.agg(
+        F.count(F.lit(1)).alias("shards"),
+        F.sum("n_docs").alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.sum("n_seqs").alias("seqs"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "state": args.state.rstrip("/"),
+                "out": args.out,
+                "shards": stats["shards"],
+                "docs": int(stats["docs"] or 0),
+                "tokens": int(stats["tokens"] or 0),
+                "seqs": int(stats["seqs"] or 0),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_verify_consistency(args) -> int:
     """Prove (or refute) that N maintained states are views of the SAME
     corpus snapshot: every state must carry an epoch stamp (written by
@@ -1018,6 +1069,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--minhash-k", type=int, default=MINHASH_K)
     sp.add_argument("--bands", type=int, default=MINHASH_BANDS)
     sp.add_argument("--threshold", type=float, default=JACCARD_T)
+
+    sp = add("export-shard", cmd_export_shard,
+             help="materialize training shards: layout x corpus in "
+                  "packed order, one partition dir per shard")
+    sp.add_argument("--state", required=True,
+                    help="TrainingShardSink state dir")
+    sp.add_argument("--corpus", required=True,
+                    help="corpus parquet (doc_id, text), e.g. the kept "
+                         "corpus from sync-corpus --out")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--shards",
+                    help="comma-separated shard ids (default: all)")
 
     sp = add("verify-consistency", cmd_verify_consistency,
              help="check that N maintained states carry the same "

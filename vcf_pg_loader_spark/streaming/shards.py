@@ -109,6 +109,36 @@ class TrainingShardSink(ParquetUpsertSink):
             "n_crossings",
         )
 
+    def materialize(
+        self, spark, corpus: DataFrame, shards: list[int] | None = None
+    ) -> DataFrame:
+        """The loader read path: join the layout against a corpus
+        (doc_id, text) and emit each requested shard's documents in
+        packed order with their offsets — the stream a trainer cuts
+        into sequences.  The join prunes to the requested shards
+        BEFORE touching the corpus (broadcast of the shard rows when
+        small, shuffle-on-doc_id otherwise — Spark's planner picks),
+        so materializing one shard reads O(shard), not O(corpus).
+        Text lives in the corpus only; shard state stays text-free."""
+        lay = self.layout(spark)
+        if shards is not None:
+            from vcf_pg_loader_spark.streaming.sink import isin_values
+
+            lay = lay.filter(isin_values(F.col("shard"), set(shards)))
+        return (
+            lay.join(corpus.select("doc_id", "text"), "doc_id")
+            .select(
+                "shard",
+                "okey",
+                "doc_id",
+                "start_offset",
+                "first_seq",
+                "n_tokens",
+                "text",
+            )
+            .sortWithinPartitions("shard", "okey", "doc_id")
+        )
+
     # -- maintenance -----------------------------------------------------
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
