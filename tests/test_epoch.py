@@ -151,6 +151,17 @@ class TestEpochStamp:
         )
         assert served == scratch
 
+    def test_state_stats_reports_epoch(self, spark, tmp_path, capsys):
+        v1 = str(tmp_path / "v1")
+        _write_snapshot(spark, v1, range(10))
+        dirs = tuple(str(tmp_path / n) for n in ("state", "funnel", "card"))
+        assert _sync(dirs, v1, 0) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert main(["state-stats", "--state", dirs[0]]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["epoch"]["epoch_fp"] == out["epoch_fp"]
+        assert rep["epoch"]["batch_id"] == 0
+
     def test_epoch_fp_is_content_keyed(self, spark, tmp_path, capsys):
         # identical snapshot content at a different path -> same fp
         v1, v1b = str(tmp_path / "v1"), str(tmp_path / "v1b")

@@ -869,7 +869,8 @@ def cmd_state_stats(args) -> int:
 
     from vcf_pg_loader_spark.streaming.sink import ParquetUpsertSink
 
-    batches = sorted(ParquetUpsertSink(root, key=[]).applied_ids())
+    sink = ParquetUpsertSink(root, key=[])
+    batches = sorted(sink.applied_ids())
     print(
         json.dumps(
             {
@@ -880,6 +881,9 @@ def cmd_state_stats(args) -> int:
                 ),
                 "params": _load(os.path.join(root, "_params.json")),
                 "ledger_batches": batches,
+                # corpus-epoch stamp (sync-corpus lockstep identity);
+                # None for states maintained outside snapshot syncs
+                "epoch": sink.read_epoch(),
             },
             sort_keys=True,
         )
