@@ -25,10 +25,11 @@ The per-shard **manifest** (doc/token/sequence counts plus an
 order-independent ``bit_xor`` content fingerprint over the packed
 rows) is the integrity artifact a trainer checks before reading.
 
-Reference parity: the reference stages load-ready batches before COPY
-(vcf_pg_loader's batched ``copy_records_to_table`` flow,
-loader.py:204-238); this is that staging step re-expressed as a
-deterministic, resumable layout over a distributed corpus.
+Reference parity: the reference stages load-ready record batches
+before COPY (vcf_pg_loader's batched ``copy_records_to_table`` flow,
+loader.py:512-516, batch_size loader.py:100); this is that staging
+step re-expressed as a deterministic, resumable layout over a
+distributed corpus.
 
 Scale notes: stage 1 and 2 are narrow column expressions; the only
 wide operation is the per-shard window in stage 3, which shuffles on

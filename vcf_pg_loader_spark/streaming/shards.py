@@ -18,9 +18,10 @@ layout already carries.  Per batch:
 
 State, one swap-atomic directory:
 
-  layout/   (doc_id, okey, n_tokens, start_offset, first_seq,
+  layout/   (doc_id, okey, n_tokens, dfp, start_offset, first_seq,
              n_crossings) partitioned by shard — the packed order a
-             trainer streams
+             trainer streams; dfp is the content fingerprint the
+             CLI's kept-corpus self-diff keys on (no text in state)
   manifest/ (n_docs, n_tokens, n_seqs, shard_fp) partitioned by shard —
              per-shard integrity record (order-independent bit_xor over
              the packed rows)
@@ -33,8 +34,8 @@ row moves), so the correct migration is a rebuild under a bumped
 structure version, never an in-place rewrite.
 
 Reference parity: the staging step of the reference's batched COPY
-loader (loader.py:204-238) — re-expressed as a resumable, incrementally
-maintained layout.
+loader (loader.py:512-516) — re-expressed as a resumable,
+incrementally maintained layout.
 """
 
 from __future__ import annotations
