@@ -153,6 +153,7 @@ def scaling_curve(spark, sf_dir: str, factors=(1, 2)) -> dict:
         ("q_winnow_overlap", QP.QUERIES["q_winnow_overlap"]),
         ("q_pipeline_funnel", QP.QUERIES["q_pipeline_funnel"]),
         ("q_events_sessions", QC.QUERIES["q_events_sessions"]),
+        ("q_training_shards", QP.QUERIES["q_training_shards"]),
     ]
     docs = load_table(spark, sf_dir, "documents")
     events = load_table(spark, sf_dir, "events")
