@@ -151,3 +151,41 @@ class TestBPEEncodeArrow:
         assert keyed(B.bpe_encode(docs, merges).collect()) == keyed(
             B.bpe_encode_arrow(docs, merges).collect()
         )
+
+
+class TestTrainVocabCLI:
+    def test_end_to_end(self, spark, sf_dir, tmp_path, capsys):
+        import json as _json
+
+        from vcf_pg_loader_spark.cli import main
+
+        corpus = str(tmp_path / "corpus")
+        (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .limit(200)
+            .write.parquet(corpus)
+        )
+        out = str(tmp_path / "merges.json")
+        enc = str(tmp_path / "encoded")
+        assert main(
+            ["train-vocab", "--corpus", corpus, "--out", out,
+             "--n-merges", "12", "--encode-out", enc]
+        ) == 0
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        art = _json.load(open(out))
+        assert rep["merges_learned"] == len(art["merges"]) > 5
+        assert art["corpus_fp"] == rep["corpus_fp"]
+        # the artifact replays: encode with the stored merges equals
+        # the materialized output
+        merges = [tuple(m) for m in art["merges"]]
+        docs = spark.read.parquet(corpus)
+        want = sorted(
+            (r.doc_id, r.w, tuple(r.pieces))
+            for r in B.bpe_encode_arrow(docs, merges).collect()
+        )
+        got = sorted(
+            (r.doc_id, r.w, tuple(r.pieces))
+            for r in spark.read.parquet(enc).collect()
+        )
+        assert got == want

@@ -708,6 +708,63 @@ def cmd_sync_corpus(args) -> int:
     return 0
 
 
+def cmd_train_vocab(args) -> int:
+    """Learn a BPE merge table from a corpus parquet (operators/bpe.py
+    bpe_learn — word-frequency table only after the first pass) and
+    write it as a JSON artifact: the merge list in application order
+    plus a fingerprint of the training inputs, so an encode job can
+    refuse a merges file from a different corpus/parameters the same
+    way maintained state refuses mismatched fingerprints.  With
+    --encode-out, also materialize the tokenized corpus via the
+    Arrow rank-priority encoder (one pass, O(unique words))."""
+    from pyspark.sql import functions as F
+
+    from vcf_pg_loader_spark.functions.hashing import h60
+    from vcf_pg_loader_spark.operators.bpe import bpe_encode_arrow, bpe_learn
+
+    spark = _spark()
+    docs = spark.read.parquet(args.corpus).select("doc_id", "text")
+    merges = bpe_learn(docs, n_merges=args.n_merges)
+    fp = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(
+            F.bit_xor(
+                h60(
+                    F.concat_ws(
+                        ":", F.col("doc_id").cast("string"), F.md5("text")
+                    ),
+                    "vocab:",
+                )
+            ),
+            F.lit(0),
+        ).alias("fp"),
+    ).collect()[0]
+    artifact = {
+        "merges": [list(m) for m in merges],
+        "n_merges_requested": args.n_merges,
+        "corpus_fp": int(fp.fp),
+        "n_docs": int(fp.n_docs),
+    }
+    with open(args.out, "w") as fh:
+        json.dump(artifact, fh)
+    if args.encode_out:
+        bpe_encode_arrow(docs, merges).write.mode("overwrite").parquet(
+            args.encode_out
+        )
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "merges_learned": len(merges),
+                "n_docs": artifact["n_docs"],
+                "corpus_fp": artifact["corpus_fp"],
+                "encode_out": args.encode_out,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_export_shard(args) -> int:
     """Materialize training shards: join the maintained shard layout
     (streaming/shards.py TrainingShardSink — text-free) against a
@@ -1073,6 +1130,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--minhash-k", type=int, default=MINHASH_K)
     sp.add_argument("--bands", type=int, default=MINHASH_BANDS)
     sp.add_argument("--threshold", type=float, default=JACCARD_T)
+
+    sp = add("train-vocab", cmd_train_vocab,
+             help="learn a BPE merge table from a corpus parquet and "
+                  "write it as a fingerprinted JSON artifact")
+    sp.add_argument("--corpus", required=True,
+                    help="corpus parquet (doc_id, text)")
+    sp.add_argument("--out", required=True, help="merges JSON path")
+    sp.add_argument("--n-merges", type=int, default=64)
+    sp.add_argument("--encode-out",
+                    help="also write the tokenized corpus (Arrow "
+                         "rank-priority encode) here")
 
     sp = add("export-shard", cmd_export_shard,
              help="materialize training shards: layout x corpus in "
