@@ -4127,6 +4127,89 @@ SELECT CAST(k AS INT) AS k, CAST(cum_cnt AS BIGINT) AS cum_cnt,
 FROM ranked WHERE k IN {VOCAB_COVERAGE_KS}
 """
 
+# the held-out generalization check for a frozen vocabulary: train the
+# top-K type vocab on the train split, measure OOV on the val split —
+# composed from the REAL operators (assign_split's hash-range split,
+# the same word counting), per source so a domain with drifting
+# vocabulary stands out.  Broadcast of the K-row vocab against the
+# exploded val tokens; no shuffle bigger than the per-source rollup.
+VOCAB_OOV_K = 20
+
+
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vcf_pg_loader_spark.operators import bpe as B
+    from vcf_pg_loader_spark.operators import sampling as SP
+    from vcf_pg_loader_spark.operators.text import tokens
+
+    docs = SP.assign_split(load_table(spark, sf_dir, "documents"))
+    train = docs.filter(F.col("split") == "train")
+    vocab = (
+        B.word_counts(train)
+        .orderBy(F.desc("n"), "w")
+        .limit(VOCAB_OOV_K)
+        .select("w")
+    )
+    val_tok = (
+        docs.filter(F.col("split") == "val")
+        .select(
+            "source", F.explode(tokens(F.col("text"))).alias("w")
+        )
+        .filter(F.length("w") > 0)
+    )
+    hit = val_tok.join(F.broadcast(vocab), "w", "left_semi")
+    per_src = val_tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    hit_src = hit.groupBy("source").agg(F.count(F.lit(1)).alias("n_in"))
+    return (
+        per_src.join(hit_src, "source", "left")
+        .select(
+            "source",
+            "n_tokens",
+            F.coalesce(F.col("n_in"), F.lit(0)).alias("n_in_vocab"),
+            F.round(
+                (F.col("n_tokens") - F.coalesce(F.col("n_in"), F.lit(0)))
+                * 1.0
+                / F.col("n_tokens"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+def _vocab_oov_sql() -> str:
+    from vcf_pg_loader_spark.operators.sampling import sql_assign_split
+
+    split = sql_assign_split()
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, text, {split} AS split FROM documents
+), wc AS (
+  SELECT w, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS w
+        FROM d WHERE split = 'train')
+  WHERE len(w) > 0 GROUP BY w
+), vocab AS (
+  SELECT w FROM wc ORDER BY cnt DESC, w LIMIT {VOCAB_OOV_K}
+), val_tok AS (
+  SELECT source, w
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM d WHERE split = 'val')
+  WHERE len(w) > 0
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(CASE WHEN w IN (SELECT w FROM vocab) THEN 1 END)
+            AS BIGINT) AS n_in_vocab,
+       ROUND((COUNT(*) - COUNT(CASE WHEN w IN (SELECT w FROM vocab)
+                                    THEN 1 END)) * 1.0 / COUNT(*), 6)
+         AS oov_rate
+FROM val_tok GROUP BY source
+"""
+
+
+Q_VOCAB_OOV_SQL = _vocab_oov_sql()
+
 
 # --------------------------------------------------------------------------
 # KMV distinct sketch (operators/sketch.py): estimated distinct users
@@ -4433,6 +4516,7 @@ QUERIES = {
     "q_cdc_shards": q_cdc_shards,
     "q_bpe_pairs": q_bpe_pairs,
     "q_vocab_coverage": q_vocab_coverage,
+    "q_vocab_oov": q_vocab_oov,
     "q_ann_cell_stats": q_ann_cell_stats,
     "q_ann_reindex": q_ann_reindex,
     "q_dataset_card_retract": q_dataset_card_retract,
@@ -4527,6 +4611,7 @@ ORACLE = {
     "q_cdc_shards": Q_CDC_SHARDS_SQL,
     "q_bpe_pairs": Q_BPE_PAIRS_SQL,
     "q_vocab_coverage": Q_VOCAB_COVERAGE_SQL,
+    "q_vocab_oov": Q_VOCAB_OOV_SQL,
     "q_ann_cell_stats": Q_ANN_CELL_STATS_SQL,
     "q_ann_reindex": Q_ANN_REINDEX_SQL,
     "q_dataset_card_retract": Q_DATASET_CARD_RETRACT_SQL,
