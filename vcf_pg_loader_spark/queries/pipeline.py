@@ -3985,6 +3985,43 @@ def q_training_shards_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.manifest(spark)
 
 
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-occupancy monitor — the same role q_ann_cell_stats plays
+    for the frozen IVF quantizer: hash sharding balances by the law of
+    large numbers, and this is the number an operator watches to know
+    it (occupancy = shard tokens / mean; a skewed corpus or a
+    too-small n_shards shows up as max drifting from 1.0, the signal
+    to rebuild under a larger count).  One aggregate over the 16-row
+    manifest frame; the mean broadcasts."""
+    from vcf_pg_loader_spark.operators import shards as SHD
+
+    docs = load_table(spark, sf_dir, "documents")
+    man = SHD.shard_manifest(SHD.shard_layout(docs))
+    mean = man.agg(F.avg("n_tokens").alias("mean_tokens"))
+    return man.crossJoin(F.broadcast(mean)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("mean_tokens"), 6).alias(
+            "occupancy"
+        ),
+    )
+
+
+def _shard_balance_sql() -> str:
+    from vcf_pg_loader_spark.operators.shards import sql_shard_manifest
+
+    return f"""
+WITH man AS ({sql_shard_manifest()})
+SELECT shard, n_docs, n_tokens,
+       ROUND(n_tokens / (SELECT AVG(n_tokens) FROM man), 6) AS occupancy
+FROM man
+"""
+
+
+Q_SHARD_BALANCE_SQL = _shard_balance_sql()
+
+
 def q_cdc_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard manifests after a snapshot sync: TrainingShardSink
     bootstraps on the OLD snapshot, then ONE zset_snapshot_delta batch
@@ -4513,6 +4550,7 @@ QUERIES = {
     "q_shard_layout": q_shard_layout,
     "q_shard_sequences": q_shard_sequences,
     "q_training_shards_served": q_training_shards_served,
+    "q_shard_balance": q_shard_balance,
     "q_cdc_shards": q_cdc_shards,
     "q_bpe_pairs": q_bpe_pairs,
     "q_vocab_coverage": q_vocab_coverage,
@@ -4608,6 +4646,7 @@ ORACLE = {
     "q_shard_layout": Q_SHARD_LAYOUT_SQL,
     "q_shard_sequences": Q_SHARD_SEQUENCES_SQL,
     "q_training_shards_served": Q_TRAINING_SHARDS_SQL,
+    "q_shard_balance": Q_SHARD_BALANCE_SQL,
     "q_cdc_shards": Q_CDC_SHARDS_SQL,
     "q_bpe_pairs": Q_BPE_PAIRS_SQL,
     "q_vocab_coverage": Q_VOCAB_COVERAGE_SQL,
