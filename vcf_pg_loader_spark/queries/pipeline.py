@@ -4022,6 +4022,70 @@ FROM man
 Q_SHARD_BALANCE_SQL = _shard_balance_sql()
 
 
+def q_mixture_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end mixture-to-shards composition: the temperature plan
+    (q_mix_temperature's w_s ∝ sqrt(n_s) budgets) selects each
+    source's quota by deterministic hash rank (row_number per source
+    over an independent hash — reproducible on any partitioning, no
+    pow() selection boundary), and the surviving mixture packs into
+    the standard shard layout; output is its manifest.  The oracle
+    checks the whole composition, plan → selection → packing →
+    fingerprint.  Plan shape: per-source window (bounded partitions),
+    broadcast of the per-source budget table, then the one packing
+    shuffle."""
+    from vcf_pg_loader_spark.functions.hashing import h60
+    from vcf_pg_loader_spark.operators import shards as SHD
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    scaled = counts.withColumn("_s", F.sqrt(F.col("n_docs")))
+    tot = scaled.agg(
+        F.sum(F.col("_s").cast("decimal(20,12)")).cast("double").alias("_tot")
+    )
+    plan = scaled.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(F.lit(MIX_BUDGET) * (F.col("_s") / F.col("_tot")))
+        .cast("bigint")
+        .alias("planned_docs"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        h60(F.col("doc_id").cast("string"), "mix:"), F.col("doc_id")
+    )
+    sel = (
+        docs.select("doc_id", "text", "source")
+        .withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(plan), "source")
+        .filter(F.col("_rn") <= F.col("planned_docs"))
+        .select("doc_id", "text")
+    )
+    return SHD.shard_manifest(SHD.shard_layout(sel))
+
+
+def _mixture_shards_sql() -> str:
+    from vcf_pg_loader_spark.functions.hashing import sql_h60
+    from vcf_pg_loader_spark.operators.shards import sql_shard_manifest
+
+    mix_key = sql_h60("CAST(doc_id AS VARCHAR)", "mix:")
+    sel = f"""(
+WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+s AS (SELECT source, sqrt(n_docs) AS sc FROM c),
+t AS (SELECT CAST(SUM(CAST(sc AS DECIMAL(20,12))) AS DOUBLE) AS tot FROM s),
+plan AS (SELECT source,
+                CAST(FLOOR({MIX_BUDGET} * (sc / tot)) AS BIGINT) AS pd
+         FROM s, t),
+ranked AS (SELECT doc_id, text, source,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY {mix_key}, doc_id) AS rn
+           FROM documents)
+SELECT r.doc_id, r.text FROM ranked r JOIN plan p USING (source)
+WHERE r.rn <= p.pd
+)"""
+    return sql_shard_manifest(table=sel)
+
+
+Q_MIXTURE_SHARDS_SQL = _mixture_shards_sql()
+
+
 def q_cdc_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard manifests after a snapshot sync: TrainingShardSink
     bootstraps on the OLD snapshot, then ONE zset_snapshot_delta batch
@@ -4551,6 +4615,7 @@ QUERIES = {
     "q_shard_sequences": q_shard_sequences,
     "q_training_shards_served": q_training_shards_served,
     "q_shard_balance": q_shard_balance,
+    "q_mixture_shards": q_mixture_shards,
     "q_cdc_shards": q_cdc_shards,
     "q_bpe_pairs": q_bpe_pairs,
     "q_vocab_coverage": q_vocab_coverage,
@@ -4647,6 +4712,7 @@ ORACLE = {
     "q_shard_sequences": Q_SHARD_SEQUENCES_SQL,
     "q_training_shards_served": Q_TRAINING_SHARDS_SQL,
     "q_shard_balance": Q_SHARD_BALANCE_SQL,
+    "q_mixture_shards": Q_MIXTURE_SHARDS_SQL,
     "q_cdc_shards": Q_CDC_SHARDS_SQL,
     "q_bpe_pairs": Q_BPE_PAIRS_SQL,
     "q_vocab_coverage": Q_VOCAB_COVERAGE_SQL,
