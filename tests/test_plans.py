@@ -465,3 +465,50 @@ def test_retract_serve_is_anti_join_over_state_scan(spark, tmp_path):
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     # state scan only: no shingle explode / minhash aggregation
     assert "posexplode" not in plan.lower()
+
+
+def test_shard_manifest_single_exchange(spark, sf):
+    """The shard manifest's only wide operation is the per-shard
+    packing window; the following aggregate reuses its partitioning —
+    exactly ONE Exchange in the plan, and the scan reads only
+    doc_id + text."""
+    from vcf_pg_loader_spark.queries.pipeline import q_training_shards
+
+    plan = plan_of(q_training_shards(spark, sf))
+    # formatted mode lists each node once in the tree and once in the
+    # detail section — count the numbered detail entries
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "n_chars" not in read_schema
+
+
+def test_bpe_pairs_take_ordered(spark, sf):
+    """The top-k pair cut compiles to TakeOrderedAndProject (bounded
+    accumulator), never a global sort."""
+    from vcf_pg_loader_spark.queries.pipeline import q_bpe_pairs
+
+    plan = plan_of(q_bpe_pairs(spark, sf))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global Sort node
+
+
+def test_vocab_oov_broadcasts_vocab(spark, sf):
+    """The K-row vocabulary joins the exploded val tokens as a
+    broadcast — the token stream never shuffles to meet it."""
+    from vcf_pg_loader_spark.queries.pipeline import q_vocab_oov
+
+    plan = plan_of(q_vocab_oov(spark, sf))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mixture_shards_broadcasts_plan(spark, sf):
+    """The per-source budget table joins by broadcast; the per-source
+    rank window partitions by source (never a global window)."""
+    from vcf_pg_loader_spark.queries.pipeline import q_mixture_shards
+
+    plan = plan_of(q_mixture_shards(spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
