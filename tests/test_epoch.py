@@ -162,6 +162,61 @@ class TestEpochStamp:
         assert rep["epoch"]["epoch_fp"] == out["epoch_fp"]
         assert rep["epoch"]["batch_id"] == 0
 
+    def test_mix_budget_shards(self, spark, tmp_path, capsys):
+        """--mix-budget packs only the temperature-mixed selection of
+        the kept corpus; quota displacement across syncs retracts via
+        the self-diff (the selection is a pure function of the kept
+        set and budget)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from vcf_pg_loader_spark.functions.hashing import h60
+        from vcf_pg_loader_spark.operators import shards as SH
+        from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+        v1, v2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+        _write_snapshot(spark, v1, range(30))
+        _write_snapshot(spark, v2, range(40))
+        dirs = tuple(str(tmp_path / n) for n in ("state", "shards"))
+        budget = 18
+        for bid, snap in enumerate((v1, v2)):
+            assert main(
+                ["sync-corpus", "--state", dirs[0], "--snapshot", snap,
+                 "--batch-id", str(bid), "--shards-state", dirs[1],
+                 "--mix-budget", str(budget)]
+            ) == 0
+        capsys.readouterr()
+
+        # expected selection: all v2 docs are kept (distinct texts),
+        # per-source sqrt quotas over budget, hash-rank filled
+        kd = spark.read.parquet(v2)
+        counts = kd.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+        scaled = counts.withColumn("_s", F.sqrt("n"))
+        tot = scaled.agg(
+            F.sum(F.col("_s").cast("decimal(20,12)"))
+            .cast("double").alias("_t"))
+        plan = scaled.crossJoin(F.broadcast(tot)).select(
+            "source",
+            F.floor(F.lit(budget) * (F.col("_s") / F.col("_t")))
+            .cast("bigint").alias("pd"))
+        w = Window.partitionBy("source").orderBy(
+            h60(F.col("doc_id").cast("string"), "mix:"), F.col("doc_id"))
+        sel = (kd.withColumn("_rn", F.row_number().over(w))
+               .join(F.broadcast(plan), "source")
+               .filter(F.col("_rn") <= F.col("pd"))
+               .select("doc_id", "text"))
+        sel_n = sel.count()
+        assert 0 < sel_n < 40  # a real subset
+
+        sink = TrainingShardSink(dirs[1])
+        got_ids = {r.doc_id for r in sink.layout(spark).collect()}
+        assert got_ids == {r.doc_id for r in sel.collect()}
+        served = sink.manifest(spark).orderBy("shard").collect()
+        scratch = (SH.shard_manifest(SH.shard_layout(sel))
+                   .orderBy("shard").collect())
+        assert served == scratch
+        assert sink.read_epoch()["mix_budget"] == budget
+
     def test_epoch_fp_is_content_keyed(self, spark, tmp_path, capsys):
         # identical snapshot content at a different path -> same fp
         v1, v1b = str(tmp_path / "v1"), str(tmp_path / "v1b")

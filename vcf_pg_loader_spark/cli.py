@@ -671,7 +671,59 @@ def cmd_sync_corpus(args) -> int:
             .join(kept.select("doc_id"), "doc_id", "left_semi")
             .select("doc_id", "text")
         )
-        new_sh = kept_docs.withColumn("dfp", doc_fp(F.col("text")))
+        sel_docs = kept_docs
+        if args.mix_budget:
+            # Temperature-mixed quota per source (w_s ∝ sqrt(n_s), the
+            # q_mix_temperature arithmetic) over the KEPT corpus, each
+            # quota filled by deterministic hash rank — a pure function
+            # of (kept set, budget), so the self-diff below keeps the
+            # layout synced to the CURRENT selection: corpus growth
+            # shifts quotas, and displaced docs retract from their
+            # shards on the next sync like any other membership change.
+            # Source rides in from the snapshot (the shard state stays
+            # text-free and the cluster corpus carries no source).
+            from pyspark.sql import Window
+
+            from vcf_pg_loader_spark.functions.hashing import h60
+
+            snap_src = spark.read.parquet(args.snapshot)
+            src_col = (
+                F.coalesce(F.col("source"), F.lit("unknown"))
+                if "source" in snap_src.columns
+                else F.lit("unknown")
+            )
+            kd = kept_docs.join(
+                snap_src.select("doc_id", src_col.alias("source")),
+                "doc_id",
+            )
+            counts = kd.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_docs")
+            )
+            scaled = counts.withColumn("_s", F.sqrt(F.col("n_docs")))
+            tot = scaled.agg(
+                F.sum(F.col("_s").cast("decimal(20,12)"))
+                .cast("double")
+                .alias("_tot")
+            )
+            plan = scaled.crossJoin(F.broadcast(tot)).select(
+                "source",
+                F.floor(
+                    F.lit(args.mix_budget) * (F.col("_s") / F.col("_tot"))
+                )
+                .cast("bigint")
+                .alias("pd"),
+            )
+            w = Window.partitionBy("source").orderBy(
+                h60(F.col("doc_id").cast("string"), "mix:"),
+                F.col("doc_id"),
+            )
+            sel_docs = (
+                kd.withColumn("_rn", F.row_number().over(w))
+                .join(F.broadcast(plan), "source")
+                .filter(F.col("_rn") <= F.col("pd"))
+                .select("doc_id", "text")
+            )
+        new_sh = sel_docs.withColumn("dfp", doc_fp(F.col("text")))
         old_layout = shard_sink._table(spark, "layout")
         if old_layout is None:
             old_sh = new_sh.limit(0)  # bootstrap: everything inserts
@@ -685,7 +737,11 @@ def cmd_sync_corpus(args) -> int:
             .localCheckpoint(eager=True)
         )
         shard_sink.apply_batch(shard_delta, args.batch_id)
-        shard_sink.stamp_epoch(epoch)
+        shard_sink.stamp_epoch(
+            {**epoch, "mix_budget": args.mix_budget}
+            if args.mix_budget
+            else epoch
+        )
     if args.out:
         corpus = sink._table(spark, "corpus")
         corpus.join(kept, "doc_id", "left_semi").write.mode(
@@ -1124,6 +1180,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "the packed layout of the KEPT corpus (the "
                          "near-dup survivors); self-diffs on content "
                          "fingerprint, lockstep with --state")
+    sp.add_argument("--mix-budget", type=int,
+                    help="with --shards-state: pack only a temperature-"
+                         "mixed selection of the kept corpus (per-source "
+                         "quotas w_s ~ sqrt(n_s) over this doc budget, "
+                         "filled by deterministic hash rank)")
     sp.add_argument("--nll-max", type=float, default=NLL_MAX,
                     help="LM gate threshold for --funnel-state")
     sp.add_argument("--ngram", type=int, default=NGRAM)
