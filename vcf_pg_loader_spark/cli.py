@@ -772,15 +772,34 @@ def cmd_train_vocab(args) -> int:
     refuse a merges file from a different corpus/parameters the same
     way maintained state refuses mismatched fingerprints.  With
     --encode-out, also materialize the tokenized corpus via the
-    Arrow rank-priority encoder (one pass, O(unique words))."""
+    Arrow rank-priority encoder (one pass, O(unique words)).
+
+    --strategy picks the trainer (all three sequences are pinned
+    identical in tests/test_bpe.py): `local` (default) collapses the
+    corpus to (word, count) distributed — the only corpus-scale step —
+    and learns the merges in-memory on the vocabulary-sized table
+    (production vocab sizes: 32k merges in seconds); `batched` keeps
+    every round on Spark but merges a provably-safe disjoint batch per
+    round; `sequential` is the one-merge-per-round shape."""
     from pyspark.sql import functions as F
 
     from vcf_pg_loader_spark.functions.hashing import h60
-    from vcf_pg_loader_spark.operators.bpe import bpe_encode_arrow, bpe_learn
+    from vcf_pg_loader_spark.operators.bpe import (
+        bpe_encode_arrow,
+        bpe_learn,
+        bpe_learn_batched,
+        bpe_learn_local,
+    )
 
     spark = _spark()
     docs = spark.read.parquet(args.corpus).select("doc_id", "text")
-    merges = bpe_learn(docs, n_merges=args.n_merges)
+    strategy = getattr(args, "strategy", "local")
+    trainer = {
+        "local": bpe_learn_local,
+        "batched": bpe_learn_batched,
+        "sequential": bpe_learn,
+    }[strategy]
+    merges = trainer(docs, n_merges=args.n_merges)
     fp = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(
@@ -798,6 +817,7 @@ def cmd_train_vocab(args) -> int:
     artifact = {
         "merges": [list(m) for m in merges],
         "n_merges_requested": args.n_merges,
+        "strategy": strategy,
         "corpus_fp": int(fp.fp),
         "n_docs": int(fp.n_docs),
     }
@@ -1199,6 +1219,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="corpus parquet (doc_id, text)")
     sp.add_argument("--out", required=True, help="merges JSON path")
     sp.add_argument("--n-merges", type=int, default=64)
+    sp.add_argument("--strategy", default="local",
+                    choices=("local", "batched", "sequential"),
+                    help="local: distributed word-count collapse + "
+                         "in-memory exact trainer (production vocab "
+                         "sizes, 32k+ merges); batched: distributed "
+                         "rounds merging a provably-safe batch per "
+                         "round; sequential: one Spark round per merge "
+                         "(the round-11 shape). All three produce the "
+                         "IDENTICAL merge sequence.")
     sp.add_argument("--encode-out",
                     help="also write the tokenized corpus (Arrow "
                          "rank-priority encode) here")

@@ -113,6 +113,242 @@ def bpe_learn(
     return merges
 
 
+def _select_batch(
+    rows: list, max_batch: int, truncated: bool
+) -> list[tuple[str, str]]:
+    """Pick the largest count-sorted prefix of candidate pairs that is
+    provably safe to merge in ONE round with results identical to
+    sequential BPE.  `rows` are (l, r, c) sorted by (-c, l, r);
+    `truncated` says the candidate list was cut by LIMIT (pairs beyond
+    it exist with count <= the last row's).
+
+    Exactness argument (the round-11 verdict item 2 design):
+      - Accept pairs in sorted order while they are pairwise
+        symbol-disjoint and no member equals another accepted pair's
+        concatenation; STOP at the first conflicting pair (never skip)
+        — so no pair ranked between two accepted pairs is deferred
+        with a count that could still beat the later one.
+      - Disjointness means earlier accepted merges cannot change a
+        later accepted pair's count, so each accepted pair is still
+        the argmax at its sequential turn UNLESS a *new* pair (one
+        containing a just-created symbol `l+r`) outranks it.  Any new
+        pair's count is bounded by an ORIGINAL pair overlapping an
+        accepted merge ((prev, l+r) occurrences embed (prev, l) ones),
+        and every such pair either ranks below the accepted prefix or
+        is the conflict we stopped at — so new pairs can only TIE the
+        boundary count, never exceed it.
+      - Therefore: drop accepted pairs whose count equals the boundary
+        count (the first conflict's count; the last row's count when
+        the list was LIMIT-truncated or the batch was size-cut).  The
+        survivors beat every unseen/conflicting/new pair strictly.
+      - Progress guarantee: the first pair alone IS the sequential
+        argmax, so if tie-truncation empties the batch, keep it.
+    """
+    accepted: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    concats: set[str] = set()
+    cut_count: int | None = None
+    for i, (left, right, c) in enumerate(rows):
+        if c < 2:
+            break
+        merged = left + right
+        if (
+            left in used
+            or right in used
+            or left in concats
+            or right in concats
+            or merged in used
+            or merged in concats
+        ):
+            cut_count = c
+            break
+        accepted.append((left, right, c))
+        used.update((left, right))
+        concats.add(merged)
+        if len(accepted) >= max_batch:
+            if i + 1 < len(rows):
+                cut_count = rows[i + 1][2]
+            elif truncated:
+                cut_count = c
+            break
+    else:
+        if truncated and rows:
+            cut_count = rows[-1][2]
+    if cut_count is not None:
+        kept = [(l, r) for (l, r, c) in accepted if c > cut_count]
+    else:
+        kept = [(l, r) for (l, r, _) in accepted]
+    if not kept and accepted:
+        kept = [accepted[0][:2]]  # argmax alone is always exact
+    return kept
+
+
+def _apply_merge_batch(
+    sym: Column, pairs: list[tuple[str, str]]
+) -> Column:
+    """Apply a symbol-disjoint batch of merges in ONE fold pass.  A
+    map literal (l\\x00r -> l+r) keys the step; disjointness (enforced
+    by _select_batch) guarantees a merged symbol can never be a member
+    of another batch pair, so one greedy left-to-right pass realizes
+    every merge exactly as k sequential passes would."""
+    if len(pairs) == 1:
+        return _apply_merge(sym, *pairs[0])
+    kv: list[Column] = []
+    for left, right in pairs:
+        kv.append(F.lit(left + "\x00" + right))
+        kv.append(F.lit(left + right))
+    merge_map = F.create_map(*kv)
+
+    def step(acc: Column, x: Column) -> Column:
+        prev = F.try_element_at(acc, F.lit(-1))
+        # concat_ws drops the NULL prev on the empty accumulator,
+        # yielding a bare symbol that cannot collide with any
+        # \x00-joined key (split(' ') text never contains \x00)
+        merged = F.try_element_at(merge_map, F.concat_ws("\x00", prev, x))
+        return F.when(
+            (F.size(acc) > 0) & merged.isNotNull(),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(sym, F.array().cast("array<string>"), step)
+
+
+def bpe_learn_batched(
+    docs: DataFrame,
+    n_merges: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    candidates: int = 256,
+    max_batch: int = 64,
+) -> list[tuple[str, str]]:
+    """Sequential-exact BPE learning with BATCHED rounds (round-11
+    verdict item 2): each Spark round runs one pair-count job, collects
+    the top `candidates` pairs (a model-parameter-scale collect, like
+    the per-round argmax it replaces), accepts the provably-safe
+    disjoint prefix (see _select_batch), and applies the whole batch in
+    one fold — so a large vocabulary costs O(n_merges / batch) Spark
+    rounds instead of one round per merge, with the merge sequence
+    guaranteed identical to :func:`bpe_learn` (pinned in
+    tests/test_bpe.py)."""
+    wc = word_counts(docs, id_col, text_col)
+    state = wc.select(
+        _initial_symbols(F.col("w")).alias("sym"), F.col("n")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges:
+        rows = [
+            (r["l"], r["r"], r["c"])
+            for r in (
+                state.select(
+                    F.explode(_adjacent_pairs(F.col("sym"))).alias("p"), "n"
+                )
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("n").alias("c"))
+                .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+                .limit(candidates)
+                .collect()
+            )
+        ]
+        batch = _select_batch(
+            rows,
+            min(max_batch, n_merges - len(merges)),
+            truncated=len(rows) >= candidates,
+        )
+        if not batch:
+            break
+        merges.extend(batch)
+        state = state.select(
+            _apply_merge_batch(F.col("sym"), batch).alias("sym"), "n"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_learn_from_counts(
+    counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Exact sequential BPE over an in-memory (word, count) table — the
+    production trainer path: the corpus-scale step is the distributed
+    word-count collapse (one pass over 100 TB); the surviving table is
+    vocabulary-sized (10^5-10^6 rows), i.e. model-parameter scale, the
+    same driver-side contract as PQ codebook training.  A lazy-deletion
+    heap keyed (-count, l, r) preserves bpe_learn's exact tie-break, so
+    32k merges cost O(updates log P), not O(merges * pairs) — pinned
+    against bpe_learn in tests/test_bpe.py."""
+    import heapq
+
+    words: list[list[str]] = []
+    wn: list[int] = []
+    for w, n in counts:
+        words.append(list(w) + [END])
+        wn.append(n)
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for i, syms in enumerate(words):
+        n = wn[i]
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + n
+            pair_words.setdefault((a, b), set()).add(i)
+    heap = [(-c, p[0], p[1]) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def push(p: tuple[str, str]) -> None:
+        heapq.heappush(heap, (-pair_counts[p], p[0], p[1]))
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        negc, left, right = heapq.heappop(heap)
+        cur = pair_counts.get((left, right), 0)
+        if -negc != cur:
+            continue  # stale heap entry
+        if cur < 2:
+            break
+        merges.append((left, right))
+        merged = left + right
+        touched: set[tuple[str, str]] = set()
+        for i in list(pair_words.get((left, right), ())):
+            syms = words[i]
+            n = wn[i]
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            if len(out) == len(syms):
+                continue  # stale membership
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] -= n
+                touched.add((a, b))
+            for a, b in zip(out, out[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + n
+                pair_words.setdefault((a, b), set()).add(i)
+                touched.add((a, b))
+            words[i] = out
+        pair_words.pop((left, right), None)
+        for p in touched:
+            if pair_counts.get(p, 0) <= 0:
+                pair_counts.pop(p, None)
+                pair_words.pop(p, None)
+            else:
+                push(p)
+    return merges
+
+
+def bpe_learn_local(
+    docs: DataFrame,
+    n_merges: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Distributed word-count collapse + in-memory exact trainer: the
+    default `train-vocab` strategy (see bpe_learn_from_counts for the
+    scale contract)."""
+    rows = word_counts(docs, id_col, text_col).collect()
+    return bpe_learn_from_counts(
+        [(r["w"], r["n"]) for r in rows], n_merges
+    )
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str]],

@@ -4175,6 +4175,90 @@ SELECT a, b, CAST(cnt AS BIGINT) AS cnt
 FROM pairs ORDER BY cnt DESC, a, b LIMIT {BPE_PAIRS_TOP}
 """
 
+BPE_ROUNDK = 2  # merges applied before the pinned mid-training recount
+
+
+def q_bpe_pairs_roundk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bpe_learn's pair counts AFTER the first BPE_ROUNDK merges — the
+    mid-training pin (round-11 verdict item 2): it validates the whole
+    loop invariant end-to-end (argmax selection incl. tie-breaks,
+    greedy left-to-right application, recount) where q_bpe_pairs only
+    pins round 0.  The merges come from bpe_learn_batched (pinned ==
+    sequential in tests/test_bpe.py); the DuckDB twin re-derives the
+    same merges with chained argmax CTEs and list_reduce folds."""
+    from vcf_pg_loader_spark.operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = B.bpe_learn_batched(docs, n_merges=BPE_ROUNDK)
+    wc = B.word_counts(docs)
+    sym = B._initial_symbols(F.col("w"))
+    for left, right in merges:
+        sym = B._apply_merge(sym, left, right)
+    state = wc.select(sym.alias("sym"), F.col("n"))
+    pairs = (
+        state.select(
+            F.explode(B._adjacent_pairs(F.col("sym"))).alias("p"), "n"
+        )
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    return pairs.select(
+        F.col("l").alias("a"), F.col("r").alias("b"), "cnt"
+    ).orderBy(F.desc("cnt"), F.col("a"), F.col("b")).limit(BPE_PAIRS_TOP)
+
+
+# One fold per merge round: symbols ride as a chr(31)-joined string
+# because DuckDB's list_reduce accumulator must share the element type;
+# the greedy step mirrors operators/bpe.py _apply_merge exactly.
+_BPE_FOLD = """
+  list_reduce(string_split({src}, chr(31)),
+    (acc, x) -> CASE
+      WHEN (acc = {m}.l OR ends_with(acc, chr(31) || {m}.l)) AND x = {m}.r
+      THEN left(acc, len(acc) - len({m}.l)) || {m}.l || {m}.r
+      ELSE acc || chr(31) || x END)
+"""
+
+Q_BPE_PAIRS_ROUNDK_SQL = f"""
+WITH wc AS (
+  SELECT w AS word, COUNT(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) > 0 GROUP BY w
+), s0 AS (
+  SELECT list_aggregate(list_append(string_split(word, ''), '</w>'),
+                        'string_agg', chr(31)) AS s, n
+  FROM wc
+), p0 AS (
+  SELECT ss[CAST(i AS INT)] AS l, ss[CAST(i AS INT) + 1] AS r,
+         SUM(n) AS c
+  FROM (SELECT string_split(s, chr(31)) AS ss, n FROM s0),
+       UNNEST(range(1, len(ss))) AS t(i)
+  GROUP BY 1, 2
+), m1 AS (
+  SELECT l, r FROM p0 WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1
+), s1 AS (
+  SELECT {_BPE_FOLD.format(src='s0.s', m='m1')} AS s, n FROM s0, m1
+), p1 AS (
+  SELECT ss[CAST(i AS INT)] AS l, ss[CAST(i AS INT) + 1] AS r,
+         SUM(n) AS c
+  FROM (SELECT string_split(s, chr(31)) AS ss, n FROM s1),
+       UNNEST(range(1, len(ss))) AS t(i)
+  GROUP BY 1, 2
+), m2 AS (
+  SELECT l, r FROM p1 WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1
+), s2 AS (
+  SELECT {_BPE_FOLD.format(src='s1.s', m='m2')} AS s, n FROM s1, m2
+), p2 AS (
+  SELECT ss[CAST(i AS INT)] AS a, ss[CAST(i AS INT) + 1] AS b,
+         SUM(n) AS cnt
+  FROM (SELECT string_split(s, chr(31)) AS ss, n FROM s2),
+       UNNEST(range(1, len(ss))) AS t(i)
+  GROUP BY 1, 2
+)
+SELECT a, b, CAST(cnt AS BIGINT) AS cnt
+FROM p2 ORDER BY cnt DESC, a, b LIMIT {{BPE_PAIRS_TOP}}
+""".replace("{BPE_PAIRS_TOP}", str(BPE_PAIRS_TOP))
+
+
 # coverage checkpoints a vocab-size decision actually reads (the
 # synthetic corpus holds ~31 word types; real corpora would use
 # 10/100/1000-style checkpoints — the plan shape is identical)
@@ -4618,6 +4702,7 @@ QUERIES = {
     "q_mixture_shards": q_mixture_shards,
     "q_cdc_shards": q_cdc_shards,
     "q_bpe_pairs": q_bpe_pairs,
+    "q_bpe_pairs_roundk": q_bpe_pairs_roundk,
     "q_vocab_coverage": q_vocab_coverage,
     "q_vocab_oov": q_vocab_oov,
     "q_ann_cell_stats": q_ann_cell_stats,
@@ -4715,6 +4800,7 @@ ORACLE = {
     "q_mixture_shards": Q_MIXTURE_SHARDS_SQL,
     "q_cdc_shards": Q_CDC_SHARDS_SQL,
     "q_bpe_pairs": Q_BPE_PAIRS_SQL,
+    "q_bpe_pairs_roundk": Q_BPE_PAIRS_ROUNDK_SQL,
     "q_vocab_coverage": Q_VOCAB_COVERAGE_SQL,
     "q_vocab_oov": Q_VOCAB_OOV_SQL,
     "q_ann_cell_stats": Q_ANN_CELL_STATS_SQL,
