@@ -323,3 +323,153 @@ class TestPrunedShardWrites:
             assert len(same) == len(after) - 1
             assert after[touched] != before[tbl].get(touched)
         assert _served(sink, spark) == _scratch(d1)
+
+
+class TestTokenizerSpacePacking:
+    """Round-12 (verdict item 3): the layout packs in BPE-token space
+    when a merge table is supplied, the vocab fingerprint gates state
+    access, and delta repacks stay shard-pruned."""
+
+    MERGES = [("a", "l"), ("al", "pha"), ("o", "t")]
+
+    def _lengths(self, spark, docs):
+        from vcf_pg_loader_spark.operators.bpe import bpe_token_lengths
+
+        return bpe_token_lengths(docs, self.MERGES)
+
+    def _scratch_bpe(self, spark, docs):
+        base = SH.shard_base(docs, lengths=self._lengths(spark, docs))
+        return (
+            SH.shard_manifest(SH.shard_layout_from_lengths(base))
+            .orderBy("shard")
+            .collect()
+        )
+
+    def test_lengths_differ_from_whitespace(self, spark):
+        docs = _docs(spark, range(50))
+        ws = {
+            r.doc_id: r.n_tokens
+            for r in SH.shard_base(docs).collect()
+        }
+        bpe = {
+            r.doc_id: r.n_tokens
+            for r in self._lengths(spark, docs).collect()
+        }
+        # BPE splits words into >1 symbol pieces: strictly more tokens
+        # than whitespace words for every doc in this fixture
+        assert all(bpe[d] > ws[d] for d in ws)
+
+    def test_incremental_equals_scratch_bpe(self, spark, tmp_path):
+        t = str(tmp_path / "state")
+        sink = TrainingShardSink(t, merges=self.MERGES, vocab_fp=42)
+        d0 = _docs(spark, range(120))
+        sink.apply_batch(d0.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        d1 = _docs(spark, range(20, 160))
+        sink.apply_batch(zset_snapshot_delta(d0, d1, "doc_id"), 1)
+        assert _served(sink, spark) == self._scratch_bpe(spark, d1)
+
+    def test_vocab_fingerprint_refused(self, spark, tmp_path):
+        t = str(tmp_path / "state")
+        sink = TrainingShardSink(t, merges=self.MERGES, vocab_fp=42)
+        d0 = _docs(spark, range(40))
+        sink.apply_batch(d0.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        # a different vocab fingerprint must refuse
+        other = TrainingShardSink(t, merges=self.MERGES, vocab_fp=43)
+        with pytest.raises(ValueError, match="parameters"):
+            other.apply_batch(
+                d0.withColumn(MULT, F.lit(1).cast("bigint")), 1
+            )
+        # ... and so must a whitespace-space sink over the BPE state
+        ws = TrainingShardSink(t)
+        with pytest.raises(ValueError, match="parameters"):
+            ws.apply_batch(d0.withColumn(MULT, F.lit(1).cast("bigint")), 2)
+
+    def test_bpe_delta_repack_stays_pruned(self, spark, tmp_path):
+        t = str(tmp_path / "state")
+        sink = TrainingShardSink(t, merges=self.MERGES, vocab_fp=42)
+        d0 = _docs(spark, range(150))
+        sink.apply_batch(d0.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        inodes = TestPrunedShardWrites._inodes
+        before = {
+            tbl: inodes(None, os.path.join(t, tbl))
+            for tbl in ("layout", "manifest")
+        }
+        d1 = d0.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") == 7,
+                F.concat(F.col("text"), F.lit(" moved")),
+            ).otherwise(F.col("text")),
+        )
+        sink.apply_batch(zset_snapshot_delta(d0, d1, "doc_id"), 1)
+        touched_shard = SH.shard_layout(d1).filter(
+            F.col("doc_id") == 7
+        ).collect()[0].shard
+        touched = f"shard={touched_shard}"
+        for tbl in ("layout", "manifest"):
+            after = inodes(None, os.path.join(t, tbl))
+            same = [
+                p
+                for p in after
+                if p != touched and after[p] == before[tbl][p]
+            ]
+            assert len(same) == len(after) - 1
+            assert after[touched] != before[tbl].get(touched)
+        assert _served(sink, spark) == self._scratch_bpe(spark, d1)
+
+    def test_export_shard_cli_bpe_roundtrip(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from vcf_pg_loader_spark.cli import main
+
+        docs = _docs(spark, range(60))
+        corpus = str(tmp_path / "corpus")
+        docs.write.parquet(corpus)
+        vocab = str(tmp_path / "vocab.json")
+        with open(vocab, "w") as fh:
+            _json.dump(
+                {"merges": [list(m) for m in self.MERGES],
+                 "corpus_fp": 42, "n_docs": 60}, fh
+            )
+        t = str(tmp_path / "state")
+        sink = TrainingShardSink(t, merges=self.MERGES, vocab_fp=42)
+        sink.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+
+        out = str(tmp_path / "export")
+        assert main(
+            ["export-shard", "--state", t, "--corpus", corpus,
+             "--out", out, "--merges", vocab]
+        ) == 0
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["written_docs"] == rep["docs"] == 60
+        assert rep["written_tokens"] == rep["tokens"]
+
+        # without --merges the vocab-space state must refuse
+        with pytest.raises(ValueError, match="parameters"):
+            main(["export-shard", "--state", t, "--corpus", corpus,
+                  "--out", str(tmp_path / "e2")])
+
+    def test_export_shard_integrity_check_fails_on_stale_corpus(
+        self, spark, tmp_path, capsys
+    ):
+        """Round-11 advice item 4: a corpus missing layout doc_ids
+        exports truncated shards — the CLI must cross-check written
+        counts against the manifest and exit nonzero."""
+        import json as _json
+
+        from vcf_pg_loader_spark.cli import main
+
+        docs = _docs(spark, range(40))
+        t = str(tmp_path / "state")
+        sink = TrainingShardSink(t)
+        sink.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        stale = str(tmp_path / "stale_corpus")
+        docs.filter(F.col("doc_id") < 30).write.parquet(stale)
+        rc = main(
+            ["export-shard", "--state", t, "--corpus", stale,
+             "--out", str(tmp_path / "export")]
+        )
+        assert rc == 1
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["written_docs"] < rep["docs"]
+        assert "does not match" in rep["error"]

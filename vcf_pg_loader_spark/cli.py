@@ -665,7 +665,15 @@ def cmd_sync_corpus(args) -> int:
         from vcf_pg_loader_spark.operators.shards import doc_fp
         from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
 
-        shard_sink = TrainingShardSink(args.shards_state)
+        sh_merges = sh_vocab_fp = None
+        if getattr(args, "shards_merges", None):
+            with open(args.shards_merges) as fh:
+                vocab_art = json.load(fh)
+            sh_merges = [tuple(m) for m in vocab_art["merges"]]
+            sh_vocab_fp = vocab_art["corpus_fp"]
+        shard_sink = TrainingShardSink(
+            args.shards_state, merges=sh_merges, vocab_fp=sh_vocab_fp
+        )
         kept_docs = (
             sink._table(spark, "corpus")
             .join(kept.select("doc_id"), "doc_id", "left_semi")
@@ -847,22 +855,52 @@ def cmd_export_shard(args) -> int:
     corpus parquet (e.g. sync-corpus --out, the kept corpus) and write
     each requested shard's documents in packed order with offsets —
     the files a dataloader streams.  Reads O(requested shards), never
-    O(corpus)."""
+    O(corpus).
+
+    A layout packed in tokenizer space (sync-corpus --shards-merges)
+    must be exported with the SAME vocab artifact via --merges: the
+    vocab corpus_fp joins the parameter fingerprint and a mismatch
+    refuses before anything is written.
+
+    Integrity (round-11 advice item 4): materialize inner-joins layout
+    x corpus, so doc_ids missing from --corpus (stale or wrong corpus
+    for this epoch) would silently vanish from the export while the
+    manifest-derived stats still looked right.  The written rows are
+    re-read (doc_id/n_tokens columns only) and cross-checked against
+    the manifest; any shortfall exits nonzero."""
+    import os as _os
+
     from pyspark.sql import functions as F
 
     from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
 
     spark = _spark()
-    sink = TrainingShardSink(args.state)
+    merges = vocab_fp = None
+    if getattr(args, "merges", None):
+        with open(args.merges) as fh:
+            art = json.load(fh)
+        merges = [tuple(m) for m in art["merges"]]
+        vocab_fp = art["corpus_fp"]
+    kw = {}
+    params_path = _os.path.join(args.state, "_params.json")
+    if _os.path.exists(params_path):
+        with open(params_path) as fh:
+            persisted = json.load(fh)
+        kw = {
+            "n_shards": persisted.get("n_shards", 16),
+            "seq_len": persisted.get("seq_len", 512),
+        }
+    sink = TrainingShardSink(
+        args.state, merges=merges, vocab_fp=vocab_fp, **kw
+    )
+    sink._validate_params()  # refuse a layout packed under another vocab
     corpus = spark.read.parquet(args.corpus)
     shards = (
         [int(s) for s in args.shards.split(",")] if args.shards else None
     )
     out_df = sink.materialize(spark, corpus, shards)
     (
-        out_df.repartition("shard")
-        .sortWithinPartitions("shard", "okey", "doc_id")
-        .write.mode("overwrite")
+        out_df.write.mode("overwrite")  # materialize already packs order
         .partitionBy("shard")
         .parquet(args.out)
     )
@@ -877,18 +915,37 @@ def cmd_export_shard(args) -> int:
         F.sum("n_tokens").alias("tokens"),
         F.sum("n_seqs").alias("seqs"),
     ).collect()[0]
-    print(
-        json.dumps(
-            {
-                "state": args.state.rstrip("/"),
-                "out": args.out,
-                "shards": stats["shards"],
-                "docs": int(stats["docs"] or 0),
-                "tokens": int(stats["tokens"] or 0),
-                "seqs": int(stats["seqs"] or 0),
-            }
+    written = (
+        spark.read.parquet(args.out)
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
         )
+        .collect()[0]
     )
+    report = {
+        "state": args.state.rstrip("/"),
+        "out": args.out,
+        "shards": stats["shards"],
+        "docs": int(stats["docs"] or 0),
+        "tokens": int(stats["tokens"] or 0),
+        "seqs": int(stats["seqs"] or 0),
+        "written_docs": int(written["docs"] or 0),
+        "written_tokens": int(written["tokens"] or 0),
+    }
+    if (
+        report["written_docs"] != report["docs"]
+        or report["written_tokens"] != report["tokens"]
+    ):
+        report["error"] = (
+            "export is missing documents the layout expects — the "
+            "--corpus does not match this layout's epoch (stale or "
+            "wrong corpus); nothing about the written files should be "
+            "trusted"
+        )
+        print(json.dumps(report))
+        return 1
+    print(json.dumps(report))
     return 0
 
 
@@ -1205,6 +1262,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "mixed selection of the kept corpus (per-source "
                          "quotas w_s ~ sqrt(n_s) over this doc budget, "
                          "filled by deterministic hash rank)")
+    sp.add_argument("--shards-merges",
+                    help="with --shards-state: vocab JSON from "
+                         "train-vocab — pack the layout in TOKENIZER "
+                         "space (per-doc n_tokens via the BPE encoder) "
+                         "instead of whitespace counts; the vocab "
+                         "fingerprint joins the state fingerprint so a "
+                         "layout packed under one tokenizer refuses "
+                         "another")
     sp.add_argument("--nll-max", type=float, default=NLL_MAX,
                     help="LM gate threshold for --funnel-state")
     sp.add_argument("--ngram", type=int, default=NGRAM)
@@ -1243,6 +1308,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--out", required=True)
     sp.add_argument("--shards",
                     help="comma-separated shard ids (default: all)")
+    sp.add_argument("--merges",
+                    help="vocab JSON from train-vocab; REQUIRED when "
+                         "the layout was packed in tokenizer space "
+                         "(sync-corpus --shards-merges) — the vocab "
+                         "fingerprint must match the state's")
 
     sp = add("verify-consistency", cmd_verify_consistency,
              help="check that N maintained states carry the same "

@@ -113,6 +113,34 @@ def bpe_learn(
     return merges
 
 
+def bpe_token_lengths(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document BPE token counts (id, n_tokens) under a learned
+    merge table — the lengths frame the training-shard layout packs in
+    TOKENIZER space (round-11 verdict item 3: the layout's seq_len cuts
+    must speak the same tokens the trainer consumes).  One Arrow encode
+    pass (bpe_encode_arrow), then a map-side-combinable sum; documents
+    with no words keep an explicit 0 so the layout stays total."""
+    enc = bpe_encode_arrow(docs, merges, id_col, text_col)
+    lens = enc.groupBy(id_col).agg(
+        F.sum(F.size("pieces")).cast("bigint").alias("n_tokens")
+    )
+    return (
+        docs.select(id_col)
+        .join(lens, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint")).alias(
+                "n_tokens"
+            ),
+        )
+    )
+
+
 def _select_batch(
     rows: list, max_batch: int, truncated: bool
 ) -> list[tuple[str, str]]:

@@ -122,20 +122,37 @@ def shard_base(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_shards: int = N_SHARDS,
+    lengths: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc pure facts the layout derives from: id, shard, order
     key, token count, content fingerprint.  Everything downstream
     (packing, manifest) is a function of this frame alone — the
     property that makes the maintained form's per-doc work
-    O(|delta|)."""
+    O(|delta|).
+
+    ``lengths`` (id, n_tokens) overrides the default whitespace token
+    count — the tokenizer-space seam (round-11 verdict item 3): pass
+    operators/bpe.py bpe_token_lengths(...) to pack seq_len cuts in the
+    SAME tokens the trainer consumes.  Inner join: a lengths frame is
+    derived from the identical document set, and silently zero-filling
+    a missing doc would mis-pack every later offset in its shard."""
     c = F.col(id_col)
-    return df.select(
+    base = df.select(
         c.alias("doc_id"),
         shard_of(c, n_shards).alias("shard"),
         order_key(c).alias("okey"),
         F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
         doc_fp(F.col(text_col)).alias("dfp"),
     )
+    if lengths is None:
+        return base
+    return base.drop("n_tokens").join(
+        lengths.select(
+            F.col(id_col).alias("doc_id"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        ),
+        "doc_id",
+    ).select("doc_id", "shard", "okey", "n_tokens", "dfp")
 
 
 def shard_layout(
@@ -222,17 +239,26 @@ def sql_shard_layout(
     text_col: str = "text",
     n_shards: int = N_SHARDS,
     seq_len: int = SEQ_LEN,
+    lengths_sql: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`shard_layout` (tokens = whitespace split,
-    same as operators/text.py tokens)."""
+    same as operators/text.py tokens).  ``lengths_sql``, when given, is
+    a subquery selecting (doc_id, n_tokens) that overrides the token
+    count — the twin of shard_base's lengths seam."""
+    if lengths_sql is None:
+        n_tokens = f"CAST(len(string_split({text_col}, ' ')) AS BIGINT)"
+        joins = ""
+    else:
+        n_tokens = "CAST(_lens.n_tokens AS BIGINT)"
+        joins = f" JOIN ({lengths_sql}) AS _lens ON _lens.doc_id = _t.{id_col}"
     return f"""
 WITH base AS (
-  SELECT {id_col} AS doc_id,
-         {sql_shard_of(id_col, n_shards)} AS shard,
-         {sql_order_key(id_col)} AS okey,
-         CAST(len(string_split({text_col}, ' ')) AS BIGINT) AS n_tokens,
+  SELECT _t.{id_col} AS doc_id,
+         {sql_shard_of(f'_t.{id_col}', n_shards)} AS shard,
+         {sql_order_key(f'_t.{id_col}')} AS okey,
+         {n_tokens} AS n_tokens,
          {sql_doc_fp(text_col)} AS dfp
-  FROM {table}
+  FROM {table} AS _t{joins}
 ), packed AS (
   SELECT doc_id, shard, okey, n_tokens, dfp,
          SUM(n_tokens) OVER (PARTITION BY shard ORDER BY okey, doc_id
@@ -280,8 +306,11 @@ def sql_shard_manifest(
     text_col: str = "text",
     n_shards: int = N_SHARDS,
     seq_len: int = SEQ_LEN,
+    lengths_sql: str | None = None,
 ) -> str:
-    layout = sql_shard_layout(table, id_col, text_col, n_shards, seq_len)
+    layout = sql_shard_layout(
+        table, id_col, text_col, n_shards, seq_len, lengths_sql
+    )
     fp_expr = sql_h60(
         "CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)"
         " || ':' || CAST(start_offset AS VARCHAR)",

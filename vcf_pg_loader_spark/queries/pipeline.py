@@ -3916,6 +3916,101 @@ def _training_shards_sql() -> str:
 
 Q_TRAINING_SHARDS_SQL = _training_shards_sql()
 
+# tokenizer-space packing (round-11 verdict item 3): the layout's
+# seq_len cuts count BPE tokens under a merge table learned from the
+# corpus itself, not whitespace words
+SHARD_BPE_MERGES = 4
+
+
+def q_training_shards_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest with per-doc lengths in TOKENIZER space: learn
+    SHARD_BPE_MERGES merges (bpe_learn_batched, pinned == sequential),
+    count each document's BPE tokens via the Arrow encoder, and pack
+    through the same shard_layout_from_lengths seam the maintenance
+    sink uses.  The DuckDB twin re-derives the identical merges with
+    chained argmax CTEs, so the oracle covers learner + encoder +
+    packing end-to-end."""
+    from vcf_pg_loader_spark.operators import bpe as B
+    from vcf_pg_loader_spark.operators import shards as SHD
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = B.bpe_learn_batched(docs, n_merges=SHARD_BPE_MERGES)
+    lengths = B.bpe_token_lengths(docs, merges)
+    base = SHD.shard_base(docs, lengths=lengths)
+    return SHD.shard_manifest(SHD.shard_layout_from_lengths(base))
+
+
+def _sql_bpe_doc_lengths(k: int) -> str:
+    """(doc_id, n_tokens) in BPE space after k learned merges — the
+    lengths_sql seam for sql_shard_layout.  One fold CTE per merge
+    round, mirroring operators/bpe.py exactly (argmax by count desc
+    then lexicographic, min count 2, greedy left-to-right apply)."""
+    ctes = [
+        """wc AS (
+  SELECT w AS word, COUNT(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) > 0 GROUP BY w
+)""",
+        """s0 AS (
+  SELECT word,
+         list_aggregate(list_append(string_split(word, ''), '</w>'),
+                        'string_agg', chr(31)) AS s, n
+  FROM wc
+)""",
+    ]
+    for i in range(1, k + 1):
+        prev = f"s{i - 1}"
+        ctes.append(
+            f"""p{i} AS (
+  SELECT ss[CAST(i AS INT)] AS l, ss[CAST(i AS INT) + 1] AS r, SUM(n) AS c
+  FROM (SELECT string_split(s, chr(31)) AS ss, n FROM {prev}),
+       UNNEST(range(1, len(ss))) AS t(i)
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""m{i} AS (
+  SELECT l, r FROM p{i} WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"""s{i} AS (
+  SELECT word, {_BPE_FOLD.format(src=f'{prev}.s', m=f'm{i}')} AS s, n
+  FROM {prev}, m{i}
+)"""
+        )
+    ctes.append(
+        f"""wl AS (
+  SELECT word, CAST(len(string_split(s, chr(31))) AS BIGINT) AS wt
+  FROM s{k}
+)"""
+    )
+    ctes.append(
+        """dw AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) > 0
+)"""
+    )
+    ctes.append(
+        """dl AS (
+  SELECT dw.doc_id, SUM(wl.wt) AS n_tokens
+  FROM dw JOIN wl ON dw.w = wl.word GROUP BY dw.doc_id
+)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT d.doc_id, CAST(COALESCE(dl.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id"""
+
+
+def _training_shards_bpe_sql() -> str:
+    from vcf_pg_loader_spark.operators.shards import sql_shard_manifest
+
+    return sql_shard_manifest(
+        lengths_sql=_sql_bpe_doc_lengths(SHARD_BPE_MERGES)
+    )
+
 # layout detail pinned on a quarter of the shards (bounded output; the
 # packing semantics are identical in every shard)
 SHARD_LAYOUT_MAX = 4
@@ -4703,6 +4798,7 @@ QUERIES = {
     "q_cdc_shards": q_cdc_shards,
     "q_bpe_pairs": q_bpe_pairs,
     "q_bpe_pairs_roundk": q_bpe_pairs_roundk,
+    "q_training_shards_bpe": q_training_shards_bpe,
     "q_vocab_coverage": q_vocab_coverage,
     "q_vocab_oov": q_vocab_oov,
     "q_ann_cell_stats": q_ann_cell_stats,
@@ -4801,6 +4897,7 @@ ORACLE = {
     "q_cdc_shards": Q_CDC_SHARDS_SQL,
     "q_bpe_pairs": Q_BPE_PAIRS_SQL,
     "q_bpe_pairs_roundk": Q_BPE_PAIRS_ROUNDK_SQL,
+    "q_training_shards_bpe": _training_shards_bpe_sql(),
     "q_vocab_coverage": Q_VOCAB_COVERAGE_SQL,
     "q_vocab_oov": Q_VOCAB_OOV_SQL,
     "q_ann_cell_stats": Q_ANN_CELL_STATS_SQL,

@@ -65,16 +65,42 @@ class TrainingShardSink(ParquetUpsertSink):
         target: str,
         n_shards: int = N_SHARDS,
         seq_len: int = SEQ_LEN,
+        merges: list[tuple[str, str]] | None = None,
+        vocab_fp: int | None = None,
     ):
+        """``merges`` switches packing to TOKENIZER space: per-doc
+        n_tokens comes from operators/bpe.py bpe_token_lengths under
+        the given merge table instead of the whitespace count, so the
+        layout's seq_len cuts speak the trainer's tokens (round-11
+        verdict item 3).  ``vocab_fp`` is the vocab artifact's
+        corpus_fp (cli train-vocab); it joins the parameter fingerprint
+        so a layout packed under one tokenizer REFUSES maintenance or
+        reads under another."""
         super().__init__(target, key=["doc_id"])
         self.n_shards = n_shards
         self.seq_len = seq_len
+        self.merges = (
+            [tuple(m) for m in merges] if merges is not None else None
+        )
+        self.vocab_fp = vocab_fp
 
     def _params_fingerprint(self) -> dict:
-        # both keys are SEMANTIC: a different shard count moves every
+        # every key is SEMANTIC: a different shard count moves every
         # document's assignment, a different seq_len changes every
-        # packed offset — state built under other values must refuse
-        return {"n_shards": self.n_shards, "seq_len": self.seq_len}
+        # packed offset, and a different tokenizer changes every length
+        # — state built under other values must refuse
+        fp = {"n_shards": self.n_shards, "seq_len": self.seq_len}
+        if self.merges is not None:
+            fp["token_space"] = "bpe"
+            fp["vocab_fp"] = self.vocab_fp
+        return fp
+
+    def _lengths(self, docs: DataFrame) -> DataFrame | None:
+        if self.merges is None:
+            return None
+        from vcf_pg_loader_spark.operators.bpe import bpe_token_lengths
+
+        return bpe_token_lengths(docs, self.merges)
 
     # -- serve ----------------------------------------------------------
     def manifest(self, spark) -> DataFrame:
@@ -137,6 +163,12 @@ class TrainingShardSink(ParquetUpsertSink):
                 "n_tokens",
                 "text",
             )
+            # one partition per shard BEFORE the within-partition sort:
+            # without it the join's partitioning can interleave one
+            # shard's rows across partitions and the "packed order"
+            # this method promises would only hold per-partition
+            # (round-11 advice item 3)
+            .repartition(F.col("shard"))
             .sortWithinPartitions("shard", "okey", "doc_id")
         )
 
@@ -147,7 +179,9 @@ class TrainingShardSink(ParquetUpsertSink):
         ins = ins.dropDuplicates(["doc_id"])
         touched = dels.unionByName(ins.select("doc_id")).distinct()
 
-        new_base = shard_base(ins, n_shards=self.n_shards)
+        new_base = shard_base(
+            ins, n_shards=self.n_shards, lengths=self._lengths(ins)
+        )
         old = self._table_raw(spark, "layout")
         if old is None:
             base = new_base
