@@ -507,7 +507,11 @@ def pruned_maintenance_evidence(spark, sf_dir: str) -> dict:
         wsink.apply_batch(docs, 0)
         wdir = os.path.join(wsink.target, "fps")
         before = _inode_size_map(wdir)
-        victim = docs.limit(1)
+        # orderBy before limit: an unordered limit(1) is evaluated
+        # independently in the two union branches below and can pick
+        # two DIFFERENT documents, turning the claimed 1-doc delta into
+        # an update+delete pair (round-11 advice item 5)
+        victim = docs.orderBy("doc_id").limit(1)
         wdelta = victim.withColumn(
             "text", F.concat(F.col("text"), F.lit(" revised"))
         ).withColumn(MULT, F.lit(1).cast("bigint")).unionByName(
@@ -556,7 +560,7 @@ def pruned_maintenance_evidence(spark, sf_dir: str) -> dict:
         ssink.apply_batch(docs, 0)
         sdir = os.path.join(ssink.target, "layout")
         before = _inode_size_map(sdir)
-        victim = docs.limit(1)
+        victim = docs.orderBy("doc_id").limit(1)  # deterministic (see above)
         sdelta = victim.withColumn(
             "text", F.concat(F.col("text"), F.lit(" revised"))
         ).withColumn(MULT, F.lit(1).cast("bigint")).unionByName(
@@ -612,6 +616,93 @@ def pruned_maintenance_evidence(spark, sf_dir: str) -> dict:
 _CONTROL_QUERIES = ("q01_pricing_summary", "q06_forecast_revenue")
 
 
+def _previous_detail() -> dict | None:
+    """The last COMMITTED BENCH_DETAIL.json (git HEAD), falling back to
+    the on-disk file — the baseline the drifter re-measure compares
+    against.  Must be read BEFORE this run overwrites the file."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            ["git", "show", "HEAD:BENCH_DETAIL.json"],
+            cwd=here,
+            capture_output=True,
+            timeout=30,
+        )
+        if out.returncode == 0:
+            return json.loads(out.stdout)
+    except Exception:
+        pass
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json")) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+DRIFT_RATIO = 1.5  # warm slower than last round by this much = drifter
+DRIFT_FLOOR_SEC = 0.5  # ignore sub-noise-floor queries
+DRIFT_TOP_N = 5
+DRIFT_REPS = 3
+
+
+def drifter_remeasures(
+    spark, sf_dir: str, timings: dict, prev: dict | None
+) -> dict:
+    """Round-11 verdict item 6: two rounds running, spike 'regressions'
+    in the sweep were hand-re-measured idle and found to be transient
+    (single-JVM 180-query sessions accumulate cleanup pressure).  This
+    folds that protocol into the bench itself: the top-N warm deltas vs
+    the previous COMMITTED BENCH_DETAIL re-run DRIFT_REPS times after
+    the sweep (the idle tail of the session), and the medians land in
+    BENCH_DETAIL as `drifter_remeasures` so round docs cite an artifact
+    instead of ad-hoc shell runs."""
+    if not prev:
+        return {}
+    prev_q = prev.get("queries") or {}
+    from vcf_pg_loader_spark.queries import all_queries
+
+    registry = all_queries()
+    drifters = []
+    for name, t in timings.items():
+        warm = t.get("warm_sec")
+        p = prev_q.get(name)
+        prev_warm = p.get("warm_sec") if isinstance(p, dict) else None
+        if not warm or not prev_warm or name not in registry:
+            continue
+        if warm < DRIFT_FLOOR_SEC:
+            continue
+        ratio = warm / prev_warm
+        if ratio >= DRIFT_RATIO:
+            drifters.append((ratio, name, prev_warm, warm))
+    drifters.sort(reverse=True)
+    out: dict[str, dict] = {}
+    for ratio, name, prev_warm, warm in drifters[:DRIFT_TOP_N]:
+        reps = []
+        for _ in range(DRIFT_REPS):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            try:
+                registry[name](spark, sf_dir).count()
+            except Exception:
+                break
+            reps.append(round(time.perf_counter() - t0, 3))
+        spark.catalog.clearCache()
+        med = sorted(reps)[len(reps) // 2] if reps else None
+        out[name] = {
+            "prev_warm_sec": prev_warm,
+            "sweep_warm_sec": warm,
+            "sweep_ratio": round(ratio, 2),
+            "remeasure_secs": reps,
+            "remeasure_median_sec": med,
+            "transient": (
+                bool(med is not None and med / prev_warm < DRIFT_RATIO)
+            ),
+        }
+    return out
+
+
 def bench_control(spark, sf_dir: str, reps: int = 5) -> dict:
     from vcf_pg_loader_spark.queries import all_queries
 
@@ -641,6 +732,9 @@ def main() -> None:
     from vcf_pg_loader_spark.session import get_spark
 
     spark = get_spark(app_name="vcf-pg-loader-spark-bench")
+
+    # capture the last committed detail BEFORE this run overwrites it
+    prev_detail = _previous_detail()
 
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # query, not session bring-up.
@@ -755,6 +849,9 @@ def main() -> None:
     served = served_paths(spark, sf_dir)
     print(f"# served_paths: {served}", file=sys.stderr)
 
+    drifters = drifter_remeasures(spark, sf_dir, timings, prev_detail)
+    print(f"# drifter_remeasures: {drifters}", file=sys.stderr)
+
     control = bench_control(spark, sf_dir)
     print(f"# control: {control}", file=sys.stderr)
     warm_total = round(
@@ -781,6 +878,7 @@ def main() -> None:
         "ann_aging": aging,
         "pruned_maintenance": pruned,
         "served_paths": served,
+        "drifter_remeasures": drifters,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

@@ -233,3 +233,104 @@ class TestEpochStamp:
         assert main(
             ["verify-consistency", "--states", *d1, *d2]
         ) == 0
+
+
+class TestEpochStampReplaySafety:
+    """Round-11 advice items 1-2: a replayed batch id must not re-stamp
+    a state with a new snapshot's epoch, and source-only snapshot
+    changes must fingerprint distinctly."""
+
+    def _stamp_of(self, state):
+        with open(f"{state}_epoch.json") as fh:
+            return json.load(fh)
+
+    def test_replay_same_snapshot_is_clean_noop(self, spark, tmp_path, capsys):
+        v1 = str(tmp_path / "v1")
+        _write_snapshot(spark, v1, range(8))
+        dirs = tuple(str(tmp_path / n) for n in ("s", "f", "c"))
+        assert _sync(dirs, v1, 0) == 0
+        capsys.readouterr()
+        before = self._stamp_of(dirs[0])
+        assert _sync(dirs, v1, 0) == 0  # replay: same snapshot+batch
+        assert self._stamp_of(dirs[0]) == before
+
+    def test_replayed_batch_id_with_new_snapshot_refused(
+        self, spark, tmp_path, capsys
+    ):
+        import pytest
+
+        v1, v2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+        _write_snapshot(spark, v1, range(8))
+        _write_snapshot(spark, v2, range(4, 14))  # different content
+        dirs = tuple(str(tmp_path / n) for n in ("s", "f", "c"))
+        assert _sync(dirs, v1, 0) == 0
+        capsys.readouterr()
+        before = self._stamp_of(dirs[0])
+        # reusing batch id 0 for a DIFFERENT snapshot: the apply is a
+        # silent no-op, so stamping v2's epoch would make
+        # verify-consistency vouch for a diverged state — must refuse
+        # and must NOT rewrite the stamp
+        with pytest.raises(ValueError, match="reused batch id"):
+            _sync(dirs, v2, 0)
+        assert self._stamp_of(dirs[0]) == before
+        # the correct path (fresh batch id) still works
+        assert _sync(dirs, v2, 1) == 0
+
+    def test_source_only_change_gets_new_epoch_fp(
+        self, spark, tmp_path, capsys
+    ):
+        v1, v2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+        ids = range(8)
+        _write_snapshot(spark, v1, ids)
+        # same doc_ids and text, every source moved
+        spark.createDataFrame(
+            [(i, _text(i), f"moved{i % 2}") for i in ids],
+            "doc_id bigint, text string, source string",
+        ).coalesce(1).write.parquet(v2)
+        d1 = tuple(str(tmp_path / n) for n in ("s1", "f1", "c1"))
+        d2 = tuple(str(tmp_path / n) for n in ("s2", "f2", "c2"))
+        assert _sync(d1, v1, 0) == 0
+        out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert _sync(d2, v2, 0) == 0
+        out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out1["epoch_fp"] != out2["epoch_fp"]
+
+    def test_sourceless_snapshot_keeps_two_part_formula(
+        self, spark, tmp_path, capsys
+    ):
+        """A snapshot without a source column fingerprints exactly as
+        before the source fold-in (stamps stay comparable), and equals
+        itself deterministically."""
+        from pyspark.sql import functions as F
+
+        from vcf_pg_loader_spark.functions.hashing import h60
+
+        v = str(tmp_path / "v")
+        spark.createDataFrame(
+            [(i, _text(i)) for i in range(6)],
+            "doc_id bigint, text string",
+        ).write.parquet(v)
+        dirs = tuple(str(tmp_path / n) for n in ("s", "f", "c"))
+        assert _sync(dirs, v, 0) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        want = (
+            spark.read.parquet(v)
+            .agg(
+                F.coalesce(
+                    F.bit_xor(
+                        h60(
+                            F.concat_ws(
+                                ":",
+                                F.col("doc_id").cast("string"),
+                                F.md5("text"),
+                            ),
+                            "epoch:",
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("fp")
+            )
+            .collect()[0]
+            .fp
+        )
+        assert out["epoch_fp"] == int(want)

@@ -473,3 +473,205 @@ class TestTokenizerSpacePacking:
         rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep["written_docs"] < rep["docs"]
         assert "does not match" in rep["error"]
+
+
+class TestReshard:
+    """Round-12 (verdict item 4): n_shards/seq_len migration from the
+    persisted layout's own facts — manifest tuple-equal to a
+    from-scratch build, and provably no document text re-read."""
+
+    def test_reshard_16_to_64_equals_scratch(self, spark, tmp_path):
+        from vcf_pg_loader_spark.cli import main
+        import json as _json
+
+        docs = _docs(spark, range(200))
+        t = str(tmp_path / "state")
+        sink = TrainingShardSink(t)  # 16 shards, 512 seq_len
+        sink.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+
+        assert main(
+            ["reshard", "--state", t, "--n-shards", "64",
+             "--seq-len", "128"]
+        ) == 0
+
+        new_sink = TrainingShardSink(t, n_shards=64, seq_len=128)
+        got = _served(new_sink, spark)
+        want = (
+            SH.shard_manifest(
+                SH.shard_layout(docs, n_shards=64, seq_len=128),
+                seq_len=128,
+            )
+            .orderBy("shard")
+            .collect()
+        )
+        assert got == want
+        # fingerprint restamped: the OLD parameters now refuse
+        with pytest.raises(ValueError, match="parameters"):
+            TrainingShardSink(t).apply_batch(
+                docs.limit(1).withColumn(
+                    MULT, F.lit(1).cast("bigint")
+                ),
+                1,
+            )
+        # ... and maintenance resumes under the new ones
+        d1 = _docs(spark, range(10, 210))
+        new_sink.apply_batch(zset_snapshot_delta(docs, d1, "doc_id"), 1)
+        assert _served(new_sink, spark) == (
+            SH.shard_manifest(
+                SH.shard_layout(d1, n_shards=64, seq_len=128), seq_len=128
+            )
+            .orderBy("shard")
+            .collect()
+        )
+
+    def test_reshard_never_reads_documents(self, spark, tmp_path):
+        """The strongest no-text-scan proof: build the state, then make
+        the corpus unreadable — reshard must still succeed because it
+        rebuilds from persisted (doc_id, n_tokens, dfp) alone.  A
+        BPE-packed layout keeps its token lengths verbatim without the
+        vocab artifact present."""
+        from vcf_pg_loader_spark.streaming.shards import reshard_state
+
+        merges = [("a", "l"), ("o", "t")]
+        docs = _docs(spark, range(80))
+        t = str(tmp_path / "state")
+        sink = TrainingShardSink(t, merges=merges, vocab_fp=7)
+        sink.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        old_lengths = {
+            r.doc_id: r.n_tokens for r in sink.layout(spark).collect()
+        }
+        # no corpus parquet exists anywhere under tmp_path/state's reach;
+        # pass nothing text-like and reshard in place
+        out = reshard_state(spark, t, n_shards=8)
+        assert out["n_shards_new"] == 8 and out["seq_len_new"] == SH.SEQ_LEN
+        new_sink = TrainingShardSink(
+            t, n_shards=8, merges=merges, vocab_fp=7
+        )
+        new_lengths = {
+            r.doc_id: r.n_tokens for r in new_sink.layout(spark).collect()
+        }
+        # token-space lengths carried verbatim (not re-derived)
+        assert new_lengths == old_lengths
+        # vocab fingerprint preserved through the restamp
+        import json as _json, os as _os
+
+        with open(_os.path.join(t, "_params.json")) as fh:
+            fp = _json.load(fh)
+        assert fp == {
+            "n_shards": 8,
+            "seq_len": SH.SEQ_LEN,
+            "token_space": "bpe",
+            "vocab_fp": 7,
+        }
+
+    def test_reshard_noop_and_missing_refused(self, spark, tmp_path):
+        from vcf_pg_loader_spark.streaming.shards import reshard_state
+
+        t = str(tmp_path / "state")
+        sink = TrainingShardSink(t)
+        sink.apply_batch(
+            _docs(spark, range(10)).withColumn(
+                MULT, F.lit(1).cast("bigint")
+            ),
+            0,
+        )
+        with pytest.raises(ValueError, match="already at"):
+            reshard_state(spark, t, n_shards=SH.N_SHARDS)
+        with pytest.raises(ValueError, match="n-shards"):
+            reshard_state(spark, t)
+        with pytest.raises(FileNotFoundError):
+            reshard_state(
+                spark, str(tmp_path / "nope"), n_shards=8
+            )
+
+
+class TestEpochPinnedServing:
+    """Round-12 (verdict item 5): a trainer streaming shards under an
+    epoch pin must see identical bytes before, during, and after
+    sync-corpus applies the next epoch."""
+
+    def _stamp(self, sink, fp, bid):
+        sink.stamp_epoch({"epoch_fp": fp, "batch_id": bid})
+
+    def test_pinned_read_is_stable_across_next_epoch(self, spark, tmp_path):
+        t = str(tmp_path / "state")
+        sink = TrainingShardSink(t)
+        d0 = _docs(spark, range(100))
+        sink.apply_batch(d0.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        self._stamp(sink, "E0", 0)
+
+        corpus0 = d0  # the corpus matching epoch E0
+        def pinned():
+            return sorted(
+                (r.shard, r.okey, r.doc_id, r.start_offset, r.text)
+                for r in sink.materialize(
+                    spark, corpus0, epoch="E0"
+                ).collect()
+            )
+
+        before = pinned()
+        man_before = sink.manifest(spark, epoch="E0").orderBy(
+            "shard"
+        ).collect()
+        assert before  # non-trivial
+
+        # epoch E1 applies: docs leave, arrive, and change
+        d1 = _docs(spark, range(50, 180))
+        sink.apply_batch(zset_snapshot_delta(d0, d1, "doc_id"), 1)
+        self._stamp(sink, "E1", 1)
+
+        assert pinned() == before
+        assert (
+            sink.manifest(spark, epoch="E0").orderBy("shard").collect()
+            == man_before
+        )
+        # live read moved on
+        assert _served(sink, spark) == _scratch(d1)
+        assert _served(sink, spark) != [
+            (r.shard, r.n_docs, r.n_tokens, r.n_seqs, r.shard_fp)
+            for r in man_before
+        ]
+
+    def test_retention_evicts_oldest(self, spark, tmp_path):
+        t = str(tmp_path / "state")
+        sink = TrainingShardSink(t)
+        d = _docs(spark, range(30))
+        sink.apply_batch(d.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        import time
+
+        for i, fp in enumerate(("E0", "E1", "E2")):
+            self._stamp(sink, fp, i)
+            time.sleep(0.05)  # distinct mtimes for retention order
+        # RETAIN_EPOCHS=2: E0 evicted, E1/E2 retained
+        with pytest.raises(FileNotFoundError, match="retained snapshot"):
+            sink.layout(spark, epoch="E0")
+        assert sink.layout(spark, epoch="E1").count() == 30
+        assert sink.layout(spark, epoch="E2").count() == 30
+
+    def test_export_shard_cli_epoch_pin(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from vcf_pg_loader_spark.cli import main
+
+        d0 = _docs(spark, range(40))
+        t = str(tmp_path / "state")
+        sink = TrainingShardSink(t)
+        sink.apply_batch(d0.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        self._stamp(sink, "E0", 0)
+        corpus0 = str(tmp_path / "corpus0")
+        d0.write.parquet(corpus0)
+
+        # next epoch lands before the export runs
+        d1 = _docs(spark, range(20, 90))
+        sink.apply_batch(zset_snapshot_delta(d0, d1, "doc_id"), 1)
+        self._stamp(sink, "E1", 1)
+
+        out = str(tmp_path / "export")
+        assert main(
+            ["export-shard", "--state", t, "--corpus", corpus0,
+             "--out", out, "--epoch", "E0"]
+        ) == 0
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # integrity holds against the PINNED manifest (40 docs), not
+        # the live one (E1's doc set)
+        assert rep["written_docs"] == rep["docs"] == 40

@@ -547,17 +547,22 @@ def cmd_sync_corpus(args) -> int:
     # already-loaded snapshot.
     from vcf_pg_loader_spark.functions.hashing import h60
 
-    ep = new.agg(
+    # source rides into the fingerprint when the snapshot carries it:
+    # source is a recognized delta class (the card sink re-syncs on
+    # source-only moves, --mix-budget quotas depend on it), so two
+    # snapshots differing only in source must NOT share an epoch_fp —
+    # verify-consistency would otherwise vouch for states synced to
+    # different snapshots (round-11 advice item 2).  Sourceless
+    # snapshots keep the original two-part formula, so their stamps
+    # stay comparable across engine versions.
+    snap_raw = spark.read.parquet(args.snapshot)
+    fp_cols = [F.col("doc_id").cast("string"), F.md5("text")]
+    if "source" in snap_raw.columns:
+        fp_cols.append(F.coalesce(F.col("source").cast("string"), F.lit("")))
+    ep = snap_raw.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(
-            F.bit_xor(
-                h60(
-                    F.concat_ws(
-                        ":", F.col("doc_id").cast("string"), F.md5("text")
-                    ),
-                    "epoch:",
-                )
-            ),
+            F.bit_xor(h60(F.concat_ws(":", *fp_cols), "epoch:")),
             F.lit(0),
         ).alias("fp"),
     ).collect()[0]
@@ -566,8 +571,33 @@ def cmd_sync_corpus(args) -> int:
         "n_docs": int(ep.n_docs),
         "batch_id": args.batch_id,
     }
-    sink.apply_batch(delta, args.batch_id)
-    sink.stamp_epoch(epoch)
+
+    def apply_and_stamp(s, batch_delta, stamp):
+        """Stamp the epoch ONLY when the batch actually applies this
+        run.  apply_batch is a silent no-op on a replayed batch id;
+        stamping unconditionally would re-stamp the state with a NEW
+        snapshot's epoch_fp while its data stays at the old snapshot —
+        after which verify-consistency (whose whole purpose is catching
+        divergence) vouches for genuinely diverged states (round-11
+        advice item 1).  A replay under the SAME snapshot is a clean
+        no-op; a reused batch id under a DIFFERENT snapshot refuses."""
+        replay = s.applied(args.batch_id)
+        s.apply_batch(batch_delta, args.batch_id)
+        if not replay:
+            s.stamp_epoch(stamp)
+            return
+        prior = s.read_epoch()
+        if prior is not None and prior.get("epoch_fp") != stamp["epoch_fp"]:
+            raise ValueError(
+                f"batch {args.batch_id} was already applied at "
+                f"{s.target} under epoch_fp {prior.get('epoch_fp')}, but "
+                f"this snapshot fingerprints as {stamp['epoch_fp']}: a "
+                f"reused batch id with a different snapshot would leave "
+                f"the state at the old data while stamping the new epoch "
+                f"— use a fresh batch id for the new snapshot"
+            )
+
+    apply_and_stamp(sink, delta, epoch)
     if args.funnel_state:
         # the funnel's own corpus/ holds quality+LM SURVIVORS only, so
         # it cannot self-diff — it consumes the delta computed against
@@ -580,8 +610,7 @@ def cmd_sync_corpus(args) -> int:
             args.funnel_state, args.nll_max, args.ngram, args.minhash_k,
             args.bands, args.threshold,
         )
-        funnel_sink.apply_batch(delta, args.batch_id)
-        funnel_sink.stamp_epoch(epoch)
+        apply_and_stamp(funnel_sink, delta, epoch)
     if args.decontam_state:
         # same lockstep rule as --funnel-state: the decontamination
         # index consumes the delta computed against the cluster state's
@@ -589,8 +618,7 @@ def cmd_sync_corpus(args) -> int:
         from vcf_pg_loader_spark.streaming.retract import DecontamIndexSink
 
         dec_sink = DecontamIndexSink(args.decontam_state, args.ngram)
-        dec_sink.apply_batch(delta, args.batch_id)
-        dec_sink.stamp_epoch(epoch)
+        apply_and_stamp(dec_sink, delta, epoch)
     if args.card_state:
         # The release card diffs ITS OWN state against the snapshot, on
         # (content-fingerprint, source) — NOT the text-keyed delta the
@@ -646,8 +674,7 @@ def cmd_sync_corpus(args) -> int:
             .drop("doc_fp")
             .localCheckpoint(eager=True)
         )
-        card_sink.apply_batch(card_delta, args.batch_id)
-        card_sink.stamp_epoch(epoch)
+        apply_and_stamp(card_sink, card_delta, epoch)
     kept = sink.keep(spark)
     if args.shards_state:
         # The training-shard layout packs the CURATED corpus — the
@@ -744,11 +771,12 @@ def cmd_sync_corpus(args) -> int:
             .drop("dfp")
             .localCheckpoint(eager=True)
         )
-        shard_sink.apply_batch(shard_delta, args.batch_id)
-        shard_sink.stamp_epoch(
+        apply_and_stamp(
+            shard_sink,
+            shard_delta,
             {**epoch, "mix_budget": args.mix_budget}
             if args.mix_budget
-            else epoch
+            else epoch,
         )
     if args.out:
         corpus = sink._table(spark, "corpus")
@@ -898,13 +926,14 @@ def cmd_export_shard(args) -> int:
     shards = (
         [int(s) for s in args.shards.split(",")] if args.shards else None
     )
-    out_df = sink.materialize(spark, corpus, shards)
+    epoch = getattr(args, "epoch", None)
+    out_df = sink.materialize(spark, corpus, shards, epoch=epoch)
     (
         out_df.write.mode("overwrite")  # materialize already packs order
         .partitionBy("shard")
         .parquet(args.out)
     )
-    man = sink.manifest(spark)
+    man = sink.manifest(spark, epoch=epoch)
     if shards is not None:
         from vcf_pg_loader_spark.streaming.sink import isin_values
 
@@ -1017,6 +1046,25 @@ def cmd_rebucket(args) -> int:
     spark = _spark()
     out = rebucket_state(
         spark, args.state, args.key, args.n, id_col=args.id_col
+    )
+    print(json.dumps({"state": args.state.rstrip("/"), **out}))
+    return 0
+
+
+def cmd_reshard(args) -> int:
+    """Migrate a TrainingShardSink state to a new n_shards and/or
+    seq_len in place (streaming/shards.py reshard_state): one full
+    rewrite of layout+manifest rebuilt from the persisted per-doc
+    facts — doc_id, n_tokens, dfp — so no documents table is scanned
+    and no text is re-tokenized (a BPE-packed layout keeps its token
+    space without the vocab artifact).  The sibling of `rebucket` for
+    the two shard parameters that are assignments, not bucket
+    layouts."""
+    from vcf_pg_loader_spark.streaming.shards import reshard_state
+
+    spark = _spark()
+    out = reshard_state(
+        spark, args.state, n_shards=args.n_shards, seq_len=args.seq_len
     )
     print(json.dumps({"state": args.state.rstrip("/"), **out}))
     return 0
@@ -1313,6 +1361,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "the layout was packed in tokenizer space "
                          "(sync-corpus --shards-merges) — the vocab "
                          "fingerprint must match the state's")
+    sp.add_argument("--epoch",
+                    help="pin the export to a retained epoch snapshot "
+                         "(an epoch_fp stamped by sync-corpus): bytes "
+                         "stay identical even while later epochs "
+                         "apply; pass the corpus matching that epoch")
 
     sp = add("verify-consistency", cmd_verify_consistency,
              help="check that N maintained states carry the same "
@@ -1347,6 +1400,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--id-col", default="doc_id",
                     help="id column the ib layout hashes (n_id_buckets "
                          "only)")
+
+    sp = add("reshard", cmd_reshard,
+             help="migrate a TrainingShardSink state to a new n_shards "
+                  "and/or seq_len from its own persisted facts (no "
+                  "document text re-read)")
+    sp.add_argument("--state", required=True,
+                    help="TrainingShardSink state dir")
+    sp.add_argument("--n-shards", type=int)
+    sp.add_argument("--seq-len", type=int)
 
     sp = add("build-rsid-index", cmd_build_rsid_index,
              help="materialize the rsid-sorted point-lookup copy")
