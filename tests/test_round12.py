@@ -139,3 +139,126 @@ class TestSyncCorpusShardsMerges:
                  "--batch-id", "1", "--shards-state", shards,
                  "--shards-merges", vocab2]
             )
+
+
+class TestVocabSink:
+    """Round-12 stretch: maintained (word, n) vocabulary under the
+    Z-set contract — incremental == scratch, pruned bucket writes, and
+    the trainer consuming served counts unchanged."""
+
+    def _docs(self, spark, ids):
+        # mostly doc-local word types (so a 1-doc delta touches few
+        # hash buckets) plus a shared head word (so counts aggregate
+        # across docs too)
+        rows = [
+            (
+                i,
+                "common "
+                + " ".join(f"w{i}x{j}" for j in range((i % 5) + 2)),
+            )
+            for i in ids
+        ]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def _scratch(self, docs):
+        from vcf_pg_loader_spark.operators.bpe import word_counts
+
+        return sorted(
+            (r.w, r.n) for r in word_counts(docs).collect()
+        )
+
+    def test_incremental_equals_scratch(self, spark, tmp_path):
+        from vcf_pg_loader_spark.operators.ivm import (
+            MULT,
+            zset_snapshot_delta,
+        )
+        from vcf_pg_loader_spark.streaming.vocab import VocabSink
+
+        t = str(tmp_path / "state")
+        sink = VocabSink(t)
+        d0 = self._docs(spark, range(60))
+        sink.apply_batch(d0.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        assert sorted(
+            (r.w, r.n) for r in sink.counts(spark).collect()
+        ) == self._scratch(d0)
+        # docs leave, arrive, and CHANGE text
+        d1 = self._docs(spark, range(20, 90)).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") == 25,
+                F.lit("zulu zulu yankee"),
+            ).otherwise(F.col("text")),
+        )
+        sink.apply_batch(zset_snapshot_delta(d0, d1, "doc_id"), 1)
+        assert sorted(
+            (r.w, r.n) for r in sink.counts(spark).collect()
+        ) == self._scratch(d1)
+        # replay is a no-op
+        sink.apply_batch(zset_snapshot_delta(d0, d1, "doc_id"), 1)
+        assert sorted(
+            (r.w, r.n) for r in sink.counts(spark).collect()
+        ) == self._scratch(d1)
+
+    def test_untouched_buckets_hard_link(self, spark, tmp_path):
+        from vcf_pg_loader_spark.operators.ivm import (
+            MULT,
+            zset_snapshot_delta,
+        )
+        from vcf_pg_loader_spark.streaming.vocab import VocabSink
+
+        t = str(tmp_path / "state")
+        sink = VocabSink(t)
+        d0 = self._docs(spark, range(200))
+        sink.apply_batch(d0.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        vdir = os.path.join(t, "vocab")
+
+        def inodes():
+            out = {}
+            for entry in os.listdir(vdir):
+                p = os.path.join(vdir, entry)
+                if "=" in entry and os.path.isdir(p):
+                    out[entry] = {
+                        f: os.stat(os.path.join(p, f)).st_ino
+                        for f in os.listdir(p)
+                        if not f.startswith(("_", "."))
+                    }
+            return out
+
+        before = inodes()
+        assert len(before) > 4  # words spread over several buckets
+        # one changed doc -> only the buckets of ITS words rewrite
+        d1 = d0.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") == 7, F.lit("alpha alpha")
+            ).otherwise(F.col("text")),
+        )
+        sink.apply_batch(zset_snapshot_delta(d0, d1, "doc_id"), 1)
+        after = inodes()
+        linked = [
+            p for p in after if p in before and after[p] == before[p]
+        ]
+        rewritten = [p for p in after if p not in linked]
+        assert rewritten and linked  # some pruned, some rewritten
+        # the doc's words span few buckets; most of the state hard-links
+        assert len(linked) >= len(after) // 2
+
+    def test_trainer_consumes_served_counts(self, spark, tmp_path):
+        """bpe_learn_from_counts over the MAINTAINED vocab equals
+        learning from the corpus — vocab refresh is O(|delta|), train
+        reads the state."""
+        from vcf_pg_loader_spark.operators import bpe as B
+        from vcf_pg_loader_spark.operators.ivm import MULT
+        from vcf_pg_loader_spark.streaming.vocab import VocabSink
+
+        docs = self._docs(spark, range(40))
+        t = str(tmp_path / "state")
+        sink = VocabSink(t)
+        sink.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        served = [
+            (r.w, r.n) for r in sink.counts(spark).collect()
+        ]
+        assert (
+            B.bpe_learn_from_counts(served, 12)
+            == B.bpe_learn_local(docs, 12)
+        )

@@ -52,6 +52,7 @@ STATE_VERSIONS = {
     # 11.1 = layout carries the content fingerprint (dfp) the CLI's
     # kept-corpus self-diff keys on
     "shards": 11.1,  # maintained training-shard layout (new in round 11)
+    "vocab": 12,     # maintained vocabulary counts (new in round 12)
 }
 
 # _served_root name -> structure group; every persisted root must be
@@ -87,6 +88,8 @@ _STRUCTURE_OF = {
     "zdel_decontam": "decontam",
     "cdc_shards": "shards",
     "shards_store": "shards",
+    "vocab_store": "vocab",
+    "cdc_vocab": "vocab",
 }
 
 
@@ -4360,15 +4363,9 @@ FROM p2 ORDER BY cnt DESC, a, b LIMIT {{BPE_PAIRS_TOP}}
 VOCAB_COVERAGE_KS = (5, 10, 20, 30)
 
 
-def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative corpus-token share of the top-K word types — the
-    curve that sizes a vocabulary.  The top-K cut is
-    TakeOrderedAndProject; the running sum windows over the K surviving
-    rows only, never the full type table."""
-    from vcf_pg_loader_spark.operators import bpe as B
-
-    docs = load_table(spark, sf_dir, "documents")
-    wc = B.word_counts(docs)
+def _coverage_from_wc(wc: DataFrame) -> DataFrame:
+    """Coverage curve over any (w, n) word-count frame — shared by the
+    from-scratch query and the VocabSink-served twin."""
     total = wc.agg(F.sum("n").alias("total"))
     kmax = max(VOCAB_COVERAGE_KS)
     top = wc.orderBy(F.desc("n"), "w").limit(kmax)
@@ -4391,10 +4388,80 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_VOCAB_COVERAGE_SQL = f"""
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative corpus-token share of the top-K word types — the
+    curve that sizes a vocabulary.  The top-K cut is
+    TakeOrderedAndProject; the running sum windows over the K surviving
+    rows only, never the full type table."""
+    from vcf_pg_loader_spark.operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _coverage_from_wc(B.word_counts(docs))
+
+
+def _vocab_sink(spark, sf_dir: str, name: str, batches) -> "VocabSink":
+    """Bootstrap a VocabSink state under the served-root registry and
+    apply the given (batch_id, frame) list exactly once."""
+    from vcf_pg_loader_spark.streaming.vocab import VocabSink
+
+    root = _served_root(sf_dir, name, "documents.parquet")
+    sink = VocabSink(f"{root}/state")
+    last = batches[-1][0]
+    if not sink.applied(last):
+        for bid, frame in batches:
+            sink.apply_batch(frame, bid)
+    return sink
+
+
+def q_vocab_coverage_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q_vocab_coverage off the MAINTAINED vocabulary (streaming/
+    vocab.py VocabSink): word counts are the one corpus-global
+    statistic train-vocab recomputed from scratch each run; the sink
+    keeps them current under the Z-set contract so a vocab refresh
+    after a snapshot sync is O(|delta|).  Same oracle as
+    q_vocab_coverage."""
+    from vcf_pg_loader_spark.operators.ivm import MULT
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sink = _vocab_sink(
+        spark,
+        sf_dir,
+        "vocab_store",
+        [(0, docs.withColumn(MULT, F.lit(1).cast("bigint")))],
+    )
+    return _coverage_from_wc(sink.counts(spark))
+
+
+def q_cdc_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage after a snapshot sync: VocabSink bootstraps
+    on the OLD snapshot, then ONE zset_snapshot_delta batch moves the
+    counts to the NEW snapshot — a changed document's old text rides
+    as -1 and its new text as +1, so per-word counts stay exact while
+    only the touched word-hash buckets rewrite.  Oracle: the coverage
+    curve recomputed over exactly the new snapshot."""
+    from vcf_pg_loader_spark.operators.ivm import MULT, zset_snapshot_delta
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old, new = _cdc_snapshots(docs)
+    sink = _vocab_sink(
+        spark,
+        sf_dir,
+        "cdc_vocab",
+        [
+            (0, old.withColumn(MULT, F.lit(1).cast("bigint"))),
+            (1, zset_snapshot_delta(old, new, "doc_id")),
+        ],
+    )
+    return _coverage_from_wc(sink.counts(spark))
+
+
+def _vocab_coverage_sql(table: str = "documents") -> str:
+    return f"""
 WITH wc AS (
   SELECT w AS word, COUNT(*) AS cnt
-  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM {table})
   WHERE len(w) > 0 GROUP BY w
 ), ranked AS (
   SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS k,
@@ -4406,6 +4473,12 @@ SELECT CAST(k AS INT) AS k, CAST(cum_cnt AS BIGINT) AS cum_cnt,
        ROUND(cum_cnt * 1.0 / (SELECT SUM(cnt) FROM wc), 6) AS coverage
 FROM ranked WHERE k IN {VOCAB_COVERAGE_KS}
 """
+
+
+Q_VOCAB_COVERAGE_SQL = _vocab_coverage_sql()
+Q_CDC_VOCAB_SQL = _vocab_coverage_sql(
+    "(SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 1)"
+)
 
 # the held-out generalization check for a frozen vocabulary: train the
 # top-K type vocab on the train split, measure OOV on the val split —
@@ -4799,6 +4872,8 @@ QUERIES = {
     "q_bpe_pairs": q_bpe_pairs,
     "q_bpe_pairs_roundk": q_bpe_pairs_roundk,
     "q_training_shards_bpe": q_training_shards_bpe,
+    "q_vocab_coverage_served": q_vocab_coverage_served,
+    "q_cdc_vocab": q_cdc_vocab,
     "q_vocab_coverage": q_vocab_coverage,
     "q_vocab_oov": q_vocab_oov,
     "q_ann_cell_stats": q_ann_cell_stats,
@@ -4898,6 +4973,8 @@ ORACLE = {
     "q_bpe_pairs": Q_BPE_PAIRS_SQL,
     "q_bpe_pairs_roundk": Q_BPE_PAIRS_ROUNDK_SQL,
     "q_training_shards_bpe": _training_shards_bpe_sql(),
+    "q_vocab_coverage_served": Q_VOCAB_COVERAGE_SQL,
+    "q_cdc_vocab": Q_CDC_VOCAB_SQL,
     "q_vocab_coverage": Q_VOCAB_COVERAGE_SQL,
     "q_vocab_oov": Q_VOCAB_OOV_SQL,
     "q_ann_cell_stats": Q_ANN_CELL_STATS_SQL,
