@@ -308,3 +308,18 @@ class TestBPELearnLocal:
             )
             == _ref_learn(texts, 24)
         )
+
+
+class TestMinCountFloor:
+    def test_floor_drops_singletons_before_collect(self, spark):
+        texts = ["low low lower", "rare"]  # 'rare' is a singleton type
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id bigint, text string"
+        )
+        with_floor = B.bpe_learn_local(docs, n_merges=6, min_count=2)
+        # only 'low' (count 2) survives the floor; 'lower' and 'rare'
+        # are singleton types and drop distributed-side
+        want = _ref_learn(["low low"], 6)
+        assert with_floor == want
+        # default floor of 1 keeps training exact over everything
+        assert B.bpe_learn_local(docs, n_merges=6) == _ref_learn(texts, 6)

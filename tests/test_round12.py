@@ -262,3 +262,84 @@ class TestVocabSink:
             B.bpe_learn_from_counts(served, 12)
             == B.bpe_learn_local(docs, 12)
         )
+
+
+class TestVocabStateCLI:
+    def test_sync_then_train_from_counts_state(
+        self, spark, tmp_path, capsys
+    ):
+        """The full no-corpus-pass retrain loop: sync-corpus maintains
+        the VocabSink; train-vocab --counts-state learns the IDENTICAL
+        merges a corpus pass would, and the artifact carries the
+        state's corpus-epoch identity."""
+        from vcf_pg_loader_spark.cli import main
+        from vcf_pg_loader_spark.operators.bpe import bpe_learn_local
+
+        rows = [
+            (i, "shared head " + " ".join(f"w{i}x{j}" for j in range(3)))
+            for i in range(30)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        snap = str(tmp_path / "snap")
+        docs.write.parquet(snap)
+        state = str(tmp_path / "state")
+        vstate = str(tmp_path / "vocab_state")
+        assert main(
+            ["sync-corpus", "--state", state, "--snapshot", snap,
+             "--batch-id", "0", "--vocab-state", vstate]
+        ) == 0
+        sync_rep = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+
+        out = str(tmp_path / "merges.json")
+        assert main(
+            ["train-vocab", "--counts-state", vstate, "--out", out,
+             "--n-merges", "10"]
+        ) == 0
+        capsys.readouterr()
+        art = json.load(open(out))
+        assert art["strategy"] == "counts-state"
+        # identical merges to a corpus pass
+        want = bpe_learn_local(docs, 10)
+        assert [tuple(m) for m in art["merges"]] == want
+        # artifact identity == the state's corpus-epoch stamp
+        assert art["corpus_fp"] == sync_rep["epoch_fp"]
+
+    def test_train_vocab_arg_validation(self, tmp_path, capsys):
+        from vcf_pg_loader_spark.cli import main
+
+        assert main(
+            ["train-vocab", "--out", str(tmp_path / "m.json")]
+        ) == 2
+        assert main(
+            ["train-vocab", "--counts-state", "x",
+             "--out", str(tmp_path / "m.json"),
+             "--encode-out", str(tmp_path / "enc")]
+        ) == 2
+
+
+class TestRound12PlanShapes:
+    """Plan-shape pins for the round-12 queries: the ONLY Python node
+    anywhere is the Arrow BPE-encode seam in the tokenizer-space
+    packing query; everything else is whole-stage JVM."""
+
+    def _plan(self, spark, sf_dir, name):
+        from vcf_pg_loader_spark.queries import all_queries
+
+        df = all_queries()[name](spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_vocab_served_is_jvm_only(self, spark, sf_dir):
+        for name in ("q_vocab_coverage_served", "q_cdc_vocab"):
+            plan = self._plan(spark, sf_dir, name)
+            assert "EvalPython" not in plan and "InPandas" not in plan
+            assert "CartesianProduct" not in plan
+
+    def test_shards_bpe_has_exactly_one_arrow_seam(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "q_training_shards_bpe")
+        assert plan.count("MapInPandas") == 1  # the BPE encoder
+        assert "CartesianProduct" not in plan
+        # the lengths join broadcasts (doc-count-sized, never shuffles
+        # the corpus for it)
+        assert "BroadcastHashJoin" in plan

@@ -619,6 +619,14 @@ def cmd_sync_corpus(args) -> int:
 
         dec_sink = DecontamIndexSink(args.decontam_state, args.ngram)
         apply_and_stamp(dec_sink, delta, epoch)
+    if getattr(args, "vocab_state", None):
+        # maintained (word, n) table: same lockstep delta, counts merge
+        # additively inside the touched word-hash buckets — after which
+        # `train-vocab --counts-state` trains without a corpus pass
+        from vcf_pg_loader_spark.streaming.vocab import VocabSink
+
+        vocab_sink = VocabSink(args.vocab_state)
+        apply_and_stamp(vocab_sink, delta, epoch)
     if args.card_state:
         # The release card diffs ITS OWN state against the snapshot, on
         # (content-fingerprint, source) — NOT the text-keyed delta the
@@ -816,7 +824,16 @@ def cmd_train_vocab(args) -> int:
     and learns the merges in-memory on the vocabulary-sized table
     (production vocab sizes: 32k merges in seconds); `batched` keeps
     every round on Spark but merges a provably-safe disjoint batch per
-    round; `sequential` is the one-merge-per-round shape."""
+    round; `sequential` is the one-merge-per-round shape.
+
+    --counts-state trains from a MAINTAINED vocabulary (streaming/
+    vocab.py VocabSink, kept current by sync-corpus --vocab-state)
+    instead of a corpus pass: the collect is the vocabulary-sized
+    (word, n) table, the trainer is the in-memory exact path, and the
+    artifact's identity is the state's corpus-epoch stamp — so a merges
+    file trained this way still refuses a mismatched corpus downstream.
+    Vocab refresh + retrain after a snapshot sync is then O(|delta| +
+    vocab), with no document text read at all."""
     from pyspark.sql import functions as F
 
     from vcf_pg_loader_spark.functions.hashing import h60
@@ -824,42 +841,96 @@ def cmd_train_vocab(args) -> int:
         bpe_encode_arrow,
         bpe_learn,
         bpe_learn_batched,
+        bpe_learn_from_counts,
         bpe_learn_local,
     )
 
+    counts_state = getattr(args, "counts_state", None)
+    if not counts_state and not args.corpus:
+        print("train-vocab needs --corpus or --counts-state",
+              file=sys.stderr)
+        return 2
+    if args.encode_out and not args.corpus:
+        print("--encode-out needs --corpus (the documents to encode)",
+              file=sys.stderr)
+        return 2
     spark = _spark()
-    docs = spark.read.parquet(args.corpus).select("doc_id", "text")
     strategy = getattr(args, "strategy", "local")
-    trainer = {
-        "local": bpe_learn_local,
-        "batched": bpe_learn_batched,
-        "sequential": bpe_learn,
-    }[strategy]
-    merges = trainer(docs, n_merges=args.n_merges)
-    fp = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.coalesce(
-            F.bit_xor(
-                h60(
-                    F.concat_ws(
-                        ":", F.col("doc_id").cast("string"), F.md5("text")
-                    ),
-                    "vocab:",
+    if counts_state:
+        from vcf_pg_loader_spark.streaming.vocab import VocabSink
+
+        sink = VocabSink(counts_state)
+        counts_df = sink.counts(spark)
+        if args.min_count > 1:
+            counts_df = counts_df.filter(F.col("n") >= args.min_count)
+        wc = [(r.w, r.n) for r in counts_df.collect()]
+        merges = bpe_learn_from_counts(wc, args.n_merges)
+        stamp = sink.read_epoch() or {}
+        strategy = "counts-state"
+        fp_val = stamp.get("epoch_fp")
+        n_docs = stamp.get("n_docs")
+        if fp_val is None:
+            # unstamped state (built outside sync-corpus): fingerprint
+            # the counts table itself so the artifact still has an
+            # identity a downstream consumer can refuse on
+            fp_val = int(
+                sink.counts(spark)
+                .agg(
+                    F.coalesce(
+                        F.bit_xor(
+                            h60(
+                                F.concat_ws(
+                                    ":",
+                                    F.col("w"),
+                                    F.col("n").cast("string"),
+                                ),
+                                "vocab:",
+                            )
+                        ),
+                        F.lit(0),
+                    )
                 )
-            ),
-            F.lit(0),
-        ).alias("fp"),
-    ).collect()[0]
+                .collect()[0][0]
+            )
+    else:
+        docs = spark.read.parquet(args.corpus).select("doc_id", "text")
+        if strategy == "local":
+            merges = bpe_learn_local(
+                docs, n_merges=args.n_merges, min_count=args.min_count
+            )
+        else:
+            trainer = {
+                "batched": bpe_learn_batched,
+                "sequential": bpe_learn,
+            }[strategy]
+            merges = trainer(docs, n_merges=args.n_merges)
+        fp = docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(
+                F.bit_xor(
+                    h60(
+                        F.concat_ws(
+                            ":", F.col("doc_id").cast("string"),
+                            F.md5("text"),
+                        ),
+                        "vocab:",
+                    )
+                ),
+                F.lit(0),
+            ).alias("fp"),
+        ).collect()[0]
+        fp_val, n_docs = int(fp.fp), int(fp.n_docs)
     artifact = {
         "merges": [list(m) for m in merges],
         "n_merges_requested": args.n_merges,
         "strategy": strategy,
-        "corpus_fp": int(fp.fp),
-        "n_docs": int(fp.n_docs),
+        "corpus_fp": fp_val,
+        "n_docs": n_docs,
     }
     with open(args.out, "w") as fh:
         json.dump(artifact, fh)
     if args.encode_out:
+        docs = spark.read.parquet(args.corpus).select("doc_id", "text")
         bpe_encode_arrow(docs, merges).write.mode("overwrite").parquet(
             args.encode_out
         )
@@ -1310,6 +1381,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "mixed selection of the kept corpus (per-source "
                          "quotas w_s ~ sqrt(n_s) over this doc budget, "
                          "filled by deterministic hash rank)")
+    sp.add_argument("--vocab-state",
+                    help="also maintain this VocabSink (word, n) state "
+                         "from the same delta, lockstep with --state; "
+                         "train-vocab --counts-state then retrains "
+                         "without a corpus pass")
     sp.add_argument("--shards-merges",
                     help="with --shards-state: vocab JSON from "
                          "train-vocab — pack the layout in TOKENIZER "
@@ -1326,10 +1402,23 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--threshold", type=float, default=JACCARD_T)
 
     sp = add("train-vocab", cmd_train_vocab,
-             help="learn a BPE merge table from a corpus parquet and "
-                  "write it as a fingerprinted JSON artifact")
-    sp.add_argument("--corpus", required=True,
+             help="learn a BPE merge table from a corpus parquet (or a "
+                  "maintained VocabSink state) and write it as a "
+                  "fingerprinted JSON artifact")
+    sp.add_argument("--corpus",
                     help="corpus parquet (doc_id, text)")
+    sp.add_argument("--counts-state",
+                    help="train from this maintained VocabSink state "
+                         "(sync-corpus --vocab-state) instead of a "
+                         "corpus pass; the artifact inherits the "
+                         "state's corpus-epoch identity")
+    sp.add_argument("--min-count", type=int, default=1,
+                    help="word-frequency floor applied distributed-side "
+                         "BEFORE the trainer's vocabulary collect (local/"
+                         "counts-state strategies) — bounds driver memory "
+                         "on heavy singleton tails. The standard "
+                         "approximation, not exactly merge-preserving at "
+                         "ties; default 1 keeps training exact")
     sp.add_argument("--out", required=True, help="merges JSON path")
     sp.add_argument("--n-merges", type=int, default=64)
     sp.add_argument("--strategy", default="local",

@@ -367,11 +367,24 @@ def bpe_learn_local(
     n_merges: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_count: int = 1,
 ) -> list[tuple[str, str]]:
     """Distributed word-count collapse + in-memory exact trainer: the
     default `train-vocab` strategy (see bpe_learn_from_counts for the
-    scale contract)."""
-    rows = word_counts(docs, id_col, text_col).collect()
+    scale contract).
+
+    ``min_count`` floors the word frequency BEFORE the collect — the
+    standard tokenizer-trainer bound on driver memory: at 100 TB the
+    raw type table has a heavy singleton tail (typos, ids, hashes).
+    NOTE this is the standard APPROXIMATION, not exactly
+    merge-preserving: a dropped type still contributed < min_count to
+    each of its pair counts, which can matter at ties — the default
+    (1) keeps training exact; raise it only when the type table
+    would not fit the driver."""
+    wc = word_counts(docs, id_col, text_col)
+    if min_count > 1:
+        wc = wc.filter(F.col("n") >= min_count)
+    rows = wc.collect()
     return bpe_learn_from_counts(
         [(r["w"], r["n"]) for r in rows], n_merges
     )
@@ -453,8 +466,15 @@ def bpe_encode_arrow(
         return syms
 
     def batches(it):
+        # the cache lives for the task; a 100 TB task streams enough
+        # batches that an unbounded word->pieces map would grow with
+        # the task's unique-type count — reset past a bound instead
+        # (hit rate barely moves: word frequency is Zipfian, the head
+        # re-caches in the first batch after a reset)
         cache: dict = {}
         for pdf in it:
+            if len(cache) > 1_000_000:
+                cache = {}
             pdf["pieces"] = [encode_word(w, cache) for w in pdf["w"]]
             yield pdf
 
