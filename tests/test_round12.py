@@ -343,3 +343,87 @@ class TestRound12PlanShapes:
         # the lengths join broadcasts (doc-count-sized, never shuffles
         # the corpus for it)
         assert "BroadcastHashJoin" in plan
+
+
+class TestRound12EndToEnd:
+    def test_full_tokenizer_loop(self, spark, tmp_path, capsys):
+        """The whole round-12 story in one run: train a vocab from the
+        corpus, sync-corpus maintains vocab+shard states in lockstep
+        (shards packed in the vocab's token space), export epoch-pinned
+        shards, reshard the layout from its own facts, re-export, and
+        retrain from the maintained counts — every handoff checked."""
+        from vcf_pg_loader_spark.cli import main
+        from vcf_pg_loader_spark.operators.bpe import bpe_learn_local
+
+        rows = [
+            (
+                i,
+                "shared head words "
+                + " ".join(f"tok{i % 7}x{j}" for j in range((i % 6) + 3)),
+            )
+            for i in range(80)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        snap = str(tmp_path / "snap")
+        docs.write.parquet(snap)
+
+        # 1. train a vocab artifact from the corpus
+        vocab = str(tmp_path / "vocab.json")
+        assert main(
+            ["train-vocab", "--corpus", snap, "--out", vocab,
+             "--n-merges", "16"]
+        ) == 0
+
+        # 2. one sync maintains cluster + vocab + BPE-packed shards
+        state = str(tmp_path / "state")
+        vstate = str(tmp_path / "vocab_state")
+        sstate = str(tmp_path / "shards")
+        kept = str(tmp_path / "kept")
+        assert main(
+            ["sync-corpus", "--state", state, "--snapshot", snap,
+             "--batch-id", "0", "--vocab-state", vstate,
+             "--shards-state", sstate, "--shards-merges", vocab,
+             "--out", kept]
+        ) == 0
+        sync_rep = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        epoch = str(sync_rep["epoch_fp"])
+
+        # 3. epoch-pinned export with the SAME vocab
+        out1 = str(tmp_path / "export1")
+        assert main(
+            ["export-shard", "--state", sstate, "--corpus", kept,
+             "--out", out1, "--merges", vocab, "--epoch", epoch]
+        ) == 0
+        rep1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep1["written_docs"] == rep1["docs"] > 0
+
+        # 4. reshard 16 -> 4 from persisted facts, then re-export: the
+        #    doc/token totals are invariant, only the grouping moved
+        assert main(
+            ["reshard", "--state", sstate, "--n-shards", "4"]
+        ) == 0
+        capsys.readouterr()
+        out2 = str(tmp_path / "export2")
+        assert main(
+            ["export-shard", "--state", sstate, "--corpus", kept,
+             "--out", out2, "--merges", vocab]
+        ) == 0
+        rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep2["shards"] == 4
+        assert rep2["written_docs"] == rep1["written_docs"]
+        assert rep2["written_tokens"] == rep1["written_tokens"]
+
+        # 5. retrain from the maintained counts: same merges, identity
+        #    inherited from the sync's epoch
+        vocab2 = str(tmp_path / "vocab2.json")
+        assert main(
+            ["train-vocab", "--counts-state", vstate, "--out", vocab2,
+             "--n-merges", "16"]
+        ) == 0
+        art2 = json.load(open(vocab2))
+        assert [tuple(m) for m in art2["merges"]] == bpe_learn_local(
+            docs, 16
+        )
+        assert art2["corpus_fp"] == sync_rep["epoch_fp"]

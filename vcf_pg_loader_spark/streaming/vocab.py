@@ -82,6 +82,10 @@ class VocabSink(ParquetUpsertSink):
             .groupBy("word")
             .agg(F.sum(MULT).alias("dn"))
             .filter(F.col("dn") != 0)
+            # consumed twice (touched-bucket collect + the merge union):
+            # materialize once so a 100 TB delta's explode+sum doesn't
+            # run twice; distributed, never lands on the driver
+            .localCheckpoint(eager=True)
         )
         old = self._table_raw(spark, "vocab")
         if old is None:
