@@ -427,3 +427,95 @@ class TestRound12EndToEnd:
             docs, 16
         )
         assert art2["corpus_fp"] == sync_rep["epoch_fp"]
+
+
+class TestEmitPieces:
+    def test_export_emits_token_stream_in_packed_order(
+        self, spark, tmp_path, capsys
+    ):
+        """export-shard --emit-pieces attaches each doc's BPE pieces;
+        the emitted stream sums to the manifest exactly and per-row
+        pieces match the standalone encoder."""
+        from vcf_pg_loader_spark.cli import main
+        from vcf_pg_loader_spark.operators.bpe import bpe_encode_doc_arrow
+        from vcf_pg_loader_spark.operators.ivm import MULT
+        from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+        merges = [("a", "l"), ("al", "p")]
+        rows = [
+            (i, "alp ha " + " ".join(f"q{i}x{j}" for j in range(3)))
+            for i in range(30)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        corpus = str(tmp_path / "corpus")
+        docs.write.parquet(corpus)
+        vocab = str(tmp_path / "vocab.json")
+        json.dump(
+            {"merges": [list(m) for m in merges], "corpus_fp": 5,
+             "n_docs": 30},
+            open(vocab, "w"),
+        )
+        t = str(tmp_path / "state")
+        sink = TrainingShardSink(
+            t, merges=merges, vocab_fp=5
+        )
+        sink.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+
+        out = str(tmp_path / "export")
+        assert main(
+            ["export-shard", "--state", t, "--corpus", corpus,
+             "--out", out, "--merges", vocab, "--emit-pieces"]
+        ) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert (
+            rep["written_piece_tokens"]
+            == rep["written_tokens"]
+            == rep["tokens"]
+        )
+        got = {
+            r.doc_id: list(r.pieces)
+            for r in spark.read.parquet(out).collect()
+        }
+        want = {
+            r.doc_id: list(r.pieces)
+            for r in bpe_encode_doc_arrow(docs, merges).collect()
+        }
+        assert got == want
+
+    def test_emit_pieces_without_merges_refused(self, tmp_path, capsys):
+        from vcf_pg_loader_spark.cli import main
+
+        rc = main(
+            ["export-shard", "--state", str(tmp_path / "s"),
+             "--corpus", str(tmp_path / "c"),
+             "--out", str(tmp_path / "o"), "--emit-pieces"]
+        )
+        assert rc == 2
+
+
+class TestBpeEncodeDocArrow:
+    def test_doc_stream_equals_per_word_encoder(self, spark):
+        from vcf_pg_loader_spark.operators import bpe as B
+
+        texts = ["low lower lowest", "aaa ab  abab", ""]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id bigint, text string"
+        )
+        merges = [("l", "o"), ("a", "a"), ("a", "b")]
+        per_word = {}
+        for r in B.bpe_encode_arrow(docs, merges).collect():
+            per_word.setdefault(r.doc_id, {}).setdefault(
+                r.w, list(r.pieces)
+            )
+        got = {
+            r.doc_id: list(r.pieces)
+            for r in B.bpe_encode_doc_arrow(docs, merges).collect()
+        }
+        for i, text in enumerate(texts):
+            want = []
+            for w in text.split(" "):
+                if w:
+                    want.extend(per_word[i][w])
+            assert got[i] == want, (i, text)
+        # empty doc -> empty stream, row kept
+        assert got[2] == []

@@ -973,6 +973,12 @@ def cmd_export_shard(args) -> int:
 
     from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
 
+    if getattr(args, "emit_pieces", False) and not getattr(
+        args, "merges", None
+    ):
+        print("--emit-pieces needs --merges (the tokenizer)",
+              file=sys.stderr)
+        return 2
     spark = _spark()
     merges = vocab_fp = None
     if getattr(args, "merges", None):
@@ -999,6 +1005,13 @@ def cmd_export_shard(args) -> int:
     )
     epoch = getattr(args, "epoch", None)
     out_df = sink.materialize(spark, corpus, shards, epoch=epoch)
+    if getattr(args, "emit_pieces", False):
+        from vcf_pg_loader_spark.operators.bpe import bpe_encode_doc_arrow
+
+        # narrow Arrow map: the packed per-partition order carries
+        # through, so the written files stay in layout order with the
+        # token stream attached
+        out_df = bpe_encode_doc_arrow(out_df, merges, keep_all=True)
     (
         out_df.write.mode("overwrite")  # materialize already packs order
         .partitionBy("shard")
@@ -1015,14 +1028,18 @@ def cmd_export_shard(args) -> int:
         F.sum("n_tokens").alias("tokens"),
         F.sum("n_seqs").alias("seqs"),
     ).collect()[0]
-    written = (
-        spark.read.parquet(args.out)
-        .agg(
-            F.count(F.lit(1)).alias("docs"),
-            F.sum("n_tokens").alias("tokens"),
+    written_df = spark.read.parquet(args.out)
+    w_aggs = [
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+    ]
+    if "pieces" in written_df.columns:
+        # token-stream integrity: the emitted pieces must sum to the
+        # layout's packed lengths EXACTLY (same vocab by fingerprint)
+        w_aggs.append(
+            F.sum(F.size("pieces")).cast("bigint").alias("piece_tokens")
         )
-        .collect()[0]
-    )
+    written = written_df.agg(*w_aggs).collect()[0]
     report = {
         "state": args.state.rstrip("/"),
         "out": args.out,
@@ -1033,9 +1050,13 @@ def cmd_export_shard(args) -> int:
         "written_docs": int(written["docs"] or 0),
         "written_tokens": int(written["tokens"] or 0),
     }
+    if "pieces" in written_df.columns:
+        report["written_piece_tokens"] = int(written["piece_tokens"] or 0)
     if (
         report["written_docs"] != report["docs"]
         or report["written_tokens"] != report["tokens"]
+        or report.get("written_piece_tokens", report["tokens"])
+        != report["tokens"]
     ):
         report["error"] = (
             "export is missing documents the layout expects — the "
@@ -1455,6 +1476,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "(an epoch_fp stamped by sync-corpus): bytes "
                          "stay identical even while later epochs "
                          "apply; pass the corpus matching that epoch")
+    sp.add_argument("--emit-pieces", action="store_true",
+                    help="with --merges: attach each document's BPE "
+                         "token pieces (document order) to the export "
+                         "via one narrow Arrow pass, and cross-check "
+                         "the emitted token stream sums against the "
+                         "manifest exactly")
 
     sp = add("verify-consistency", cmd_verify_consistency,
              help="check that N maintained states carry the same "

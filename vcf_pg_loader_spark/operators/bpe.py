@@ -113,6 +113,79 @@ def bpe_learn(
     return merges
 
 
+def bpe_encode_doc_arrow(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_all: bool = False,
+) -> DataFrame:
+    """Whole-document encode: ONE row per document with a `pieces`
+    column holding the BPE pieces of its words concatenated in
+    document order — the form a trainer's dataloader consumes
+    (export-shard --emit-pieces) and the only encode shape that
+    preserves word order without a positional explode/groupBy
+    round-trip.  Same rank-priority encoder and per-task word cache as
+    :func:`bpe_encode_arrow` (pinned equal in tests); one Arrow pass,
+    no shuffle, and — being a narrow map — the input's per-partition
+    row order (e.g. a materialized shard's packed order) carries
+    through.  ``keep_all`` keeps every input column; default output is
+    (id, pieces)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rank = {pair: i for i, pair in enumerate(merges)}
+    no_rank = len(rank)
+
+    base = docs if keep_all else docs.select(id_col, text_col)
+    out_cols = [f.name for f in base.schema.fields]
+    if not keep_all:
+        out_cols.remove(text_col)
+    out_schema = StructType(
+        [base.schema[c] for c in out_cols]
+        + [StructField("pieces", ArrayType(StringType()))]
+    )
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        syms = list(word) + [END]
+        while len(syms) > 1:
+            best_i, best_r = -1, no_rank
+            for i in range(len(syms) - 1):
+                r = rank.get((syms[i], syms[i + 1]), no_rank)
+                if r < best_r:
+                    best_i, best_r = i, r
+            if best_i < 0 or best_r >= no_rank:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        cache[word] = syms
+        return syms
+
+    def batches(it):
+        cache: dict = {}
+        for pdf in it:
+            if len(cache) > 1_000_000:
+                cache = {}
+            pieces = []
+            for text in pdf[text_col]:
+                doc: list[str] = []
+                for w in text.split(" "):
+                    if w:
+                        doc.extend(encode_word(w, cache))
+                pieces.append(doc)
+            out = pdf[out_cols].copy()
+            out["pieces"] = pieces
+            yield out
+
+    return base.mapInPandas(batches, schema=out_schema)
+
+
 def bpe_token_lengths(
     docs: DataFrame,
     merges: list[tuple[str, str]],

@@ -89,6 +89,7 @@ _STRUCTURE_OF = {
     "cdc_shards": "shards",
     "shards_store": "shards",
     "vocab_store": "vocab",
+    "vocab_train_store": "vocab",
     "cdc_vocab": "vocab",
 }
 
@@ -4014,6 +4015,60 @@ def _training_shards_bpe_sql() -> str:
         lengths_sql=_sql_bpe_doc_lengths(SHARD_BPE_MERGES)
     )
 
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION encoder oracled end-to-end: learn
+    SHARD_BPE_MERGES merges, encode every document with the whole-doc
+    Arrow encoder (one row per doc, pieces in document order), and
+    emit (doc_id, n_tokens, pieces_fp) where pieces_fp is the md5 of
+    the pieces joined on a unit separator — so the DuckDB twin, which
+    re-derives the same merges and replays the greedy fold per word,
+    must match the token STREAM byte-for-byte, not just its length.
+    Until now the encoder was pytest-pinned only; this puts it under
+    the value-hash gate."""
+    from vcf_pg_loader_spark.operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = B.bpe_learn_batched(docs, n_merges=SHARD_BPE_MERGES)
+    enc = B.bpe_encode_doc_arrow(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.size("pieces").cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws("\x1f", F.col("pieces"))).alias("pieces_fp"),
+    )
+
+
+def _bpe_encode_sql() -> str:
+    """DuckDB twin: word -> encoded symbol string (chr(31)-joined)
+    after the same k merges, flattened per document in word order."""
+    lengths = _sql_bpe_doc_lengths(SHARD_BPE_MERGES)
+    # reuse the merge-derivation CTE chain by cutting the lengths query
+    # at its final SELECT and adding the per-doc flatten instead
+    head = lengths[: lengths.rindex("SELECT d.doc_id")].rstrip()
+    return (
+        head
+        + ",\n"
+        + f"""dseq AS (
+  SELECT doc_id, ws[CAST(i AS INT)] AS w, i
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       UNNEST(range(1, len(ws) + 1)) AS t(i)
+), dwp AS (
+  SELECT doc_id, w, i FROM dseq WHERE len(w) > 0
+), flat AS (
+  SELECT dwp.doc_id,
+         string_agg(s{SHARD_BPE_MERGES}.s, chr(31) ORDER BY dwp.i)
+           AS stream,
+         SUM(len(string_split(s{SHARD_BPE_MERGES}.s, chr(31)))) AS nt
+  FROM dwp JOIN s{SHARD_BPE_MERGES}
+    ON dwp.w = s{SHARD_BPE_MERGES}.word
+  GROUP BY dwp.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(flat.nt, 0) AS BIGINT) AS n_tokens,
+       md5(COALESCE(flat.stream, '')) AS pieces_fp
+FROM documents d LEFT JOIN flat ON flat.doc_id = d.doc_id"""
+    )
+
 # layout detail pinned on a quarter of the shards (bounded output; the
 # packing semantics are identical in every shard)
 SHARD_LAYOUT_MAX = 4
@@ -4489,6 +4544,66 @@ Q_CDC_VOCAB_SQL = _vocab_coverage_sql(
 VOCAB_OOV_K = 20
 
 
+def _oov_from_vocab(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Per-source OOV of the val split against a (w) vocab frame —
+    shared by the from-scratch query and the VocabSink-served twin."""
+    from vcf_pg_loader_spark.operators.text import tokens
+
+    val_tok = (
+        docs.filter(F.col("split") == "val")
+        .select(
+            "source", F.explode(tokens(F.col("text"))).alias("w")
+        )
+        .filter(F.length("w") > 0)
+    )
+    hit = val_tok.join(F.broadcast(vocab), "w", "left_semi")
+    per_src = val_tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    hit_src = hit.groupBy("source").agg(F.count(F.lit(1)).alias("n_in"))
+    return (
+        per_src.join(hit_src, "source", "left")
+        .select(
+            "source",
+            "n_tokens",
+            F.coalesce(F.col("n_in"), F.lit(0)).alias("n_in_vocab"),
+            F.round(
+                (F.col("n_tokens") - F.coalesce(F.col("n_in"), F.lit(0)))
+                * 1.0
+                / F.col("n_tokens"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+def q_vocab_oov_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_vocab_oov with the train-split vocabulary served from a
+    maintained VocabSink built over exactly the train split — the
+    held-out generalization check without recounting the train corpus.
+    Same oracle as q_vocab_oov."""
+    from vcf_pg_loader_spark.operators import sampling as SP
+    from vcf_pg_loader_spark.operators.ivm import MULT
+
+    docs = SP.assign_split(load_table(spark, sf_dir, "documents"))
+    train = docs.filter(F.col("split") == "train").select(
+        "doc_id", "text"
+    )
+    sink = _vocab_sink(
+        spark,
+        sf_dir,
+        "vocab_train_store",
+        [(0, train.withColumn(MULT, F.lit(1).cast("bigint")))],
+    )
+    vocab = (
+        sink.counts(spark)
+        .orderBy(F.desc("n"), "w")
+        .limit(VOCAB_OOV_K)
+        .select("w")
+    )
+    return _oov_from_vocab(docs, vocab)
+
+
 def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vcf_pg_loader_spark.operators import bpe as B
     from vcf_pg_loader_spark.operators import sampling as SP
@@ -4873,7 +4988,9 @@ QUERIES = {
     "q_bpe_pairs_roundk": q_bpe_pairs_roundk,
     "q_training_shards_bpe": q_training_shards_bpe,
     "q_vocab_coverage_served": q_vocab_coverage_served,
+    "q_vocab_oov_served": q_vocab_oov_served,
     "q_cdc_vocab": q_cdc_vocab,
+    "q_bpe_encode": q_bpe_encode,
     "q_vocab_coverage": q_vocab_coverage,
     "q_vocab_oov": q_vocab_oov,
     "q_ann_cell_stats": q_ann_cell_stats,
@@ -4974,7 +5091,9 @@ ORACLE = {
     "q_bpe_pairs_roundk": Q_BPE_PAIRS_ROUNDK_SQL,
     "q_training_shards_bpe": _training_shards_bpe_sql(),
     "q_vocab_coverage_served": Q_VOCAB_COVERAGE_SQL,
+    "q_vocab_oov_served": Q_VOCAB_OOV_SQL,
     "q_cdc_vocab": Q_CDC_VOCAB_SQL,
+    "q_bpe_encode": _bpe_encode_sql(),
     "q_vocab_coverage": Q_VOCAB_COVERAGE_SQL,
     "q_vocab_oov": Q_VOCAB_OOV_SQL,
     "q_ann_cell_stats": Q_ANN_CELL_STATS_SQL,
