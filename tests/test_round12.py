@@ -519,3 +519,128 @@ class TestBpeEncodeDocArrow:
             assert got[i] == want, (i, text)
         # empty doc -> empty stream, row kept
         assert got[2] == []
+
+
+class TestExportSequences:
+    def _setup(self, spark, tmp_path, merges=None, vocab_fp=None):
+        from vcf_pg_loader_spark.operators.ivm import MULT
+        from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+        rows = [
+            (i, " ".join(f"t{i % 9}v{j}" for j in range((i % 7) + 4)))
+            for i in range(60)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        corpus = str(tmp_path / "corpus")
+        docs.write.parquet(corpus)
+        t = str(tmp_path / "state")
+        sink = TrainingShardSink(
+            t, seq_len=16, merges=merges, vocab_fp=vocab_fp
+        )
+        sink.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        return docs, corpus, t, sink
+
+    def test_sequences_tile_the_corpus_exactly(
+        self, spark, tmp_path, capsys
+    ):
+        """Whitespace space: every sequence is seq_len tokens except
+        each shard's last; concatenating a shard's sequences in seq_id
+        order reproduces the shard's packed token stream."""
+        from vcf_pg_loader_spark.cli import main
+
+        docs, corpus, t, sink = self._setup(spark, tmp_path)
+        out = str(tmp_path / "seqs")
+        assert main(
+            ["export-sequences", "--state", t, "--corpus", corpus,
+             "--out", out]
+        ) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["written_seqs"] == rep["seqs"] > 0
+        assert rep["written_tokens"] == rep["tokens"]
+
+        seqs = spark.read.parquet(out).collect()
+        man = {r.shard: r for r in sink.manifest(spark).collect()}
+        by_shard = {}
+        for r in seqs:
+            by_shard.setdefault(r.shard, []).append(r)
+        for shard, rows in by_shard.items():
+            rows.sort(key=lambda r: r.seq_id)
+            # contiguous seq ids from 0
+            assert [r.seq_id for r in rows] == list(range(len(rows)))
+            # full sequences except the last
+            for r in rows[:-1]:
+                assert len(r.tokens) == 16
+            total = sum(len(r.tokens) for r in rows)
+            assert total == man[shard].n_tokens
+            assert len(rows) == man[shard].n_seqs
+        # stream equality: concatenated sequences == packed doc stream
+        lay = {r.doc_id: r for r in sink.layout(spark).collect()}
+        text = {r.doc_id: r.text for r in docs.collect()}
+        for shard, rows in by_shard.items():
+            stream = [tok for r in rows for tok in r.tokens]
+            docs_in = sorted(
+                (v for v in lay.values() if v.shard == shard),
+                key=lambda v: (v.okey, v.doc_id),
+            )
+            want = [w for v in docs_in for w in text[v.doc_id].split(" ")]
+            assert stream == want, shard
+
+    def test_bpe_space_sequences_match_query_semantics(
+        self, spark, tmp_path, capsys
+    ):
+        """BPE space: the exported sequences equal the oracled
+        q_train_sequences assembly run on the same inputs."""
+        from vcf_pg_loader_spark.cli import main
+        from vcf_pg_loader_spark.operators import shards as SH
+        from vcf_pg_loader_spark.operators.bpe import bpe_encode_doc_arrow
+
+        merges = [("t", "1"), ("t", "2")]
+        docs, corpus, t, sink = self._setup(
+            spark, tmp_path, merges=merges, vocab_fp=11
+        )
+        vocab = str(tmp_path / "vocab.json")
+        json.dump(
+            {"merges": [list(m) for m in merges], "corpus_fp": 11,
+             "n_docs": 60},
+            open(vocab, "w"),
+        )
+        out = str(tmp_path / "seqs")
+        assert main(
+            ["export-sequences", "--state", t, "--corpus", corpus,
+             "--out", out, "--merges", vocab]
+        ) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["written_tokens"] == rep["tokens"] > 0
+
+        enc = bpe_encode_doc_arrow(docs, merges)
+        lengths = enc.select(
+            "doc_id", F.size("pieces").cast("bigint").alias("n_tokens")
+        )
+        layout = SH.shard_layout_from_lengths(
+            SH.shard_base(docs, lengths=lengths), 16
+        )
+        want = {
+            (r.shard, r.seq_id): list(r.tokens)
+            for r in SH.sequence_stream(
+                SH.shard_sequences(layout, 16), enc
+            ).collect()
+        }
+        got = {
+            (r.shard, r.seq_id): list(r.tokens)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == want
+
+    def test_stale_corpus_fails_integrity(self, spark, tmp_path, capsys):
+        from vcf_pg_loader_spark.cli import main
+
+        docs, corpus, t, sink = self._setup(spark, tmp_path)
+        stale = str(tmp_path / "stale")
+        docs.filter(F.col("doc_id") < 40).write.parquet(stale)
+        rc = main(
+            ["export-sequences", "--state", t, "--corpus", stale,
+             "--out", str(tmp_path / "seqs")]
+        )
+        assert rc == 1
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "must not be trained on" in rep["error"]

@@ -1070,6 +1070,96 @@ def cmd_export_shard(args) -> int:
     return 0
 
 
+def cmd_export_sequences(args) -> int:
+    """Materialize the ACTUAL training sequences — (shard, seq_id,
+    tokens) at seq_len tokens each — from the maintained layout's span
+    recipe and a corpus parquet: the file a dataloader memory-maps.
+    Token space follows the state (BPE with --merges, validated by
+    fingerprint; whitespace otherwise); --epoch pins a retained
+    snapshot like export-shard.  Integrity: the written sequence count
+    and token sum must equal the manifest exactly — n_seqs and
+    n_tokens are redundant encodings of the same packing, so any
+    corpus/layout mismatch surfaces as a nonzero exit, never as a
+    silently short training set."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+    spark = _spark()
+    merges = vocab_fp = None
+    if getattr(args, "merges", None):
+        with open(args.merges) as fh:
+            art = json.load(fh)
+        merges = [tuple(m) for m in art["merges"]]
+        vocab_fp = art["corpus_fp"]
+    kw = {}
+    params_path = _os.path.join(args.state, "_params.json")
+    if _os.path.exists(params_path):
+        with open(params_path) as fh:
+            persisted = json.load(fh)
+        kw = {
+            "n_shards": persisted.get("n_shards", 16),
+            "seq_len": persisted.get("seq_len", 512),
+        }
+    sink = TrainingShardSink(
+        args.state, merges=merges, vocab_fp=vocab_fp, **kw
+    )
+    sink._validate_params()
+    corpus = spark.read.parquet(args.corpus)
+    shards = (
+        [int(s) for s in args.shards.split(",")] if args.shards else None
+    )
+    epoch = getattr(args, "epoch", None)
+    seqs = sink.materialize_sequences(spark, corpus, shards, epoch=epoch)
+    (
+        seqs.repartition(F.col("shard"))
+        .sortWithinPartitions("shard", "seq_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(args.out)
+    )
+    man = sink.manifest(spark, epoch=epoch)
+    if shards is not None:
+        from vcf_pg_loader_spark.streaming.sink import isin_values
+
+        man = man.filter(isin_values(F.col("shard"), set(shards)))
+    stats = man.agg(
+        F.sum("n_seqs").alias("seqs"),
+        F.sum("n_tokens").alias("tokens"),
+    ).collect()[0]
+    written = (
+        spark.read.parquet(args.out)
+        .agg(
+            F.count(F.lit(1)).alias("seqs"),
+            F.sum(F.size("tokens")).alias("tokens"),
+        )
+        .collect()[0]
+    )
+    report = {
+        "state": args.state.rstrip("/"),
+        "out": args.out,
+        "seqs": int(stats["seqs"] or 0),
+        "tokens": int(stats["tokens"] or 0),
+        "written_seqs": int(written["seqs"] or 0),
+        "written_tokens": int(written["tokens"] or 0),
+    }
+    if (
+        report["written_seqs"] != report["seqs"]
+        or report["written_tokens"] != report["tokens"]
+    ):
+        report["error"] = (
+            "written sequences do not reproduce the manifest's packing "
+            "— the --corpus does not match this layout's epoch; the "
+            "export is short or mis-sliced and must not be trained on"
+        )
+        print(json.dumps(report))
+        return 1
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_verify_consistency(args) -> int:
     """Prove (or refute) that N maintained states are views of the SAME
     corpus snapshot: every state must carry an epoch stamp (written by
@@ -1482,6 +1572,24 @@ def build_parser() -> argparse.ArgumentParser:
                          "via one narrow Arrow pass, and cross-check "
                          "the emitted token stream sums against the "
                          "manifest exactly")
+
+    sp = add("export-sequences", cmd_export_sequences,
+             help="materialize the actual seq_len-token training "
+                  "sequences (shard, seq_id, tokens) from the "
+                  "maintained layout + a corpus; manifest-checked")
+    sp.add_argument("--state", required=True,
+                    help="TrainingShardSink state dir")
+    sp.add_argument("--corpus", required=True,
+                    help="corpus parquet (doc_id, text) matching the "
+                         "layout's epoch")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--shards",
+                    help="comma-separated shard ids (default: all)")
+    sp.add_argument("--merges",
+                    help="vocab JSON; REQUIRED for a tokenizer-space "
+                         "layout (fingerprint-checked)")
+    sp.add_argument("--epoch",
+                    help="pin to a retained epoch snapshot")
 
     sp = add("verify-consistency", cmd_verify_consistency,
              help="check that N maintained states carry the same "

@@ -230,6 +230,40 @@ def shard_sequences(layout: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
     )
 
 
+def sequence_stream(spans: DataFrame, pieces: DataFrame) -> DataFrame:
+    """Assemble the ACTUAL training sequences from the span recipe
+    (shard_sequences) and per-document token pieces
+    (operators/bpe.py bpe_encode_doc_arrow): each (shard, seq_id) row
+    carries the seq_len-token slice of the corpus a trainer feeds the
+    model — the terminal artifact of the whole pipeline.
+
+    All JVM after the encode: spans join pieces on doc_id, each span
+    slices its document's pieces (F.slice — no re-tokenization), and
+    the per-sequence parts reassemble with sort_array over
+    (seq_off, part) structs so collect_list's arbitrary order cannot
+    leak in.  One shuffle on (shard, seq_id); output rows =
+    total_tokens / seq_len, tiny relative to the corpus."""
+    parts = spans.join(pieces.select("doc_id", "pieces"), "doc_id").select(
+        "shard",
+        "seq_id",
+        F.struct(
+            F.col("seq_off"),
+            F.slice(
+                F.col("pieces"),
+                (F.col("tok_start") + 1).cast("int"),
+                F.col("tok_len").cast("int"),
+            ).alias("part"),
+        ).alias("p"),
+    )
+    return parts.groupBy("shard", "seq_id").agg(
+        F.flatten(
+            F.transform(
+                F.sort_array(F.collect_list("p")), lambda s: s["part"]
+            )
+        ).alias("tokens")
+    )
+
+
 # -- DuckDB twins ----------------------------------------------------------
 
 
@@ -280,9 +314,12 @@ def sql_shard_sequences(
     text_col: str = "text",
     n_shards: int = N_SHARDS,
     seq_len: int = SEQ_LEN,
+    lengths_sql: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`shard_sequences` over a raw table."""
-    layout = sql_shard_layout(table, id_col, text_col, n_shards, seq_len)
+    layout = sql_shard_layout(
+        table, id_col, text_col, n_shards, seq_len, lengths_sql
+    )
     return f"""
 WITH layout AS ({layout}), e AS (
   SELECT doc_id, shard, n_tokens, start_offset, CAST(s AS BIGINT) AS seq_id

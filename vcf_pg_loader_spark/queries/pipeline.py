@@ -4016,6 +4016,76 @@ def _training_shards_bpe_sql() -> str:
     )
 
 
+def q_train_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The terminal artifact of the whole pipeline, value-pinned: the
+    ACTUAL seq_len-token training sequences in BPE space.  Learn the
+    merges, encode every document once (Arrow), pack the layout in
+    token space, expand the span recipe (shard_sequences), and
+    assemble each sequence's token stream (operators/shards.py
+    sequence_stream) — emitted as (shard, seq_id, n_tokens, tokens_fp)
+    where tokens_fp is the md5 of the sequence's tokens, so the DuckDB
+    twin must reproduce every training sequence byte-for-byte: merges,
+    encoder, shard assignment, shuffle order, offsets, and slicing all
+    have to agree at once."""
+    from vcf_pg_loader_spark.operators import bpe as B
+    from vcf_pg_loader_spark.operators import shards as SHD
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = B.bpe_learn_batched(docs, n_merges=SHARD_BPE_MERGES)
+    enc = B.bpe_encode_doc_arrow(docs, merges)
+    lengths = enc.select(
+        "doc_id", F.size("pieces").cast("bigint").alias("n_tokens")
+    )
+    layout = SHD.shard_layout_from_lengths(
+        SHD.shard_base(docs, lengths=lengths)
+    )
+    spans = SHD.shard_sequences(layout)
+    seqs = SHD.sequence_stream(spans, enc)
+    return seqs.select(
+        "shard",
+        "seq_id",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws("\x1f", F.col("tokens"))).alias("tokens_fp"),
+    )
+
+
+def _train_sequences_sql() -> str:
+    """DuckDB twin: the encode CTE chain (word -> chr(31)-joined
+    pieces after the same merges), per-doc streams, BPE-space spans,
+    and list_slice per span reassembled with an ordered string_agg."""
+    from vcf_pg_loader_spark.operators.shards import sql_shard_sequences
+
+    enc = _bpe_encode_sql()
+    # reuse everything up to the per-doc flatten (CTE `flat` holds the
+    # chr(31)-joined stream per doc)
+    head = enc[: enc.rindex("SELECT d.doc_id")].rstrip()
+    spans = sql_shard_sequences(
+        lengths_sql=_sql_bpe_doc_lengths(SHARD_BPE_MERGES)
+    )
+    return (
+        head
+        + f""",
+doc_stream AS (
+  SELECT d.doc_id,
+         string_split(COALESCE(flat.stream, ''), chr(31)) AS toks
+  FROM documents d LEFT JOIN flat ON flat.doc_id = d.doc_id
+), spans AS ({spans}),
+parts AS (
+  SELECT s.shard, s.seq_id, s.seq_off,
+         CASE WHEN s.tok_len > 0
+              THEN list_slice(ds.toks, CAST(s.tok_start + 1 AS INT),
+                              CAST(s.tok_start + s.tok_len AS INT))
+              ELSE [] END AS part
+  FROM spans s JOIN doc_stream ds ON ds.doc_id = s.doc_id
+)
+SELECT CAST(shard AS BIGINT) AS shard, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(SUM(len(part)) AS BIGINT) AS n_tokens,
+       md5(string_agg(array_to_string(part, chr(31)), chr(31)
+                      ORDER BY seq_off)) AS tokens_fp
+FROM parts GROUP BY shard, seq_id"""
+    )
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION encoder oracled end-to-end: learn
     SHARD_BPE_MERGES merges, encode every document with the whole-doc
@@ -4991,6 +5061,7 @@ QUERIES = {
     "q_vocab_oov_served": q_vocab_oov_served,
     "q_cdc_vocab": q_cdc_vocab,
     "q_bpe_encode": q_bpe_encode,
+    "q_train_sequences": q_train_sequences,
     "q_vocab_coverage": q_vocab_coverage,
     "q_vocab_oov": q_vocab_oov,
     "q_ann_cell_stats": q_ann_cell_stats,
@@ -5094,6 +5165,7 @@ ORACLE = {
     "q_vocab_oov_served": Q_VOCAB_OOV_SQL,
     "q_cdc_vocab": Q_CDC_VOCAB_SQL,
     "q_bpe_encode": _bpe_encode_sql(),
+    "q_train_sequences": _train_sequences_sql(),
     "q_vocab_coverage": Q_VOCAB_COVERAGE_SQL,
     "q_vocab_oov": Q_VOCAB_OOV_SQL,
     "q_ann_cell_stats": Q_ANN_CELL_STATS_SQL,

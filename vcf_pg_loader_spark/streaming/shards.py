@@ -344,6 +344,47 @@ class TrainingShardSink(ParquetUpsertSink):
             .sortWithinPartitions("shard", "okey", "doc_id")
         )
 
+    def materialize_sequences(
+        self,
+        spark,
+        corpus: DataFrame,
+        shards: list[int] | None = None,
+        epoch: str | None = None,
+    ) -> DataFrame:
+        """The dataloader's terminal artifact: (shard, seq_id, tokens)
+        — the actual seq_len-token sequences, assembled from the
+        maintained layout's span recipe and the corpus text.  Token
+        space follows the sink: a BPE-packed sink (merges=) encodes
+        each document once (Arrow, narrow); a whitespace sink splits.
+        The corpus is pruned to the requested shards' doc_ids BEFORE
+        any encode, so one shard's sequences cost O(shard).  Accepts
+        the same epoch pin as materialize."""
+        from vcf_pg_loader_spark.operators.shards import (
+            sequence_stream,
+            shard_sequences,
+        )
+
+        lay = self.layout(spark, epoch=epoch)
+        if shards is not None:
+            lay = lay.filter(isin_values(F.col("shard"), set(shards)))
+        spans = shard_sequences(lay, self.seq_len)
+        docs = corpus.select("doc_id", "text").join(
+            lay.select("doc_id"), "doc_id", "left_semi"
+        )
+        if self.merges is not None:
+            from vcf_pg_loader_spark.operators.bpe import (
+                bpe_encode_doc_arrow,
+            )
+
+            enc = bpe_encode_doc_arrow(docs, self.merges)
+        else:
+            # exactly operators/text.py tokens(): UNFILTERED split, so
+            # piece counts equal the layout's packed n_tokens
+            enc = docs.select(
+                "doc_id", F.split(F.col("text"), " ").alias("pieces")
+            )
+        return sequence_stream(spans, enc)
+
     # -- maintenance -----------------------------------------------------
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
