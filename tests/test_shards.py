@@ -675,3 +675,31 @@ class TestEpochPinnedServing:
         # integrity holds against the PINNED manifest (40 docs), not
         # the live one (E1's doc set)
         assert rep["written_docs"] == rep["docs"] == 40
+
+
+class TestZeroTokenDocs:
+    def test_empty_doc_occupies_no_sequence(self, spark):
+        """A zero-token document (empty text in BPE space) sits in the
+        layout but must not generate spans or sequences."""
+        from vcf_pg_loader_spark.operators.bpe import bpe_token_lengths
+
+        docs = spark.createDataFrame(
+            [(0, "alpha beta gamma delta"), (1, ""), (2, "epsilon zeta")],
+            "doc_id bigint, text string",
+        )
+        merges = [("a", "l")]
+        lengths = bpe_token_lengths(docs, merges)
+        assert {
+            r.doc_id: r.n_tokens for r in lengths.collect()
+        }[1] == 0
+        layout = SH.shard_layout_from_lengths(
+            SH.shard_base(docs, lengths=lengths), seq_len=8
+        )
+        spans = SH.shard_sequences(layout, seq_len=8).collect()
+        assert all(r.doc_id != 1 for r in spans)
+        assert all(r.tok_len > 0 for r in spans)
+        # manifest token sums still tile exactly
+        man = SH.shard_manifest(layout, seq_len=8).collect()
+        assert sum(r.n_tokens for r in man) == sum(
+            r.n_tokens for r in layout.collect()
+        )

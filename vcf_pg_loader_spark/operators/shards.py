@@ -208,7 +208,10 @@ def shard_sequences(layout: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
     seqs = F.sequence(
         F.col("first_seq"), F.col("first_seq") + F.col("n_crossings")
     )
-    e = layout.select(
+    # a zero-token document (possible in BPE space for empty text)
+    # occupies no sequence; without the filter its first/last seq
+    # arithmetic inverts and F.sequence would emit bogus spans
+    e = layout.filter(F.col("n_tokens") > 0).select(
         "doc_id",
         "shard",
         "n_tokens",
@@ -324,6 +327,7 @@ def sql_shard_sequences(
 WITH layout AS ({layout}), e AS (
   SELECT doc_id, shard, n_tokens, start_offset, CAST(s AS BIGINT) AS seq_id
   FROM layout, UNNEST(range(first_seq, first_seq + n_crossings + 1)) AS t(s)
+  WHERE n_tokens > 0
 )
 SELECT shard, seq_id, doc_id,
        CAST(GREATEST(start_offset, seq_id * {seq_len})
