@@ -616,6 +616,44 @@ def pruned_maintenance_evidence(spark, sf_dir: str) -> dict:
 _CONTROL_QUERIES = ("q01_pricing_summary", "q06_forecast_revenue")
 
 
+def bpe_encode_throughput(spark, sf_dir: str) -> dict:
+    """Tokenizer-path throughput: learn a 64-merge vocab (in-memory
+    trainer over the distributed word-count collapse) and measure the
+    whole-document Arrow encoder's tokens/sec over the documents table
+    — the parse-rate analogue for the training-data story's one
+    Python seam.  Timed on the second pass (the first pays Python
+    worker bring-up, like the parse benchmarks' warm protocol)."""
+    from pyspark.sql import functions as F
+
+    from vcf_pg_loader_spark.operators.bpe import (
+        bpe_encode_doc_arrow,
+        bpe_learn_local,
+    )
+    from vcf_pg_loader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t0 = time.perf_counter()
+    merges = bpe_learn_local(docs, n_merges=64)
+    learn_sec = time.perf_counter() - t0
+    enc = bpe_encode_doc_arrow(docs, merges)
+    agg = enc.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.size("pieces")).alias("tokens"),
+    )
+    agg.collect()  # worker bring-up
+    t0 = time.perf_counter()
+    row = agg.collect()[0]
+    wall = time.perf_counter() - t0
+    return {
+        "merges_learned": len(merges),
+        "learn_sec": round(learn_sec, 3),
+        "docs": int(row["docs"]),
+        "tokens": int(row["tokens"]),
+        "encode_sec": round(wall, 3),
+        "tokens_per_sec": round(row["tokens"] / wall) if wall else None,
+    }
+
+
 def _previous_detail() -> dict | None:
     """The last COMMITTED BENCH_DETAIL.json (git HEAD), falling back to
     the on-disk file — the baseline the drifter re-measure compares
@@ -849,6 +887,9 @@ def main() -> None:
     served = served_paths(spark, sf_dir)
     print(f"# served_paths: {served}", file=sys.stderr)
 
+    bpe_tp = bpe_encode_throughput(spark, sf_dir)
+    print(f"# bpe_encode: {bpe_tp}", file=sys.stderr)
+
     drifters = drifter_remeasures(spark, sf_dir, timings, prev_detail)
     print(f"# drifter_remeasures: {drifters}", file=sys.stderr)
 
@@ -879,6 +920,7 @@ def main() -> None:
         "pruned_maintenance": pruned,
         "served_paths": served,
         "drifter_remeasures": drifters,
+        "bpe_encode": bpe_tp,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

@@ -644,3 +644,43 @@ class TestExportSequences:
         assert rc == 1
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert "must not be trained on" in rep["error"]
+
+
+class TestVocabRebucket:
+    def test_vocab_state_rebuckets_with_word_id_col(self, spark, tmp_path):
+        """The vocab table shares the id-bucket layout, so the existing
+        rebucket verb migrates it: --key n_id_buckets --id-col word."""
+        from vcf_pg_loader_spark.cli import main
+        from vcf_pg_loader_spark.operators.ivm import MULT
+        from vcf_pg_loader_spark.streaming.vocab import VocabSink
+
+        rows = [
+            (i, "common " + " ".join(f"w{i}x{j}" for j in range(3)))
+            for i in range(50)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        t = str(tmp_path / "state")
+        sink = VocabSink(t)
+        sink.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        before = sorted(
+            (r.w, r.n) for r in sink.counts(spark).collect()
+        )
+
+        assert main(
+            ["rebucket", "--state", t, "--key", "n_id_buckets",
+             "--n", "8", "--id-col", "word"]
+        ) == 0
+        # contents identical, layout moved, fingerprint restamped
+        after = sorted(
+            (r.w, r.n) for r in VocabSink(t).counts(spark).collect()
+        )
+        assert after == before
+        import os as _os
+
+        buckets = {
+            e for e in _os.listdir(_os.path.join(t, "vocab"))
+            if e.startswith("ib=")
+        }
+        assert buckets and all(int(b[3:]) < 8 for b in buckets)
+        fp = json.load(open(_os.path.join(t, "_params.json")))
+        assert fp["n_id_buckets"] == 8
