@@ -684,3 +684,57 @@ class TestVocabRebucket:
         assert buckets and all(int(b[3:]) < 8 for b in buckets)
         fp = json.load(open(_os.path.join(t, "_params.json")))
         assert fp["n_id_buckets"] == 8
+
+
+class TestDocBounds:
+    def test_doc_bounds_mark_document_starts(self, spark):
+        from vcf_pg_loader_spark.operators import shards as SH
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"d{i}w{j}" for j in range(5)))
+             for i in range(20)],
+            "doc_id bigint, text string",
+        )
+        layout = SH.shard_layout(docs, seq_len=8)
+        spans = SH.shard_sequences(layout, seq_len=8)
+        pieces = docs.select(
+            "doc_id", F.split("text", " ").alias("pieces")
+        )
+        seqs = SH.sequence_stream(spans, pieces).collect()
+        span_rows = spans.collect()
+        for r in seqs:
+            want = sorted(
+                s.seq_off
+                for s in span_rows
+                if s.shard == r.shard and s.seq_id == r.seq_id
+            )
+            assert list(r.doc_bounds) == want
+            # bounds start where parts start and never exceed the
+            # sequence length
+            assert r.doc_bounds[0] == 0 or r.doc_bounds[0] > 0
+            assert all(0 <= b < 8 for b in r.doc_bounds)
+            assert len(r.tokens) <= 8
+
+
+class TestRetentionKnob:
+    def test_constructor_retention(self, spark, tmp_path):
+        from vcf_pg_loader_spark.operators.ivm import MULT
+        from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+        t = str(tmp_path / "state")
+        sink = TrainingShardSink(t, retain_epochs=3)
+        docs = spark.createDataFrame(
+            [(i, "a b c") for i in range(10)],
+            "doc_id bigint, text string",
+        )
+        sink.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        import time
+
+        for i, fp in enumerate(("A", "B", "C", "D")):
+            sink.stamp_epoch({"epoch_fp": fp, "batch_id": i})
+            time.sleep(0.05)
+        # 3 retained: A evicted, B/C/D live
+        with pytest.raises(FileNotFoundError):
+            sink.layout(spark, epoch="A")
+        for fp in ("B", "C", "D"):
+            assert sink.layout(spark, epoch=fp).count() == 10

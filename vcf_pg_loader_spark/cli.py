@@ -1304,6 +1304,17 @@ def cmd_state_stats(args) -> int:
                 # corpus-epoch stamp (sync-corpus lockstep identity);
                 # None for states maintained outside snapshot syncs
                 "epoch": sink.read_epoch(),
+                # retained epoch snapshots a pinned reader can still
+                # serve (TrainingShardSink stamp_epoch retention)
+                "retained_epochs": sorted(
+                    e
+                    for e in (
+                        os.listdir(f"{root}_epochs")
+                        if os.path.isdir(f"{root}_epochs")
+                        else []
+                    )
+                    if not e.endswith(".tmp")
+                ),
             },
             sort_keys=True,
         )

@@ -258,12 +258,15 @@ def sequence_stream(spans: DataFrame, pieces: DataFrame) -> DataFrame:
             ).alias("part"),
         ).alias("p"),
     )
+    ordered = F.sort_array(F.collect_list("p"))
     return parts.groupBy("shard", "seq_id").agg(
         F.flatten(
-            F.transform(
-                F.sort_array(F.collect_list("p")), lambda s: s["part"]
-            )
-        ).alias("tokens")
+            F.transform(ordered, lambda s: s["part"])
+        ).alias("tokens"),
+        # where each document starts inside the sequence — the offsets
+        # a trainer needs for a block-diagonal attention mask, free
+        # from the same sorted parts (no extra shuffle or column)
+        F.transform(ordered, lambda s: s["seq_off"]).alias("doc_bounds"),
     )
 
 

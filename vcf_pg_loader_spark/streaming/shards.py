@@ -168,6 +168,7 @@ class TrainingShardSink(ParquetUpsertSink):
         seq_len: int = SEQ_LEN,
         merges: list[tuple[str, str]] | None = None,
         vocab_fp: int | None = None,
+        retain_epochs: int | None = None,
     ):
         """``merges`` switches packing to TOKENIZER space: per-doc
         n_tokens comes from operators/bpe.py bpe_token_lengths under
@@ -184,6 +185,11 @@ class TrainingShardSink(ParquetUpsertSink):
             [tuple(m) for m in merges] if merges is not None else None
         )
         self.vocab_fp = vocab_fp
+        if retain_epochs is not None:
+            # how many epoch snapshots a pinned trainer can lag behind;
+            # NOT in the params fingerprint — retention is an operator
+            # knob, not a semantic of the maintained data
+            self.RETAIN_EPOCHS = retain_epochs
 
     def _params_fingerprint(self) -> dict:
         # every key is SEMANTIC: a different shard count moves every
@@ -212,7 +218,7 @@ class TrainingShardSink(ParquetUpsertSink):
     # the read paths accept epoch= to serve from that snapshot —
     # snapshot isolation for swap-replaced state (round-11 verdict
     # item 5; sources/store.py read_as_of is the append-only sibling).
-    RETAIN_EPOCHS = 2
+    RETAIN_EPOCHS = 2  # class default; see retain_epochs=
 
     def _epochs_dir(self) -> str:
         return f"{self.target}_epochs"
