@@ -512,3 +512,44 @@ def test_mixture_shards_broadcasts_plan(spark, sf):
     plan = plan_of(q_mixture_shards(spark, sf))
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_curriculum_shards_single_exchange(spark, sf):
+    """Curriculum ordering rides the SAME single packing exchange as
+    the plain layout — the order-key seam must not add a shuffle (the
+    bucket composes into okey before the window) and the scan still
+    reads only doc_id + text."""
+    import re
+
+    from vcf_pg_loader_spark.queries.pipeline import q_curriculum_shards
+
+    plan = plan_of(q_curriculum_shards(spark, sf))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema and "text" in read_schema
+
+
+def test_pack_efficiency_no_extra_exchange(spark, sf):
+    """The efficiency monitor is a projection over the manifest: same
+    single-exchange shape as q_training_shards, nothing Python-side."""
+    import re
+
+    from vcf_pg_loader_spark.queries.pipeline import q_pack_efficiency
+
+    plan = plan_of(q_pack_efficiency(spark, sf))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_epoch_seq_order_no_corpus_rescan_shape(spark, sf):
+    """The epoch schedule explodes seq ids JVM-side off the manifest
+    (generator, no join against a sequence table) and its window
+    partitions by shard — never a global sort over the schedule."""
+    from vcf_pg_loader_spark.queries.pipeline import q_epoch_seq_order
+
+    plan = plan_of(q_epoch_seq_order(spark, sf), mode="simple")
+    assert "Generate" in plan  # F.sequence/explode, not a join
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    # the ranking window partitions by shard: its sort is
+    # within-partition (local), not a global Sort/Exchange-range
+    assert "rangepartitioning" not in plan.lower()

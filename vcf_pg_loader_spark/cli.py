@@ -707,7 +707,10 @@ def cmd_sync_corpus(args) -> int:
             sh_merges = [tuple(m) for m in vocab_art["merges"]]
             sh_vocab_fp = vocab_art["corpus_fp"]
         shard_sink = TrainingShardSink(
-            args.shards_state, merges=sh_merges, vocab_fp=sh_vocab_fp
+            args.shards_state,
+            merges=sh_merges,
+            vocab_fp=sh_vocab_fp,
+            doc_sep=getattr(args, "shards_doc_sep", 0) or 0,
         )
         kept_docs = (
             sink._table(spark, "corpus")
@@ -994,7 +997,10 @@ def cmd_export_shard(args) -> int:
         kw = {
             "n_shards": persisted.get("n_shards", 16),
             "seq_len": persisted.get("seq_len", 512),
+            "doc_sep": persisted.get("doc_sep", 0),
         }
+    if getattr(args, "eos_token", None):
+        kw["eos_token"] = args.eos_token
     sink = TrainingShardSink(
         args.state, merges=merges, vocab_fp=vocab_fp, **kw
     )
@@ -1012,6 +1018,17 @@ def cmd_export_shard(args) -> int:
         # through, so the written files stay in layout order with the
         # token stream attached
         out_df = bpe_encode_doc_arrow(out_df, merges, keep_all=True)
+        if sink.doc_sep:
+            # an EOS-budgeted layout counts the separators in its
+            # manifest — emit them so the attached stream IS the
+            # training stream and the integrity sums stay exact
+            out_df = out_df.withColumn(
+                "pieces",
+                F.concat(
+                    F.col("pieces"),
+                    F.array_repeat(F.lit(sink.eos_token), sink.doc_sep),
+                ),
+            )
     (
         out_df.write.mode("overwrite")  # materialize already packs order
         .partitionBy("shard")
@@ -1102,7 +1119,10 @@ def cmd_export_sequences(args) -> int:
         kw = {
             "n_shards": persisted.get("n_shards", 16),
             "seq_len": persisted.get("seq_len", 512),
+            "doc_sep": persisted.get("doc_sep", 0),
         }
+    if getattr(args, "eos_token", None):
+        kw["eos_token"] = args.eos_token
     sink = TrainingShardSink(
         args.state, merges=merges, vocab_fp=vocab_fp, **kw
     )
@@ -1113,9 +1133,25 @@ def cmd_export_sequences(args) -> int:
     )
     epoch = getattr(args, "epoch", None)
     seqs = sink.materialize_sequences(spark, corpus, shards, epoch=epoch)
+    order_cols = ["shard", "seq_id"]
+    train_epoch = getattr(args, "train_epoch", None)
+    if train_epoch is not None:
+        # write in the epoch's read schedule: join the (tiny) per-epoch
+        # permutation and sort by it within each shard file — the
+        # dataloader then streams sequentially, no shuffling client-side
+        from vcf_pg_loader_spark.operators.shards import (
+            epoch_sequence_order,
+        )
+
+        sched = epoch_sequence_order(
+            sink.manifest(spark, epoch=epoch), int(train_epoch),
+            sink.seq_len,
+        )
+        seqs = seqs.join(F.broadcast(sched), ["shard", "seq_id"])
+        order_cols = ["shard", "epoch_pos"]
     (
         seqs.repartition(F.col("shard"))
-        .sortWithinPartitions("shard", "seq_id")
+        .sortWithinPartitions(*order_cols)
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(args.out)
@@ -1516,6 +1552,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "fingerprint joins the state fingerprint so a "
                          "layout packed under one tokenizer refuses "
                          "another")
+    sp.add_argument("--shards-doc-sep", type=int, default=0,
+                    help="with --shards-state: budget this many "
+                         "separator (EOS) tokens per document in the "
+                         "packed layout — the cuts then match a "
+                         "trainer that appends EOS after every doc; "
+                         "a SEMANTIC packing parameter (joins the "
+                         "state fingerprint)")
     sp.add_argument("--nll-max", type=float, default=NLL_MAX,
                     help="LM gate threshold for --funnel-state")
     sp.add_argument("--ngram", type=int, default=NGRAM)
@@ -1583,6 +1626,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "via one narrow Arrow pass, and cross-check "
                          "the emitted token stream sums against the "
                          "manifest exactly")
+    sp.add_argument("--eos-token",
+                    help="spelling of the separator token an "
+                         "EOS-budgeted layout (sync-corpus "
+                         "--shards-doc-sep) emits in --emit-pieces "
+                         "streams (default </s>; spelling is not part "
+                         "of the packing fingerprint)")
 
     sp = add("export-sequences", cmd_export_sequences,
              help="materialize the actual seq_len-token training "
@@ -1601,6 +1650,17 @@ def build_parser() -> argparse.ArgumentParser:
                          "layout (fingerprint-checked)")
     sp.add_argument("--epoch",
                     help="pin to a retained epoch snapshot")
+    sp.add_argument("--eos-token",
+                    help="spelling of the separator token an "
+                         "EOS-budgeted layout emits after each "
+                         "document (default </s>)")
+    sp.add_argument("--train-epoch", type=int,
+                    help="write each shard's sequences in the "
+                         "deterministic per-epoch shuffle order "
+                         "(epoch_sequence_order) instead of seq_id "
+                         "order, with the epoch_pos column attached — "
+                         "a fresh reproducible read schedule per "
+                         "training epoch, no repack")
 
     sp = add("verify-consistency", cmd_verify_consistency,
              help="check that N maintained states carry the same "

@@ -73,6 +73,29 @@ def sql_order_key(expr: str) -> str:
     return sql_h60(f"CAST({expr} AS VARCHAR)", ORDER_SALT)
 
 
+_BUCKET_SHIFT = 1 << 60  # h60 < 2^60, so bucket*2^60 + h60 never collides
+
+
+def curriculum_okey(bucket_col: Column, id_col: Column) -> Column:
+    """Curriculum order key: documents pack bucket-by-bucket (0 first),
+    hash-shuffled WITHIN each bucket — e.g. a length or quality bucket
+    gives short/low-quality docs first and long/high-quality last while
+    keeping the within-stage order pseudo-random and reproducible.
+    Composes above :func:`order_key` in the value space the packing
+    window already sorts: okey = bucket * 2^60 + h60(id).  bucket must
+    be in [0, 8) — 7 * 2^60 + (2^60 - 1) is exactly int64 max."""
+    return (
+        bucket_col.cast("bigint") * F.lit(_BUCKET_SHIFT) + order_key(id_col)
+    )
+
+
+def sql_curriculum_okey(bucket_expr: str, id_expr: str) -> str:
+    return (
+        f"CAST({bucket_expr} AS BIGINT) * {_BUCKET_SHIFT}"
+        f" + ({sql_order_key(id_expr)})"
+    )
+
+
 def shard_layout_from_lengths(
     base: DataFrame, seq_len: int = SEQ_LEN
 ) -> DataFrame:
@@ -123,6 +146,8 @@ def shard_base(
     text_col: str = "text",
     n_shards: int = N_SHARDS,
     lengths: DataFrame | None = None,
+    doc_sep: int = 0,
+    order_col: Column | None = None,
 ) -> DataFrame:
     """Per-doc pure facts the layout derives from: id, shard, order
     key, token count, content fingerprint.  Everything downstream
@@ -135,13 +160,30 @@ def shard_base(
     operators/bpe.py bpe_token_lengths(...) to pack seq_len cuts in the
     SAME tokens the trainer consumes.  Inner join: a lengths frame is
     derived from the identical document set, and silently zero-filling
-    a missing doc would mis-pack every later offset in its shard."""
+    a missing doc would mis-pack every later offset in its shard.
+
+    ``doc_sep`` counts separator tokens a trainer appends per document
+    (EOS / boundary markers): every document's n_tokens grows by it —
+    including zero-content documents, which still emit their EOS, so
+    with doc_sep > 0 nothing is skipped by the packing.  A pure per-row
+    constant, so maintenance stays O(|delta|); it is a SEMANTIC packing
+    parameter (every offset moves) and belongs in the state fingerprint
+    (streaming/shards.py).
+
+    ``order_col`` overrides the default hash shuffle order — the
+    curriculum seam: any deterministic bigint expression over the row
+    (e.g. a quality- or length-bucket composed above the hash,
+    curriculum_okey) reorders packing without touching assignment or
+    cut semantics."""
     c = F.col(id_col)
+    okey = order_key(c) if order_col is None else order_col
     base = df.select(
         c.alias("doc_id"),
         shard_of(c, n_shards).alias("shard"),
-        order_key(c).alias("okey"),
-        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+        okey.cast("bigint").alias("okey"),
+        (F.size(tokens(F.col(text_col))) + F.lit(doc_sep))
+        .cast("bigint")
+        .alias("n_tokens"),
         doc_fp(F.col(text_col)).alias("dfp"),
     )
     if lengths is None:
@@ -149,7 +191,9 @@ def shard_base(
     return base.drop("n_tokens").join(
         lengths.select(
             F.col(id_col).alias("doc_id"),
-            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.col("n_tokens") + F.lit(doc_sep))
+            .cast("bigint")
+            .alias("n_tokens"),
         ),
         "doc_id",
     ).select("doc_id", "shard", "okey", "n_tokens", "dfp")
@@ -161,10 +205,16 @@ def shard_layout(
     text_col: str = "text",
     n_shards: int = N_SHARDS,
     seq_len: int = SEQ_LEN,
+    doc_sep: int = 0,
+    order_col: Column | None = None,
 ) -> DataFrame:
     """Full layout from raw documents: assignment + order + packing."""
     return shard_layout_from_lengths(
-        shard_base(df, id_col, text_col, n_shards), seq_len
+        shard_base(
+            df, id_col, text_col, n_shards,
+            doc_sep=doc_sep, order_col=order_col,
+        ),
+        seq_len,
     )
 
 
@@ -194,6 +244,90 @@ def shard_manifest(layout: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
         .alias("n_seqs"),
         F.bit_xor(_row_fp()).alias("shard_fp"),
     )
+
+
+def pack_efficiency(manifest: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
+    """Padding-waste monitor over a shard manifest: each shard's last
+    sequence is padded to ``seq_len``, so capacity = n_seqs * seq_len,
+    pad = capacity - n_tokens, fill = n_tokens / capacity.  With
+    concat-and-cut packing waste is bounded by (seq_len - 1) tokens per
+    SHARD (only the final cut pads), so fill drifting from ~1.0 is the
+    signal that n_shards is oversized for the corpus — too many tails.
+    Pure projection over the n_shards-row manifest frame."""
+    cap = F.col("n_seqs") * seq_len
+    return manifest.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        "n_seqs",
+        cap.cast("bigint").alias("capacity"),
+        (cap - F.col("n_tokens")).cast("bigint").alias("pad_tokens"),
+        F.round(F.col("n_tokens") / cap, 6).alias("fill_ratio"),
+    )
+
+
+EPOCH_ORDER_SALT = "seqorder:"
+
+
+def epoch_sequence_order(
+    manifest: DataFrame, epoch: int, seq_len: int = SEQ_LEN
+) -> DataFrame:
+    """Inter-epoch SEQUENCE shuffle without repacking: each training
+    epoch visits every packed sequence in a fresh pseudo-random order
+    derived purely from (shard, seq_id, epoch) — the layout, offsets,
+    and shard files never change, only the read schedule.  (shard,
+    seq_id, epoch_pos): epoch_pos ranks h60(shard:seq:epoch) within the
+    shard, ties impossible (the hash input is unique per row).
+
+    Scale shape: the input is the n_shards-row manifest; F.sequence/
+    explode generates seq ids JVM-side (narrow), then one window
+    partitioned by shard — total rows = corpus_tokens / seq_len, tiny
+    next to the corpus, and the shard partitioning matches how a
+    trainer consumes the schedule (one shard's order per reader)."""
+    seqs = manifest.select(
+        "shard",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col("n_seqs") - 1)
+        ).alias("seq_id"),
+    )
+    okey = h60(
+        F.concat_ws(
+            ":",
+            F.col("shard").cast("string"),
+            F.col("seq_id").cast("string"),
+            F.lit(str(epoch)),
+        ),
+        EPOCH_ORDER_SALT,
+    )
+    w = Window.partitionBy("shard").orderBy(okey, "seq_id")
+    return seqs.select(
+        "shard",
+        "seq_id",
+        F.row_number().over(w).cast("bigint").alias("epoch_pos"),
+    )
+
+
+def sql_epoch_sequence_order(
+    manifest_sql: str, epoch: int
+) -> str:
+    """DuckDB twin of :func:`epoch_sequence_order` over a manifest
+    subquery."""
+    okey = sql_h60(
+        "CAST(shard AS VARCHAR) || ':' || CAST(s AS VARCHAR)"
+        f" || ':' || '{epoch}'",
+        EPOCH_ORDER_SALT,
+    )
+    return f"""
+WITH man AS ({manifest_sql}), seqs AS (
+  SELECT shard, CAST(s AS BIGINT) AS seq_id, {okey} AS okey
+  FROM man, UNNEST(range(0, n_seqs)) AS t(s)
+)
+SELECT shard, seq_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                               ORDER BY okey, seq_id) AS BIGINT)
+         AS epoch_pos
+FROM seqs
+"""
 
 
 def shard_sequences(layout: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
@@ -280,22 +414,30 @@ def sql_shard_layout(
     n_shards: int = N_SHARDS,
     seq_len: int = SEQ_LEN,
     lengths_sql: str | None = None,
+    doc_sep: int = 0,
+    order_sql: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`shard_layout` (tokens = whitespace split,
     same as operators/text.py tokens).  ``lengths_sql``, when given, is
     a subquery selecting (doc_id, n_tokens) that overrides the token
-    count — the twin of shard_base's lengths seam."""
+    count — the twin of shard_base's lengths seam.  ``doc_sep`` and
+    ``order_sql`` twin the separator-token and curriculum seams."""
     if lengths_sql is None:
-        n_tokens = f"CAST(len(string_split({text_col}, ' ')) AS BIGINT)"
+        n_tokens = (
+            f"CAST(len(string_split({text_col}, ' ')) + {doc_sep} AS BIGINT)"
+        )
         joins = ""
     else:
-        n_tokens = "CAST(_lens.n_tokens AS BIGINT)"
+        n_tokens = f"CAST(_lens.n_tokens + {doc_sep} AS BIGINT)"
         joins = f" JOIN ({lengths_sql}) AS _lens ON _lens.doc_id = _t.{id_col}"
+    okey = (
+        sql_order_key(f"_t.{id_col}") if order_sql is None else order_sql
+    )
     return f"""
 WITH base AS (
   SELECT _t.{id_col} AS doc_id,
          {sql_shard_of(f'_t.{id_col}', n_shards)} AS shard,
-         {sql_order_key(f'_t.{id_col}')} AS okey,
+         CAST({okey} AS BIGINT) AS okey,
          {n_tokens} AS n_tokens,
          {sql_doc_fp(text_col)} AS dfp
   FROM {table} AS _t{joins}
@@ -321,10 +463,13 @@ def sql_shard_sequences(
     n_shards: int = N_SHARDS,
     seq_len: int = SEQ_LEN,
     lengths_sql: str | None = None,
+    doc_sep: int = 0,
+    order_sql: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`shard_sequences` over a raw table."""
     layout = sql_shard_layout(
-        table, id_col, text_col, n_shards, seq_len, lengths_sql
+        table, id_col, text_col, n_shards, seq_len, lengths_sql,
+        doc_sep, order_sql,
     )
     return f"""
 WITH layout AS ({layout}), e AS (
@@ -351,9 +496,12 @@ def sql_shard_manifest(
     n_shards: int = N_SHARDS,
     seq_len: int = SEQ_LEN,
     lengths_sql: str | None = None,
+    doc_sep: int = 0,
+    order_sql: str | None = None,
 ) -> str:
     layout = sql_shard_layout(
-        table, id_col, text_col, n_shards, seq_len, lengths_sql
+        table, id_col, text_col, n_shards, seq_len, lengths_sql,
+        doc_sep, order_sql,
     )
     fp_expr = sql_h60(
         "CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)"

@@ -4086,6 +4086,123 @@ FROM parts GROUP BY shard, seq_id"""
     )
 
 
+EOS_TOKEN = "</s>"
+
+
+def q_train_sequences_eos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EOS-aware packing value-pinned end to end: every document
+    budgets ONE separator token (shard_base doc_sep=1 — zero-content
+    documents still emit theirs, so nothing is skipped), the encoder's
+    pieces get the EOS appended AFTER the Arrow pass, and the assembled
+    sequences are md5-pinned — boundary cuts that land ON a separator
+    must slice it into the right sequence for the twin to match.  Same
+    terminal-artifact shape as q_train_sequences; together they pin
+    that doc_sep moves every offset exactly one token per preceding
+    document and nothing else."""
+    from vcf_pg_loader_spark.operators import bpe as B
+    from vcf_pg_loader_spark.operators import shards as SHD
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = B.bpe_learn_batched(docs, n_merges=SHARD_BPE_MERGES)
+    enc = B.bpe_encode_doc_arrow(docs, merges)
+    lengths = enc.select(
+        "doc_id", F.size("pieces").cast("bigint").alias("n_tokens")
+    )
+    base = SHD.shard_base(docs, lengths=lengths, doc_sep=1)
+    spans = SHD.shard_sequences(SHD.shard_layout_from_lengths(base))
+    enc_eos = enc.select(
+        "doc_id",
+        F.concat(F.col("pieces"), F.array(F.lit(EOS_TOKEN))).alias(
+            "pieces"
+        ),
+    )
+    seqs = SHD.sequence_stream(spans, enc_eos)
+    return seqs.select(
+        "shard",
+        "seq_id",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws("\x1f", F.col("tokens"))).alias("tokens_fp"),
+    )
+
+
+def _train_sequences_eos_sql() -> str:
+    """_train_sequences_sql with doc_sep=1 offsets and the EOS appended
+    to each document's token stream (a NULL stream — no words — becomes
+    exactly [EOS])."""
+    from vcf_pg_loader_spark.operators.shards import sql_shard_sequences
+
+    enc = _bpe_encode_sql()
+    head = enc[: enc.rindex("SELECT d.doc_id")].rstrip()
+    spans = sql_shard_sequences(
+        lengths_sql=_sql_bpe_doc_lengths(SHARD_BPE_MERGES), doc_sep=1
+    )
+    return (
+        head
+        + f""",
+doc_stream AS (
+  SELECT d.doc_id,
+         CASE WHEN flat.stream IS NULL THEN ['{EOS_TOKEN}']
+              ELSE list_append(string_split(flat.stream, chr(31)),
+                               '{EOS_TOKEN}') END AS toks
+  FROM documents d LEFT JOIN flat ON flat.doc_id = d.doc_id
+), spans AS ({spans}),
+parts AS (
+  SELECT s.shard, s.seq_id, s.seq_off,
+         CASE WHEN s.tok_len > 0
+              THEN list_slice(ds.toks, CAST(s.tok_start + 1 AS INT),
+                              CAST(s.tok_start + s.tok_len AS INT))
+              ELSE [] END AS part
+  FROM spans s JOIN doc_stream ds ON ds.doc_id = s.doc_id
+)
+SELECT CAST(shard AS BIGINT) AS shard, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(SUM(len(part)) AS BIGINT) AS n_tokens,
+       md5(string_agg(array_to_string(part, chr(31)), chr(31)
+                      ORDER BY seq_off)) AS tokens_fp
+FROM parts GROUP BY shard, seq_id"""
+    )
+
+
+def q_seq_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-uniqueness monitor over the ACTUAL training sequences:
+    per shard, how many packed sequences are byte-identical duplicates
+    of another (post-packing dedup's unit of account — duplicated
+    documents only yield duplicated SEQUENCES when boundary alignment
+    cooperates, so this is a distinct signal from document-level
+    dup_rate).  Same BPE pipeline as q_train_sequences, then one
+    n_shards-row aggregate over the sequence fingerprints."""
+    from vcf_pg_loader_spark.operators import bpe as B
+    from vcf_pg_loader_spark.operators import shards as SHD
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = B.bpe_learn_batched(docs, n_merges=SHARD_BPE_MERGES)
+    enc = B.bpe_encode_doc_arrow(docs, merges)
+    lengths = enc.select(
+        "doc_id", F.size("pieces").cast("bigint").alias("n_tokens")
+    )
+    layout = SHD.shard_layout_from_lengths(
+        SHD.shard_base(docs, lengths=lengths)
+    )
+    seqs = SHD.sequence_stream(SHD.shard_sequences(layout), enc)
+    fp = F.md5(F.concat_ws("\x1f", F.col("tokens")))
+    per = seqs.select("shard", fp.alias("fp"))
+    return per.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.countDistinct("fp").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("dup_seqs"),
+    )
+
+
+def _seq_unique_sql() -> str:
+    return f"""
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       CAST(COUNT(DISTINCT tokens_fp) AS BIGINT) AS n_unique,
+       CAST(COUNT(*) - COUNT(DISTINCT tokens_fp) AS BIGINT) AS dup_seqs
+FROM ({_train_sequences_sql()}) AS _s
+GROUP BY shard
+"""
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION encoder oracled end-to-end: learn
     SHARD_BPE_MERGES merges, encode every document with the whole-doc
@@ -4343,6 +4460,148 @@ def _cdc_shards_sql() -> str:
 
 
 Q_CDC_SHARDS_SQL = _cdc_shards_sql()
+
+
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste monitor (operators/shards.py pack_efficiency):
+    each shard's final sequence pads to seq_len, so capacity =
+    n_seqs * seq_len and fill = n_tokens / capacity.  Concat-and-cut
+    bounds waste at seq_len - 1 tokens PER SHARD, so fill drifting from
+    ~1.0 is the operational signal that n_shards is oversized for the
+    corpus (too many padded tails) — the number a training-cost review
+    reads next to q_shard_balance's occupancy.  Pure projection over
+    the n_shards-row manifest."""
+    from vcf_pg_loader_spark.operators import shards as SHD
+
+    docs = load_table(spark, sf_dir, "documents")
+    man = SHD.shard_manifest(SHD.shard_layout(docs))
+    return SHD.pack_efficiency(man)
+
+
+def _pack_efficiency_sql() -> str:
+    from vcf_pg_loader_spark.operators.shards import (
+        SEQ_LEN,
+        sql_shard_manifest,
+    )
+
+    return f"""
+WITH man AS ({sql_shard_manifest()})
+SELECT shard, n_docs, n_tokens, n_seqs,
+       CAST(n_seqs * {SEQ_LEN} AS BIGINT) AS capacity,
+       CAST(n_seqs * {SEQ_LEN} - n_tokens AS BIGINT) AS pad_tokens,
+       ROUND(n_tokens / CAST(n_seqs * {SEQ_LEN} AS DOUBLE), 6)
+         AS fill_ratio
+FROM man
+"""
+
+
+Q_PACK_EFFICIENCY_SQL = _pack_efficiency_sql()
+
+
+# length-curriculum packing: bucket by document length (0 = shortest),
+# pack bucket-by-bucket within each shard, hash-shuffled inside a
+# bucket — the Shortformer-style schedule, expressed purely through the
+# layout's order-key seam (no new operator, no extra shuffle)
+CURRICULUM_BUCKET_TOKENS = 32
+CURRICULUM_MAX_BUCKET = 3
+
+
+def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering through shard_base's order_col seam
+    (operators/shards.py curriculum_okey): okey = bucket * 2^60 +
+    h60(doc_id), so the packing window — unchanged — lays documents
+    bucket-by-bucket within each shard.  Output pins the realized
+    order: per (shard, length-bucket) doc/token tallies plus the
+    bucket's [min_start, max_end) offset range — contiguous,
+    non-overlapping, ascending-by-bucket ranges are the curriculum
+    property itself, and the offsets derive from the packed order so
+    any ordering drift hash-fails."""
+    from vcf_pg_loader_spark.operators import shards as SHD
+
+    docs = load_table(spark, sf_dir, "documents")
+    nt = F.size(F.split(F.col("text"), " "))
+    bucket = F.least(
+        F.lit(CURRICULUM_MAX_BUCKET),
+        F.floor(nt / F.lit(CURRICULUM_BUCKET_TOKENS)),
+    ).cast("bigint")
+    base = SHD.shard_base(
+        docs, order_col=SHD.curriculum_okey(bucket, F.col("doc_id"))
+    )
+    lay = SHD.shard_layout_from_lengths(base)
+    lb = F.least(
+        F.lit(CURRICULUM_MAX_BUCKET),
+        F.floor(F.col("n_tokens") / F.lit(CURRICULUM_BUCKET_TOKENS)),
+    ).cast("bigint")
+    return lay.groupBy("shard", lb.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("start_offset").alias("min_start"),
+        F.max(F.col("start_offset") + F.col("n_tokens")).alias("max_end"),
+    )
+
+
+def _curriculum_shards_sql() -> str:
+    from vcf_pg_loader_spark.operators.shards import (
+        sql_curriculum_okey,
+        sql_shard_layout,
+    )
+
+    bucket = (
+        f"LEAST({CURRICULUM_MAX_BUCKET}, CAST(FLOOR("
+        f"len(string_split(_t.text, ' ')) / {CURRICULUM_BUCKET_TOKENS}.0"
+        f") AS BIGINT))"
+    )
+    lay = sql_shard_layout(
+        order_sql=sql_curriculum_okey(bucket, "_t.doc_id")
+    )
+    return f"""
+WITH lay AS ({lay})
+SELECT shard,
+       LEAST({CURRICULUM_MAX_BUCKET},
+             CAST(FLOOR(n_tokens / {CURRICULUM_BUCKET_TOKENS}.0)
+                  AS BIGINT)) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(MIN(start_offset) AS BIGINT) AS min_start,
+       CAST(MAX(start_offset + n_tokens) AS BIGINT) AS max_end
+FROM lay GROUP BY 1, 2
+"""
+
+
+Q_CURRICULUM_SHARDS_SQL = _curriculum_shards_sql()
+
+
+EPOCH_ORDER_EPOCH = 3
+
+
+def q_epoch_seq_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-epoch sequence shuffle WITHOUT repacking
+    (operators/shards.py epoch_sequence_order): the schedule a trainer
+    reads the packed shard files in at epoch 3 — a fresh deterministic
+    permutation per epoch derived from (shard, seq_id, epoch) alone,
+    while the layout bytes stay untouched (the complement of
+    q_epoch_shuffle, which reshuffles DOCUMENTS and therefore implies
+    a repack).  Narrow sequence-id generation off the 16-row manifest,
+    one bounded window."""
+    from vcf_pg_loader_spark.operators import shards as SHD
+
+    docs = load_table(spark, sf_dir, "documents")
+    man = SHD.shard_manifest(SHD.shard_layout(docs))
+    return SHD.epoch_sequence_order(man, EPOCH_ORDER_EPOCH)
+
+
+def _epoch_seq_order_sql() -> str:
+    from vcf_pg_loader_spark.operators.shards import (
+        sql_epoch_sequence_order,
+        sql_shard_manifest,
+    )
+
+    return sql_epoch_sequence_order(
+        sql_shard_manifest(), EPOCH_ORDER_EPOCH
+    )
+
+
+Q_EPOCH_SEQ_ORDER_SQL = _epoch_seq_order_sql()
 
 
 # --------------------------------------------------------------------------
@@ -5062,6 +5321,11 @@ QUERIES = {
     "q_cdc_vocab": q_cdc_vocab,
     "q_bpe_encode": q_bpe_encode,
     "q_train_sequences": q_train_sequences,
+    "q_train_sequences_eos": q_train_sequences_eos,
+    "q_seq_unique": q_seq_unique,
+    "q_pack_efficiency": q_pack_efficiency,
+    "q_curriculum_shards": q_curriculum_shards,
+    "q_epoch_seq_order": q_epoch_seq_order,
     "q_vocab_coverage": q_vocab_coverage,
     "q_vocab_oov": q_vocab_oov,
     "q_ann_cell_stats": q_ann_cell_stats,
@@ -5166,6 +5430,11 @@ ORACLE = {
     "q_cdc_vocab": Q_CDC_VOCAB_SQL,
     "q_bpe_encode": _bpe_encode_sql(),
     "q_train_sequences": _train_sequences_sql(),
+    "q_train_sequences_eos": _train_sequences_eos_sql(),
+    "q_seq_unique": _seq_unique_sql(),
+    "q_pack_efficiency": Q_PACK_EFFICIENCY_SQL,
+    "q_curriculum_shards": Q_CURRICULUM_SHARDS_SQL,
+    "q_epoch_seq_order": Q_EPOCH_SEQ_ORDER_SQL,
     "q_vocab_coverage": Q_VOCAB_COVERAGE_SQL,
     "q_vocab_oov": Q_VOCAB_OOV_SQL,
     "q_ann_cell_stats": Q_ANN_CELL_STATS_SQL,

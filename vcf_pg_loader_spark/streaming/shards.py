@@ -169,6 +169,8 @@ class TrainingShardSink(ParquetUpsertSink):
         merges: list[tuple[str, str]] | None = None,
         vocab_fp: int | None = None,
         retain_epochs: int | None = None,
+        doc_sep: int = 0,
+        eos_token: str = "</s>",
     ):
         """``merges`` switches packing to TOKENIZER space: per-doc
         n_tokens comes from operators/bpe.py bpe_token_lengths under
@@ -177,7 +179,15 @@ class TrainingShardSink(ParquetUpsertSink):
         verdict item 3).  ``vocab_fp`` is the vocab artifact's
         corpus_fp (cli train-vocab); it joins the parameter fingerprint
         so a layout packed under one tokenizer REFUSES maintenance or
-        reads under another."""
+        reads under another.
+
+        ``doc_sep`` packs EOS-aware: every document budgets that many
+        separator tokens (operators/shards.py shard_base doc_sep=), and
+        materialize_sequences emits ``eos_token`` × doc_sep after each
+        document's pieces — the sequences a trainer actually sees.
+        doc_sep moves every packed offset, so it joins the parameter
+        fingerprint; eos_token is only the emitted SPELLING (offsets
+        and counts are invariant to it), so it does not."""
         super().__init__(target, key=["doc_id"])
         self.n_shards = n_shards
         self.seq_len = seq_len
@@ -185,6 +195,8 @@ class TrainingShardSink(ParquetUpsertSink):
             [tuple(m) for m in merges] if merges is not None else None
         )
         self.vocab_fp = vocab_fp
+        self.doc_sep = int(doc_sep)
+        self.eos_token = eos_token
         if retain_epochs is not None:
             # how many epoch snapshots a pinned trainer can lag behind;
             # NOT in the params fingerprint — retention is an operator
@@ -200,6 +212,8 @@ class TrainingShardSink(ParquetUpsertSink):
         if self.merges is not None:
             fp["token_space"] = "bpe"
             fp["vocab_fp"] = self.vocab_fp
+        if self.doc_sep:
+            fp["doc_sep"] = self.doc_sep
         return fp
 
     def _lengths(self, docs: DataFrame) -> DataFrame | None:
@@ -389,6 +403,15 @@ class TrainingShardSink(ParquetUpsertSink):
             enc = docs.select(
                 "doc_id", F.split(F.col("text"), " ").alias("pieces")
             )
+        if self.doc_sep:
+            # the separator tokens the layout budgeted per document —
+            # appended AFTER the encode so piece counts equal the
+            # packed n_tokens and boundary cuts land inside the
+            # separators exactly as the offsets say
+            sep = F.array_repeat(F.lit(self.eos_token), self.doc_sep)
+            enc = enc.select(
+                "doc_id", F.concat(F.col("pieces"), sep).alias("pieces")
+            )
         return sequence_stream(spans, enc)
 
     # -- maintenance -----------------------------------------------------
@@ -399,7 +422,10 @@ class TrainingShardSink(ParquetUpsertSink):
         touched = dels.unionByName(ins.select("doc_id")).distinct()
 
         new_base = shard_base(
-            ins, n_shards=self.n_shards, lengths=self._lengths(ins)
+            ins,
+            n_shards=self.n_shards,
+            lengths=self._lengths(ins),
+            doc_sep=self.doc_sep,
         )
         old = self._table_raw(spark, "layout")
         if old is None:
