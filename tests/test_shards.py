@@ -974,3 +974,60 @@ class TestEpochSequenceOrder:
             rows = spark.read.parquet(_os.path.join(out1, d)).collect()
             pos = [r.epoch_pos for r in rows]
             assert pos == sorted(pos)
+
+
+class TestSeqDecontam:
+    def test_cross_boundary_hits_exist_and_are_bounded(self, spark, sf_dir):
+        """Sequence-level decontamination finds hits, every crossing
+        hit is also a hit (n_cross <= n_hits), and at least one hit
+        crosses a document boundary in the fixture corpus — the
+        contamination class that only exists after packing."""
+        from vcf_pg_loader_spark.queries.pipeline import q_seq_decontam
+
+        rows = q_seq_decontam(spark, sf_dir).collect()
+        assert rows
+        assert all(0 <= r.n_cross_boundary <= r.n_hits for r in rows)
+        assert sum(r.n_cross_boundary for r in rows) > 0
+
+    def test_cross_boundary_shingle_detected(self, spark):
+        """A constructed boundary crossing: doc A ends 'u v', doc B
+        starts 'w' and packs immediately after A in the same shard;
+        the trigram 'u v w' exists in NO single train document but
+        must appear as a crossing window of the packed stream."""
+        docs = spark.createDataFrame(
+            [(i, f"filler{i} pad{i} word{i}") for i in range(64)],
+            "doc_id bigint, text string",
+        )
+        lay = SH.shard_layout(docs, seq_len=512)
+        rows = sorted(
+            lay.collect(), key=lambda r: (r.shard, r.okey, r.doc_id)
+        )
+        # find two docs adjacent in one shard's packed order
+        a, b = next(
+            (x, y)
+            for x, y in zip(rows, rows[1:])
+            if x.shard == y.shard
+        )
+        spans = SH.shard_sequences(lay, seq_len=512)
+        pieces = docs.select(
+            "doc_id", F.split(F.col("text"), " ").alias("pieces")
+        )
+        seqs = SH.sequence_stream(spans, pieces)
+        stream = [
+            t
+            for r in sorted(
+                (r for r in seqs.collect() if r.shard == a.shard),
+                key=lambda r: r.seq_id,
+            )
+            for t in r.tokens
+        ]
+        # the crossing trigram: last token of A, first two of B
+        cross = f"word{a.doc_id} filler{b.doc_id} pad{b.doc_id}"
+        grams = {
+            " ".join(stream[i : i + 3]) for i in range(len(stream) - 2)
+        }
+        assert cross in grams
+        # ...and no single document contains it
+        assert all(
+            cross not in r.text for r in docs.collect()
+        )

@@ -4604,6 +4604,150 @@ def _epoch_seq_order_sql() -> str:
 Q_EPOCH_SEQ_ORDER_SQL = _epoch_seq_order_sql()
 
 
+def q_seq_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination at the SEQUENCE level — the check only packing
+    makes necessary: concat-and-cut glues adjacent documents into one
+    token stream, so an eval n-gram can materialize ACROSS a document
+    boundary inside a training sequence even when no single train
+    document contains it (doc-level q_decontaminate is blind to these
+    by construction).  Pack the train split, slide NGRAM windows over
+    each sequence's assembled tokens, join against the eval split's
+    shingle vocabulary, and report per contaminated sequence the hit
+    count and how many hits cross a boundary.  Plan shape: the
+    sequence assembly is the standard one-shuffle stream, the shingle
+    explode is ~seq_len rows per sequence (bounded), and the eval
+    vocabulary join is broadcast-sized at any corpus scale where the
+    eval split is benchmark-sized."""
+    from vcf_pg_loader_spark.operators import sampling as SP
+    from vcf_pg_loader_spark.operators import shards as SHD
+
+    docs = SP.assign_split(
+        load_table(spark, sf_dir, "documents"), "doc_id", SPLIT_WEIGHTS
+    )
+    train = docs.filter(F.col("split") == "train").select("doc_id", "text")
+    evals = docs.filter(F.col("split") != "train")
+    ev_sh = (
+        D.shingles(evals, "doc_id", "text", NGRAM)
+        .select("shingle")
+        .distinct()
+    )
+    layout = SHD.shard_layout(train)
+    spans = SHD.shard_sequences(layout)
+    pieces = train.select(
+        "doc_id", F.split(F.col("text"), " ").alias("pieces")
+    )
+    seqs = SHD.sequence_stream(spans, pieces)
+    # boundaries INSIDE a sequence: a document starting there
+    # (tok_start == 0) at a nonzero offset — continuations from the
+    # previous sequence (seq_off == 0, tok_start > 0) are not starts
+    bounds = (
+        spans.filter((F.col("tok_start") == 0) & (F.col("seq_off") > 0))
+        .groupBy("shard", "seq_id")
+        .agg(F.collect_list("seq_off").alias("bnds"))
+    )
+    seqs = seqs.join(bounds, ["shard", "seq_id"], "left").select(
+        "shard",
+        "seq_id",
+        "tokens",
+        F.coalesce(F.col("bnds"), F.array().cast("array<bigint>")).alias(
+            "bnds"
+        ),
+    )
+    windows = seqs.filter(F.size("tokens") >= NGRAM).select(
+        "shard",
+        "seq_id",
+        "tokens",
+        "bnds",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                (F.size("tokens") - NGRAM).cast("bigint"),
+            )
+        ).alias("p"),
+    )
+    sh = windows.select(
+        "shard",
+        "seq_id",
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("tokens"), (F.col("p") + 1).cast("int"), NGRAM
+            ),
+        ).alias("shingle"),
+        F.exists(
+            "bnds",
+            lambda b: (b > F.col("p")) & (b <= F.col("p") + (NGRAM - 1)),
+        ).alias("crosses"),
+    )
+    hits = sh.join(F.broadcast(ev_sh), "shingle")
+    return hits.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.sum(F.col("crosses").cast("bigint")).alias("n_cross_boundary"),
+    )
+
+
+def _seq_decontam_sql() -> str:
+    from vcf_pg_loader_spark.operators import sampling as SP
+    from vcf_pg_loader_spark.operators.shards import sql_shard_sequences
+
+    case = SP.sql_assign_split("doc_id", SPLIT_WEIGHTS)
+    case_d = SP.sql_assign_split("d.doc_id", SPLIT_WEIGHTS)
+    train = (
+        "(SELECT d.doc_id, d.text FROM documents d "
+        f"WHERE ({case_d}) = 'train')"
+    )
+    spans = sql_shard_sequences(table=train)
+    ev_shingles = D.sql_shingles(NGRAM, table="documents")
+    return f"""
+WITH sp AS (SELECT doc_id, {case} AS split FROM documents),
+ev_sh AS (
+  SELECT DISTINCT shingle
+  FROM ({ev_shingles}) s JOIN sp USING (doc_id)
+  WHERE sp.split <> 'train'
+),
+spans AS ({spans}),
+ds AS (
+  SELECT d.doc_id, string_split(d.text, ' ') AS toks
+  FROM documents d JOIN sp ON sp.doc_id = d.doc_id
+  WHERE sp.split = 'train'
+),
+parts AS (
+  SELECT s.shard, s.seq_id, s.seq_off, s.tok_start,
+         list_slice(ds.toks, CAST(s.tok_start + 1 AS INT),
+                    CAST(s.tok_start + s.tok_len AS INT)) AS part
+  FROM spans s JOIN ds USING (doc_id)
+),
+seqs AS (
+  SELECT shard, seq_id,
+         flatten(list(part ORDER BY seq_off)) AS toks,
+         list_filter(
+           list(CASE WHEN tok_start = 0 AND seq_off > 0
+                     THEN seq_off END ORDER BY seq_off),
+           b -> b IS NOT NULL) AS bnds
+  FROM parts GROUP BY 1, 2
+),
+sh AS (
+  SELECT shard, seq_id,
+         array_to_string(list_slice(toks, CAST(i + 1 AS INT),
+                                    CAST(i + {NGRAM} AS INT)), ' ')
+           AS shingle,
+         len(list_filter(bnds,
+                         b -> b > i AND b <= i + {NGRAM - 1})) > 0
+           AS crosses
+  FROM seqs, UNNEST(range(0, len(toks) - {NGRAM} + 1)) AS t(i)
+)
+SELECT CAST(shard AS BIGINT) AS shard, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN crosses THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cross_boundary
+FROM sh JOIN ev_sh USING (shingle)
+GROUP BY 1, 2
+"""
+
+
+Q_SEQ_DECONTAM_SQL = _seq_decontam_sql()
+
+
 # --------------------------------------------------------------------------
 # tokenizer-vocabulary induction (operators/bpe.py, round 6): the
 # trainer's iterated argmax is pytest-pinned against a pure-Python BPE
@@ -5326,6 +5470,7 @@ QUERIES = {
     "q_pack_efficiency": q_pack_efficiency,
     "q_curriculum_shards": q_curriculum_shards,
     "q_epoch_seq_order": q_epoch_seq_order,
+    "q_seq_decontam": q_seq_decontam,
     "q_vocab_coverage": q_vocab_coverage,
     "q_vocab_oov": q_vocab_oov,
     "q_ann_cell_stats": q_ann_cell_stats,
@@ -5435,6 +5580,7 @@ ORACLE = {
     "q_pack_efficiency": Q_PACK_EFFICIENCY_SQL,
     "q_curriculum_shards": Q_CURRICULUM_SHARDS_SQL,
     "q_epoch_seq_order": Q_EPOCH_SEQ_ORDER_SQL,
+    "q_seq_decontam": Q_SEQ_DECONTAM_SQL,
     "q_vocab_coverage": Q_VOCAB_COVERAGE_SQL,
     "q_vocab_oov": Q_VOCAB_OOV_SQL,
     "q_ann_cell_stats": Q_ANN_CELL_STATS_SQL,
