@@ -1031,3 +1031,80 @@ class TestSeqDecontam:
         assert all(
             cross not in r.text for r in docs.collect()
         )
+
+    def test_doc_sep_interrupts_crossing_windows(self, spark):
+        """With doc_sep=1 every would-be crossing window contains the
+        separator token, so no crossing n-gram can match an eval
+        vocabulary drawn from real text — EOS-aware packing removes the
+        contamination class q_seq_decontam measures."""
+        docs = spark.createDataFrame(
+            [(i, f"filler{i} pad{i} word{i}") for i in range(64)],
+            "doc_id bigint, text string",
+        )
+        base = SH.shard_base(docs, doc_sep=1)
+        lay = SH.shard_layout_from_lengths(base, seq_len=512)
+        spans = SH.shard_sequences(lay, seq_len=512)
+        pieces = docs.select(
+            "doc_id",
+            F.concat(
+                F.split(F.col("text"), " "), F.array(F.lit("</s>"))
+            ).alias("pieces"),
+        )
+        seqs = SH.sequence_stream(spans, pieces)
+        bounds = {r.doc_id: r for r in lay.collect()}
+        for r in seqs.collect():
+            toks = list(r.tokens)
+            starts = sorted(b for b in r.doc_bounds)
+            # every trigram window that spans a document boundary
+            # includes the separator; doc-internal windows never do
+            for i in range(len(toks) - 2):
+                w = toks[i : i + 3]
+                crossing = any(i < b <= i + 2 for b in starts if b > 0)
+                if crossing:
+                    assert "</s>" in w
+        assert len(bounds) == 64
+
+
+class TestTokenBudget:
+    def test_minimal_prefix_semantics(self, spark, sf_dir):
+        """The selection equals the minimal hash-ordered prefix whose
+        token sum reaches the budget — verified against a directly
+        computed global prefix over the same keys."""
+        from vcf_pg_loader_spark.functions.hashing import h60
+        from vcf_pg_loader_spark.queries.pipeline import (
+            TB_SALT,
+            TOKEN_BUDGET,
+            q_token_budget,
+        )
+        from vcf_pg_loader_spark.sources.tables import load_table
+
+        got = {
+            r.source: (r.n_docs, r.n_tokens)
+            for r in q_token_budget(spark, sf_dir).collect()
+        }
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                "source",
+                F.size(F.split(F.col("text"), " "))
+                .cast("bigint")
+                .alias("nt"),
+                h60(F.col("doc_id").cast("string"), TB_SALT).alias("key"),
+            )
+            .collect()
+        )
+        rows.sort(key=lambda r: (r.key, r.doc_id))
+        cum, want, last_nt = 0, {}, 0
+        for r in rows:
+            if cum >= TOKEN_BUDGET:
+                break
+            d, t = want.get(r.source, (0, 0))
+            want[r.source] = (d + 1, t + r.nt)
+            cum += r.nt
+            last_nt = r.nt
+        assert got == want
+        total = sum(t for _, t in got.values())
+        assert total == cum and total >= TOKEN_BUDGET
+        # minimality: without the crossing doc the prefix is short
+        assert total - last_nt < TOKEN_BUDGET

@@ -4748,6 +4748,101 @@ GROUP BY 1, 2
 Q_SEQ_DECONTAM_SQL = _seq_decontam_sql()
 
 
+# "train on exactly N tokens": the minimal hash-ordered prefix of the
+# corpus whose token sum reaches the budget — deterministic, stable
+# under corpus growth everywhere except at the moving boundary
+TOKEN_BUDGET = 10_000
+TB_SALT = "tb:"
+TB_BUCKETS = 64
+_TB_BUCKET_WIDTH = (1 << 60) // TB_BUCKETS  # h60 < 2^60, range buckets
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget subcorpus: keep documents in h60-key order until
+    the running token total reaches TOKEN_BUDGET (minimal prefix —
+    the crossing document is kept), reported per source.
+
+    100 TB shape: the naive version is one GLOBAL ordered window — a
+    single-partition sort of the corpus.  Instead: (1) key-RANGE
+    buckets (ordered, unlike hash-mod) aggregate to TB_BUCKETS partial
+    sums, map-side combinable; (2) the driver cumsums that
+    control-plane frame to find the boundary bucket; (3) buckets below
+    the boundary are kept whole — no window touches them — and ONLY
+    the boundary bucket (1/TB_BUCKETS of the corpus, and TB_BUCKETS
+    scales freely) runs the exact ordered cumsum.  Same two-stage
+    shape as the maintenance family's touched-partition pruning."""
+    from vcf_pg_loader_spark.functions.hashing import h60
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("nt"),
+        h60(F.col("doc_id").cast("string"), TB_SALT).alias("key"),
+    )
+    keyed = docs.withColumn(
+        "bkt", F.floor(F.col("key") / F.lit(_TB_BUCKET_WIDTH))
+    )
+    parts = (
+        keyed.groupBy("bkt")
+        .agg(F.sum("nt").alias("bt"))
+        .orderBy("bkt")
+        .collect()
+    )  # TB_BUCKETS rows — control-plane
+    cum = 0
+    boundary, before = None, 0
+    for r in parts:
+        if cum + r.bt >= TOKEN_BUDGET:
+            boundary, before = r.bkt, cum
+            break
+        cum += r.bt
+    if boundary is None:
+        sel = keyed  # budget exceeds the corpus: keep everything
+    else:
+        whole = keyed.filter(F.col("bkt") < boundary)
+        w = (
+            Window.partitionBy("bkt")
+            .orderBy("key", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        edge = (
+            keyed.filter(F.col("bkt") == boundary)
+            .withColumn("cum", F.sum("nt").over(w))
+            # minimal prefix: keep while the PREVIOUS cumsum is short
+            .filter(F.col("cum") - F.col("nt") < TOKEN_BUDGET - before)
+            .drop("cum")
+        )
+        sel = whole.unionByName(edge)
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+    )
+
+
+def _token_budget_sql() -> str:
+    from vcf_pg_loader_spark.functions.hashing import sql_h60
+
+    key = sql_h60("CAST(doc_id AS VARCHAR)", TB_SALT)
+    return f"""
+WITH k AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         {key} AS key
+  FROM documents
+), c AS (
+  SELECT *, SUM(nt) OVER (ORDER BY key, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM k
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens
+FROM c WHERE cum - nt < {TOKEN_BUDGET}
+GROUP BY source
+"""
+
+
+Q_TOKEN_BUDGET_SQL = _token_budget_sql()
+
+
 # --------------------------------------------------------------------------
 # tokenizer-vocabulary induction (operators/bpe.py, round 6): the
 # trainer's iterated argmax is pytest-pinned against a pure-Python BPE
@@ -5471,6 +5566,7 @@ QUERIES = {
     "q_curriculum_shards": q_curriculum_shards,
     "q_epoch_seq_order": q_epoch_seq_order,
     "q_seq_decontam": q_seq_decontam,
+    "q_token_budget": q_token_budget,
     "q_vocab_coverage": q_vocab_coverage,
     "q_vocab_oov": q_vocab_oov,
     "q_ann_cell_stats": q_ann_cell_stats,
@@ -5581,6 +5677,7 @@ ORACLE = {
     "q_curriculum_shards": Q_CURRICULUM_SHARDS_SQL,
     "q_epoch_seq_order": Q_EPOCH_SEQ_ORDER_SQL,
     "q_seq_decontam": Q_SEQ_DECONTAM_SQL,
+    "q_token_budget": Q_TOKEN_BUDGET_SQL,
     "q_vocab_coverage": Q_VOCAB_COVERAGE_SQL,
     "q_vocab_oov": Q_VOCAB_OOV_SQL,
     "q_ann_cell_stats": Q_ANN_CELL_STATS_SQL,
