@@ -4843,6 +4843,109 @@ GROUP BY source
 Q_TOKEN_BUDGET_SQL = _token_budget_sql()
 
 
+# n_shards sizing: one repack task must hold a shard comfortably, so
+# pick the shard count from corpus totals, not by feel — the number
+# reshard migrates to when the corpus outgrows the layout
+TARGET_SHARD_TOKENS = 4096
+
+
+def q_shard_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n_shards advisor: corpus token total, the resulting shard count
+    for a target tokens-per-shard (ceil), and the next power of two
+    (hash assignment has no pow2 requirement, but pow2 growth keeps
+    reshard factors uniform).  One map-side-combinable aggregate; at
+    100 TB this is the same arithmetic with target ≈ a repack task's
+    comfortable working set."""
+    docs = load_table(spark, sf_dir, "documents")
+    tot = docs.agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    rec = F.ceil(F.col("total_tokens") / F.lit(TARGET_SHARD_TOKENS)).cast(
+        "bigint"
+    )
+    pow2 = F.pow(
+        F.lit(2.0), F.ceil(F.log2(rec.cast("double")))
+    ).cast("bigint")
+    return tot.select(
+        "n_docs",
+        "total_tokens",
+        F.lit(TARGET_SHARD_TOKENS).cast("bigint").alias("target_tokens"),
+        rec.alias("recommended_shards"),
+        pow2.alias("recommended_shards_pow2"),
+    )
+
+
+Q_SHARD_ADVISOR_SQL = f"""
+WITH t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+           AS total_tokens
+  FROM documents
+)
+SELECT n_docs, total_tokens,
+       CAST({TARGET_SHARD_TOKENS} AS BIGINT) AS target_tokens,
+       CAST(CEIL(total_tokens / {TARGET_SHARD_TOKENS}.0) AS BIGINT)
+         AS recommended_shards,
+       CAST(POWER(2, CEIL(LOG2(CEIL(total_tokens
+                                    / {TARGET_SHARD_TOKENS}.0))))
+            AS BIGINT) AS recommended_shards_pow2
+FROM t
+"""
+
+
+def q_vocab_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer compression monitor: per source, characters per BPE
+    token under the learned merges — the number a vocab-size decision
+    trades against q_vocab_coverage (bigger vocab → fewer tokens per
+    char → cheaper training, diminishing).  Whitespace chars excluded
+    on both engines (tokens never contain them).  One Arrow encode
+    pass for lengths, then a map-side-combinable per-source rollup."""
+    from vcf_pg_loader_spark.operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = B.bpe_learn_batched(docs, n_merges=SHARD_BPE_MERGES)
+    lengths = B.bpe_token_lengths(docs, merges)
+    chars = docs.select(
+        "doc_id",
+        "source",
+        F.length(F.regexp_replace(F.col("text"), " ", ""))
+        .cast("bigint")
+        .alias("n_chars"),
+    )
+    j = chars.join(lengths, "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(
+                F.sum("n_chars") / F.sum("n_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+def _vocab_compression_sql() -> str:
+    lengths = _sql_bpe_doc_lengths(SHARD_BPE_MERGES)
+    return f"""
+WITH lens AS ({lengths}),
+ch AS (
+  SELECT doc_id, source,
+         CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT ch.source, CAST(SUM(ch.n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(lens.n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(SUM(ch.n_chars) / CAST(SUM(lens.n_tokens) AS DOUBLE), 6)
+         AS chars_per_token
+FROM ch JOIN lens USING (doc_id)
+GROUP BY ch.source
+"""
+
+
 # --------------------------------------------------------------------------
 # tokenizer-vocabulary induction (operators/bpe.py, round 6): the
 # trainer's iterated argmax is pytest-pinned against a pure-Python BPE
@@ -5567,6 +5670,8 @@ QUERIES = {
     "q_epoch_seq_order": q_epoch_seq_order,
     "q_seq_decontam": q_seq_decontam,
     "q_token_budget": q_token_budget,
+    "q_shard_advisor": q_shard_advisor,
+    "q_vocab_compression": q_vocab_compression,
     "q_vocab_coverage": q_vocab_coverage,
     "q_vocab_oov": q_vocab_oov,
     "q_ann_cell_stats": q_ann_cell_stats,
@@ -5678,6 +5783,8 @@ ORACLE = {
     "q_epoch_seq_order": Q_EPOCH_SEQ_ORDER_SQL,
     "q_seq_decontam": Q_SEQ_DECONTAM_SQL,
     "q_token_budget": Q_TOKEN_BUDGET_SQL,
+    "q_shard_advisor": Q_SHARD_ADVISOR_SQL,
+    "q_vocab_compression": _vocab_compression_sql(),
     "q_vocab_coverage": Q_VOCAB_COVERAGE_SQL,
     "q_vocab_oov": Q_VOCAB_OOV_SQL,
     "q_ann_cell_stats": Q_ANN_CELL_STATS_SQL,
