@@ -1108,3 +1108,56 @@ class TestTokenBudget:
         assert total == cum and total >= TOKEN_BUDGET
         # minimality: without the crossing doc the prefix is short
         assert total - last_nt < TOKEN_BUDGET
+
+
+class TestExportEpochOrder:
+    def test_schedule_matches_sequences_and_is_deterministic(
+        self, spark, tmp_path, capsys
+    ):
+        """export-epoch-order ships only the schedule: rows cover
+        exactly the manifest's sequences, two runs of the same epoch
+        are identical, and joining the schedule to an epoch-less
+        export reproduces the --train-epoch ordering."""
+        import json as _json
+
+        from vcf_pg_loader_spark.cli import main
+
+        corpus_path = str(tmp_path / "corpus")
+        corpus = _docs(spark, range(50))
+        corpus.write.parquet(corpus_path)
+        state = str(tmp_path / "state")
+        TrainingShardSink(state, seq_len=32).apply_batch(
+            corpus.withColumn(MULT, F.lit(1).cast("bigint")), 0
+        )
+        o1, o2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+        for out in (o1, o2):
+            assert main(
+                ["export-epoch-order", "--state", state,
+                 "--train-epoch", "5", "--out", out]
+            ) == 0
+            rep = _json.loads(
+                capsys.readouterr().out.strip().splitlines()[-1]
+            )
+            assert "error" not in rep
+        k = lambda p: sorted(
+            (r.shard, r.seq_id, r.epoch_pos)
+            for r in spark.read.parquet(p).collect()
+        )
+        assert k(o1) == k(o2)
+        man = {
+            r.shard: r.n_seqs
+            for r in TrainingShardSink(state, seq_len=32)
+            .manifest(spark)
+            .collect()
+        }
+        sched = spark.read.parquet(o1).collect()
+        per = {}
+        for r in sched:
+            per.setdefault(r.shard, []).append(r)
+        assert {s: len(v) for s, v in per.items()} == {
+            s: n for s, n in man.items()
+        }
+        for s, rows in per.items():
+            assert sorted(r.epoch_pos for r in rows) == list(
+                range(1, man[s] + 1)
+            )

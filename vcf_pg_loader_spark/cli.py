@@ -1196,6 +1196,68 @@ def cmd_export_sequences(args) -> int:
     return 0
 
 
+def cmd_export_epoch_order(args) -> int:
+    """Write ONLY a training epoch's read schedule — (shard, seq_id,
+    epoch_pos), one partition per shard — against a maintained shard
+    state's manifest.  The 100 TB multi-epoch pattern: export the
+    sequence BYTES once (export-sequences, seq_id order) and ship this
+    control-plane-sized schedule per epoch; `export-sequences
+    --train-epoch` (which physically reorders the bytes) is for when a
+    storage layer can't seek.  Schedule rows = total_tokens / seq_len;
+    at any corpus size this is a rounding error next to the bytes.
+    Deterministic: same state + epoch → identical files."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from vcf_pg_loader_spark.operators.shards import epoch_sequence_order
+    from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+    spark = _spark()
+    kw = {}
+    params_path = _os.path.join(args.state, "_params.json")
+    if _os.path.exists(params_path):
+        with open(params_path) as fh:
+            persisted = json.load(fh)
+        kw = {
+            "n_shards": persisted.get("n_shards", 16),
+            "seq_len": persisted.get("seq_len", 512),
+            "doc_sep": persisted.get("doc_sep", 0),
+        }
+    sink = TrainingShardSink(args.state, **kw)
+    man = sink.manifest(spark, epoch=getattr(args, "epoch", None))
+    sched = epoch_sequence_order(
+        man, int(args.train_epoch), sink.seq_len
+    )
+    (
+        sched.repartition(F.col("shard"))
+        .sortWithinPartitions("shard", "epoch_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(args.out)
+    )
+    stats = spark.read.parquet(args.out).agg(
+        F.count(F.lit(1)).alias("seqs"),
+        F.countDistinct("shard").alias("shards"),
+    ).collect()[0]
+    expected = man.agg(F.sum("n_seqs").alias("s")).collect()[0]["s"]
+    report = {
+        "state": args.state.rstrip("/"),
+        "out": args.out,
+        "train_epoch": int(args.train_epoch),
+        "seqs": int(stats["seqs"] or 0),
+        "shards": int(stats["shards"] or 0),
+    }
+    if report["seqs"] != int(expected or 0):
+        report["error"] = (
+            "schedule rows do not cover the manifest's sequences"
+        )
+        print(json.dumps(report))
+        return 1
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_verify_consistency(args) -> int:
     """Prove (or refute) that N maintained states are views of the SAME
     corpus snapshot: every state must carry an epoch stamp (written by
@@ -1660,7 +1722,21 @@ def build_parser() -> argparse.ArgumentParser:
                          "(epoch_sequence_order) instead of seq_id "
                          "order, with the epoch_pos column attached — "
                          "a fresh reproducible read schedule per "
-                         "training epoch, no repack")
+                         "training epoch, no repack (for storage that "
+                         "can't seek; otherwise export bytes once and "
+                         "ship export-epoch-order schedules)")
+
+    sp = add("export-epoch-order", cmd_export_epoch_order,
+             help="write ONLY an epoch's read schedule (shard, seq_id, "
+                  "epoch_pos) from the maintained manifest — the "
+                  "control-plane-sized per-epoch artifact; bytes "
+                  "export once via export-sequences")
+    sp.add_argument("--state", required=True,
+                    help="TrainingShardSink state dir")
+    sp.add_argument("--train-epoch", type=int, required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--epoch",
+                    help="pin to a retained corpus-epoch snapshot")
 
     sp = add("verify-consistency", cmd_verify_consistency,
              help="check that N maintained states carry the same "
