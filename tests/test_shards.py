@@ -902,9 +902,9 @@ class TestEpochSequenceOrder:
     def test_permutation_per_epoch_deterministic_and_distinct(self, spark):
         docs = _docs(spark, range(400))
         man = SH.shard_manifest(SH.shard_layout(docs, seq_len=64), seq_len=64)
-        e1 = SH.epoch_sequence_order(man, 1, seq_len=64).collect()
-        e1b = SH.epoch_sequence_order(man, 1, seq_len=64).collect()
-        e2 = SH.epoch_sequence_order(man, 2, seq_len=64).collect()
+        e1 = SH.epoch_sequence_order(man, 1).collect()
+        e1b = SH.epoch_sequence_order(man, 1).collect()
+        e2 = SH.epoch_sequence_order(man, 2).collect()
         key = lambda rows: sorted((r.shard, r.seq_id, r.epoch_pos) for r in rows)
         assert key(e1) == key(e1b)  # deterministic
         assert key(e1) != key(e2)  # epochs differ

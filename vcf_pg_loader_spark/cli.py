@@ -1144,8 +1144,7 @@ def cmd_export_sequences(args) -> int:
         )
 
         sched = epoch_sequence_order(
-            sink.manifest(spark, epoch=epoch), int(train_epoch),
-            sink.seq_len,
+            sink.manifest(spark, epoch=epoch), int(train_epoch)
         )
         seqs = seqs.join(F.broadcast(sched), ["shard", "seq_id"])
         order_cols = ["shard", "epoch_pos"]
@@ -1226,9 +1225,7 @@ def cmd_export_epoch_order(args) -> int:
         }
     sink = TrainingShardSink(args.state, **kw)
     man = sink.manifest(spark, epoch=getattr(args, "epoch", None))
-    sched = epoch_sequence_order(
-        man, int(args.train_epoch), sink.seq_len
-    )
+    sched = epoch_sequence_order(man, int(args.train_epoch))
     (
         sched.repartition(F.col("shard"))
         .sortWithinPartitions("shard", "epoch_pos")

@@ -269,9 +269,7 @@ def pack_efficiency(manifest: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
 EPOCH_ORDER_SALT = "seqorder:"
 
 
-def epoch_sequence_order(
-    manifest: DataFrame, epoch: int, seq_len: int = SEQ_LEN
-) -> DataFrame:
+def epoch_sequence_order(manifest: DataFrame, epoch: int) -> DataFrame:
     """Inter-epoch SEQUENCE shuffle without repacking: each training
     epoch visits every packed sequence in a fresh pseudo-random order
     derived purely from (shard, seq_id, epoch) — the layout, offsets,
