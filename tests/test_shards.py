@@ -1161,3 +1161,66 @@ class TestExportEpochOrder:
             assert sorted(r.epoch_pos for r in rows) == list(
                 range(1, man[s] + 1)
             )
+
+
+class TestSeqDecontamCLI:
+    def test_detects_constructed_crossing(self, spark, tmp_path, capsys):
+        """A crossing n-gram planted across two adjacent docs in the
+        maintained layout is found (n_cross_boundary >= 1), the report
+        parquet matches the printed totals, and --fail-on-hit exits 1;
+        a disjoint eval corpus exits 0 with an empty report."""
+        import json as _json
+
+        from vcf_pg_loader_spark.cli import main
+
+        docs = spark.createDataFrame(
+            [(i, f"filler{i} pad{i} word{i}") for i in range(64)],
+            "doc_id bigint, text string",
+        )
+        corpus = str(tmp_path / "corpus")
+        docs.write.parquet(corpus)
+        state = str(tmp_path / "state")
+        TrainingShardSink(state).apply_batch(
+            docs.withColumn(MULT, F.lit(1).cast("bigint")), 0
+        )
+        lay = sorted(
+            SH.shard_layout(docs).collect(),
+            key=lambda r: (r.shard, r.okey, r.doc_id),
+        )
+        a, b = next(
+            (x, y) for x, y in zip(lay, lay[1:]) if x.shard == y.shard
+        )
+        cross = f"word{a.doc_id} filler{b.doc_id} pad{b.doc_id}"
+        ev = spark.createDataFrame(
+            [(10_000, f"prefixtok {cross} suffixtok")],
+            "doc_id bigint, text string",
+        )
+        ev_path = str(tmp_path / "eval")
+        ev.write.parquet(ev_path)
+        out = str(tmp_path / "report")
+        rc = main(
+            ["seq-decontam", "--state", state, "--corpus", corpus,
+             "--eval", ev_path, "--out", out, "--fail-on-hit"]
+        )
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 1
+        assert rep["cross_boundary_hits"] >= 1
+        got = spark.read.parquet(out).collect()
+        assert sum(r.n_hits for r in got) == rep["hits"]
+
+        # disjoint eval: clean exit, empty report
+        ev2 = spark.createDataFrame(
+            [(10_001, "zebra yak xylophone")],
+            "doc_id bigint, text string",
+        )
+        ev2_path = str(tmp_path / "eval2")
+        ev2.write.parquet(ev2_path)
+        out2 = str(tmp_path / "report2")
+        rc2 = main(
+            ["seq-decontam", "--state", state, "--corpus", corpus,
+             "--eval", ev2_path, "--out", out2, "--fail-on-hit"]
+        )
+        rep2 = _json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        assert rc2 == 0 and rep2["contaminated_seqs"] == 0

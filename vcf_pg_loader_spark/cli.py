@@ -1255,6 +1255,123 @@ def cmd_export_epoch_order(args) -> int:
     return 0
 
 
+def cmd_seq_decontam(args) -> int:
+    """Sequence-level decontamination against a MAINTAINED shard state:
+    slide n-gram windows over the packed training streams (assembled
+    from the persisted layout — no repack) and join them against an
+    eval corpus's shingle vocabulary; report contaminated sequences
+    with their crossing-boundary breakdown and write the full report
+    as parquet.  The check only packing makes necessary: an eval
+    n-gram can materialize ACROSS a document boundary inside a
+    sequence even when no single train document contains it (an
+    EOS-budgeted layout, --shards-doc-sep, interrupts such windows —
+    crossing hits there indicate a separator-free pack).  Exit 1 when
+    any contaminated sequence is found and --fail-on-hit is set."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from vcf_pg_loader_spark.operators.dedup import shingles
+    from vcf_pg_loader_spark.operators.shards import shard_sequences
+    from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+    spark = _spark()
+    kw = {}
+    params_path = _os.path.join(args.state, "_params.json")
+    if _os.path.exists(params_path):
+        with open(params_path) as fh:
+            persisted = json.load(fh)
+        kw = {
+            "n_shards": persisted.get("n_shards", 16),
+            "seq_len": persisted.get("seq_len", 512),
+            "doc_sep": persisted.get("doc_sep", 0),
+        }
+        if persisted.get("token_space") == "bpe":
+            print(
+                "seq-decontam runs in whitespace space; this state is "
+                "BPE-packed — decontaminate the corpus pre-pack or "
+                "export pieces and scan those",
+                file=sys.stderr,
+            )
+            return 2
+    sink = TrainingShardSink(args.state, **kw)
+    n = args.ngram
+    corpus = spark.read.parquet(args.corpus)
+    evals = spark.read.parquet(args.eval)
+    ev_sh = (
+        shingles(evals, "doc_id", "text", n).select("shingle").distinct()
+    )
+    lay = sink.layout(spark, epoch=getattr(args, "epoch", None))
+    spans = shard_sequences(lay, sink.seq_len)
+    seqs = sink.materialize_sequences(
+        spark, corpus, epoch=getattr(args, "epoch", None)
+    )
+    bounds = (
+        spans.filter((F.col("tok_start") == 0) & (F.col("seq_off") > 0))
+        .groupBy("shard", "seq_id")
+        .agg(F.collect_list("seq_off").alias("bnds"))
+    )
+    seqs = seqs.join(bounds, ["shard", "seq_id"], "left").select(
+        "shard",
+        "seq_id",
+        "tokens",
+        F.coalesce(F.col("bnds"), F.array().cast("array<bigint>")).alias(
+            "bnds"
+        ),
+    )
+    windows = seqs.filter(F.size("tokens") >= n).select(
+        "shard",
+        "seq_id",
+        "tokens",
+        "bnds",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                (F.size("tokens") - n).cast("bigint"),
+            )
+        ).alias("p"),
+    )
+    sh = windows.select(
+        "shard",
+        "seq_id",
+        F.concat_ws(
+            " ", F.slice(F.col("tokens"), (F.col("p") + 1).cast("int"), n)
+        ).alias("shingle"),
+        F.exists(
+            "bnds",
+            lambda b: (b > F.col("p")) & (b <= F.col("p") + (n - 1)),
+        ).alias("crosses"),
+    )
+    report_df = (
+        sh.join(F.broadcast(ev_sh), "shingle")
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.sum(F.col("crosses").cast("bigint")).alias(
+                "n_cross_boundary"
+            ),
+        )
+    )
+    report_df.write.mode("overwrite").parquet(args.out)
+    agg = spark.read.parquet(args.out).agg(
+        F.count(F.lit(1)).alias("seqs"),
+        F.sum("n_hits").alias("hits"),
+        F.sum("n_cross_boundary").alias("cross"),
+    ).collect()[0]
+    report = {
+        "state": args.state.rstrip("/"),
+        "out": args.out,
+        "ngram": n,
+        "contaminated_seqs": int(agg["seqs"] or 0),
+        "hits": int(agg["hits"] or 0),
+        "cross_boundary_hits": int(agg["cross"] or 0),
+    }
+    print(json.dumps(report))
+    if args.fail_on_hit and report["contaminated_seqs"]:
+        return 1
+    return 0
+
+
 def cmd_verify_consistency(args) -> int:
     """Prove (or refute) that N maintained states are views of the SAME
     corpus snapshot: every state must carry an epoch stamp (written by
@@ -1734,6 +1851,26 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--out", required=True)
     sp.add_argument("--epoch",
                     help="pin to a retained corpus-epoch snapshot")
+
+    sp = add("seq-decontam", cmd_seq_decontam,
+             help="sequence-level decontamination of a maintained "
+                  "shard state: eval n-grams in the packed streams, "
+                  "incl. those assembled ACROSS document boundaries")
+    sp.add_argument("--state", required=True,
+                    help="TrainingShardSink state dir (whitespace "
+                         "space)")
+    sp.add_argument("--corpus", required=True,
+                    help="train corpus parquet matching the layout")
+    sp.add_argument("--eval", required=True,
+                    help="eval corpus parquet (doc_id, text) — the "
+                         "shingle vocabulary to scan for")
+    sp.add_argument("--out", required=True,
+                    help="per-sequence contamination report parquet")
+    sp.add_argument("--ngram", type=int, default=3)
+    sp.add_argument("--epoch",
+                    help="pin to a retained corpus-epoch snapshot")
+    sp.add_argument("--fail-on-hit", action="store_true",
+                    help="exit 1 when any contaminated sequence exists")
 
     sp = add("verify-consistency", cmd_verify_consistency,
              help="check that N maintained states carry the same "
