@@ -738,3 +738,59 @@ class TestRetentionKnob:
             sink.layout(spark, epoch="A")
         for fp in ("B", "C", "D"):
             assert sink.layout(spark, epoch=fp).count() == 10
+
+
+class TestSyncCorpusShardsDocSep:
+    def test_sync_packs_eos_aware(self, spark, tmp_path, capsys):
+        """sync-corpus --shards-state --shards-doc-sep maintains an
+        EOS-budgeted layout: every doc's packed n_tokens includes the
+        separator, a separator-free sync refuses the state
+        (fingerprint), and export-sequences emits the separators so
+        integrity holds end to end from the synced state."""
+        from vcf_pg_loader_spark.cli import main
+        from vcf_pg_loader_spark.operators import shards as SH
+        from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+        rows = [(i, f"one two three doc{i}") for i in range(30)]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        snap = str(tmp_path / "snap")
+        docs.write.parquet(snap)
+        state = str(tmp_path / "state")
+        shards = str(tmp_path / "shards")
+        assert main(
+            ["sync-corpus", "--state", state, "--snapshot", snap,
+             "--batch-id", "0", "--shards-state", shards,
+             "--shards-doc-sep", "1"]
+        ) == 0
+        capsys.readouterr()
+
+        sink = TrainingShardSink(shards, doc_sep=1)
+        got = {
+            r.doc_id: r.n_tokens for r in sink.layout(spark).collect()
+        }
+        ws = {r.doc_id: r.n_tokens for r in SH.shard_base(docs).collect()}
+        assert got == {d: n + 1 for d, n in ws.items()}
+
+        # a separator-free sync must refuse the state
+        with pytest.raises(ValueError, match="parameters"):
+            main(
+                ["sync-corpus", "--state", state, "--snapshot", snap,
+                 "--batch-id", "1", "--shards-state", shards]
+            )
+
+        # export from the synced state: integrity incl. separators
+        out = str(tmp_path / "seqs")
+        kept = str(tmp_path / "kept")
+        docs.write.parquet(kept)
+        assert main(
+            ["export-sequences", "--state", shards, "--corpus", kept,
+             "--out", out]
+        ) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["written_tokens"] == rep["tokens"]
+        toks = [
+            t
+            for r in spark.read.parquet(out).collect()
+            for t in r.tokens
+        ]
+        assert toks.count("</s>") == 30
