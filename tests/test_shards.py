@@ -1224,3 +1224,69 @@ class TestSeqDecontamCLI:
             capsys.readouterr().out.strip().splitlines()[-1]
         )
         assert rc2 == 0 and rep2["contaminated_seqs"] == 0
+
+
+class TestMaxDocTokens:
+    def test_incremental_equals_scratch_and_streams_match(
+        self, spark, tmp_path
+    ):
+        """A capped sink packs least(len, cap) per doc, maintenance
+        stays incremental==scratch, and materialized sequences carry
+        exactly the first cap tokens of each document."""
+        cap = 5
+        sink = TrainingShardSink(
+            str(tmp_path / "state"), seq_len=32, max_doc_tokens=cap
+        )
+        d0 = _docs(spark, range(80))
+        sink.apply_batch(d0.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        d1 = _docs(spark, range(20, 110))
+        sink.apply_batch(zset_snapshot_delta(d0, d1, "doc_id"), 1)
+
+        lens = {
+            r.doc_id: r.n_tokens for r in sink.layout(spark).collect()
+        }
+        texts = {r.doc_id: r.text for r in d1.collect()}
+        assert lens == {
+            d: min(len(t.split(" ")), cap) for d, t in texts.items()
+        }
+        scratch_lengths = d1.select(
+            "doc_id",
+            F.least(
+                F.size(F.split(F.col("text"), " ")), F.lit(cap)
+            ).cast("bigint").alias("n_tokens"),
+        )
+        scratch = (
+            SH.shard_manifest(
+                SH.shard_layout_from_lengths(
+                    SH.shard_base(d1, lengths=scratch_lengths), 32
+                ),
+                32,
+            )
+            .orderBy("shard")
+            .collect()
+        )
+        assert _served(sink, spark) == scratch
+
+        seqs = sink.materialize_sequences(spark, d1).collect()
+        man = {r.shard: r.n_tokens for r in _served(sink, spark)}
+        by_shard: dict[int, list] = {}
+        for r in seqs:
+            by_shard.setdefault(r.shard, []).append(r)
+        for s, rows in by_shard.items():
+            stream = [
+                t
+                for r in sorted(rows, key=lambda r: r.seq_id)
+                for t in r.tokens
+            ]
+            assert len(stream) == man[s]
+
+    def test_cap_fingerprint_refused(self, spark, tmp_path):
+        t = str(tmp_path / "state")
+        sink = TrainingShardSink(t, max_doc_tokens=5)
+        d0 = _docs(spark, range(20))
+        sink.apply_batch(d0.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        uncapped = TrainingShardSink(t)
+        with pytest.raises(ValueError, match="parameters"):
+            uncapped.apply_batch(
+                d0.withColumn(MULT, F.lit(1).cast("bigint")), 1
+            )

@@ -711,6 +711,7 @@ def cmd_sync_corpus(args) -> int:
             merges=sh_merges,
             vocab_fp=sh_vocab_fp,
             doc_sep=getattr(args, "shards_doc_sep", 0) or 0,
+            max_doc_tokens=getattr(args, "shards_max_doc_tokens", None),
         )
         kept_docs = (
             sink._table(spark, "corpus")
@@ -998,6 +999,7 @@ def cmd_export_shard(args) -> int:
             "n_shards": persisted.get("n_shards", 16),
             "seq_len": persisted.get("seq_len", 512),
             "doc_sep": persisted.get("doc_sep", 0),
+            "max_doc_tokens": persisted.get("max_doc_tokens"),
         }
     if getattr(args, "eos_token", None):
         kw["eos_token"] = args.eos_token
@@ -1120,6 +1122,7 @@ def cmd_export_sequences(args) -> int:
             "n_shards": persisted.get("n_shards", 16),
             "seq_len": persisted.get("seq_len", 512),
             "doc_sep": persisted.get("doc_sep", 0),
+            "max_doc_tokens": persisted.get("max_doc_tokens"),
         }
     if getattr(args, "eos_token", None):
         kw["eos_token"] = args.eos_token
@@ -1222,6 +1225,7 @@ def cmd_export_epoch_order(args) -> int:
             "n_shards": persisted.get("n_shards", 16),
             "seq_len": persisted.get("seq_len", 512),
             "doc_sep": persisted.get("doc_sep", 0),
+            "max_doc_tokens": persisted.get("max_doc_tokens"),
         }
     sink = TrainingShardSink(args.state, **kw)
     man = sink.manifest(spark, epoch=getattr(args, "epoch", None))
@@ -1285,6 +1289,7 @@ def cmd_seq_decontam(args) -> int:
             "n_shards": persisted.get("n_shards", 16),
             "seq_len": persisted.get("seq_len", 512),
             "doc_sep": persisted.get("doc_sep", 0),
+            "max_doc_tokens": persisted.get("max_doc_tokens"),
         }
         if persisted.get("token_space") == "bpe":
             print(
@@ -1735,6 +1740,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "trainer that appends EOS after every doc; "
                          "a SEMANTIC packing parameter (joins the "
                          "state fingerprint)")
+    sp.add_argument("--shards-max-doc-tokens", type=int,
+                    help="with --shards-state: cap every document's "
+                         "packed length (long-doc-skew guard); "
+                         "exports slice to the cap; SEMANTIC "
+                         "(fingerprinted)")
     sp.add_argument("--nll-max", type=float, default=NLL_MAX,
                     help="LM gate threshold for --funnel-state")
     sp.add_argument("--ngram", type=int, default=NGRAM)

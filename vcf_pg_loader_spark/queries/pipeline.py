@@ -4203,6 +4203,71 @@ GROUP BY shard
 """
 
 
+MAX_DOC_TOKENS = 40  # the truncation cap q_train_sequences_trunc pins
+
+
+def q_train_sequences_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing under a document-truncation cap, md5-pinned: every
+    document budgets at most MAX_DOC_TOKENS tokens (the long-doc-skew
+    guard — at 100 TB one pathological document must not dominate its
+    shard), offsets move accordingly, and the assembled sequences
+    carry exactly the first cap tokens of each document.  Whitespace
+    space keeps the DuckDB twin a plain list_slice, so the oracle
+    isolates the truncation semantics from the tokenizer."""
+    from vcf_pg_loader_spark.operators import shards as SHD
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    lengths = docs.select(
+        "doc_id",
+        F.least(F.size(toks), F.lit(MAX_DOC_TOKENS))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    base = SHD.shard_base(docs, lengths=lengths)
+    spans = SHD.shard_sequences(SHD.shard_layout_from_lengths(base))
+    pieces = docs.select(
+        "doc_id",
+        F.slice(toks, 1, MAX_DOC_TOKENS).alias("pieces"),
+    )
+    seqs = SHD.sequence_stream(spans, pieces)
+    return seqs.select(
+        "shard",
+        "seq_id",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws("\x1f", F.col("tokens"))).alias("tokens_fp"),
+    )
+
+
+def _train_sequences_trunc_sql() -> str:
+    from vcf_pg_loader_spark.operators.shards import sql_shard_sequences
+
+    lengths = (
+        "SELECT doc_id, CAST(LEAST(len(string_split(text, ' ')),"
+        f" {MAX_DOC_TOKENS}) AS BIGINT) AS n_tokens FROM documents"
+    )
+    spans = sql_shard_sequences(lengths_sql=lengths)
+    return f"""
+WITH ds AS (
+  SELECT doc_id,
+         list_slice(string_split(text, ' '), 1, {MAX_DOC_TOKENS})
+           AS toks
+  FROM documents
+), spans AS ({spans}),
+parts AS (
+  SELECT s.shard, s.seq_id, s.seq_off,
+         list_slice(ds.toks, CAST(s.tok_start + 1 AS INT),
+                    CAST(s.tok_start + s.tok_len AS INT)) AS part
+  FROM spans s JOIN ds USING (doc_id)
+)
+SELECT CAST(shard AS BIGINT) AS shard, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(SUM(len(part)) AS BIGINT) AS n_tokens,
+       md5(string_agg(array_to_string(part, chr(31)), chr(31)
+                      ORDER BY seq_off)) AS tokens_fp
+FROM parts GROUP BY shard, seq_id
+"""
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION encoder oracled end-to-end: learn
     SHARD_BPE_MERGES merges, encode every document with the whole-doc
@@ -5664,6 +5729,7 @@ QUERIES = {
     "q_bpe_encode": q_bpe_encode,
     "q_train_sequences": q_train_sequences,
     "q_train_sequences_eos": q_train_sequences_eos,
+    "q_train_sequences_trunc": q_train_sequences_trunc,
     "q_seq_unique": q_seq_unique,
     "q_pack_efficiency": q_pack_efficiency,
     "q_curriculum_shards": q_curriculum_shards,
@@ -5777,6 +5843,7 @@ ORACLE = {
     "q_bpe_encode": _bpe_encode_sql(),
     "q_train_sequences": _train_sequences_sql(),
     "q_train_sequences_eos": _train_sequences_eos_sql(),
+    "q_train_sequences_trunc": _train_sequences_trunc_sql(),
     "q_seq_unique": _seq_unique_sql(),
     "q_pack_efficiency": Q_PACK_EFFICIENCY_SQL,
     "q_curriculum_shards": Q_CURRICULUM_SHARDS_SQL,

@@ -171,6 +171,7 @@ class TrainingShardSink(ParquetUpsertSink):
         retain_epochs: int | None = None,
         doc_sep: int = 0,
         eos_token: str = "</s>",
+        max_doc_tokens: int | None = None,
     ):
         """``merges`` switches packing to TOKENIZER space: per-doc
         n_tokens comes from operators/bpe.py bpe_token_lengths under
@@ -187,7 +188,13 @@ class TrainingShardSink(ParquetUpsertSink):
         document's pieces — the sequences a trainer actually sees.
         doc_sep moves every packed offset, so it joins the parameter
         fingerprint; eos_token is only the emitted SPELLING (offsets
-        and counts are invariant to it), so it does not."""
+        and counts are invariant to it), so it does not.
+
+        ``max_doc_tokens`` caps every document's packed length (the
+        long-doc-skew guard: at 100 TB one pathological document must
+        not dominate its shard); materialize_sequences slices each
+        document's pieces to the cap so the emitted streams match the
+        budgeted offsets.  Semantic → fingerprinted."""
         super().__init__(target, key=["doc_id"])
         self.n_shards = n_shards
         self.seq_len = seq_len
@@ -197,6 +204,9 @@ class TrainingShardSink(ParquetUpsertSink):
         self.vocab_fp = vocab_fp
         self.doc_sep = int(doc_sep)
         self.eos_token = eos_token
+        self.max_doc_tokens = (
+            int(max_doc_tokens) if max_doc_tokens is not None else None
+        )
         if retain_epochs is not None:
             # how many epoch snapshots a pinned trainer can lag behind;
             # NOT in the params fingerprint — retention is an operator
@@ -214,14 +224,35 @@ class TrainingShardSink(ParquetUpsertSink):
             fp["vocab_fp"] = self.vocab_fp
         if self.doc_sep:
             fp["doc_sep"] = self.doc_sep
+        if self.max_doc_tokens is not None:
+            fp["max_doc_tokens"] = self.max_doc_tokens
         return fp
 
     def _lengths(self, docs: DataFrame) -> DataFrame | None:
         if self.merges is None:
-            return None
+            if self.max_doc_tokens is None:
+                return None
+            # capped whitespace count (same split as shard_base)
+            return docs.select(
+                "doc_id",
+                F.least(
+                    F.size(F.split(F.col("text"), " ")),
+                    F.lit(self.max_doc_tokens),
+                )
+                .cast("bigint")
+                .alias("n_tokens"),
+            )
         from vcf_pg_loader_spark.operators.bpe import bpe_token_lengths
 
-        return bpe_token_lengths(docs, self.merges)
+        lens = bpe_token_lengths(docs, self.merges)
+        if self.max_doc_tokens is None:
+            return lens
+        return lens.select(
+            "doc_id",
+            F.least(F.col("n_tokens"), F.lit(self.max_doc_tokens))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
 
     # -- epoch-pinned serving ---------------------------------------------
     # A trainer streams a shard export over hours; sync-corpus applying
@@ -402,6 +433,15 @@ class TrainingShardSink(ParquetUpsertSink):
             # piece counts equal the layout's packed n_tokens
             enc = docs.select(
                 "doc_id", F.split(F.col("text"), " ").alias("pieces")
+            )
+        if self.max_doc_tokens is not None:
+            # truncate BEFORE the separator append: the cap bounds
+            # content tokens exactly as the layout budgeted
+            enc = enc.select(
+                "doc_id",
+                F.slice(F.col("pieces"), 1, self.max_doc_tokens).alias(
+                    "pieces"
+                ),
             )
         if self.doc_sep:
             # the separator tokens the layout budgeted per document —
