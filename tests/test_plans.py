@@ -553,3 +553,16 @@ def test_epoch_seq_order_no_corpus_rescan_shape(spark, sf):
     # the ranking window partitions by shard: its sort is
     # within-partition (local), not a global Sort/Exchange-range
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_token_budget_no_global_ordered_window(spark, sf):
+    """The budget cut never materializes a global ordered window: the
+    only window partitions by the boundary bucket (hash exchange), so
+    no single-partition Exchange and no range partitioning appear."""
+    from vcf_pg_loader_spark.queries.pipeline import q_token_budget
+
+    plan = plan_of(q_token_budget(spark, sf), mode="simple")
+    low = plan.lower()
+    assert "rangepartitioning" not in low
+    assert "singlepartition" not in low
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
