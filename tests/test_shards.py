@@ -1290,3 +1290,27 @@ class TestMaxDocTokens:
             uncapped.apply_batch(
                 d0.withColumn(MULT, F.lit(1).cast("bigint")), 1
             )
+
+
+class TestMaskSchedule:
+    def test_fraction_determinism_and_bounds(self, spark, sf_dir):
+        """The schedule is deterministic, masks a fraction near
+        MASK_SPAN/MASK_RATE, every count is within [0, n_tokens], and
+        zero-mask sequences still appear."""
+        from vcf_pg_loader_spark.queries.pipeline import (
+            MASK_RATE,
+            MASK_SPAN,
+            q_mask_schedule,
+        )
+
+        a = q_mask_schedule(spark, sf_dir).collect()
+        b = q_mask_schedule(spark, sf_dir).collect()
+        key = lambda rows: sorted(
+            (r.shard, r.seq_id, r.n_masked, r.mask_fp) for r in rows
+        )
+        assert key(a) == key(b)
+        tot = sum(r.n_tokens for r in a)
+        masked = sum(r.n_masked for r in a)
+        expect = MASK_SPAN / MASK_RATE
+        assert 0.5 * expect <= masked / tot <= 1.5 * expect
+        assert all(0 <= r.n_masked <= r.n_tokens for r in a)

@@ -4813,6 +4813,139 @@ GROUP BY 1, 2
 Q_SEQ_DECONTAM_SQL = _seq_decontam_sql()
 
 
+# deterministic span-corruption schedule (T5/UL2-style masking): span
+# starts where a position hash lands in 1/MASK_RATE of its range, each
+# span MASK_SPAN tokens; expected masked fraction = MASK_SPAN/MASK_RATE
+MASK_RATE = 20
+MASK_SPAN = 3
+MASK_SALT = "mask:"
+
+
+def q_mask_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption schedule over the packed sequences, derived
+    purely from (shard, seq_id, position) — the trainer-side masking
+    plan as DATA, reproducible on any worker without coordination
+    (the property that matters when 1000 dataloader shards must agree
+    on the noise without sharing RNG state).  Per sequence: token
+    count, masked-position count, and an md5 over the sorted masked
+    positions so the oracle pins the exact schedule, not just its
+    size.  No text is touched: sequence lengths come from the span
+    recipe (sum of tok_len per sequence), positions generate JVM-side
+    (F.sequence/explode), overlapping spans merge via array_distinct."""
+    from vcf_pg_loader_spark.functions.hashing import h60
+    from vcf_pg_loader_spark.operators import shards as SHD
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = SHD.shard_sequences(SHD.shard_layout(docs))
+    seq_lens = spans.groupBy("shard", "seq_id").agg(
+        F.sum("tok_len").cast("bigint").alias("n")
+    )
+    pos = seq_lens.select(
+        "shard",
+        "seq_id",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col("n") - 1)
+        ).alias("p"),
+    )
+    is_start = (
+        F.pmod(
+            h60(
+                F.concat_ws(
+                    ":",
+                    F.col("shard").cast("string"),
+                    F.col("seq_id").cast("string"),
+                    F.col("p").cast("string"),
+                ),
+                MASK_SALT,
+            ),
+            F.lit(MASK_RATE),
+        )
+        == 0
+    )
+    starts = pos.filter(is_start)
+    masked = starts.select(
+        "shard",
+        "seq_id",
+        "n",
+        F.explode(
+            F.sequence(
+                F.col("p"),
+                F.least(F.col("p") + (MASK_SPAN - 1), F.col("n") - 1),
+            )
+        ).alias("m"),
+    ).distinct()
+    agg = masked.groupBy("shard", "seq_id").agg(
+        F.first("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_masked"),
+        F.md5(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.col("m")))
+            )
+        ).alias("mask_fp"),
+    )
+    # sequences whose schedule masks nothing still appear (n_masked 0)
+    return (
+        seq_lens.join(agg, ["shard", "seq_id"], "left")
+        .select(
+            "shard",
+            "seq_id",
+            F.col("n").alias("n_tokens"),
+            F.coalesce(F.col("n_masked"), F.lit(0).cast("bigint")).alias(
+                "n_masked"
+            ),
+            F.coalesce(F.col("mask_fp"), F.md5(F.lit(""))).alias(
+                "mask_fp"
+            ),
+        )
+    )
+
+
+def _mask_schedule_sql() -> str:
+    from vcf_pg_loader_spark.functions.hashing import sql_h60
+    from vcf_pg_loader_spark.operators.shards import sql_shard_sequences
+
+    h = sql_h60(
+        "CAST(shard AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR)"
+        " || ':' || CAST(p AS VARCHAR)",
+        MASK_SALT,
+    )
+    return f"""
+WITH spans AS ({sql_shard_sequences()}),
+seq_lens AS (
+  SELECT shard, seq_id, CAST(SUM(tok_len) AS BIGINT) AS n
+  FROM spans GROUP BY 1, 2
+),
+pos AS (
+  SELECT shard, seq_id, n, CAST(p AS BIGINT) AS p
+  FROM seq_lens, UNNEST(range(0, n)) AS t(p)
+),
+starts AS (
+  SELECT * FROM pos WHERE (({h}) % {MASK_RATE} + {MASK_RATE})
+                          % {MASK_RATE} = 0
+),
+masked AS (
+  SELECT DISTINCT shard, seq_id, n, CAST(m AS BIGINT) AS m
+  FROM starts,
+       UNNEST(range(p, LEAST(p + {MASK_SPAN}, n))) AS t(m)
+),
+agg AS (
+  SELECT shard, seq_id, ANY_VALUE(n) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_masked,
+         md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY m))
+           AS mask_fp
+  FROM masked GROUP BY 1, 2
+)
+SELECT s.shard, s.seq_id, s.n AS n_tokens,
+       COALESCE(a.n_masked, 0) AS n_masked,
+       COALESCE(a.mask_fp, md5('')) AS mask_fp
+FROM seq_lens s LEFT JOIN agg a USING (shard, seq_id)
+"""
+
+
+Q_MASK_SCHEDULE_SQL = _mask_schedule_sql()
+
+
 # "train on exactly N tokens": the minimal hash-ordered prefix of the
 # corpus whose token sum reaches the budget — deterministic, stable
 # under corpus growth everywhere except at the moving boundary
@@ -5736,6 +5869,7 @@ QUERIES = {
     "q_epoch_seq_order": q_epoch_seq_order,
     "q_seq_decontam": q_seq_decontam,
     "q_token_budget": q_token_budget,
+    "q_mask_schedule": q_mask_schedule,
     "q_shard_advisor": q_shard_advisor,
     "q_vocab_compression": q_vocab_compression,
     "q_vocab_coverage": q_vocab_coverage,
@@ -5850,6 +5984,7 @@ ORACLE = {
     "q_epoch_seq_order": Q_EPOCH_SEQ_ORDER_SQL,
     "q_seq_decontam": Q_SEQ_DECONTAM_SQL,
     "q_token_budget": Q_TOKEN_BUDGET_SQL,
+    "q_mask_schedule": Q_MASK_SCHEDULE_SQL,
     "q_shard_advisor": Q_SHARD_ADVISOR_SQL,
     "q_vocab_compression": _vocab_compression_sql(),
     "q_vocab_coverage": Q_VOCAB_COVERAGE_SQL,
