@@ -323,3 +323,144 @@ class TestMinCountFloor:
         assert with_floor == want
         # default floor of 1 keeps training exact over everything
         assert B.bpe_learn_local(docs, n_merges=6) == _ref_learn(texts, 6)
+
+
+# -- chars mode (round-12 verdict item 1) -----------------------------------
+def _ref_chunks(text: str, c: int) -> list[str]:
+    return [text[i : i + c] for i in range(0, len(text), c)]
+
+
+def _ref_learn_chars(
+    texts: list[str], n_merges: int, c: int
+) -> list[tuple[str, str]]:
+    """Plain-Python chars-mode reference: bounded raw-text chunks, no
+    END marker, otherwise identical count/tie-break/apply semantics."""
+    units = Counter(u for t in texts for u in _ref_chunks(t, c))
+    vocab = {tuple(u): n for u, n in units.items()}
+    merges = []
+    for _ in range(n_merges):
+        pc = _ref_pair_counts(vocab)
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        merges.append(best[0])
+        vocab_new: dict = {}
+        for s, n in vocab.items():
+            k = _ref_apply(s, best[0])
+            vocab_new[k] = vocab_new.get(k, 0) + n
+        vocab = vocab_new
+    return merges
+
+
+# a no-space "CJK-like" corpus: real CJK codepoints so character (not
+# byte) semantics are pinned on both the JVM and Arrow paths
+CJK = "的一是不了人我在有他这中大来上国"
+
+
+def _nospace_texts() -> list[str]:
+    import random
+
+    rng = random.Random(13)
+    return [
+        "".join(rng.choice(CJK) for _ in range(rng.randint(0, 120)))
+        for _ in range(40)
+    ]
+
+
+class TestCharsMode:
+    def test_three_strategies_pin_identical_on_nospace(self, spark):
+        texts = _nospace_texts()
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id bigint, text string"
+        )
+        want = _ref_learn_chars(texts, 12, 8)
+        assert want, "fixture must actually produce merges"
+        got_seq = B.bpe_learn(docs, n_merges=12, mode="chars", max_chars=8)
+        got_bat = B.bpe_learn_batched(
+            docs, n_merges=12, mode="chars", max_chars=8
+        )
+        got_loc = B.bpe_learn_local(
+            docs, n_merges=12, mode="chars", max_chars=8
+        )
+        assert got_seq == want
+        assert got_bat == want
+        assert got_loc == want
+
+    def test_merged_pieces_bounded_by_chunk(self, spark):
+        # merges cannot cross chunk boundaries, so no learned piece can
+        # exceed max_chars characters — the bound that keeps encode
+        # O(max_chars^2) per unique chunk on any script
+        texts = _nospace_texts()
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id bigint, text string"
+        )
+        merges = B.bpe_learn_local(
+            docs, n_merges=20, mode="chars", max_chars=8
+        )
+        assert merges
+        assert all(len(l) + len(r) <= 8 for l, r in merges)
+
+    def test_encode_invertible_and_paths_agree(self, spark):
+        texts = _nospace_texts()
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id bigint, text string"
+        )
+        merges = B.bpe_learn_local(
+            docs, n_merges=12, mode="chars", max_chars=8
+        )
+        enc = B.bpe_encode_doc_arrow(
+            docs, merges, mode="chars", max_chars=8
+        )
+        got = {r["doc_id"]: list(r["pieces"]) for r in enc.collect()}
+        # chars mode has no END sentinel: concat(pieces) == text exactly
+        for i, t in enumerate(texts):
+            assert "".join(got[i]) == t
+        e1 = B.bpe_encode(docs, merges, mode="chars", max_chars=8)
+        e2 = B.bpe_encode_arrow(docs, merges, mode="chars", max_chars=8)
+        a = sorted(
+            (r["doc_id"], r["w"], tuple(r["pieces"])) for r in e1.collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["w"], tuple(r["pieces"])) for r in e2.collect()
+        )
+        assert a == b
+        lens = {
+            r["doc_id"]: r["n_tokens"]
+            for r in B.bpe_token_lengths(
+                docs, merges, mode="chars", max_chars=8
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert lens[i] == len(got.get(i, []))
+
+    def test_spacey_text_chunks_keep_spaces(self, spark):
+        # chars mode never splits on whitespace: the space is an
+        # ordinary symbol and reconstruction keeps it
+        docs = spark.createDataFrame(
+            [(0, "ab ab ab ab")], "doc_id bigint, text string"
+        )
+        merges = B.bpe_learn_local(
+            docs, n_merges=4, mode="chars", max_chars=4
+        )
+        enc = B.bpe_encode_doc_arrow(docs, merges, mode="chars", max_chars=4)
+        pieces = enc.collect()[0]["pieces"]
+        assert "".join(pieces) == "ab ab ab ab"
+        assert merges == _ref_learn_chars(["ab ab ab ab"], 4, 4)
+
+    def test_nospace_line_bounded_local_collect(self, spark):
+        # the failure mode chars mode exists for: ONE long no-space
+        # line.  In words mode this is a single giant type; in chars
+        # mode every collected type is <= max_chars characters.
+        line = "".join(CJK[i % len(CJK)] for i in range(5000))
+        docs = spark.createDataFrame(
+            [(0, line)], "doc_id bigint, text string"
+        )
+        wc = B.word_counts(docs, mode="chars", max_chars=16)
+        rows = wc.collect()
+        assert rows and all(len(r["w"]) <= 16 for r in rows)
+        merges = B.bpe_learn_local(
+            docs, n_merges=8, mode="chars", max_chars=16
+        )
+        assert merges == _ref_learn_chars([line], 8, 16)

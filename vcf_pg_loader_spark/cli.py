@@ -27,6 +27,57 @@ def _spark():
     return get_spark(app_name="vcf-pg-loader-spark-cli")
 
 
+def _sink_kwargs_from_state(state_dir: str):
+    """Read a shard state's persisted `_params.json` once and return
+    (sink_kwargs, persisted_params_or_None).  Every verb that rebuilds
+    a TrainingShardSink against an existing layout goes through here so
+    a new packing parameter added to the sink is picked up by ALL of
+    them (round-12 advice: the block was copy-pasted in four commands
+    with hardcoded 16/512 defaults; a key added in one place but not
+    the others silently rebuilt sinks with defaults).  Defaults come
+    from the shared operators.shards constants, not literals."""
+    import os as _os
+
+    from vcf_pg_loader_spark.operators.shards import N_SHARDS, SEQ_LEN
+
+    params_path = _os.path.join(state_dir, "_params.json")
+    if not _os.path.exists(params_path):
+        return {}, None
+    with open(params_path) as fh:
+        persisted = json.load(fh)
+    kw = {
+        "n_shards": persisted.get("n_shards", N_SHARDS),
+        "seq_len": persisted.get("seq_len", SEQ_LEN),
+        "doc_sep": persisted.get("doc_sep", 0),
+        "max_doc_tokens": persisted.get("max_doc_tokens"),
+    }
+    if "token_mode" in persisted:
+        kw["token_mode"] = persisted["token_mode"]
+    if "max_chars" in persisted:
+        kw["max_chars"] = persisted["max_chars"]
+    return kw, persisted
+
+
+def _load_merges_artifact(path: str) -> tuple[dict, dict]:
+    """Read a train-vocab artifact into (TrainingShardSink kwargs, the
+    raw artifact): the merge table, the corpus fingerprint downstream
+    state refuses on, and the pre-segmentation mode the merges were
+    learned under (chars mode changes every token length, so a sink
+    built from this dict fingerprints it too).  The raw artifact rides
+    along for consumers that need more than the sink does (e.g. the
+    id-assignment alphabet for --emit-ids)."""
+    with open(path) as fh:
+        art = json.load(fh)
+    kw = {
+        "merges": [tuple(m) for m in art["merges"]],
+        "vocab_fp": art["corpus_fp"],
+        "token_mode": art.get("mode", "words"),
+    }
+    if art.get("max_chars") is not None:
+        kw["max_chars"] = art["max_chars"]
+    return kw, art
+
+
 def cmd_load(args) -> int:
     from vcf_pg_loader_spark.sources.store import VariantStore
     from vcf_pg_loader_spark.sources.vcf import read_vcf
@@ -625,7 +676,10 @@ def cmd_sync_corpus(args) -> int:
         # `train-vocab --counts-state` trains without a corpus pass
         from vcf_pg_loader_spark.streaming.vocab import VocabSink
 
-        vocab_sink = VocabSink(args.vocab_state)
+        vkw = {"mode": getattr(args, "vocab_mode", "words") or "words"}
+        if getattr(args, "vocab_max_chars", None) is not None:
+            vkw["max_chars"] = args.vocab_max_chars
+        vocab_sink = VocabSink(args.vocab_state, **vkw)
         apply_and_stamp(vocab_sink, delta, epoch)
     if args.card_state:
         # The release card diffs ITS OWN state against the snapshot, on
@@ -700,18 +754,14 @@ def cmd_sync_corpus(args) -> int:
         from vcf_pg_loader_spark.operators.shards import doc_fp
         from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
 
-        sh_merges = sh_vocab_fp = None
+        tok_kw = {}
         if getattr(args, "shards_merges", None):
-            with open(args.shards_merges) as fh:
-                vocab_art = json.load(fh)
-            sh_merges = [tuple(m) for m in vocab_art["merges"]]
-            sh_vocab_fp = vocab_art["corpus_fp"]
+            tok_kw, _vocab_art = _load_merges_artifact(args.shards_merges)
         shard_sink = TrainingShardSink(
             args.shards_state,
-            merges=sh_merges,
-            vocab_fp=sh_vocab_fp,
             doc_sep=getattr(args, "shards_doc_sep", 0) or 0,
             max_doc_tokens=getattr(args, "shards_max_doc_tokens", None),
+            **tok_kw,
         )
         kept_docs = (
             sink._table(spark, "corpus")
@@ -860,15 +910,28 @@ def cmd_train_vocab(args) -> int:
         return 2
     spark = _spark()
     strategy = getattr(args, "strategy", "local")
+    mode = getattr(args, "mode", "words") or "words"
+    max_chars = getattr(args, "max_chars", None)
+    seg_kw = {"mode": mode}
+    if max_chars is not None:
+        seg_kw["max_chars"] = max_chars
     if counts_state:
         from vcf_pg_loader_spark.streaming.vocab import VocabSink
 
-        sink = VocabSink(counts_state)
+        sink = VocabSink(counts_state, **seg_kw)
         counts_df = sink.counts(spark)
         if args.min_count > 1:
             counts_df = counts_df.filter(F.col("n") >= args.min_count)
         wc = [(r.w, r.n) for r in counts_df.collect()]
-        merges = bpe_learn_from_counts(wc, args.n_merges)
+        merges = bpe_learn_from_counts(wc, args.n_merges, mode)
+        from vcf_pg_loader_spark.operators.tokenids import (
+            alphabet_from_counts,
+        )
+
+        # alphabet from the UNFILTERED maintained counts: min_count
+        # bounds the trainer's collect, not the id space — a character
+        # that only occurs in rare types still needs an id
+        alphabet = alphabet_from_counts(sink.counts(spark), mode)
         stamp = sink.read_epoch() or {}
         strategy = "counts-state"
         fp_val = stamp.get("epoch_fp")
@@ -900,14 +963,23 @@ def cmd_train_vocab(args) -> int:
         docs = spark.read.parquet(args.corpus).select("doc_id", "text")
         if strategy == "local":
             merges = bpe_learn_local(
-                docs, n_merges=args.n_merges, min_count=args.min_count
+                docs,
+                n_merges=args.n_merges,
+                min_count=args.min_count,
+                **seg_kw,
             )
         else:
             trainer = {
                 "batched": bpe_learn_batched,
                 "sequential": bpe_learn,
             }[strategy]
-            merges = trainer(docs, n_merges=args.n_merges)
+            merges = trainer(docs, n_merges=args.n_merges, **seg_kw)
+        from vcf_pg_loader_spark.operators.bpe import word_counts
+        from vcf_pg_loader_spark.operators.tokenids import (
+            alphabet_from_counts,
+        )
+
+        alphabet = alphabet_from_counts(word_counts(docs, **seg_kw), mode)
         fp = docs.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.coalesce(
@@ -930,14 +1002,28 @@ def cmd_train_vocab(args) -> int:
         "strategy": strategy,
         "corpus_fp": fp_val,
         "n_docs": n_docs,
+        # sorted training alphabet (+END in words mode): with the
+        # merge list this makes the piece->id assignment
+        # (operators/tokenids.py) a pure function of the artifact
+        "alphabet": alphabet,
     }
+    if mode != "words":
+        # pre-segmentation is part of the tokenizer's identity: every
+        # downstream consumer (_load_merges_artifact) reads it back and
+        # the shard fingerprint refuses a mode mismatch
+        from vcf_pg_loader_spark.operators.bpe import MAX_CHARS
+
+        artifact["mode"] = mode
+        artifact["max_chars"] = (
+            int(max_chars) if max_chars is not None else MAX_CHARS
+        )
     with open(args.out, "w") as fh:
         json.dump(artifact, fh)
     if args.encode_out:
         docs = spark.read.parquet(args.corpus).select("doc_id", "text")
-        bpe_encode_arrow(docs, merges).write.mode("overwrite").parquet(
-            args.encode_out
-        )
+        bpe_encode_arrow(docs, merges, **seg_kw).write.mode(
+            "overwrite"
+        ).parquet(args.encode_out)
     print(
         json.dumps(
             {
@@ -971,8 +1057,6 @@ def cmd_export_shard(args) -> int:
     manifest-derived stats still looked right.  The written rows are
     re-read (doc_id/n_tokens columns only) and cross-checked against
     the manifest; any shortfall exits nonzero."""
-    import os as _os
-
     from pyspark.sql import functions as F
 
     from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
@@ -984,28 +1068,14 @@ def cmd_export_shard(args) -> int:
               file=sys.stderr)
         return 2
     spark = _spark()
-    merges = vocab_fp = None
+    tok_kw, _art = {}, None
     if getattr(args, "merges", None):
-        with open(args.merges) as fh:
-            art = json.load(fh)
-        merges = [tuple(m) for m in art["merges"]]
-        vocab_fp = art["corpus_fp"]
-    kw = {}
-    params_path = _os.path.join(args.state, "_params.json")
-    if _os.path.exists(params_path):
-        with open(params_path) as fh:
-            persisted = json.load(fh)
-        kw = {
-            "n_shards": persisted.get("n_shards", 16),
-            "seq_len": persisted.get("seq_len", 512),
-            "doc_sep": persisted.get("doc_sep", 0),
-            "max_doc_tokens": persisted.get("max_doc_tokens"),
-        }
+        tok_kw, _art = _load_merges_artifact(args.merges)
+    kw, _persisted = _sink_kwargs_from_state(args.state)
+    kw.update(tok_kw)  # the artifact IS the tokenizer; fp validates
     if getattr(args, "eos_token", None):
         kw["eos_token"] = args.eos_token
-    sink = TrainingShardSink(
-        args.state, merges=merges, vocab_fp=vocab_fp, **kw
-    )
+    sink = TrainingShardSink(args.state, **kw)
     sink._validate_params()  # refuse a layout packed under another vocab
     corpus = spark.read.parquet(args.corpus)
     shards = (
@@ -1019,7 +1089,22 @@ def cmd_export_shard(args) -> int:
         # narrow Arrow map: the packed per-partition order carries
         # through, so the written files stay in layout order with the
         # token stream attached
-        out_df = bpe_encode_doc_arrow(out_df, merges, keep_all=True)
+        out_df = bpe_encode_doc_arrow(
+            out_df,
+            sink.merges,
+            keep_all=True,
+            mode=sink.token_mode,
+            max_chars=sink.max_chars,
+        )
+        if sink.max_doc_tokens is not None:
+            # slice to the truncation cap BEFORE the separator append,
+            # mirroring materialize_sequences — the manifest budgeted
+            # capped lengths, so an unsliced stream would overrun
+            # n_tokens and trip the integrity check with a misleading
+            # wrong-corpus error (round-12 advice)
+            out_df = out_df.withColumn(
+                "pieces", F.slice("pieces", 1, sink.max_doc_tokens)
+            )
         if sink.doc_sep:
             # an EOS-budgeted layout counts the separators in its
             # manifest — emit them so the attached stream IS the
@@ -1100,35 +1185,19 @@ def cmd_export_sequences(args) -> int:
     n_tokens are redundant encodings of the same packing, so any
     corpus/layout mismatch surfaces as a nonzero exit, never as a
     silently short training set."""
-    import os as _os
-
     from pyspark.sql import functions as F
 
     from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
 
     spark = _spark()
-    merges = vocab_fp = None
+    tok_kw, _art = {}, None
     if getattr(args, "merges", None):
-        with open(args.merges) as fh:
-            art = json.load(fh)
-        merges = [tuple(m) for m in art["merges"]]
-        vocab_fp = art["corpus_fp"]
-    kw = {}
-    params_path = _os.path.join(args.state, "_params.json")
-    if _os.path.exists(params_path):
-        with open(params_path) as fh:
-            persisted = json.load(fh)
-        kw = {
-            "n_shards": persisted.get("n_shards", 16),
-            "seq_len": persisted.get("seq_len", 512),
-            "doc_sep": persisted.get("doc_sep", 0),
-            "max_doc_tokens": persisted.get("max_doc_tokens"),
-        }
+        tok_kw, _art = _load_merges_artifact(args.merges)
+    kw, _persisted = _sink_kwargs_from_state(args.state)
+    kw.update(tok_kw)  # the artifact IS the tokenizer; fp validates
     if getattr(args, "eos_token", None):
         kw["eos_token"] = args.eos_token
-    sink = TrainingShardSink(
-        args.state, merges=merges, vocab_fp=vocab_fp, **kw
-    )
+    sink = TrainingShardSink(args.state, **kw)
     sink._validate_params()
     corpus = spark.read.parquet(args.corpus)
     shards = (
@@ -1136,6 +1205,23 @@ def cmd_export_sequences(args) -> int:
     )
     epoch = getattr(args, "epoch", None)
     seqs = sink.materialize_sequences(spark, corpus, shards, epoch=epoch)
+    emit_ids = bool(getattr(args, "emit_ids", False)) or bool(
+        getattr(args, "bin_out", None)
+    )
+    if emit_ids:
+        if _art is None or "alphabet" not in _art:
+            print(
+                "--emit-ids/--bin-out need a --merges artifact that "
+                "records the training alphabet (re-run train-vocab; "
+                "older artifacts predate id assignment)",
+                file=sys.stderr,
+            )
+            return 2
+        from vcf_pg_loader_spark.operators.tokenids import ids_col_arrow
+
+        seqs = ids_col_arrow(
+            seqs, _art["alphabet"], [tuple(m) for m in _art["merges"]]
+        )
     order_cols = ["shard", "seq_id"]
     train_epoch = getattr(args, "train_epoch", None)
     if train_epoch is not None:
@@ -1183,6 +1269,39 @@ def cmd_export_sequences(args) -> int:
         "written_seqs": int(written["seqs"] or 0),
         "written_tokens": int(written["tokens"] or 0),
     }
+    if getattr(args, "bin_out", None):
+        # the mmap-able artifact: per-shard int32 files in seq_id
+        # order + a byte-level manifest.  Cross-check the bin
+        # manifest's per-shard seq/token counts against the LAYOUT
+        # manifest — the bin is only trustworthy if it carries
+        # exactly the packing the state promised.
+        from vcf_pg_loader_spark.operators.tokenids import (
+            write_id_shards,
+        )
+
+        bin_man = write_id_shards(
+            spark.read.parquet(args.out), args.bin_out, sink.seq_len
+        )
+        expect = {
+            int(r["shard"]): (int(r["n_seqs"]), int(r["n_tokens"]))
+            for r in man.collect()
+        }
+        got = {
+            int(k): (v["n_seqs"], v["n_tokens"])
+            for k, v in bin_man["shards"].items()
+        }
+        report["bin_out"] = args.bin_out
+        report["bin_shards"] = len(got)
+        report["bin_pad_tokens"] = sum(
+            v["n_pad"] for v in bin_man["shards"].values()
+        )
+        if got != {k: v for k, v in expect.items() if v[0] > 0}:
+            report["error"] = (
+                "binary shards do not reproduce the manifest's "
+                "packing — do not train on this export"
+            )
+            print(json.dumps(report))
+            return 1
     if (
         report["written_seqs"] != report["seqs"]
         or report["written_tokens"] != report["tokens"]
@@ -1208,25 +1327,13 @@ def cmd_export_epoch_order(args) -> int:
     storage layer can't seek.  Schedule rows = total_tokens / seq_len;
     at any corpus size this is a rounding error next to the bytes.
     Deterministic: same state + epoch → identical files."""
-    import os as _os
-
     from pyspark.sql import functions as F
 
     from vcf_pg_loader_spark.operators.shards import epoch_sequence_order
     from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
 
     spark = _spark()
-    kw = {}
-    params_path = _os.path.join(args.state, "_params.json")
-    if _os.path.exists(params_path):
-        with open(params_path) as fh:
-            persisted = json.load(fh)
-        kw = {
-            "n_shards": persisted.get("n_shards", 16),
-            "seq_len": persisted.get("seq_len", 512),
-            "doc_sep": persisted.get("doc_sep", 0),
-            "max_doc_tokens": persisted.get("max_doc_tokens"),
-        }
+    kw, _persisted = _sink_kwargs_from_state(args.state)
     sink = TrainingShardSink(args.state, **kw)
     man = sink.manifest(spark, epoch=getattr(args, "epoch", None))
     sched = epoch_sequence_order(man, int(args.train_epoch))
@@ -1271,8 +1378,6 @@ def cmd_seq_decontam(args) -> int:
     EOS-budgeted layout, --shards-doc-sep, interrupts such windows —
     crossing hits there indicate a separator-free pack).  Exit 1 when
     any contaminated sequence is found and --fail-on-hit is set."""
-    import os as _os
-
     from pyspark.sql import functions as F
 
     from vcf_pg_loader_spark.operators.dedup import shingles
@@ -1280,25 +1385,27 @@ def cmd_seq_decontam(args) -> int:
     from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
 
     spark = _spark()
-    kw = {}
-    params_path = _os.path.join(args.state, "_params.json")
-    if _os.path.exists(params_path):
-        with open(params_path) as fh:
-            persisted = json.load(fh)
-        kw = {
-            "n_shards": persisted.get("n_shards", 16),
-            "seq_len": persisted.get("seq_len", 512),
-            "doc_sep": persisted.get("doc_sep", 0),
-            "max_doc_tokens": persisted.get("max_doc_tokens"),
-        }
-        if persisted.get("token_space") == "bpe":
-            print(
-                "seq-decontam runs in whitespace space; this state is "
-                "BPE-packed — decontaminate the corpus pre-pack or "
-                "export pieces and scan those",
-                file=sys.stderr,
-            )
-            return 2
+    kw, _persisted = _sink_kwargs_from_state(args.state)
+    if _persisted is None:
+        # a pre-fingerprint legacy state carries no _params.json, so
+        # its token space is unknowable — scanning it in whitespace
+        # space against a BPE-packed layout's offsets would produce
+        # wrong shingles silently.  Refuse rather than assume.
+        print(
+            "state has no _params.json — its token space is unknown; "
+            "re-run sync-corpus to stamp parameters before "
+            "seq-decontam",
+            file=sys.stderr,
+        )
+        return 2
+    if _persisted.get("token_space") == "bpe":
+        print(
+            "seq-decontam runs in whitespace space; this state is "
+            "BPE-packed — decontaminate the corpus pre-pack or "
+            "export pieces and scan those",
+            file=sys.stderr,
+        )
+        return 2
     sink = TrainingShardSink(args.state, **kw)
     n = args.ngram
     corpus = spark.read.parquet(args.corpus)
@@ -1725,6 +1832,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "from the same delta, lockstep with --state; "
                          "train-vocab --counts-state then retrains "
                          "without a corpus pass")
+    sp.add_argument("--vocab-mode", default="words",
+                    choices=("words", "chars"),
+                    help="unit the --vocab-state counts: whitespace "
+                         "words (default) or bounded chars-mode chunks "
+                         "(train-vocab --mode chars consumes those); "
+                         "fingerprinted — a state maintained under one "
+                         "mode refuses the other")
+    sp.add_argument("--vocab-max-chars", type=int,
+                    help="chars-mode chunk bound for --vocab-state "
+                         "(default operators/bpe.py MAX_CHARS)")
     sp.add_argument("--shards-merges",
                     help="with --shards-state: vocab JSON from "
                          "train-vocab — pack the layout in TOKENIZER "
@@ -1784,6 +1901,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--encode-out",
                     help="also write the tokenized corpus (Arrow "
                          "rank-priority encode) here")
+    sp.add_argument("--mode", default="words",
+                    choices=("words", "chars"),
+                    help="pre-segmentation: words (whitespace split; "
+                         "default) or chars (bounded raw-text chunks — "
+                         "the no-space/CJK path: every BPE unit is at "
+                         "most --max-chars characters, so encode cost "
+                         "and driver collects stay bounded on corpora "
+                         "whitespace splitting degenerates on). "
+                         "Recorded in the artifact; downstream "
+                         "consumers refuse a mode mismatch.")
+    sp.add_argument("--max-chars", type=int,
+                    help="chars-mode chunk bound (default "
+                         "operators/bpe.py MAX_CHARS)")
 
     sp = add("export-shard", cmd_export_shard,
              help="materialize training shards: layout x corpus in "
@@ -1849,6 +1979,19 @@ def build_parser() -> argparse.ArgumentParser:
                          "training epoch, no repack (for storage that "
                          "can't seek; otherwise export bytes once and "
                          "ship export-epoch-order schedules)")
+    sp.add_argument("--emit-ids", action="store_true",
+                    help="attach ids: array<int> — each piece mapped "
+                         "through the artifact's id assignment "
+                         "(operators/tokenids.py: pad, unk, alphabet, "
+                         "then merges in order); needs a --merges "
+                         "artifact recording the alphabet")
+    sp.add_argument("--bin-out",
+                    help="also write the binary wire format here: one "
+                         "little-endian int32 file per shard, seq_len "
+                         "ids per row in seq_id order (tail padded), "
+                         "plus manifest.json with byte lengths and "
+                         "per-shard stream md5 — what a dataloader "
+                         "memory-maps; implies --emit-ids")
 
     sp = add("export-epoch-order", cmd_export_epoch_order,
              help="write ONLY an epoch's read schedule (shard, seq_id, "

@@ -4086,6 +4086,98 @@ FROM parts GROUP BY shard, seq_id"""
     )
 
 
+def q_train_sequence_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The id-space terminal pin (round-12 verdict item 2): the same
+    training sequences as q_train_sequences, but every piece mapped
+    through the artifact id assignment (operators/tokenids.py — pad,
+    unk, sorted alphabet + END, then merge products in merge order)
+    by the production Arrow path, emitted as (shard, seq_id, n_tokens,
+    ids_fp) with ids_fp the md5 of the comma-joined id stream.  The
+    DuckDB twin re-derives the vocabulary relationally (alphabet from
+    the unit table, merge products from the merge CTEs, first-wins on
+    collisions) and must agree on every id of every sequence — so the
+    alphabet sort, the id offsets, the unk fallback, and the sequence
+    assembly are all pinned at once."""
+    from vcf_pg_loader_spark.operators import bpe as B
+    from vcf_pg_loader_spark.operators import shards as SHD
+    from vcf_pg_loader_spark.operators.tokenids import (
+        alphabet_from_counts,
+        ids_col_arrow,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = B.bpe_learn_batched(docs, n_merges=SHARD_BPE_MERGES)
+    alphabet = alphabet_from_counts(B.word_counts(docs), "words")
+    enc = B.bpe_encode_doc_arrow(docs, merges)
+    lengths = enc.select(
+        "doc_id", F.size("pieces").cast("bigint").alias("n_tokens")
+    )
+    layout = SHD.shard_layout_from_lengths(
+        SHD.shard_base(docs, lengths=lengths)
+    )
+    spans = SHD.shard_sequences(layout)
+    seqs = SHD.sequence_stream(spans, enc)
+    seqs = ids_col_arrow(seqs, alphabet, merges)
+    return seqs.select(
+        "shard",
+        "seq_id",
+        F.size("ids").cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(F.col("ids"), lambda x: x.cast("string"))
+            )
+        ).alias("ids_fp"),
+    )
+
+
+def _train_sequence_ids_sql() -> str:
+    """DuckDB twin: the q_train_sequences CTE chain up to `parts`,
+    then token-level unnest -> relational vocab join -> ordered id
+    stream md5.  The vocab CTE is the id assignment spelled in SQL:
+    id 0/1 specials, alphabet rows ranked by character, END after
+    them, then one row per merge CTE at its merge-order offset;
+    first-wins collisions collapse with MIN(id)."""
+    base = _train_sequences_sql()
+    head = base[: base.rindex("SELECT CAST(shard AS BIGINT)")].rstrip()
+    k = SHARD_BPE_MERGES
+    merge_rows = "\n    UNION ALL ".join(
+        f"SELECT l || r AS piece, "
+        f"3 + (SELECT COUNT(*) FROM alpha) + {i - 1} AS id FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        head
+        + f""",
+alpha AS (
+  SELECT DISTINCT unnest(string_split(word, '')) AS ch FROM wc
+),
+vocab_raw AS (
+  SELECT '<pad>' AS piece, 0 AS id
+  UNION ALL SELECT '<unk>', 1
+  UNION ALL SELECT ch, 1 + row_number() OVER (ORDER BY ch) FROM alpha
+  UNION ALL SELECT '</w>', 2 + (SELECT COUNT(*) FROM alpha)
+  UNION ALL {merge_rows}
+),
+vocab AS (
+  SELECT piece, CAST(MIN(id) AS INT) AS id FROM vocab_raw GROUP BY piece
+),
+seq_toks AS (
+  SELECT shard, seq_id, seq_off, part[CAST(i AS INT)] AS tok, i
+  FROM parts, UNNEST(range(1, len(part) + 1)) AS t(i)
+),
+seq_ids AS (
+  SELECT st.shard, st.seq_id, st.seq_off, st.i,
+         COALESCE(v.id, 1) AS id
+  FROM seq_toks st LEFT JOIN vocab v ON v.piece = st.tok
+)
+SELECT CAST(shard AS BIGINT) AS shard, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY seq_off, i))
+         AS ids_fp
+FROM seq_ids GROUP BY shard, seq_id"""
+    )
+
+
 EOS_TOKEN = "</s>"
 
 
@@ -4320,6 +4412,103 @@ SELECT d.doc_id,
        md5(COALESCE(flat.stream, '')) AS pieces_fp
 FROM documents d LEFT JOIN flat ON flat.doc_id = d.doc_id"""
     )
+
+
+# chars-mode pins (round-12 verdict item 1): bounded-chunk
+# pre-segmentation, the no-space/CJK tokenizer path.  The fixture
+# documents are whitespace English — the HARDER case for chars mode to
+# get right, because chunks cross word boundaries and spaces are
+# ordinary symbols; the DuckDB twin must agree on every chunk cut and
+# every merge anyway.  CJK behavior itself (bounded encode on a
+# space-free corpus, strategy pinning) is pytest-pinned in
+# tests/test_bpe.py on a synthetic no-space fixture.
+CHARS_BPE_MERGES = 4
+CHARS_MAX = 12
+
+
+def q_bpe_encode_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chars-mode production encoder oracled end-to-end: learn
+    CHARS_BPE_MERGES merges over CHARS_MAX-character raw-text chunks
+    (operators/bpe.py mode="chars" — no whitespace split, no END
+    marker, concat(pieces) == text exactly), encode every document
+    with the whole-doc Arrow encoder, and emit (doc_id, n_tokens,
+    pieces_fp) with pieces_fp the md5 of the unit-separator-joined
+    stream — so the twin must match the token stream byte-for-byte."""
+    from vcf_pg_loader_spark.operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = B.bpe_learn_batched(
+        docs, n_merges=CHARS_BPE_MERGES, mode="chars", max_chars=CHARS_MAX
+    )
+    enc = B.bpe_encode_doc_arrow(
+        docs, merges, mode="chars", max_chars=CHARS_MAX
+    )
+    return enc.select(
+        "doc_id",
+        F.size("pieces").cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws("\x1f", F.col("pieces"))).alias("pieces_fp"),
+    )
+
+
+def _bpe_encode_chars_sql() -> str:
+    """DuckDB twin of q_bpe_encode_chars: chunk each document into
+    CHARS_MAX-character slices, re-derive the same merges over chunk
+    counts (no END marker), replay the greedy fold per chunk, flatten
+    per document in chunk order."""
+    k, c = CHARS_BPE_MERGES, CHARS_MAX
+    ctes = [
+        f"""ch AS (
+  SELECT doc_id, substring(text, CAST((i - 1) * {c} AS INT) + 1, {c}) AS w, i
+  FROM documents,
+       UNNEST(range(1, CAST(ceil(len(text) / {c}.0) AS BIGINT) + 1)) t(i)
+)""",
+        """wc AS (
+  SELECT w AS word, COUNT(*) AS n FROM ch GROUP BY w
+)""",
+        """s0 AS (
+  SELECT word,
+         list_aggregate(string_split(word, ''), 'string_agg', chr(31))
+           AS s, n
+  FROM wc
+)""",
+    ]
+    for i in range(1, k + 1):
+        prev = f"s{i - 1}"
+        ctes.append(
+            f"""p{i} AS (
+  SELECT ss[CAST(i AS INT)] AS l, ss[CAST(i AS INT) + 1] AS r, SUM(n) AS c
+  FROM (SELECT string_split(s, chr(31)) AS ss, n FROM {prev}),
+       UNNEST(range(1, len(ss))) AS t(i)
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""m{i} AS (
+  SELECT l, r FROM p{i} WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"""s{i} AS (
+  SELECT word, {_BPE_FOLD.format(src=f'{prev}.s', m=f'm{i}')} AS s, n
+  FROM {prev}, m{i}
+)"""
+        )
+    ctes.append(
+        f"""flat AS (
+  SELECT ch.doc_id,
+         string_agg(s{k}.s, chr(31) ORDER BY ch.i) AS stream,
+         SUM(len(string_split(s{k}.s, chr(31)))) AS nt
+  FROM ch JOIN s{k} ON ch.w = s{k}.word
+  GROUP BY ch.doc_id
+)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT d.doc_id,
+       CAST(COALESCE(flat.nt, 0) AS BIGINT) AS n_tokens,
+       md5(COALESCE(flat.stream, '')) AS pieces_fp
+FROM documents d LEFT JOIN flat ON flat.doc_id = d.doc_id"""
+
 
 # layout detail pinned on a quarter of the shards (bounded output; the
 # packing semantics are identical in every shard)
@@ -5860,6 +6049,8 @@ QUERIES = {
     "q_vocab_oov_served": q_vocab_oov_served,
     "q_cdc_vocab": q_cdc_vocab,
     "q_bpe_encode": q_bpe_encode,
+    "q_bpe_encode_chars": q_bpe_encode_chars,
+    "q_train_sequence_ids": q_train_sequence_ids,
     "q_train_sequences": q_train_sequences,
     "q_train_sequences_eos": q_train_sequences_eos,
     "q_train_sequences_trunc": q_train_sequences_trunc,
@@ -5975,6 +6166,8 @@ ORACLE = {
     "q_vocab_oov_served": Q_VOCAB_OOV_SQL,
     "q_cdc_vocab": Q_CDC_VOCAB_SQL,
     "q_bpe_encode": _bpe_encode_sql(),
+    "q_bpe_encode_chars": _bpe_encode_chars_sql(),
+    "q_train_sequence_ids": _train_sequence_ids_sql(),
     "q_train_sequences": _train_sequences_sql(),
     "q_train_sequences_eos": _train_sequences_eos_sql(),
     "q_train_sequences_trunc": _train_sequences_trunc_sql(),

@@ -172,6 +172,8 @@ class TrainingShardSink(ParquetUpsertSink):
         doc_sep: int = 0,
         eos_token: str = "</s>",
         max_doc_tokens: int | None = None,
+        token_mode: str = "words",
+        max_chars: int | None = None,
     ):
         """``merges`` switches packing to TOKENIZER space: per-doc
         n_tokens comes from operators/bpe.py bpe_token_lengths under
@@ -194,7 +196,13 @@ class TrainingShardSink(ParquetUpsertSink):
         long-doc-skew guard: at 100 TB one pathological document must
         not dominate its shard); materialize_sequences slices each
         document's pieces to the cap so the emitted streams match the
-        budgeted offsets.  Semantic → fingerprinted."""
+        budgeted offsets.  Semantic → fingerprinted.
+
+        ``token_mode``/``max_chars`` select the BPE pre-segmentation
+        (operators/bpe.py: "words" splits on whitespace, "chars"
+        chunks raw text into bounded units — the no-space-corpus
+        path).  Only meaningful with merges; both move every packed
+        length, so they join the fingerprint."""
         super().__init__(target, key=["doc_id"])
         self.n_shards = n_shards
         self.seq_len = seq_len
@@ -202,6 +210,12 @@ class TrainingShardSink(ParquetUpsertSink):
             [tuple(m) for m in merges] if merges is not None else None
         )
         self.vocab_fp = vocab_fp
+        self.token_mode = token_mode
+        if max_chars is None:
+            from vcf_pg_loader_spark.operators.bpe import MAX_CHARS
+
+            max_chars = MAX_CHARS
+        self.max_chars = int(max_chars)
         self.doc_sep = int(doc_sep)
         self.eos_token = eos_token
         self.max_doc_tokens = (
@@ -222,6 +236,11 @@ class TrainingShardSink(ParquetUpsertSink):
         if self.merges is not None:
             fp["token_space"] = "bpe"
             fp["vocab_fp"] = self.vocab_fp
+            if self.token_mode != "words":
+                # chars-mode pre-segmentation moves every packed
+                # length, and so does its chunk bound
+                fp["token_mode"] = self.token_mode
+                fp["max_chars"] = self.max_chars
         if self.doc_sep:
             fp["doc_sep"] = self.doc_sep
         if self.max_doc_tokens is not None:
@@ -244,7 +263,12 @@ class TrainingShardSink(ParquetUpsertSink):
             )
         from vcf_pg_loader_spark.operators.bpe import bpe_token_lengths
 
-        lens = bpe_token_lengths(docs, self.merges)
+        lens = bpe_token_lengths(
+            docs,
+            self.merges,
+            mode=self.token_mode,
+            max_chars=self.max_chars,
+        )
         if self.max_doc_tokens is None:
             return lens
         return lens.select(
@@ -427,7 +451,12 @@ class TrainingShardSink(ParquetUpsertSink):
                 bpe_encode_doc_arrow,
             )
 
-            enc = bpe_encode_doc_arrow(docs, self.merges)
+            enc = bpe_encode_doc_arrow(
+                docs,
+                self.merges,
+                mode=self.token_mode,
+                max_chars=self.max_chars,
+            )
         else:
             # exactly operators/text.py tokens(): UNFILTERED split, so
             # piece counts equal the layout's packed n_tokens

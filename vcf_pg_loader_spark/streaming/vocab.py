@@ -46,15 +46,33 @@ from vcf_pg_loader_spark.streaming.sink import (
 
 
 class VocabSink(ParquetUpsertSink):
-    """Maintains the (word, n) vocabulary table from a documents Z-set."""
+    """Maintains the (word, n) vocabulary table from a documents Z-set.
 
-    def __init__(self, target: str):
+    ``mode``/``max_chars`` pick the unit the table counts — whitespace
+    words (default) or bounded raw-text chunks (operators/bpe.py chars
+    mode, the no-space-corpus path).  The unit definition changes every
+    row, so a non-default mode joins the parameter fingerprint and a
+    words-mode state refuses chars-mode maintenance (and vice versa)."""
+
+    def __init__(
+        self, target: str, mode: str = "words", max_chars: int | None = None
+    ):
         super().__init__(target, key=["word"])
+        self.mode = mode
+        if max_chars is None:
+            from vcf_pg_loader_spark.operators.bpe import MAX_CHARS
+
+            max_chars = MAX_CHARS
+        self.max_chars = int(max_chars)
 
     def _params_fingerprint(self) -> dict:
         from vcf_pg_loader_spark.streaming.sink import N_ID_BUCKETS
 
-        return {"n_id_buckets": N_ID_BUCKETS}
+        fp = {"n_id_buckets": N_ID_BUCKETS}
+        if self.mode != "words":
+            fp["mode"] = self.mode
+            fp["max_chars"] = self.max_chars
+        return fp
 
     # -- serve ----------------------------------------------------------
     def counts(self, spark) -> DataFrame:
@@ -72,10 +90,14 @@ class VocabSink(ParquetUpsertSink):
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # per-word count deltas: one explode + one keyed sum — the same
-        # tokenization as word_counts (split on ' ', drop empties)
+        # tokenization as word_counts (mode-selected unit, drop empties)
+        from vcf_pg_loader_spark.operators.bpe import _units
+
         deltas = (
             batch_df.select(
-                F.explode(F.split(F.col("text"), " ")).alias("word"),
+                F.explode(
+                    _units(F.col("text"), self.mode, self.max_chars)
+                ).alias("word"),
                 F.col(MULT),
             )
             .filter(F.col("word") != "")
