@@ -310,3 +310,222 @@ class TestShardSinkCharsMode:
             ).apply_batch(
                 docs.withColumn(MULT, F.lit(1).cast("bigint")), 1
             )
+
+
+class TestRepackMerges:
+    def _docs(self, spark, n=40, extra=0):
+        rows = [
+            (i, " ".join(f"w{j % 7}" for j in range(4 + (i + extra) % 9)))
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_repack_equals_scratch_build(self, spark, tmp_path, capsys):
+        """repack --merges: migrated state's layout AND manifest are
+        tuple-equal to a from-scratch build under the new vocab; the
+        old artifact refuses afterwards; delta maintenance resumes
+        under the new fingerprint and stays equal to scratch."""
+        from vcf_pg_loader_spark.cli import main
+        from vcf_pg_loader_spark.operators.bpe import bpe_learn_local
+        from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+        docs = self._docs(spark)
+        corpus = str(tmp_path / "corpus")
+        docs.write.parquet(corpus)
+        m1 = bpe_learn_local(docs, 4)
+        m2 = bpe_learn_local(docs, 12)
+        assert m1 != m2
+        v2 = str(tmp_path / "vocab2.json")
+        json.dump(
+            {"merges": [list(m) for m in m2], "corpus_fp": 222,
+             "n_docs": 40},
+            open(v2, "w"),
+        )
+        t = str(tmp_path / "state")
+        sink1 = TrainingShardSink(
+            t, merges=m1, vocab_fp=111, n_shards=4, seq_len=16, doc_sep=1
+        )
+        sink1.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+
+        assert main(
+            ["repack", "--state", t, "--merges", v2, "--corpus", corpus]
+        ) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["vocab_fp_old"] == 111 and rep["vocab_fp_new"] == 222
+
+        # tuple-equal to a from-scratch build under the new vocab
+        t2 = str(tmp_path / "scratch")
+        sink2 = TrainingShardSink(
+            t2, merges=m2, vocab_fp=222, n_shards=4, seq_len=16, doc_sep=1
+        )
+        sink2.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        migrated = TrainingShardSink(
+            t, merges=m2, vocab_fp=222, n_shards=4, seq_len=16, doc_sep=1
+        )
+        for table in ("layout", "manifest"):
+            got = sorted(
+                tuple(r) for r in getattr(migrated, table)(spark).collect()
+            )
+            want = sorted(
+                tuple(r) for r in getattr(sink2, table)(spark).collect()
+            )
+            assert got == want, table
+
+        # the old artifact refuses the migrated state
+        with pytest.raises(ValueError, match="parameters"):
+            TrainingShardSink(
+                t, merges=m1, vocab_fp=111, n_shards=4, seq_len=16,
+                doc_sep=1,
+            ).apply_batch(
+                docs.withColumn(MULT, F.lit(1).cast("bigint")), 1
+            )
+
+        # delta maintenance resumes under the new fingerprint
+        docs2 = self._docs(spark, n=46, extra=3)
+        changed = docs2.join(docs, ["doc_id", "text"], "left_anti")
+        retract = (
+            docs.join(docs2, ["doc_id", "text"], "left_semi")
+            .join(changed.select("doc_id"), "doc_id", "left_semi")
+        )
+        delta = changed.withColumn(
+            MULT, F.lit(1).cast("bigint")
+        ).unionByName(
+            docs.join(docs2, ["doc_id", "text"], "left_anti").withColumn(
+                MULT, F.lit(-1).cast("bigint")
+            )
+        )
+        migrated.apply_batch(delta, 1)
+        sink2.apply_batch(delta, 1)
+        got = sorted(tuple(r) for r in migrated.manifest(spark).collect())
+        want = sorted(tuple(r) for r in sink2.manifest(spark).collect())
+        assert got == want
+
+    def test_repack_refuses_drifted_corpus(self, spark, tmp_path):
+        from vcf_pg_loader_spark.operators.bpe import bpe_learn_local
+        from vcf_pg_loader_spark.streaming.shards import (
+            TrainingShardSink,
+            repack_merges,
+        )
+
+        docs = self._docs(spark, n=10)
+        m1 = bpe_learn_local(docs, 4)
+        t = str(tmp_path / "state")
+        TrainingShardSink(
+            t, merges=m1, vocab_fp=1, n_shards=2, seq_len=8
+        ).apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        drifted = docs.withColumn(
+            "text", F.concat(F.col("text"), F.lit(" tampered"))
+        )
+        with pytest.raises(ValueError, match="differ in content"):
+            repack_merges(spark, t, drifted, m1, vocab_fp=2)
+
+    def test_repack_whitespace_state_into_bpe_space(self, spark, tmp_path):
+        """A whitespace-packed state migrates INTO tokenizer space:
+        same verb, params gain token_space/vocab_fp."""
+        from vcf_pg_loader_spark.operators.bpe import bpe_learn_local
+        from vcf_pg_loader_spark.streaming.shards import (
+            TrainingShardSink,
+            repack_merges,
+        )
+
+        docs = self._docs(spark, n=12)
+        m = bpe_learn_local(docs, 6)
+        t = str(tmp_path / "state")
+        TrainingShardSink(t, n_shards=2, seq_len=8).apply_batch(
+            docs.withColumn(MULT, F.lit(1).cast("bigint")), 0
+        )
+        repack_merges(spark, t, docs, m, vocab_fp=5)
+        params = json.load(open(os.path.join(t, "_params.json")))
+        assert params["token_space"] == "bpe" and params["vocab_fp"] == 5
+        t2 = str(tmp_path / "scratch")
+        s2 = TrainingShardSink(
+            t2, merges=m, vocab_fp=5, n_shards=2, seq_len=8
+        )
+        s2.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        mig = TrainingShardSink(
+            t, merges=m, vocab_fp=5, n_shards=2, seq_len=8
+        )
+        assert sorted(tuple(r) for r in mig.manifest(spark).collect()) == \
+            sorted(tuple(r) for r in s2.manifest(spark).collect())
+
+
+class TestMaskScheduleExport:
+    def test_export_attaches_pinned_schedule(self, spark, tmp_path, capsys):
+        """export-sequences --mask-schedule: one record per sequence
+        (tokens, doc_bounds, masked_positions) with the schedule equal
+        to the pure-hash arithmetic, verified against the text-free
+        span recipe; a complete trainer record in one file."""
+        from vcf_pg_loader_spark.cli import main
+        from vcf_pg_loader_spark.functions.hashing import h60
+        from vcf_pg_loader_spark.operators.masking import (
+            MASK_RATE,
+            MASK_SALT,
+            MASK_SPAN,
+        )
+        from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+        rows = [
+            (i, " ".join(f"t{j % 4}" for j in range(5 + i % 6)))
+            for i in range(30)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        corpus = str(tmp_path / "corpus")
+        docs.write.parquet(corpus)
+        t = str(tmp_path / "state")
+        sink = TrainingShardSink(t, n_shards=4, seq_len=12)
+        sink.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        out = str(tmp_path / "seqs")
+        assert main(
+            ["export-sequences", "--state", t, "--corpus", corpus,
+             "--out", out, "--mask-schedule"]
+        ) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "error" not in rep
+        assert rep["masked_seqs_checked"] == rep["written_seqs"] > 0
+        got = spark.read.parquet(out).collect()
+
+        # python reference of the same arithmetic
+        import hashlib
+
+        def h60_py(s, salt):
+            return int(
+                hashlib.md5((salt + s).encode()).hexdigest()[:15], 16
+            )
+
+        for r in got:
+            n = len(r["tokens"])
+            starts = [
+                p for p in range(n)
+                if h60_py(f"{r['shard']}:{r['seq_id']}:{p}", MASK_SALT)
+                % MASK_RATE == 0
+            ]
+            want = sorted({
+                m for p in starts
+                for m in range(p, min(p + MASK_SPAN, n))
+            })
+            assert list(r["masked_positions"]) == want
+            assert list(r["doc_bounds"]) == sorted(r["doc_bounds"])
+
+    def test_wrong_corpus_fails_mask_integrity(self, spark, tmp_path, capsys):
+        """A corpus whose token counts drift from the layout produces
+        sequences whose schedule disagrees with the span recipe —
+        export exits 1 instead of shipping silently-wrong masks."""
+        from vcf_pg_loader_spark.cli import main
+        from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+        rows = [(i, " ".join(f"t{j}" for j in range(8))) for i in range(20)]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        t = str(tmp_path / "state")
+        sink = TrainingShardSink(t, n_shards=2, seq_len=12)
+        sink.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        # SHORTER texts: longer ones are immaterial (the span slice
+        # truncates to the layout's budget), but shorter ones shrink
+        # every sequence and the schedule stops matching the recipe
+        drifted = docs.withColumn("text", F.lit("t0 t1"))
+        corpus = str(tmp_path / "drifted")
+        drifted.write.parquet(corpus)
+        rc = main(
+            ["export-sequences", "--state", t, "--corpus", corpus,
+             "--out", str(tmp_path / "seqs"), "--mask-schedule"]
+        )
+        assert rc == 1

@@ -1222,6 +1222,21 @@ def cmd_export_sequences(args) -> int:
         seqs = ids_col_arrow(
             seqs, _art["alphabet"], [tuple(m) for m in _art["merges"]]
         )
+    if getattr(args, "mask_schedule", False):
+        # the deterministic span-corruption plan, attached as data:
+        # pure (shard, seq_id, position) hashing (operators/masking.py
+        # — the same arithmetic q_mask_schedule pins), a per-row array
+        # expression that adds ZERO shuffles to the export
+        from vcf_pg_loader_spark.operators.masking import (
+            mask_positions_col,
+        )
+
+        seqs = seqs.withColumn(
+            "masked_positions",
+            mask_positions_col(
+                F.col("shard"), F.col("seq_id"), F.size("tokens")
+            ),
+        )
     order_cols = ["shard", "seq_id"]
     train_epoch = getattr(args, "train_epoch", None)
     if train_epoch is not None:
@@ -1269,6 +1284,56 @@ def cmd_export_sequences(args) -> int:
         "written_seqs": int(written["seqs"] or 0),
         "written_tokens": int(written["tokens"] or 0),
     }
+    if getattr(args, "mask_schedule", False):
+        # mask integrity from the span recipe alone (TEXT-FREE): the
+        # layout's per-sequence lengths re-derive the schedule, and
+        # every written row's masked_positions must match — a corpus
+        # that drifted from the layout shows up here even when the
+        # token counts happen to sum right
+        from vcf_pg_loader_spark.operators.masking import (
+            mask_positions_col,
+        )
+        from vcf_pg_loader_spark.operators.shards import shard_sequences
+
+        lay = sink.layout(spark, epoch=epoch)
+        if shards is not None:
+            from vcf_pg_loader_spark.streaming.sink import isin_values
+
+            lay = lay.filter(isin_values(F.col("shard"), set(shards)))
+        expect = (
+            shard_sequences(lay, sink.seq_len)
+            .groupBy("shard", "seq_id")
+            .agg(F.sum("tok_len").cast("bigint").alias("n"))
+        )
+        expect = expect.select(
+            "shard",
+            "seq_id",
+            mask_positions_col(
+                F.col("shard"), F.col("seq_id"), F.col("n")
+            ).alias("want_mp"),
+        )
+        bad_mask = (
+            spark.read.parquet(args.out)
+            .select("shard", "seq_id", "masked_positions")
+            .join(expect, ["shard", "seq_id"], "full")
+            .filter(
+                F.col("masked_positions").isNull()
+                | F.col("want_mp").isNull()
+                | (F.col("masked_positions") != F.col("want_mp"))
+            )
+            .count()
+        )
+        report["masked_seqs_checked"] = int(
+            expect.count()
+        )
+        if bad_mask:
+            report["error"] = (
+                f"{bad_mask} sequence(s) carry a mask schedule that "
+                "does not match the layout's span recipe — the "
+                "export must not be trained on"
+            )
+            print(json.dumps(report))
+            return 1
     if getattr(args, "bin_out", None):
         # the mmap-able artifact: per-shard int32 files in seq_id
         # order + a byte-level manifest.  Cross-check the bin
@@ -1571,6 +1636,35 @@ def cmd_reshard(args) -> int:
     spark = _spark()
     out = reshard_state(
         spark, args.state, n_shards=args.n_shards, seq_len=args.seq_len
+    )
+    print(json.dumps({"state": args.state.rstrip("/"), **out}))
+    return 0
+
+
+def cmd_repack(args) -> int:
+    """Migrate a TrainingShardSink state to a NEW tokenizer in place
+    (streaming/shards.py repack_merges) — the recovery verb for a
+    merges/vocab change, which previously refused (correctly) and then
+    required a by-hand rebuild.  One corpus re-encode derives the new
+    lengths (the only thing a vocab change moves); doc_id, shard
+    assignment, okey, and dfp carry verbatim from the persisted
+    layout, and the corpus is verified content-identical to the state
+    (per-doc fingerprints) before anything is written.  After the
+    swap, maintenance and exports run under the new artifact; the old
+    artifact refuses."""
+    from vcf_pg_loader_spark.streaming.shards import repack_merges
+
+    spark = _spark()
+    tok_kw, _art = _load_merges_artifact(args.merges)
+    corpus = spark.read.parquet(args.corpus)
+    out = repack_merges(
+        spark,
+        args.state,
+        corpus,
+        tok_kw["merges"],
+        tok_kw["vocab_fp"],
+        token_mode=tok_kw.get("token_mode", "words"),
+        max_chars=tok_kw.get("max_chars"),
     )
     print(json.dumps({"state": args.state.rstrip("/"), **out}))
     return 0
@@ -1992,6 +2086,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "plus manifest.json with byte lengths and "
                          "per-shard stream md5 — what a dataloader "
                          "memory-maps; implies --emit-ids")
+    sp.add_argument("--mask-schedule", action="store_true",
+                    help="attach masked_positions: array<bigint> — the "
+                         "deterministic span-corruption schedule "
+                         "(operators/masking.py, pure (shard,seq,pos) "
+                         "hashing, zero extra shuffles); the written "
+                         "schedule is re-derived from the text-free "
+                         "span recipe and any mismatch exits nonzero")
 
     sp = add("export-epoch-order", cmd_export_epoch_order,
              help="write ONLY an epoch's read schedule (shard, seq_id, "
@@ -2067,6 +2168,22 @@ def build_parser() -> argparse.ArgumentParser:
                     help="TrainingShardSink state dir")
     sp.add_argument("--n-shards", type=int)
     sp.add_argument("--seq-len", type=int)
+
+    sp = add("repack", cmd_repack,
+             help="migrate a TrainingShardSink state to a NEW "
+                  "tokenizer (train-vocab artifact): one corpus "
+                  "re-encode for the lengths, assignment/order/"
+                  "fingerprints carried from the persisted layout, "
+                  "fingerprint restamped — the vocab-change recovery "
+                  "verb (reshard's sibling)")
+    sp.add_argument("--state", required=True,
+                    help="TrainingShardSink state dir")
+    sp.add_argument("--merges", required=True,
+                    help="NEW vocab JSON from train-vocab")
+    sp.add_argument("--corpus", required=True,
+                    help="the EXACT corpus this state maintains "
+                         "(sync-corpus --out); verified per-doc "
+                         "against the layout's content fingerprints")
 
     sp = add("build-rsid-index", cmd_build_rsid_index,
              help="materialize the rsid-sorted point-lookup copy")

@@ -158,6 +158,153 @@ def reshard_state(
         }
 
 
+def repack_merges(
+    spark,
+    target: str,
+    corpus: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab_fp: int,
+    token_mode: str = "words",
+    max_chars: int | None = None,
+) -> dict:
+    """Migrate a TrainingShardSink state to a NEW merge table IN PLACE
+    — the `repack --merges` CLI verb (round-12 verdict item 3).  A
+    vocab_fp mismatch correctly REFUSES maintenance and reads; before
+    this verb the only recovery was a by-hand rebuild.  A merges
+    change genuinely needs one corpus re-encode (every token length
+    moves), but nothing else does: doc_id, shard assignment, okey, and
+    dfp all carry verbatim from the persisted layout — only lengths
+    are re-derived, under the new vocab, from a corpus VERIFIED
+    identical to the state (per-doc content fingerprints must match;
+    any drift or missing document aborts before anything is written,
+    because repacking against a drifted corpus would silently diverge
+    the layout from the maintained corpus state).
+
+    n_shards / seq_len / doc_sep / max_doc_tokens keep their persisted
+    values; the parameter fingerprint restamps with the new vocab_fp
+    (and token_mode/max_chars when chars mode).  Atomic swap under the
+    writer lease; ledger, epoch stamp, and replay marker carry.
+    Retained epoch snapshots ({target}_epochs) stay as-is — they pin
+    OLD-vocab bytes for trainers mid-epoch, which is exactly their
+    contract."""
+    from vcf_pg_loader_spark.operators.bpe import bpe_token_lengths
+
+    target = target.rstrip("/")
+    sink = ParquetUpsertSink(target, key=["doc_id"])
+    with writer_lease(target):
+        sink._recover()
+        if not os.path.isdir(target):
+            raise FileNotFoundError(f"no maintained state at {target}")
+        fp_path = os.path.join(target, "_params.json")
+        on_disk = {}
+        if os.path.exists(fp_path):
+            with open(fp_path) as fh:
+                on_disk = json.load(fh)
+        old_fp = on_disk.get("vocab_fp")
+        if old_fp == vocab_fp and on_disk.get("token_mode", "words") == (
+            token_mode
+        ):
+            raise ValueError(
+                f"state at {target} is already packed under vocab_fp="
+                f"{vocab_fp}"
+            )
+        n_shards = on_disk.get("n_shards", N_SHARDS)
+        seq_len = on_disk.get("seq_len", SEQ_LEN)
+        doc_sep = int(on_disk.get("doc_sep", 0) or 0)
+        max_doc_tokens = on_disk.get("max_doc_tokens")
+        old_layout = sink._table_raw(spark, "layout")
+        if old_layout is None:
+            raise FileNotFoundError(f"no layout table under {target}")
+        from vcf_pg_loader_spark.operators.shards import doc_fp
+
+        facts = old_layout.select("doc_id", "shard", "okey", "dfp")
+        docs = corpus.select("doc_id", "text").join(
+            facts.select("doc_id", "dfp"), "doc_id", "right"
+        )
+        bad = docs.filter(
+            F.col("text").isNull() | (doc_fp(F.col("text")) != F.col("dfp"))
+        ).count()
+        if bad:
+            raise ValueError(
+                f"{bad} document(s) in the layout are missing from or "
+                f"differ in content from the supplied corpus — repack "
+                f"needs the EXACT corpus this state maintains (run "
+                f"sync-corpus --out for the current kept corpus)"
+            )
+        len_kw = {"mode": token_mode}
+        if max_chars is not None:
+            len_kw["max_chars"] = int(max_chars)
+        lens = bpe_token_lengths(
+            docs.select("doc_id", "text"),
+            [tuple(m) for m in merges],
+            **len_kw,
+        )
+        if max_doc_tokens is not None:
+            lens = lens.select(
+                "doc_id",
+                F.least(F.col("n_tokens"), F.lit(int(max_doc_tokens)))
+                .cast("bigint")
+                .alias("n_tokens"),
+            )
+        base = facts.join(
+            lens.select(
+                "doc_id",
+                (F.col("n_tokens") + F.lit(doc_sep))
+                .cast("bigint")
+                .alias("n_tokens"),
+            ),
+            "doc_id",
+        ).select(*_LAYOUT_COLS)
+        layout = shard_layout_from_lengths(base, seq_len)
+        man = shard_manifest(layout, seq_len)
+        staging = sink._staging_dir()
+        (
+            layout.repartition(F.col("shard"))
+            .write.partitionBy("shard")
+            .parquet(os.path.join(staging, "layout"))
+        )
+        (
+            man.repartition(F.col("shard"))
+            .write.partitionBy("shard")
+            .parquet(os.path.join(staging, "manifest"))
+        )
+        for name in sorted(os.listdir(target)):
+            full = os.path.join(target, name)
+            if os.path.isdir(full) and name not in ("layout", "manifest"):
+                _link_tree(full, os.path.join(staging, name))
+        marker = os.path.join(target, "_applied_batch.json")
+        if os.path.exists(marker):
+            shutil.copy2(
+                marker, os.path.join(staging, "_applied_batch.json")
+            )
+        on_disk["token_space"] = "bpe"
+        on_disk["vocab_fp"] = vocab_fp
+        if token_mode != "words":
+            from vcf_pg_loader_spark.operators.bpe import MAX_CHARS
+
+            on_disk["token_mode"] = token_mode
+            on_disk["max_chars"] = (
+                int(max_chars) if max_chars is not None else MAX_CHARS
+            )
+        else:
+            on_disk.pop("token_mode", None)
+            on_disk.pop("max_chars", None)
+        with open(os.path.join(staging, "_params.json"), "w") as fh:
+            json.dump(on_disk, fh, sort_keys=True)
+        old = f"{target}_old"
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.move(target, old)
+        shutil.move(staging, target)
+        shutil.rmtree(old, ignore_errors=True)
+        return {
+            "vocab_fp_old": old_fp,
+            "vocab_fp_new": vocab_fp,
+            "token_mode": token_mode,
+            "n_shards": n_shards,
+            "seq_len": seq_len,
+        }
+
+
 class TrainingShardSink(ParquetUpsertSink):
     """Maintains the training-shard layout from a documents Z-set."""
 
