@@ -529,3 +529,278 @@ class TestMaskScheduleExport:
              "--out", str(tmp_path / "seqs"), "--mask-schedule"]
         )
         assert rc == 1
+
+
+class TestQualityCurriculum:
+    def test_quality_buckets_order_packing(self, spark, tmp_path):
+        """curriculum='quality:4:1.0': within every shard, documents
+        pack bucket-by-bucket (ascending score bucket), scoreless docs
+        last; okey realizes curriculum_okey exactly."""
+        from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+        rows = [(i, f"d{i} " * (1 + i % 3)) for i in range(30)]
+        docs = spark.createDataFrame(
+            [(i, t.strip()) for i, t in rows], "doc_id bigint, text string"
+        )
+        scores = spark.createDataFrame(
+            [(i, float(i % 4) + 0.25) for i in range(25)],  # 25 scored
+            "doc_id bigint, score double",
+        )
+        t = str(tmp_path / "state")
+        sink = TrainingShardSink(
+            t, n_shards=2, seq_len=8, curriculum="quality:4:1.0"
+        )
+        sink.quality_frame = scores
+        sink.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        lay = sink.layout(spark)
+        score_map = {r["doc_id"]: r["score"] for r in scores.collect()}
+        want_bucket = {
+            i: min(3, int(score_map[i])) if i in score_map else 3
+            for i, _ in rows
+        }
+        got = lay.select(
+            "doc_id", "okey", "shard", "start_offset"
+        ).collect()
+        from vcf_pg_loader_spark.operators.shards import order_key
+
+        hk = {
+            r["doc_id"]: r["h"]
+            for r in docs.select(
+                "doc_id", order_key(F.col("doc_id")).alias("h")
+            ).collect()
+        }
+        SHIFT = 1 << 60
+        for r in got:
+            assert r["okey"] == want_bucket[r["doc_id"]] * SHIFT + hk[
+                r["doc_id"]
+            ]
+        # realized order: start offsets ascend with bucket within shard
+        by_shard = {}
+        for r in got:
+            by_shard.setdefault(r["shard"], []).append(
+                (r["start_offset"], want_bucket[r["doc_id"]])
+            )
+        for shard, entries in by_shard.items():
+            entries.sort()
+            buckets = [b for _, b in entries]
+            assert buckets == sorted(buckets), f"shard {shard}"
+
+    def test_spec_fingerprinted_and_delta_touched_shards_only(
+        self, spark, tmp_path
+    ):
+        """The spec joins the fingerprint (a different curriculum
+        refuses); a delta under the same curriculum repacks ONLY the
+        touched shards — untouched shard directories hard-link through
+        the swap (inode-pinned), and the result equals scratch."""
+        from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i} " * (2 + i % 4)) for i in range(40)],
+            "doc_id bigint, text string",
+        )
+        scores = spark.createDataFrame(
+            [(i, float(i % 3)) for i in range(40)],
+            "doc_id bigint, score double",
+        )
+        t = str(tmp_path / "state")
+        sink = TrainingShardSink(
+            t, n_shards=8, seq_len=8, curriculum="quality:3:1.0"
+        )
+        sink.quality_frame = scores
+        sink.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+
+        with pytest.raises(ValueError, match="parameters"):
+            TrainingShardSink(
+                t, n_shards=8, seq_len=8, curriculum="length:3:1.0"
+            ).apply_batch(
+                docs.withColumn(MULT, F.lit(1).cast("bigint")), 1
+            )
+
+        # one changed doc -> only its shard repacks
+        from vcf_pg_loader_spark.operators.shards import shard_of
+
+        changed_id = 7
+        tb = spark.range(1).select(
+            shard_of(F.lit(changed_id).cast("bigint"), 8).alias("b")
+        ).collect()[0]["b"]
+        def shard_file_inodes():
+            out = {}
+            root = os.path.join(t, "layout")
+            for d in os.listdir(root):
+                if not d.startswith("shard="):
+                    continue
+                out[d] = sorted(
+                    os.stat(os.path.join(root, d, f)).st_ino
+                    for f in os.listdir(os.path.join(root, d))
+                    if f.endswith(".parquet")
+                )
+            return out
+
+        inode_before = shard_file_inodes()
+        delta = spark.createDataFrame(
+            [(changed_id, "completely new text", 1),
+             (changed_id, None, -1)],
+            "doc_id bigint, text string, MULT int",
+        ).withColumn(MULT, F.col("MULT").cast("bigint"))
+        sink2 = TrainingShardSink(
+            t, n_shards=8, seq_len=8, curriculum="quality:3:1.0"
+        )
+        sink2.quality_frame = scores
+        sink2.apply_batch(delta, 1)
+        inode_after = shard_file_inodes()
+        for d, ino in inode_before.items():
+            if d == f"shard={tb}":
+                continue
+            assert inode_after[d] == ino, f"{d} was rewritten"
+
+        # equals scratch under the updated corpus
+        updated = docs.filter(F.col("doc_id") != changed_id).unionByName(
+            spark.createDataFrame(
+                [(changed_id, "completely new text")],
+                "doc_id bigint, text string",
+            )
+        )
+        t2 = str(tmp_path / "scratch")
+        s2 = TrainingShardSink(
+            t2, n_shards=8, seq_len=8, curriculum="quality:3:1.0"
+        )
+        s2.quality_frame = scores
+        s2.apply_batch(updated.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        assert sorted(
+            tuple(r) for r in sink2.manifest(spark).collect()
+        ) == sorted(tuple(r) for r in s2.manifest(spark).collect())
+
+
+class TestTrainVocabAutoStrategy:
+    def test_fallback_forces_batched_and_pins_merges(
+        self, spark, tmp_path, capsys
+    ):
+        """round-12 verdict item 6: auto/local pre-count the type
+        table and HARD-fall back to batched past --local-max-types;
+        the merge sequences pin identical across the boundary."""
+        from vcf_pg_loader_spark.cli import main
+
+        rows = [
+            (i, " ".join(f"w{j % 9}" for j in range(5 + i % 4)))
+            for i in range(30)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        corpus = str(tmp_path / "corpus")
+        docs.write.parquet(corpus)
+
+        v_local = str(tmp_path / "local.json")
+        assert main(
+            ["train-vocab", "--corpus", corpus, "--out", v_local,
+             "--n-merges", "8"]
+        ) == 0
+        capsys.readouterr()
+        a_local = json.load(open(v_local))
+        assert a_local["strategy"] == "local"  # under the bound
+
+        v_fb = str(tmp_path / "fallback.json")
+        assert main(
+            ["train-vocab", "--corpus", corpus, "--out", v_fb,
+             "--n-merges", "8", "--local-max-types", "2"]
+        ) == 0
+        capsys.readouterr()
+        a_fb = json.load(open(v_fb))
+        assert a_fb["strategy"] == "batched"  # the forced fallback
+        assert a_fb["merges"] == a_local["merges"]
+        assert a_fb["corpus_fp"] == a_local["corpus_fp"]
+
+    def test_explicit_local_also_bounded(self, spark, tmp_path, capsys):
+        """--strategy local is not a bypass: the hard bound applies."""
+        from vcf_pg_loader_spark.cli import main
+
+        docs = spark.createDataFrame(
+            [(0, "p q r p q r p q")], "doc_id bigint, text string"
+        )
+        corpus = str(tmp_path / "corpus")
+        docs.write.parquet(corpus)
+        v = str(tmp_path / "v.json")
+        assert main(
+            ["train-vocab", "--corpus", corpus, "--out", v,
+             "--n-merges", "4", "--strategy", "local",
+             "--local-max-types", "1"]
+        ) == 0
+        assert json.load(open(v))["strategy"] == "batched"
+
+
+class TestExportVocab:
+    def test_vocab_table_matches_id_assignment(self, spark, tmp_path, capsys):
+        from vcf_pg_loader_spark.cli import main
+        from vcf_pg_loader_spark.operators import tokenids as T
+
+        alphabet = ["a", "b", "c", "</w>"]
+        merges = [["a", "b"], ["ab", "c"]]
+        vocab = str(tmp_path / "vocab.json")
+        json.dump(
+            {"merges": merges, "corpus_fp": 77, "n_docs": 1,
+             "alphabet": alphabet},
+            open(vocab, "w"),
+        )
+        out = str(tmp_path / "vocab_table")
+        assert main(["export-vocab", "--merges", vocab, "--out", out]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["vocab_size"] == 2 + 4 + 2 and rep["n_collisions"] == 0
+        rows = {
+            r["id"]: r["piece"]
+            for r in spark.read.parquet(out).collect()
+        }
+        want = T.vocab_pieces(alphabet, [tuple(m) for m in merges])
+        assert [rows[i] for i in range(len(want))] == want
+
+    def test_artifact_without_alphabet_refused(self, tmp_path):
+        from vcf_pg_loader_spark.cli import main
+
+        vocab = str(tmp_path / "vocab.json")
+        json.dump({"merges": [["a", "b"]], "corpus_fp": 1}, open(vocab, "w"))
+        assert main(
+            ["export-vocab", "--merges", vocab,
+             "--out", str(tmp_path / "o")]
+        ) == 2
+
+
+class TestIdsAndMaskTogether:
+    def test_one_record_export(self, spark, tmp_path, capsys):
+        """--emit-ids --mask-schedule in ONE invocation: the complete
+        trainer record (tokens, ids, doc_bounds, masked_positions) in
+        one file, both integrity gates green."""
+        from vcf_pg_loader_spark.cli import main
+        from vcf_pg_loader_spark.operators import tokenids as T
+        from vcf_pg_loader_spark.operators.bpe import (
+            bpe_learn_local,
+            word_counts,
+        )
+        from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+        rows = [
+            (i, " ".join(f"x{j % 3}" for j in range(4 + i % 5)))
+            for i in range(24)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        corpus = str(tmp_path / "corpus")
+        docs.write.parquet(corpus)
+        merges = bpe_learn_local(docs, 4)
+        alphabet = T.alphabet_from_counts(word_counts(docs), "words")
+        vocab = str(tmp_path / "vocab.json")
+        json.dump(
+            {"merges": [list(m) for m in merges], "corpus_fp": 21,
+             "n_docs": 24, "alphabet": alphabet},
+            open(vocab, "w"),
+        )
+        t = str(tmp_path / "state")
+        sink = TrainingShardSink(
+            t, merges=merges, vocab_fp=21, n_shards=2, seq_len=8
+        )
+        sink.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        out = str(tmp_path / "seqs")
+        assert main(
+            ["export-sequences", "--state", t, "--corpus", corpus,
+             "--merges", vocab, "--out", out,
+             "--emit-ids", "--mask-schedule"]
+        ) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "error" not in rep
+        cols = set(spark.read.parquet(out).columns)
+        assert {"tokens", "ids", "doc_bounds", "masked_positions"} <= cols

@@ -1,0 +1,214 @@
+"""sf1-scale rehearsal of the maintained-state headline path
+(round-12 verdict stretch item 8): the first measured point on the
+curve toward the 100 TB design claims.
+
+Generates a deterministic synthetic corpus 10x the sf0.1 documents
+fixture (50k docs, same Zipfian word shape and length distribution),
+then runs the EXACT trainer-facing loop the engine advertises:
+
+  1. sync-corpus        — cluster state bootstrap + BPE-packed shard
+                          layout + maintained vocabulary, one epoch
+                          stamp over all states
+  2. train-vocab        — corpus-pass BPE training (auto strategy)
+  3. train-vocab --counts-state
+                        — the no-corpus-pass retrain off the
+                          maintained vocabulary
+  4. export-shard --epoch
+                        — epoch-pinned export of a shard subset
+                          (reads O(requested shards))
+  5. delta sync         — +1% new docs; the O(|delta|) claim measured,
+                          including how many shard partitions rewrote
+
+Writes one JSON blob (default SCALE_r13.json at the repo root) with
+per-step wall times, corpus/token totals, and the max per-shard row
+count (the skew the hash assignment must bound).  Run on an idle box:
+
+    python tools/scale_rehearsal.py [--docs 50000] [--out SCALE_r13.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def gen_corpus(spark, n_docs: int, seed: int, start_id: int = 0):
+    """Zipfian word corpus matching the documents fixture's shape
+    (vocab ~2k types, 10-100 tokens/doc, 20 sources)."""
+    from pyspark.sql import functions as F
+
+    vocab_size = 2000
+    sc = spark.sparkContext
+
+    def make_part(idx_iter):
+        for i in idx_iter:
+            rng = random.Random((seed, i))
+            n = rng.randint(10, 100)
+            words = [
+                f"w{min(int(rng.paretovariate(1.1)), vocab_size)}"
+                for _ in range(n)
+            ]
+            yield (start_id + i, " ".join(words), f"src{i % 20}")
+
+    rdd = sc.parallelize(range(n_docs), 64).mapPartitions(
+        lambda it: make_part(it)
+    )
+    return spark.createDataFrame(
+        rdd, "doc_id bigint, text string, source string"
+    ).select("doc_id", "text", "source")
+
+
+def run_cli(*argv) -> tuple[float, str]:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    t0 = time.monotonic()
+    r = subprocess.run(
+        [sys.executable, "-m", "vcf_pg_loader_spark.cli", *argv],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+    )
+    wall = time.monotonic() - t0
+    if r.returncode != 0:
+        raise RuntimeError(
+            f"cli {argv[0]} rc={r.returncode}\n{r.stdout[-2000:]}\n"
+            f"{r.stderr[-2000:]}"
+        )
+    return wall, r.stdout.strip().splitlines()[-1]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=50_000)
+    ap.add_argument("--out", default=os.path.join(REPO, "SCALE_r13.json"))
+    ap.add_argument("--n-merges", type=int, default=512)
+    ap.add_argument("--keep-workdir", action="store_true")
+    args = ap.parse_args()
+
+    from vcf_pg_loader_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-rehearsal")
+    work = tempfile.mkdtemp(prefix="scale_rehearsal_")
+    report: dict = {"n_docs": args.docs, "n_merges": args.n_merges}
+    try:
+        snap = os.path.join(work, "snap.parquet")
+        t0 = time.monotonic()
+        gen_corpus(spark, args.docs, seed=13).write.parquet(snap)
+        report["gen_sec"] = round(time.monotonic() - t0, 2)
+
+        vocab = os.path.join(work, "vocab.json")
+        w, out = run_cli(
+            "train-vocab", "--corpus", snap, "--out", vocab,
+            "--n-merges", str(args.n_merges),
+        )
+        report["train_vocab_sec"] = round(w, 2)
+        report["train_vocab"] = json.loads(out)
+
+        state = os.path.join(work, "cluster")
+        shards = os.path.join(work, "shards")
+        vstate = os.path.join(work, "vstate")
+        kept = os.path.join(work, "kept.parquet")
+        w, out = run_cli(
+            "sync-corpus", "--state", state, "--snapshot", snap,
+            "--batch-id", "0", "--shards-state", shards,
+            "--shards-merges", vocab, "--vocab-state", vstate,
+            "--out", kept,
+        )
+        report["sync_bootstrap_sec"] = round(w, 2)
+        sync_rep = json.loads(out)
+        report["sync_bootstrap"] = sync_rep
+
+        w, out = run_cli(
+            "train-vocab", "--counts-state", vstate,
+            "--out", os.path.join(work, "vocab2.json"),
+            "--n-merges", str(args.n_merges),
+        )
+        report["retrain_counts_state_sec"] = round(w, 2)
+
+        w, out = run_cli(
+            "export-shard", "--state", shards, "--corpus", kept,
+            "--merges", vocab, "--out", os.path.join(work, "export"),
+            "--shards", "0,1", "--epoch", str(sync_rep["epoch_fp"]),
+        )
+        report["export_two_shards_sec"] = round(w, 2)
+        report["export"] = json.loads(out)
+
+        # shard balance: the hash assignment's skew at this scale
+        from pyspark.sql import functions as F
+
+        from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+        man = TrainingShardSink(shards).manifest(spark)
+        bal = man.agg(
+            F.max("n_docs").alias("max_docs"),
+            F.min("n_docs").alias("min_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("total_tokens"),
+        ).collect()[0]
+        report["shard_max_docs"] = int(bal["max_docs"])
+        report["shard_min_docs"] = int(bal["min_docs"])
+        report["shard_max_tokens"] = int(bal["max_tokens"])
+        report["total_tokens"] = int(bal["total_tokens"])
+
+        # +1% delta: the O(|delta|) sync — and how much actually rewrote
+        lay_dir = os.path.join(shards, "layout")
+
+        def file_inodes():
+            out = {}
+            for d in os.listdir(lay_dir):
+                if d.startswith("shard="):
+                    out[d] = sorted(
+                        os.stat(os.path.join(lay_dir, d, f)).st_ino
+                        for f in os.listdir(os.path.join(lay_dir, d))
+                        if f.endswith(".parquet")
+                    )
+            return out
+
+        before = file_inodes()
+        delta_docs = gen_corpus(
+            spark, args.docs // 100, seed=29, start_id=10_000_000
+        )
+        snap2 = os.path.join(work, "snap2.parquet")
+        spark.read.parquet(snap).unionByName(delta_docs).write.parquet(
+            snap2
+        )
+        w, out = run_cli(
+            "sync-corpus", "--state", state, "--snapshot", snap2,
+            "--batch-id", "1", "--shards-state", shards,
+            "--shards-merges", vocab, "--vocab-state", vstate,
+        )
+        report["sync_delta_1pct_sec"] = round(w, 2)
+        after = file_inodes()
+        rewritten = sum(
+            1 for d in before if after.get(d) != before[d]
+        )
+        report["delta_shard_dirs_rewritten"] = rewritten
+        report["delta_shard_dirs_total"] = len(before)
+        report["delta_ratio_wall"] = round(
+            report["sync_delta_1pct_sec"] / report["sync_bootstrap_sec"], 3
+        )
+    finally:
+        if not args.keep_workdir:
+            shutil.rmtree(work, ignore_errors=True)
+        else:
+            report["workdir"] = work
+
+    with open(args.out, "w") as fh:
+        json.dump(report, fh, indent=1, sort_keys=True)
+    print(json.dumps(report, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

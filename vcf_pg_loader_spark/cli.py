@@ -55,6 +55,8 @@ def _sink_kwargs_from_state(state_dir: str):
         kw["token_mode"] = persisted["token_mode"]
     if "max_chars" in persisted:
         kw["max_chars"] = persisted["max_chars"]
+    if "curriculum" in persisted:
+        kw["curriculum"] = persisted["curriculum"]
     return kw, persisted
 
 
@@ -757,12 +759,31 @@ def cmd_sync_corpus(args) -> int:
         tok_kw = {}
         if getattr(args, "shards_merges", None):
             tok_kw, _vocab_art = _load_merges_artifact(args.shards_merges)
+        curriculum = getattr(args, "curriculum", None)
         shard_sink = TrainingShardSink(
             args.shards_state,
             doc_sep=getattr(args, "shards_doc_sep", 0) or 0,
             max_doc_tokens=getattr(args, "shards_max_doc_tokens", None),
+            curriculum=curriculum,
             **tok_kw,
         )
+        if shard_sink.curriculum and shard_sink.curriculum[0] == "quality":
+            # quality buckets come from the MAINTAINED per-doc scores:
+            # the card state's frozen-LM nll, applied just above in
+            # the same lockstep sync — no text re-read, and the score
+            # is a pure function of the text under the frozen LM, so
+            # an unchanged doc's bucket (and shard file) never moves
+            if not args.card_state:
+                print(
+                    "--curriculum quality:K needs --card-state (the "
+                    "maintained per-doc quality scores)",
+                    file=sys.stderr,
+                )
+                return 2
+            shard_sink.quality_frame = (
+                card_sink._table(spark, "stats")
+                .select("doc_id", F.col("nll").alias("score"))
+            )
         kept_docs = (
             sink._table(spark, "corpus")
             .join(kept.select("doc_id"), "doc_id", "left_semi")
@@ -961,13 +982,40 @@ def cmd_train_vocab(args) -> int:
             )
     else:
         docs = spark.read.parquet(args.corpus).select("doc_id", "text")
-        if strategy == "local":
-            merges = bpe_learn_local(
-                docs,
-                n_merges=args.n_merges,
-                min_count=args.min_count,
-                **seg_kw,
-            )
+        if strategy in ("local", "auto"):
+            # HARD driver bound (round-12 verdict item 6): the local
+            # trainer collects the full type table, so count it first
+            # (one cheap distributed agg) and fall back to the
+            # fully-distributed exact `batched` trainer past the bound
+            # instead of trusting min_count to have been set.  All
+            # three strategies produce the identical merge sequence,
+            # so the fallback changes cost, never the model.
+            from vcf_pg_loader_spark.operators.bpe import word_counts
+
+            wc_probe = word_counts(docs, **seg_kw)
+            if args.min_count > 1:
+                wc_probe = wc_probe.filter(F.col("n") >= args.min_count)
+            n_types = wc_probe.count()
+            bound = args.local_max_types
+            if n_types > bound:
+                print(
+                    f"type table has {n_types} rows > --local-max-types "
+                    f"{bound}; falling back to the distributed exact "
+                    f"'batched' trainer (identical merges)",
+                    file=sys.stderr,
+                )
+                strategy = "batched"
+                merges = bpe_learn_batched(
+                    docs, n_merges=args.n_merges, **seg_kw
+                )
+            else:
+                strategy = "local"
+                merges = bpe_learn_local(
+                    docs,
+                    n_merges=args.n_merges,
+                    min_count=args.min_count,
+                    **seg_kw,
+                )
         else:
             trainer = {
                 "batched": bpe_learn_batched,
@@ -1670,6 +1718,57 @@ def cmd_repack(args) -> int:
     return 0
 
 
+def cmd_export_vocab(args) -> int:
+    """Write the id-assignment vocabulary a dataloader pairs with the
+    binary shards: (id, piece) parquet in dense id order, derived
+    purely from the train-vocab artifact (operators/tokenids.py —
+    specials, sorted alphabet, merge products).  The JSON report
+    carries vocab_size and the artifact's corpus_fp so a consumer can
+    cross-check the manifest it maps against."""
+    from vcf_pg_loader_spark.operators.tokenids import (
+        piece_ids,
+        vocab_pieces,
+    )
+
+    tok_kw, art = _load_merges_artifact(args.merges)
+    if art is None or "alphabet" not in art:
+        print(
+            "the --merges artifact records no alphabet (pre-round-13); "
+            "re-run train-vocab to stamp one",
+            file=sys.stderr,
+        )
+        return 2
+    merges = tok_kw["merges"]
+    pieces = vocab_pieces(art["alphabet"], merges)
+    ids = piece_ids(art["alphabet"], merges)
+    spark = _spark()
+    rows = [(i, p, ids[p] == i) for i, p in enumerate(pieces)]
+    (
+        spark.createDataFrame(
+            rows, "id int, piece string, canonical boolean"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(args.out)
+    )
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "vocab_size": len(pieces),
+                "n_alphabet": len(art["alphabet"]),
+                "n_merges": len(merges),
+                "corpus_fp": art["corpus_fp"],
+                "mode": art.get("mode", "words"),
+                # duplicate pieces (merge product == earlier piece):
+                # non-canonical rows decode, never encode
+                "n_collisions": sum(1 for r in rows if not r[2]),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_state_stats(args) -> int:
     """Operational audit of a maintained state directory (any
     ParquetUpsertSink-family target): per-table row counts and on-disk
@@ -1926,6 +2025,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "from the same delta, lockstep with --state; "
                          "train-vocab --counts-state then retrains "
                          "without a corpus pass")
+    sp.add_argument("--curriculum",
+                    help="with --shards-state: pack each shard "
+                         "bucket-by-bucket instead of pure hash order "
+                         "— 'length:K[:STEP]' by token count, "
+                         "'quality:K[:STEP]' by the card state's "
+                         "maintained frozen-LM nll (needs "
+                         "--card-state); K<=8 buckets, fingerprinted "
+                         "as a semantic packing parameter")
     sp.add_argument("--vocab-mode", default="words",
                     choices=("words", "chars"),
                     help="unit the --vocab-state counts: whitespace "
@@ -1983,15 +2090,23 @@ def build_parser() -> argparse.ArgumentParser:
                          "ties; default 1 keeps training exact")
     sp.add_argument("--out", required=True, help="merges JSON path")
     sp.add_argument("--n-merges", type=int, default=64)
-    sp.add_argument("--strategy", default="local",
-                    choices=("local", "batched", "sequential"),
-                    help="local: distributed word-count collapse + "
-                         "in-memory exact trainer (production vocab "
-                         "sizes, 32k+ merges); batched: distributed "
-                         "rounds merging a provably-safe batch per "
-                         "round; sequential: one Spark round per merge "
-                         "(the round-11 shape). All three produce the "
-                         "IDENTICAL merge sequence.")
+    sp.add_argument("--strategy", default="auto",
+                    choices=("auto", "local", "batched", "sequential"),
+                    help="auto (default) and local both pre-count the "
+                         "type table and HARD-fall back to batched "
+                         "past --local-max-types (the driver-memory "
+                         "bound); local: distributed word-count "
+                         "collapse + in-memory exact trainer "
+                         "(production vocab sizes, 32k+ merges); "
+                         "batched: distributed rounds merging a "
+                         "provably-safe batch per round; sequential: "
+                         "one Spark round per merge. All strategies "
+                         "produce the IDENTICAL merge sequence.")
+    sp.add_argument("--local-max-types", type=int, default=2_000_000,
+                    help="type-table row bound above which auto/local "
+                         "fall back to the distributed batched "
+                         "trainer (driver-memory guard; ~100 bytes/"
+                         "row -> default ~200 MB)")
     sp.add_argument("--encode-out",
                     help="also write the tokenized corpus (Arrow "
                          "rank-priority encode) here")
@@ -2184,6 +2299,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="the EXACT corpus this state maintains "
                          "(sync-corpus --out); verified per-doc "
                          "against the layout's content fingerprints")
+
+    sp = add("export-vocab", cmd_export_vocab,
+             help="write the (id, piece) vocabulary table a dataloader "
+                  "pairs with the binary id shards, derived purely "
+                  "from a train-vocab artifact")
+    sp.add_argument("--merges", required=True,
+                    help="vocab JSON from train-vocab (must record the "
+                         "alphabet)")
+    sp.add_argument("--out", required=True, help="parquet path")
 
     sp = add("build-rsid-index", cmd_build_rsid_index,
              help="materialize the rsid-sorted point-lookup copy")

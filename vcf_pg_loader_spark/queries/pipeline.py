@@ -4825,6 +4825,109 @@ FROM lay GROUP BY 1, 2
 Q_CURRICULUM_SHARDS_SQL = _curriculum_shards_sql()
 
 
+# quality-curriculum pins: bucket by the per-doc LM quality score
+# (doc_nll), fixed thresholds so a doc's bucket is a pure function of
+# its own text — the property that keeps the MAINTAINED form
+# (sync-corpus --curriculum quality:K, scored by the card state's
+# frozen-LM nll) touched-shards-only under deltas.  The fixture's nll
+# spans ~[3.26, 3.63], so lo=3.25/step=0.1 spreads 4 buckets.
+CURRICULUM_Q_K = 4
+CURRICULUM_Q_LO = 3.25
+CURRICULUM_Q_STEP = 0.1
+
+
+def q_curriculum_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality curriculum through the same order_col seam
+    (round-12 verdict item 5): documents bucket by their LM quality
+    score (operators/lm.py doc_nll — low-perplexity docs first) and
+    each shard packs bucket-by-bucket; scoreless docs (no bigram)
+    pack LAST.  Output pins the realized order exactly as
+    q_curriculum_shards does: per (shard, bucket) doc/token tallies
+    plus the bucket's contiguous [min_start, max_end) offset range —
+    any ordering drift hash-fails."""
+    from vcf_pg_loader_spark.operators import shards as SHD
+    from vcf_pg_loader_spark.operators.lm import doc_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = CURRICULUM_Q_K
+    nll = doc_nll(docs).select("doc_id", "nll")
+    bucket = (
+        F.when(F.col("nll").isNull(), F.lit(k - 1).cast("bigint"))
+        .otherwise(
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.least(
+                    F.lit(k - 1).cast("bigint"),
+                    F.floor(
+                        (F.col("nll") - F.lit(CURRICULUM_Q_LO))
+                        / F.lit(CURRICULUM_Q_STEP)
+                    ).cast("bigint"),
+                ),
+            )
+        )
+    )
+    bdocs = docs.join(nll, "doc_id", "left").withColumn("bucket", bucket)
+    base = SHD.shard_base(
+        bdocs,
+        order_col=SHD.curriculum_okey(F.col("bucket"), F.col("doc_id")),
+    )
+    lay = SHD.shard_layout_from_lengths(base)
+    return (
+        lay.join(bdocs.select("doc_id", "bucket"), "doc_id")
+        .groupBy("shard", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("start_offset").alias("min_start"),
+            F.max(F.col("start_offset") + F.col("n_tokens")).alias(
+                "max_end"
+            ),
+        )
+    )
+
+
+def _curriculum_card_sql() -> str:
+    from vcf_pg_loader_spark.operators.lm import sql_doc_nll
+    from vcf_pg_loader_spark.operators.shards import (
+        sql_curriculum_okey,
+        sql_shard_layout,
+    )
+
+    k = CURRICULUM_Q_K
+    nll = sql_doc_nll("documents")
+
+    def bucket_expr(nll_ref: str) -> str:
+        # doubles on both sides: DuckDB decimal literals must be cast
+        return (
+            f"CASE WHEN {nll_ref} IS NULL THEN {k - 1} ELSE "
+            f"GREATEST(0, LEAST({k - 1}, CAST(FLOOR(({nll_ref} - "
+            f"CAST({CURRICULUM_Q_LO} AS DOUBLE)) / "
+            f"CAST({CURRICULUM_Q_STEP} AS DOUBLE)) AS BIGINT))) END"
+        )
+
+    corr = (
+        f"COALESCE((SELECT {bucket_expr('n.nll')} FROM ({nll}) n "
+        f"WHERE n.doc_id = _t.doc_id), {k - 1})"
+    )
+    lay = sql_shard_layout(
+        order_sql=sql_curriculum_okey(corr, "_t.doc_id")
+    )
+    return f"""
+WITH lay AS ({lay}),
+nb AS (
+  SELECT d.doc_id, COALESCE({bucket_expr('n.nll')}, {k - 1}) AS bucket
+  FROM documents d LEFT JOIN ({nll}) n ON n.doc_id = d.doc_id
+)
+SELECT lay.shard, CAST(nb.bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(MIN(start_offset) AS BIGINT) AS min_start,
+       CAST(MAX(start_offset + n_tokens) AS BIGINT) AS max_end
+FROM lay JOIN nb USING (doc_id) GROUP BY 1, 2
+"""
+
+
+
 EPOCH_ORDER_EPOCH = 3
 
 
@@ -5004,10 +5107,15 @@ Q_SEQ_DECONTAM_SQL = _seq_decontam_sql()
 
 # deterministic span-corruption schedule (T5/UL2-style masking): span
 # starts where a position hash lands in 1/MASK_RATE of its range, each
-# span MASK_SPAN tokens; expected masked fraction = MASK_SPAN/MASK_RATE
-MASK_RATE = 20
-MASK_SPAN = 3
-MASK_SALT = "mask:"
+# span MASK_SPAN tokens; expected masked fraction = MASK_SPAN/MASK_RATE.
+# Canonical home: operators/masking.py — the export path
+# (export-sequences --mask-schedule) and these pins share one
+# definition so trainer bytes and the CORRECTNESS gate cannot drift.
+from vcf_pg_loader_spark.operators.masking import (  # noqa: E402
+    MASK_RATE,
+    MASK_SALT,
+    MASK_SPAN,
+)
 
 
 def q_mask_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5133,6 +5241,98 @@ FROM seq_lens s LEFT JOIN agg a USING (shard, seq_id)
 
 
 Q_MASK_SCHEDULE_SQL = _mask_schedule_sql()
+
+
+def q_train_sequences_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE trainer record, value-pinned (round-12 verdict
+    item 4): one row per training sequence carrying everything a
+    dataloader consumes together — the token stream, the document
+    boundaries for a block-diagonal attention mask, and the
+    deterministic span-corruption schedule — where q_train_sequences
+    and q_mask_schedule pinned the pieces separately.  The schedule
+    attaches as the operators/masking.py ARRAY expression (the same
+    code export-sequences --mask-schedule ships; zero extra shuffles
+    on top of the one packing shuffle), so this query pins exactly
+    the production composition: tokens_fp, bounds_fp, and mask_fp
+    must all agree with the twin at once."""
+    from vcf_pg_loader_spark.operators import shards as SHD
+    from vcf_pg_loader_spark.operators.masking import mask_positions_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = SHD.shard_sequences(SHD.shard_layout(docs))
+    enc = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("pieces")
+    )
+    seqs = SHD.sequence_stream(spans, enc)
+    mp = mask_positions_col(
+        F.col("shard"), F.col("seq_id"), F.size("tokens")
+    )
+    as_str = lambda col: F.transform(  # noqa: E731
+        col, lambda x: x.cast("string")
+    )
+    return seqs.select(
+        "shard",
+        "seq_id",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws("\x1f", F.col("tokens"))).alias("tokens_fp"),
+        F.md5(F.concat_ws(",", as_str(F.col("doc_bounds")))).alias(
+            "bounds_fp"
+        ),
+        F.size(mp).cast("bigint").alias("n_masked"),
+        F.when(F.size(mp) == 0, F.md5(F.lit("")))
+        .otherwise(F.md5(F.concat_ws(",", as_str(mp))))
+        .alias("mask_fp"),
+    )
+
+
+def _train_sequences_masked_sql() -> str:
+    from vcf_pg_loader_spark.functions.hashing import sql_h60
+    from vcf_pg_loader_spark.operators.shards import sql_shard_sequences
+
+    h = sql_h60(
+        "CAST(shard AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR)"
+        " || ':' || CAST(p AS VARCHAR)",
+        MASK_SALT,
+    )
+    return f"""
+WITH ds AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), spans AS ({sql_shard_sequences()}),
+parts AS (
+  SELECT s.shard, s.seq_id, s.seq_off,
+         list_slice(ds.toks, CAST(s.tok_start + 1 AS INT),
+                    CAST(s.tok_start + s.tok_len AS INT)) AS part
+  FROM spans s JOIN ds USING (doc_id)
+), seq AS (
+  SELECT CAST(shard AS BIGINT) AS shard,
+         CAST(seq_id AS BIGINT) AS seq_id,
+         CAST(SUM(len(part)) AS BIGINT) AS n_tokens,
+         md5(string_agg(array_to_string(part, chr(31)), chr(31)
+                        ORDER BY seq_off)) AS tokens_fp,
+         md5(string_agg(CAST(seq_off AS VARCHAR), ','
+                        ORDER BY seq_off)) AS bounds_fp
+  FROM parts GROUP BY 1, 2
+), pos AS (
+  SELECT shard, seq_id, n_tokens AS n, CAST(t.p AS BIGINT) AS p
+  FROM seq, UNNEST(range(0, n_tokens)) AS t(p)
+), starts AS (
+  SELECT * FROM pos WHERE (({h}) % {MASK_RATE} + {MASK_RATE})
+                          % {MASK_RATE} = 0
+), masked AS (
+  SELECT DISTINCT shard, seq_id, CAST(m AS BIGINT) AS m
+  FROM starts,
+       UNNEST(range(p, LEAST(p + {MASK_SPAN}, n))) AS t(m)
+), agg AS (
+  SELECT shard, seq_id, CAST(COUNT(*) AS BIGINT) AS n_masked,
+         md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY m)) AS mask_fp
+  FROM masked GROUP BY 1, 2
+)
+SELECT s.shard, s.seq_id, s.n_tokens, s.tokens_fp, s.bounds_fp,
+       COALESCE(a.n_masked, 0) AS n_masked,
+       COALESCE(a.mask_fp, md5('')) AS mask_fp
+FROM seq s LEFT JOIN agg a USING (shard, seq_id)
+"""
+
 
 
 # "train on exactly N tokens": the minimal hash-ordered prefix of the
@@ -6051,6 +6251,8 @@ QUERIES = {
     "q_bpe_encode": q_bpe_encode,
     "q_bpe_encode_chars": q_bpe_encode_chars,
     "q_train_sequence_ids": q_train_sequence_ids,
+    "q_train_sequences_masked": q_train_sequences_masked,
+    "q_curriculum_card": q_curriculum_card,
     "q_train_sequences": q_train_sequences,
     "q_train_sequences_eos": q_train_sequences_eos,
     "q_train_sequences_trunc": q_train_sequences_trunc,
@@ -6168,6 +6370,8 @@ ORACLE = {
     "q_bpe_encode": _bpe_encode_sql(),
     "q_bpe_encode_chars": _bpe_encode_chars_sql(),
     "q_train_sequence_ids": _train_sequence_ids_sql(),
+    "q_train_sequences_masked": _train_sequences_masked_sql(),
+    "q_curriculum_card": _curriculum_card_sql(),
     "q_train_sequences": _train_sequences_sql(),
     "q_train_sequences_eos": _train_sequences_eos_sql(),
     "q_train_sequences_trunc": _train_sequences_trunc_sql(),

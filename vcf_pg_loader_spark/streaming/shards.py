@@ -65,6 +65,41 @@ from vcf_pg_loader_spark.streaming.sink import (
 
 _LAYOUT_COLS = ["doc_id", "shard", "okey", "n_tokens", "dfp"]
 
+# curriculum defaults: tokens-per-bucket for length, score-units-per-
+# bucket for quality (frozen-LM mean nll is a few nats, so 1.0 spans
+# the useful range across 8 buckets)
+CURRICULUM_LENGTH_STEP = 64.0
+CURRICULUM_QUALITY_STEP = 1.0
+
+
+def _parse_curriculum(spec: str | None):
+    """"kind:K[:STEP]" -> (kind, n_buckets, step) or None.  Normalized
+    so spelling variants of the same curriculum fingerprint equal."""
+    if spec is None:
+        return None
+    parts = str(spec).split(":")
+    if len(parts) not in (2, 3) or parts[0] not in ("length", "quality"):
+        raise ValueError(
+            f"curriculum spec {spec!r} is not kind:K[:STEP] with kind "
+            f"in (length, quality)"
+        )
+    kind = parts[0]
+    k = int(parts[1])
+    if not 1 <= k <= 8:
+        raise ValueError(
+            f"curriculum K={k} outside curriculum_okey's [1, 8] bound"
+        )
+    step = (
+        float(parts[2])
+        if len(parts) == 3
+        else (
+            CURRICULUM_LENGTH_STEP
+            if kind == "length"
+            else CURRICULUM_QUALITY_STEP
+        )
+    )
+    return (kind, k, step)
+
 
 def reshard_state(
     spark,
@@ -321,6 +356,7 @@ class TrainingShardSink(ParquetUpsertSink):
         max_doc_tokens: int | None = None,
         token_mode: str = "words",
         max_chars: int | None = None,
+        curriculum: str | None = None,
     ):
         """``merges`` switches packing to TOKENIZER space: per-doc
         n_tokens comes from operators/bpe.py bpe_token_lengths under
@@ -349,7 +385,21 @@ class TrainingShardSink(ParquetUpsertSink):
         (operators/bpe.py: "words" splits on whitespace, "chars"
         chunks raw text into bounded units — the no-space-corpus
         path).  Only meaningful with merges; both move every packed
-        length, so they join the fingerprint."""
+        length, so they join the fingerprint.
+
+        ``curriculum`` packs each shard bucket-by-bucket
+        (operators/shards.py curriculum_okey) instead of pure hash
+        order: "length:K[:STEP]" buckets by packed token count (STEP
+        tokens per bucket, default 64), "quality:K[:STEP]" buckets by
+        a MAINTAINED per-doc quality score (set ``quality_frame`` to
+        a (doc_id, score) DataFrame — e.g. the DatasetCardSink's
+        frozen-LM nll — before apply_batch; STEP score units per
+        bucket, default 1.0; docs without a score pack in the LAST
+        bucket).  K is clamped to curriculum_okey's 8-bucket bound.
+        The spec moves every okey, so it joins the fingerprint; the
+        scores themselves do not (a frozen-LM nll is a pure function
+        of the text, so an unchanged doc's bucket never drifts — the
+        property that keeps delta maintenance touched-shards-only)."""
         super().__init__(target, key=["doc_id"])
         self.n_shards = n_shards
         self.seq_len = seq_len
@@ -363,6 +413,8 @@ class TrainingShardSink(ParquetUpsertSink):
 
             max_chars = MAX_CHARS
         self.max_chars = int(max_chars)
+        self.curriculum = _parse_curriculum(curriculum)
+        self.quality_frame: DataFrame | None = None
         self.doc_sep = int(doc_sep)
         self.eos_token = eos_token
         self.max_doc_tokens = (
@@ -392,7 +444,58 @@ class TrainingShardSink(ParquetUpsertSink):
             fp["doc_sep"] = self.doc_sep
         if self.max_doc_tokens is not None:
             fp["max_doc_tokens"] = self.max_doc_tokens
+        if self.curriculum is not None:
+            # the ordering policy moves every okey — semantic.  The
+            # SCORES are not fingerprinted: they are pure functions of
+            # the text (frozen LM / token count), so an unchanged
+            # doc's bucket cannot drift.
+            kind, k, step = self.curriculum
+            fp["curriculum"] = f"{kind}:{k}:{step}"
         return fp
+
+    def _apply_curriculum(self, base: DataFrame) -> DataFrame:
+        """Overwrite okey with the curriculum order key — bucket from
+        the packed token count (length) or the supplied quality frame
+        (quality); scoreless docs pack in the LAST bucket."""
+        from vcf_pg_loader_spark.operators.shards import curriculum_okey
+
+        kind, k, step = self.curriculum
+        if kind == "length":
+            score = F.col("n_tokens").cast("double")
+        else:
+            if self.quality_frame is None:
+                raise ValueError(
+                    "curriculum 'quality' needs quality_frame set to a "
+                    "(doc_id, score) DataFrame — e.g. the card state's "
+                    "maintained frozen-LM nll (sync-corpus --card-state)"
+                )
+            base = base.join(
+                self.quality_frame.select(
+                    "doc_id", F.col("score").alias("_score")
+                ),
+                "doc_id",
+                "left",
+            )
+            score = F.col("_score")
+        bucket = (
+            F.when(score.isNull(), F.lit(k - 1).cast("bigint"))
+            .otherwise(
+                F.greatest(
+                    F.lit(0).cast("bigint"),
+                    F.least(
+                        F.lit(k - 1).cast("bigint"),
+                        F.floor(score / F.lit(step)).cast("bigint"),
+                    ),
+                )
+            )
+        )
+        return base.select(
+            "doc_id",
+            "shard",
+            curriculum_okey(bucket, F.col("doc_id")).alias("okey"),
+            "n_tokens",
+            "dfp",
+        )
 
     def _lengths(self, docs: DataFrame) -> DataFrame | None:
         if self.merges is None:
@@ -643,6 +746,11 @@ class TrainingShardSink(ParquetUpsertSink):
             lengths=self._lengths(ins),
             doc_sep=self.doc_sep,
         )
+        if self.curriculum is not None:
+            # only ARRIVING docs need an order key; surviving rows
+            # carry their persisted okey, so the delta stays
+            # touched-shards-only
+            new_base = self._apply_curriculum(new_base)
         old = self._table_raw(spark, "layout")
         if old is None:
             base = new_base
