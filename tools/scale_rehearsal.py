@@ -52,7 +52,7 @@ def gen_corpus(spark, n_docs: int, seed: int, start_id: int = 0):
 
     def make_part(idx_iter):
         for i in idx_iter:
-            rng = random.Random((seed, i))
+            rng = random.Random(seed * 1_000_003 + i)
             n = rng.randint(10, 100)
             words = [
                 f"w{min(int(rng.paretovariate(1.1)), vocab_size)}"
@@ -197,6 +197,26 @@ def main() -> int:
         report["delta_shard_dirs_total"] = len(before)
         report["delta_ratio_wall"] = round(
             report["sync_delta_1pct_sec"] / report["sync_bootstrap_sec"], 3
+        )
+
+        # a SMALL delta (5 docs): with n_shards=16 a uniform 1% delta
+        # legitimately touches every shard, so the touched-shards-only
+        # write pruning only shows on deltas smaller than the shard
+        # count — the common steady-state shape (a few documents
+        # corrected between snapshots)
+        before = file_inodes()
+        tiny = gen_corpus(spark, 5, seed=31, start_id=20_000_000)
+        snap3 = os.path.join(work, "snap3.parquet")
+        spark.read.parquet(snap2).unionByName(tiny).write.parquet(snap3)
+        w, out = run_cli(
+            "sync-corpus", "--state", state, "--snapshot", snap3,
+            "--batch-id", "2", "--shards-state", shards,
+            "--shards-merges", vocab, "--vocab-state", vstate,
+        )
+        report["sync_delta_5doc_sec"] = round(w, 2)
+        after = file_inodes()
+        report["tiny_delta_shard_dirs_rewritten"] = sum(
+            1 for d in before if after.get(d) != before[d]
         )
     finally:
         if not args.keep_workdir:
