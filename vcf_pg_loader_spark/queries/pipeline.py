@@ -4450,6 +4450,151 @@ def q_bpe_encode_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_shards_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest packed in CHARS-mode tokenizer space: the
+    no-space-corpus pipeline oracled end-to-end — chars-mode merges
+    (bounded chunk pre-segmentation), chunk-space token lengths via
+    the Arrow encoder, packing through the same
+    shard_layout_from_lengths seam the maintenance sink uses with
+    TrainingShardSink(token_mode="chars").  The DuckDB twin
+    re-chunks, re-derives the merges, folds per chunk, and sums per
+    document in SQL."""
+    from vcf_pg_loader_spark.operators import bpe as B
+    from vcf_pg_loader_spark.operators import shards as SHD
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = B.bpe_learn_batched(
+        docs, n_merges=CHARS_BPE_MERGES, mode="chars", max_chars=CHARS_MAX
+    )
+    lengths = B.bpe_token_lengths(
+        docs, merges, mode="chars", max_chars=CHARS_MAX
+    )
+    base = SHD.shard_base(docs, lengths=lengths)
+    return SHD.shard_manifest(SHD.shard_layout_from_lengths(base))
+
+
+def _sql_bpe_chars_doc_lengths(k: int, c: int) -> str:
+    """(doc_id, n_tokens) in chars-mode BPE space — the lengths_sql
+    seam for sql_shard_manifest, chunk-pre-segmented with no END
+    marker (mirrors bpe_token_lengths(mode="chars"))."""
+    ctes = [
+        f"""ch AS (
+  SELECT doc_id, substring(text, CAST((i - 1) * {c} AS INT) + 1, {c}) AS w, i
+  FROM documents,
+       UNNEST(range(1, CAST(ceil(len(text) / {c}.0) AS BIGINT) + 1)) t(i)
+)""",
+        """wc AS (
+  SELECT w AS word, COUNT(*) AS n FROM ch GROUP BY w
+)""",
+        """s0 AS (
+  SELECT word,
+         list_aggregate(string_split(word, ''), 'string_agg', chr(31))
+           AS s, n
+  FROM wc
+)""",
+    ]
+    for i in range(1, k + 1):
+        prev = f"s{i - 1}"
+        ctes.append(
+            f"""p{i} AS (
+  SELECT ss[CAST(i AS INT)] AS l, ss[CAST(i AS INT) + 1] AS r, SUM(n) AS c
+  FROM (SELECT string_split(s, chr(31)) AS ss, n FROM {prev}),
+       UNNEST(range(1, len(ss))) AS t(i)
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""m{i} AS (
+  SELECT l, r FROM p{i} WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"""s{i} AS (
+  SELECT word, {_BPE_FOLD.format(src=f'{prev}.s', m=f'm{i}')} AS s, n
+  FROM {prev}, m{i}
+)"""
+        )
+    ctes.append(
+        f"""wl AS (
+  SELECT word, CAST(len(string_split(s, chr(31))) AS BIGINT) AS wt
+  FROM s{k}
+)"""
+    )
+    ctes.append(
+        """dl AS (
+  SELECT ch.doc_id, SUM(wl.wt) AS n_tokens
+  FROM ch JOIN wl ON ch.w = wl.word GROUP BY ch.doc_id
+)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT d.doc_id, CAST(COALESCE(dl.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id"""
+
+
+def _training_shards_chars_sql() -> str:
+    from vcf_pg_loader_spark.operators.shards import sql_shard_manifest
+
+    return sql_shard_manifest(
+        lengths_sql=_sql_bpe_chars_doc_lengths(CHARS_BPE_MERGES, CHARS_MAX)
+    )
+
+
+def q_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The id-assignment vocabulary itself, value-pinned: learn
+    SHARD_BPE_MERGES merges, derive the alphabet from the corpus type
+    table, and emit the dense (id, piece) table a dataloader pairs
+    with the binary shards (operators/tokenids.py vocab_pieces —
+    specials, sorted alphabet + END, merge products in order;
+    first-wins collisions carry the earlier id).  Driver-mediated like
+    the other model-parameter queries (the vocabulary IS the model),
+    but the DuckDB twin rebuilds the identical table relationally, so
+    the ordering and offsets are hash-pinned."""
+    from vcf_pg_loader_spark.operators import bpe as B
+    from vcf_pg_loader_spark.operators.tokenids import (
+        alphabet_from_counts,
+        piece_ids,
+        vocab_pieces,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = B.bpe_learn_batched(docs, n_merges=SHARD_BPE_MERGES)
+    alphabet = alphabet_from_counts(B.word_counts(docs), "words")
+    pieces = vocab_pieces(alphabet, merges)
+    ids = piece_ids(alphabet, merges)
+    rows = [
+        (i, p) for i, p in enumerate(pieces) if ids[p] == i
+    ]  # canonical rows only — the table encode actually uses
+    return spark.createDataFrame(rows, "id int, piece string")
+
+
+def _vocab_ids_sql() -> str:
+    k = SHARD_BPE_MERGES
+    base = _sql_bpe_doc_lengths(k)
+    head = base[: base.rindex("SELECT d.doc_id")].rstrip()
+    merge_rows = "\n    UNION ALL ".join(
+        f"SELECT l || r AS piece, "
+        f"3 + (SELECT COUNT(*) FROM alpha) + {i - 1} AS id FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        head
+        + f""",
+alpha AS (
+  SELECT DISTINCT unnest(string_split(word, '')) AS ch FROM wc
+),
+vocab_raw AS (
+  SELECT '<pad>' AS piece, 0 AS id
+  UNION ALL SELECT '<unk>', 1
+  UNION ALL SELECT ch, 1 + row_number() OVER (ORDER BY ch) FROM alpha
+  UNION ALL SELECT '</w>', 2 + (SELECT COUNT(*) FROM alpha)
+  UNION ALL {merge_rows}
+)
+SELECT CAST(MIN(id) AS INT) AS id, piece
+FROM vocab_raw GROUP BY piece"""
+    )
+
+
 def _bpe_encode_chars_sql() -> str:
     """DuckDB twin of q_bpe_encode_chars: chunk each document into
     CHARS_MAX-character slices, re-derive the same merges over chunk
@@ -6253,6 +6398,8 @@ QUERIES = {
     "q_train_sequence_ids": q_train_sequence_ids,
     "q_train_sequences_masked": q_train_sequences_masked,
     "q_curriculum_card": q_curriculum_card,
+    "q_training_shards_chars": q_training_shards_chars,
+    "q_vocab_ids": q_vocab_ids,
     "q_train_sequences": q_train_sequences,
     "q_train_sequences_eos": q_train_sequences_eos,
     "q_train_sequences_trunc": q_train_sequences_trunc,
@@ -6372,6 +6519,8 @@ ORACLE = {
     "q_train_sequence_ids": _train_sequence_ids_sql(),
     "q_train_sequences_masked": _train_sequences_masked_sql(),
     "q_curriculum_card": _curriculum_card_sql(),
+    "q_training_shards_chars": _training_shards_chars_sql(),
+    "q_vocab_ids": _vocab_ids_sql(),
     "q_train_sequences": _train_sequences_sql(),
     "q_train_sequences_eos": _train_sequences_eos_sql(),
     "q_train_sequences_trunc": _train_sequences_trunc_sql(),
