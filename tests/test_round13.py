@@ -804,3 +804,80 @@ class TestIdsAndMaskTogether:
         assert "error" not in rep
         cols = set(spark.read.parquet(out).columns)
         assert {"tokens", "ids", "doc_bounds", "masked_positions"} <= cols
+
+
+class TestSeqDecontamTokenSpace:
+    def test_bpe_state_scans_in_piece_space(self, spark, tmp_path, capsys):
+        """seq-decontam --merges on a BPE-packed state: eval n-grams
+        encode with the state's tokenizer and hit the packed piece
+        streams; a planted eval doc that shares a piece trigram with
+        the train corpus is found."""
+        from vcf_pg_loader_spark.cli import main
+        from vcf_pg_loader_spark.operators.bpe import bpe_learn_local
+
+        rows = [
+            (i, " ".join(f"tok{j % 6}" for j in range(8)))
+            for i in range(20)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        corpus = str(tmp_path / "corpus")
+        docs.write.parquet(corpus)
+        merges = bpe_learn_local(docs, 6)
+        vocab = str(tmp_path / "vocab.json")
+        json.dump(
+            {"merges": [list(m) for m in merges], "corpus_fp": 42,
+             "n_docs": 20},
+            open(vocab, "w"),
+        )
+        from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+        t = str(tmp_path / "state")
+        sink = TrainingShardSink(
+            t, merges=merges, vocab_fp=42, n_shards=2, seq_len=16
+        )
+        sink.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        # eval shares text with train -> guaranteed piece-trigram hits
+        evals = str(tmp_path / "evals")
+        docs.limit(3).write.parquet(evals)
+        out = str(tmp_path / "rep")
+        assert main(
+            ["seq-decontam", "--state", t, "--corpus", corpus,
+             "--eval", evals, "--merges", vocab, "--out", out,
+             "--ngram", "3"]
+        ) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["token_space"] == "bpe"
+        assert rep["contaminated_seqs"] > 0 and rep["hits"] > 0
+
+        # disjoint eval: zero hits (piece vocabulary disjoint)
+        spark.createDataFrame(
+            [(900, "zz yy xx ww vv uu")], "doc_id bigint, text string"
+        ).write.parquet(str(tmp_path / "evals2"))
+        assert main(
+            ["seq-decontam", "--state", t, "--corpus", corpus,
+             "--eval", str(tmp_path / "evals2"), "--merges", vocab,
+             "--out", str(tmp_path / "rep2"), "--ngram", "3",
+             "--fail-on-hit"]
+        ) == 0
+        rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep2["contaminated_seqs"] == 0
+
+    def test_bpe_state_without_merges_refused(self, spark, tmp_path):
+        from vcf_pg_loader_spark.cli import main
+        from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+        docs = spark.createDataFrame(
+            [(0, "a b c d e f")], "doc_id bigint, text string"
+        )
+        corpus = str(tmp_path / "corpus")
+        docs.write.parquet(corpus)
+        t = str(tmp_path / "state")
+        TrainingShardSink(
+            t, merges=[("a", "b")], vocab_fp=1
+        ).apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        rc = main(
+            ["seq-decontam", "--state", t, "--corpus", corpus,
+             "--eval", corpus, "--out", str(tmp_path / "o"),
+             "--ngram", "2"]
+        )
+        assert rc == 2

@@ -1511,21 +1511,67 @@ def cmd_seq_decontam(args) -> int:
             file=sys.stderr,
         )
         return 2
-    if _persisted.get("token_space") == "bpe":
+    bpe_state = _persisted.get("token_space") == "bpe"
+    if bpe_state and not getattr(args, "merges", None):
         print(
-            "seq-decontam runs in whitespace space; this state is "
-            "BPE-packed — decontaminate the corpus pre-pack or "
-            "export pieces and scan those",
+            "this state is BPE-packed: pass --merges (the state's vocab "
+            "artifact) to decontaminate in TOKEN space — eval n-grams "
+            "are encoded with the same tokenizer and slid over the "
+            "packed piece streams",
             file=sys.stderr,
         )
         return 2
+    sep = " "
+    if bpe_state:
+        tok_kw, _art = _load_merges_artifact(args.merges)
+        kw.update(tok_kw)
+        # pieces may contain spaces in chars mode; join windows on a
+        # unit separator so shingle equality is piece-exact
+        sep = "\x1f"
     sink = TrainingShardSink(args.state, **kw)
+    sink._validate_params()  # wrong artifact for this state refuses
     n = args.ngram
     corpus = spark.read.parquet(args.corpus)
     evals = spark.read.parquet(args.eval)
-    ev_sh = (
-        shingles(evals, "doc_id", "text", n).select("shingle").distinct()
-    )
+    if bpe_state:
+        # eval shingles in PIECE space under the state's tokenizer
+        from vcf_pg_loader_spark.operators.bpe import (
+            bpe_encode_doc_arrow,
+        )
+
+        ev_enc = bpe_encode_doc_arrow(
+            evals.select("doc_id", "text"),
+            sink.merges,
+            mode=sink.token_mode,
+            max_chars=sink.max_chars,
+        )
+        ev_sh = (
+            ev_enc.filter(F.size("pieces") >= n)
+            .select(
+                "pieces",
+                F.explode(
+                    F.sequence(
+                        F.lit(0).cast("bigint"),
+                        (F.size("pieces") - n).cast("bigint"),
+                    )
+                ).alias("p"),
+            )
+            .select(
+                F.concat_ws(
+                    sep,
+                    F.slice(
+                        F.col("pieces"), (F.col("p") + 1).cast("int"), n
+                    ),
+                ).alias("shingle")
+            )
+            .distinct()
+        )
+    else:
+        ev_sh = (
+            shingles(evals, "doc_id", "text", n)
+            .select("shingle")
+            .distinct()
+        )
     lay = sink.layout(spark, epoch=getattr(args, "epoch", None))
     spans = shard_sequences(lay, sink.seq_len)
     seqs = sink.materialize_sequences(
@@ -1560,7 +1606,7 @@ def cmd_seq_decontam(args) -> int:
         "shard",
         "seq_id",
         F.concat_ws(
-            " ", F.slice(F.col("tokens"), (F.col("p") + 1).cast("int"), n)
+            sep, F.slice(F.col("tokens"), (F.col("p") + 1).cast("int"), n)
         ).alias("shingle"),
         F.exists(
             "bnds",
@@ -1587,6 +1633,7 @@ def cmd_seq_decontam(args) -> int:
         "state": args.state.rstrip("/"),
         "out": args.out,
         "ngram": n,
+        "token_space": "bpe" if bpe_state else "whitespace",
         "contaminated_seqs": int(agg["seqs"] or 0),
         "hits": int(agg["hits"] or 0),
         "cross_boundary_hits": int(agg["cross"] or 0),
@@ -2226,13 +2273,17 @@ def build_parser() -> argparse.ArgumentParser:
                   "shard state: eval n-grams in the packed streams, "
                   "incl. those assembled ACROSS document boundaries")
     sp.add_argument("--state", required=True,
-                    help="TrainingShardSink state dir (whitespace "
-                         "space)")
+                    help="TrainingShardSink state dir")
     sp.add_argument("--corpus", required=True,
                     help="train corpus parquet matching the layout")
     sp.add_argument("--eval", required=True,
                     help="eval corpus parquet (doc_id, text) — the "
                          "shingle vocabulary to scan for")
+    sp.add_argument("--merges",
+                    help="for a BPE-packed state: the state's vocab "
+                         "artifact (fingerprint-checked) — the scan "
+                         "then runs in TOKEN space, eval n-grams "
+                         "encoded with the same tokenizer")
     sp.add_argument("--out", required=True,
                     help="per-sequence contamination report parquet")
     sp.add_argument("--ngram", type=int, default=3)

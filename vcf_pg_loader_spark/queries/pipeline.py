@@ -5250,6 +5250,188 @@ GROUP BY 1, 2
 Q_SEQ_DECONTAM_SQL = _seq_decontam_sql()
 
 
+def q_seq_decontam_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-level decontamination in TOKEN space (the round-13
+    `seq-decontam --merges` path): a BPE-packed layout's streams are
+    PIECES, so eval n-grams must be encoded with the SAME tokenizer
+    and slid over the packed piece sequences — a piece-trigram can
+    materialize across a document boundary exactly like a word
+    trigram, and a whitespace scan of a BPE layout would window the
+    wrong offsets entirely (the refusal this path replaces).  Learn
+    the corpus tokenizer, pack the train split in token space, window
+    the assembled piece streams (unit-separator-joined: pieces may
+    contain spaces in chars mode), and join against the eval split's
+    piece-shingle vocabulary; same per-sequence hit/crossing report
+    as q_seq_decontam."""
+    from vcf_pg_loader_spark.operators import bpe as B
+    from vcf_pg_loader_spark.operators import sampling as SP
+    from vcf_pg_loader_spark.operators import shards as SHD
+
+    docs_all = load_table(spark, sf_dir, "documents")
+    merges = B.bpe_learn_batched(docs_all, n_merges=SHARD_BPE_MERGES)
+    split = SP.assign_split(docs_all, "doc_id", SPLIT_WEIGHTS)
+    train = split.filter(F.col("split") == "train").select(
+        "doc_id", "text"
+    )
+    evals = split.filter(F.col("split") != "train").select(
+        "doc_id", "text"
+    )
+    enc_train = B.bpe_encode_doc_arrow(train, merges)
+    lengths = enc_train.select(
+        "doc_id", F.size("pieces").cast("bigint").alias("n_tokens")
+    )
+    layout = SHD.shard_layout_from_lengths(
+        SHD.shard_base(train, lengths=lengths)
+    )
+    spans = SHD.shard_sequences(layout)
+    seqs = SHD.sequence_stream(spans, enc_train)
+    ev_enc = B.bpe_encode_doc_arrow(evals, merges)
+    ev_sh = (
+        ev_enc.filter(F.size("pieces") >= NGRAM)
+        .select(
+            "pieces",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    (F.size("pieces") - NGRAM).cast("bigint"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            F.concat_ws(
+                "\x1f",
+                F.slice(
+                    F.col("pieces"), (F.col("p") + 1).cast("int"), NGRAM
+                ),
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    bounds = (
+        spans.filter((F.col("tok_start") == 0) & (F.col("seq_off") > 0))
+        .groupBy("shard", "seq_id")
+        .agg(F.collect_list("seq_off").alias("bnds"))
+    )
+    seqs = seqs.join(bounds, ["shard", "seq_id"], "left").select(
+        "shard",
+        "seq_id",
+        "tokens",
+        F.coalesce(F.col("bnds"), F.array().cast("array<bigint>")).alias(
+            "bnds"
+        ),
+    )
+    windows = seqs.filter(F.size("tokens") >= NGRAM).select(
+        "shard",
+        "seq_id",
+        "tokens",
+        "bnds",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                (F.size("tokens") - NGRAM).cast("bigint"),
+            )
+        ).alias("p"),
+    )
+    sh = windows.select(
+        "shard",
+        "seq_id",
+        F.concat_ws(
+            "\x1f",
+            F.slice(F.col("tokens"), (F.col("p") + 1).cast("int"), NGRAM),
+        ).alias("shingle"),
+        F.exists(
+            "bnds",
+            lambda b: (b > F.col("p")) & (b <= F.col("p") + (NGRAM - 1)),
+        ).alias("crosses"),
+    )
+    hits = sh.join(F.broadcast(ev_sh), "shingle")
+    return hits.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.sum(F.col("crosses").cast("bigint")).alias("n_cross_boundary"),
+    )
+
+
+def _seq_decontam_bpe_sql() -> str:
+    from vcf_pg_loader_spark.operators import sampling as SP
+    from vcf_pg_loader_spark.operators.shards import sql_shard_sequences
+
+    k = SHARD_BPE_MERGES
+    enc = _bpe_encode_sql()
+    # everything up to `flat` (doc_id -> chr(31)-joined piece stream
+    # for EVERY document — train windows and eval shingles both read
+    # from it) plus the `dl` lengths CTE the same head carries
+    head = enc[: enc.rindex("SELECT d.doc_id")].rstrip()
+    case = SP.sql_assign_split("doc_id", SPLIT_WEIGHTS)
+    case_d = SP.sql_assign_split("d.doc_id", SPLIT_WEIGHTS)
+    train = (
+        "(SELECT d.doc_id, d.text FROM documents d "
+        f"WHERE ({case_d}) = 'train')"
+    )
+    spans = sql_shard_sequences(
+        table=train,
+        lengths_sql="SELECT doc_id, n_tokens FROM bpe_lens",
+    )
+    return (
+        head
+        + f""",
+bpe_lens AS (
+  SELECT d.doc_id, CAST(COALESCE(dl.n_tokens, 0) AS BIGINT) AS n_tokens
+  FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id
+),
+sp AS (SELECT doc_id, {case} AS split FROM documents),
+doc_stream AS (
+  SELECT d.doc_id,
+         string_split(COALESCE(flat.stream, ''), chr(31)) AS toks
+  FROM documents d LEFT JOIN flat ON flat.doc_id = d.doc_id
+),
+ev_sh AS (
+  SELECT DISTINCT
+         array_to_string(list_slice(ds.toks, CAST(i + 1 AS INT),
+                                    CAST(i + {NGRAM} AS INT)), chr(31))
+           AS shingle
+  FROM doc_stream ds JOIN sp USING (doc_id),
+       UNNEST(range(0, len(ds.toks) - {NGRAM} + 1)) AS t(i)
+  WHERE sp.split <> 'train'
+),
+spans AS ({spans}),
+parts AS (
+  SELECT s.shard, s.seq_id, s.seq_off, s.tok_start,
+         CASE WHEN s.tok_len > 0
+              THEN list_slice(ds.toks, CAST(s.tok_start + 1 AS INT),
+                              CAST(s.tok_start + s.tok_len AS INT))
+              ELSE [] END AS part
+  FROM spans s JOIN doc_stream ds ON ds.doc_id = s.doc_id
+),
+seqs AS (
+  SELECT shard, seq_id,
+         flatten(list(part ORDER BY seq_off)) AS toks,
+         list_filter(
+           list(CASE WHEN tok_start = 0 AND seq_off > 0
+                     THEN seq_off END ORDER BY seq_off),
+           b -> b IS NOT NULL) AS bnds
+  FROM parts GROUP BY 1, 2
+),
+sh AS (
+  SELECT shard, seq_id,
+         array_to_string(list_slice(toks, CAST(i + 1 AS INT),
+                                    CAST(i + {NGRAM} AS INT)), chr(31))
+           AS shingle,
+         len(list_filter(bnds,
+                         b -> b > i AND b <= i + {NGRAM - 1})) > 0
+           AS crosses
+  FROM seqs, UNNEST(range(0, len(toks) - {NGRAM} + 1)) AS t(i)
+)
+SELECT CAST(shard AS BIGINT) AS shard, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN crosses THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cross_boundary
+FROM sh JOIN ev_sh USING (shingle)
+GROUP BY 1, 2
+"""
+    )
+
+
+
 # deterministic span-corruption schedule (T5/UL2-style masking): span
 # starts where a position hash lands in 1/MASK_RATE of its range, each
 # span MASK_SPAN tokens; expected masked fraction = MASK_SPAN/MASK_RATE.
@@ -6400,6 +6582,7 @@ QUERIES = {
     "q_curriculum_card": q_curriculum_card,
     "q_training_shards_chars": q_training_shards_chars,
     "q_vocab_ids": q_vocab_ids,
+    "q_seq_decontam_bpe": q_seq_decontam_bpe,
     "q_train_sequences": q_train_sequences,
     "q_train_sequences_eos": q_train_sequences_eos,
     "q_train_sequences_trunc": q_train_sequences_trunc,
@@ -6521,6 +6704,7 @@ ORACLE = {
     "q_curriculum_card": _curriculum_card_sql(),
     "q_training_shards_chars": _training_shards_chars_sql(),
     "q_vocab_ids": _vocab_ids_sql(),
+    "q_seq_decontam_bpe": _seq_decontam_bpe_sql(),
     "q_train_sequences": _train_sequences_sql(),
     "q_train_sequences_eos": _train_sequences_eos_sql(),
     "q_train_sequences_trunc": _train_sequences_trunc_sql(),
