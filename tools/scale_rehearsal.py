@@ -71,6 +71,10 @@ def gen_corpus(spark, n_docs: int, seed: int, start_id: int = 0):
 def run_cli(*argv) -> tuple[float, str]:
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
+    # 100k-doc syncs hit JVM GCLocker alloc stalls at the 8g default
+    # (heavy parallel Arrow allocation during the cluster-state cache
+    # build); the rehearsal box has headroom — use it
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     t0 = time.monotonic()
     r = subprocess.run(
         [sys.executable, "-m", "vcf_pg_loader_spark.cli", *argv],
