@@ -681,28 +681,44 @@ def _previous_detail() -> dict | None:
 
 DRIFT_RATIO = 1.5  # warm slower than last round by this much = drifter
 DRIFT_FLOOR_SEC = 0.5  # ignore sub-noise-floor queries
+DRIFT_ABS_SEC = 1.0  # round-13 verdict item 3: absolute-seconds gate
 DRIFT_TOP_N = 5
 DRIFT_REPS = 3
+# serve-path latencies pinned every round regardless of drift (round-13
+# verdict item 6: q_ann_reindex moved 2.13x unmeasured; SCALE.md cites
+# these medians as the reindex-cost claim)
+DRIFT_PINNED = ("q_ann_reindex", "q_ann_cell_stats")
 
 
 def drifter_remeasures(
-    spark, sf_dir: str, timings: dict, prev: dict | None
+    spark,
+    sf_dir: str,
+    timings: dict,
+    prev: dict | None,
+    control_ratio: float = 1.0,
 ) -> dict:
     """Round-11 verdict item 6: two rounds running, spike 'regressions'
     in the sweep were hand-re-measured idle and found to be transient
     (single-JVM 180-query sessions accumulate cleanup pressure).  This
-    folds that protocol into the bench itself: the top-N warm deltas vs
-    the previous COMMITTED BENCH_DETAIL re-run DRIFT_REPS times after
-    the sweep (the idle tail of the session), and the medians land in
-    BENCH_DETAIL as `drifter_remeasures` so round docs cite an artifact
-    instead of ad-hoc shell runs."""
-    if not prev:
-        return {}
-    prev_q = prev.get("queries") or {}
+    folds that protocol into the bench itself: drifting queries re-run
+    DRIFT_REPS times after the sweep (the idle tail of the session),
+    and the medians land in BENCH_DETAIL as `drifter_remeasures` so
+    round docs cite an artifact instead of ad-hoc shell runs.
+
+    Round-14 (verdict item 3): selection is the UNION of the top-N
+    RATIO spikes and the top-N ABSOLUTE regressions (warm exceeding
+    the control-adjusted previous warm by DRIFT_ABS_SEC), both
+    normalized by `control_ratio` (this round's control pair over last
+    round's) so box drift neither masks real regressions nor
+    manufactures fake ones — a +5 s regression at 1.48x no longer
+    slips under the ratio-only top-5.  DRIFT_PINNED queries re-measure
+    every round regardless."""
+    prev_q = (prev or {}).get("queries") or {}
     from vcf_pg_loader_spark.queries import all_queries
 
     registry = all_queries()
-    drifters = []
+    norm = max(float(control_ratio or 1.0), 1e-6)
+    scored = []
     for name, t in timings.items():
         warm = t.get("warm_sec")
         p = prev_q.get(name)
@@ -711,12 +727,34 @@ def drifter_remeasures(
             continue
         if warm < DRIFT_FLOOR_SEC:
             continue
-        ratio = warm / prev_warm
-        if ratio >= DRIFT_RATIO:
-            drifters.append((ratio, name, prev_warm, warm))
-    drifters.sort(reverse=True)
+        adj_prev = prev_warm * norm  # prev warm at today's box speed
+        ratio = warm / adj_prev
+        excess = warm - adj_prev
+        scored.append((name, prev_warm, warm, ratio, excess))
+    by_ratio = sorted(scored, key=lambda s: -s[3])
+    by_abs = sorted(scored, key=lambda s: -s[4])
+    selected: dict[str, tuple] = {}
+    for s in by_ratio[:DRIFT_TOP_N]:
+        if s[3] >= DRIFT_RATIO:
+            selected[s[0]] = s
+    for s in by_abs[:DRIFT_TOP_N]:
+        if s[4] >= DRIFT_ABS_SEC:
+            selected[s[0]] = s
+    for name in DRIFT_PINNED:
+        if name in selected or name not in registry:
+            continue
+        t = timings.get(name) or {}
+        warm = t.get("warm_sec")
+        p = prev_q.get(name)
+        prev_warm = p.get("warm_sec") if isinstance(p, dict) else None
+        if warm:
+            adj = (prev_warm or warm) * norm
+            selected[name] = (
+                name, prev_warm, warm, warm / adj if adj else None,
+                warm - adj if prev_warm else None,
+            )
     out: dict[str, dict] = {}
-    for ratio, name, prev_warm, warm in drifters[:DRIFT_TOP_N]:
+    for name, prev_warm, warm, ratio, excess in selected.values():
         reps = []
         for _ in range(DRIFT_REPS):
             spark.catalog.clearCache()
@@ -728,14 +766,23 @@ def drifter_remeasures(
             reps.append(round(time.perf_counter() - t0, 3))
         spark.catalog.clearCache()
         med = sorted(reps)[len(reps) // 2] if reps else None
+        adj_prev = prev_warm * norm if prev_warm else None
         out[name] = {
             "prev_warm_sec": prev_warm,
             "sweep_warm_sec": warm,
-            "sweep_ratio": round(ratio, 2),
+            "control_ratio": round(norm, 3),
+            "sweep_ratio": round(ratio, 2) if ratio else None,
+            "sweep_abs_excess_sec": (
+                round(excess, 3) if excess is not None else None
+            ),
+            "pinned": name in DRIFT_PINNED,
             "remeasure_secs": reps,
             "remeasure_median_sec": med,
-            "transient": (
-                bool(med is not None and med / prev_warm < DRIFT_RATIO)
+            "transient": bool(
+                med is not None
+                and adj_prev is not None
+                and med / adj_prev < DRIFT_RATIO
+                and med - adj_prev < DRIFT_ABS_SEC
             ),
         }
     return out
@@ -890,11 +937,21 @@ def main() -> None:
     bpe_tp = bpe_encode_throughput(spark, sf_dir)
     print(f"# bpe_encode: {bpe_tp}", file=sys.stderr)
 
-    drifters = drifter_remeasures(spark, sf_dir, timings, prev_detail)
-    print(f"# drifter_remeasures: {drifters}", file=sys.stderr)
-
+    # control BEFORE the drifter pass: its ratio vs last round's
+    # committed control normalizes drift selection (box-speed changes
+    # must neither mask real regressions nor manufacture fake ones)
     control = bench_control(spark, sf_dir)
     print(f"# control: {control}", file=sys.stderr)
+    prev_ctrl = ((prev_detail or {}).get("control") or {}).get(
+        "median_wall_sec"
+    )
+    control_ratio = (
+        control["median_wall_sec"] / prev_ctrl if prev_ctrl else 1.0
+    )
+    drifters = drifter_remeasures(
+        spark, sf_dir, timings, prev_detail, control_ratio
+    )
+    print(f"# drifter_remeasures: {drifters}", file=sys.stderr)
     warm_total = round(
         sum(t["warm_sec"] for t in timings.values() if t.get("warm_sec")), 3
     )

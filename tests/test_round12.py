@@ -113,8 +113,11 @@ class TestSyncCorpusShardsMerges:
         ) == 0
         capsys.readouterr()
 
+        from vcf_pg_loader_spark.operators.bpe import tokenizer_fingerprint
+
+        tfp = tokenizer_fingerprint([tuple(m) for m in merges])
         sink = TrainingShardSink(
-            shards, merges=[tuple(m) for m in merges], vocab_fp=99
+            shards, merges=[tuple(m) for m in merges], vocab_fp=tfp
         )
         got = {
             r.doc_id: r.n_tokens for r in sink.layout(spark).collect()
@@ -129,10 +132,14 @@ class TestSyncCorpusShardsMerges:
         ws = {r.doc_id: r.n_tokens for r in SH.shard_base(docs).collect()}
         assert got != ws
 
-        # a different vocab must refuse the state
+        # a different TOKENIZER must refuse the state (round-14: the
+        # fingerprint is tokenizer identity, so the refusing artifact
+        # needs different merges, not a different corpus_fp)
         vocab2 = str(tmp_path / "vocab2.json")
         with open(vocab2, "w") as fh:
-            json.dump({"merges": merges, "corpus_fp": 7, "n_docs": 40}, fh)
+            json.dump(
+                {"merges": [["a", "l"]], "corpus_fp": 7, "n_docs": 40}, fh
+            )
         with pytest.raises(ValueError, match="parameters"):
             main(
                 ["sync-corpus", "--state", state, "--snapshot", snap,
@@ -455,9 +462,11 @@ class TestEmitPieces:
              "n_docs": 30},
             open(vocab, "w"),
         )
+        from vcf_pg_loader_spark.operators.bpe import tokenizer_fingerprint
+
         t = str(tmp_path / "state")
         sink = TrainingShardSink(
-            t, merges=merges, vocab_fp=5
+            t, merges=merges, vocab_fp=tokenizer_fingerprint(merges)
         )
         sink.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
 
@@ -594,9 +603,12 @@ class TestExportSequences:
         from vcf_pg_loader_spark.operators import shards as SH
         from vcf_pg_loader_spark.operators.bpe import bpe_encode_doc_arrow
 
+        from vcf_pg_loader_spark.operators.bpe import tokenizer_fingerprint
+
         merges = [("t", "1"), ("t", "2")]
         docs, corpus, t, sink = self._setup(
-            spark, tmp_path, merges=merges, vocab_fp=11
+            spark, tmp_path, merges=merges,
+            vocab_fp=tokenizer_fingerprint(merges),
         )
         vocab = str(tmp_path / "vocab.json")
         json.dump(

@@ -39,9 +39,14 @@ class TestEmitPiecesMaxDocTokens:
              "n_docs": 20},
             open(vocab, "w"),
         )
+        from vcf_pg_loader_spark.operators.bpe import (
+            tokenizer_fingerprint,
+        )
+
         t = str(tmp_path / "state")
         sink = TrainingShardSink(
-            t, merges=merges, vocab_fp=9, doc_sep=1, max_doc_tokens=5
+            t, merges=merges, vocab_fp=tokenizer_fingerprint(merges),
+            doc_sep=1, max_doc_tokens=5,
         )
         sink.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
         out = str(tmp_path / "export")
@@ -174,9 +179,14 @@ class TestExportSequencesIds:
              "n_docs": 40, "alphabet": alphabet},
             open(vocab, "w"),
         )
+        from vcf_pg_loader_spark.operators.bpe import (
+            tokenizer_fingerprint,
+        )
+
         t = str(tmp_path / "state")
         sink = TrainingShardSink(
-            t, merges=merges, vocab_fp=11, n_shards=4, seq_len=16
+            t, merges=merges, vocab_fp=tokenizer_fingerprint(merges),
+            n_shards=4, seq_len=16,
         )
         sink.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
         out = str(tmp_path / "seqs")
@@ -226,8 +236,15 @@ class TestExportSequencesIds:
             {"merges": [["a", "b"]], "corpus_fp": 3, "n_docs": 5},
             open(vocab, "w"),
         )  # pre-round-13 artifact: no alphabet
+        from vcf_pg_loader_spark.operators.bpe import (
+            tokenizer_fingerprint,
+        )
+
         t = str(tmp_path / "state")
-        sink = TrainingShardSink(t, merges=[("a", "b")], vocab_fp=3)
+        sink = TrainingShardSink(
+            t, merges=[("a", "b")],
+            vocab_fp=tokenizer_fingerprint([("a", "b")]),
+        )
         sink.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
         rc = main(
             ["export-sequences", "--state", t, "--corpus", corpus,
@@ -329,12 +346,20 @@ class TestRepackMerges:
         from vcf_pg_loader_spark.operators.bpe import bpe_learn_local
         from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
 
+        from vcf_pg_loader_spark.operators.bpe import tokenizer_fingerprint
+
         docs = self._docs(spark)
         corpus = str(tmp_path / "corpus")
         docs.write.parquet(corpus)
+        # the round-13-advice canonical migration: SAME corpus, more
+        # merges — corpus_fp is identical, only the tokenizer changes.
+        # The no-op refusal must key on tokenizer identity, so this
+        # repack proceeds (under corpus_fp keying it falsely refused).
         m1 = bpe_learn_local(docs, 4)
         m2 = bpe_learn_local(docs, 12)
         assert m1 != m2
+        tfp1 = tokenizer_fingerprint(m1)
+        tfp2 = tokenizer_fingerprint(m2)
         v2 = str(tmp_path / "vocab2.json")
         json.dump(
             {"merges": [list(m) for m in m2], "corpus_fp": 222,
@@ -343,7 +368,7 @@ class TestRepackMerges:
         )
         t = str(tmp_path / "state")
         sink1 = TrainingShardSink(
-            t, merges=m1, vocab_fp=111, n_shards=4, seq_len=16, doc_sep=1
+            t, merges=m1, vocab_fp=tfp1, n_shards=4, seq_len=16, doc_sep=1
         )
         sink1.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
 
@@ -351,16 +376,18 @@ class TestRepackMerges:
             ["repack", "--state", t, "--merges", v2, "--corpus", corpus]
         ) == 0
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-        assert rep["vocab_fp_old"] == 111 and rep["vocab_fp_new"] == 222
+        # the artifact above predates tokenizer_fp stamping; the loader
+        # recomputes it from the merges themselves
+        assert rep["vocab_fp_old"] == tfp1 and rep["vocab_fp_new"] == tfp2
 
         # tuple-equal to a from-scratch build under the new vocab
         t2 = str(tmp_path / "scratch")
         sink2 = TrainingShardSink(
-            t2, merges=m2, vocab_fp=222, n_shards=4, seq_len=16, doc_sep=1
+            t2, merges=m2, vocab_fp=tfp2, n_shards=4, seq_len=16, doc_sep=1
         )
         sink2.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
         migrated = TrainingShardSink(
-            t, merges=m2, vocab_fp=222, n_shards=4, seq_len=16, doc_sep=1
+            t, merges=m2, vocab_fp=tfp2, n_shards=4, seq_len=16, doc_sep=1
         )
         for table in ("layout", "manifest"):
             got = sorted(
@@ -371,14 +398,24 @@ class TestRepackMerges:
             )
             assert got == want, table
 
-        # the old artifact refuses the migrated state
+        # the old artifact refuses the migrated state — even though it
+        # was trained on the SAME corpus (identical corpus_fp): the
+        # tokenizer fingerprint is what separates them
         with pytest.raises(ValueError, match="parameters"):
             TrainingShardSink(
-                t, merges=m1, vocab_fp=111, n_shards=4, seq_len=16,
+                t, merges=m1, vocab_fp=tfp1, n_shards=4, seq_len=16,
                 doc_sep=1,
             ).apply_batch(
                 docs.withColumn(MULT, F.lit(1).cast("bigint")), 1
             )
+
+        # and a repack under the tokenizer the state already has is a
+        # refused no-op (the round-13-advice check: keyed on tokenizer
+        # identity, not corpus identity)
+        from vcf_pg_loader_spark.streaming.shards import repack_merges
+
+        with pytest.raises(ValueError, match="already packed"):
+            repack_merges(spark, t, docs, m2, tfp2)
 
         # delta maintenance resumes under the new fingerprint
         docs2 = self._docs(spark, n=46, extra=3)
@@ -789,9 +826,14 @@ class TestIdsAndMaskTogether:
              "n_docs": 24, "alphabet": alphabet},
             open(vocab, "w"),
         )
+        from vcf_pg_loader_spark.operators.bpe import (
+            tokenizer_fingerprint,
+        )
+
         t = str(tmp_path / "state")
         sink = TrainingShardSink(
-            t, merges=merges, vocab_fp=21, n_shards=2, seq_len=8
+            t, merges=merges, vocab_fp=tokenizer_fingerprint(merges),
+            n_shards=2, seq_len=8,
         )
         sink.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
         out = str(tmp_path / "seqs")
@@ -831,9 +873,14 @@ class TestSeqDecontamTokenSpace:
         )
         from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
 
+        from vcf_pg_loader_spark.operators.bpe import (
+            tokenizer_fingerprint,
+        )
+
         t = str(tmp_path / "state")
         sink = TrainingShardSink(
-            t, merges=merges, vocab_fp=42, n_shards=2, seq_len=16
+            t, merges=merges, vocab_fp=tokenizer_fingerprint(merges),
+            n_shards=2, seq_len=16,
         )
         sink.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
         # eval shares text with train -> guaranteed piece-trigram hits

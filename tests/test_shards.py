@@ -360,8 +360,15 @@ class TestTokenizerSpacePacking:
         assert all(bpe[d] > ws[d] for d in ws)
 
     def test_incremental_equals_scratch_bpe(self, spark, tmp_path):
+        from vcf_pg_loader_spark.operators.bpe import (
+            tokenizer_fingerprint,
+        )
+
         t = str(tmp_path / "state")
-        sink = TrainingShardSink(t, merges=self.MERGES, vocab_fp=42)
+        sink = TrainingShardSink(
+            t, merges=self.MERGES,
+            vocab_fp=tokenizer_fingerprint(self.MERGES),
+        )
         d0 = _docs(spark, range(120))
         sink.apply_batch(d0.withColumn(MULT, F.lit(1).cast("bigint")), 0)
         d1 = _docs(spark, range(20, 160))
@@ -369,8 +376,15 @@ class TestTokenizerSpacePacking:
         assert _served(sink, spark) == self._scratch_bpe(spark, d1)
 
     def test_vocab_fingerprint_refused(self, spark, tmp_path):
+        from vcf_pg_loader_spark.operators.bpe import (
+            tokenizer_fingerprint,
+        )
+
         t = str(tmp_path / "state")
-        sink = TrainingShardSink(t, merges=self.MERGES, vocab_fp=42)
+        sink = TrainingShardSink(
+            t, merges=self.MERGES,
+            vocab_fp=tokenizer_fingerprint(self.MERGES),
+        )
         d0 = _docs(spark, range(40))
         sink.apply_batch(d0.withColumn(MULT, F.lit(1).cast("bigint")), 0)
         # a different vocab fingerprint must refuse
@@ -385,8 +399,15 @@ class TestTokenizerSpacePacking:
             ws.apply_batch(d0.withColumn(MULT, F.lit(1).cast("bigint")), 2)
 
     def test_bpe_delta_repack_stays_pruned(self, spark, tmp_path):
+        from vcf_pg_loader_spark.operators.bpe import (
+            tokenizer_fingerprint,
+        )
+
         t = str(tmp_path / "state")
-        sink = TrainingShardSink(t, merges=self.MERGES, vocab_fp=42)
+        sink = TrainingShardSink(
+            t, merges=self.MERGES,
+            vocab_fp=tokenizer_fingerprint(self.MERGES),
+        )
         d0 = _docs(spark, range(150))
         sink.apply_batch(d0.withColumn(MULT, F.lit(1).cast("bigint")), 0)
         inodes = TestPrunedShardWrites._inodes
@@ -431,8 +452,15 @@ class TestTokenizerSpacePacking:
                 {"merges": [list(m) for m in self.MERGES],
                  "corpus_fp": 42, "n_docs": 60}, fh
             )
+        from vcf_pg_loader_spark.operators.bpe import (
+            tokenizer_fingerprint,
+        )
+
         t = str(tmp_path / "state")
-        sink = TrainingShardSink(t, merges=self.MERGES, vocab_fp=42)
+        sink = TrainingShardSink(
+            t, merges=self.MERGES,
+            vocab_fp=tokenizer_fingerprint(self.MERGES),
+        )
         sink.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
 
         out = str(tmp_path / "export")

@@ -18,12 +18,24 @@ then runs the EXACT trainer-facing loop the engine advertises:
                           (reads O(requested shards))
   5. delta sync         — +1% new docs; the O(|delta|) claim measured,
                           including how many shard partitions rewrote
+  6. pre-diffed delta   — the same small change via sync-corpus
+                          --delta (the CDC feed path, no snapshot
+                          self-diff, XOR-folded epoch stamp)
 
-Writes one JSON blob (default SCALE_r13.json at the repo root) with
+Round 14 adds per-stage ATTRIBUTION of the bootstrap's near-dup gate
+(lsh_profile: band-bucket skew, candidate pairs, verify-join input
+rows, verified pairs, CC rounds — the counters that localized the
+round-13 "5.1x wall at 2x docs" to LSH false-candidate density) and
+the collision-density knobs (--minhash-k/--bands/--threshold),
+forwarded to every sync so the profile describes exactly the
+parameters the sync ran.  --profile-only runs just the corpus gen +
+profile.
+
+Writes one JSON blob (default SCALE_r14.json at the repo root) with
 per-step wall times, corpus/token totals, and the max per-shard row
 count (the skew the hash assignment must bound).  Run on an idle box:
 
-    python tools/scale_rehearsal.py [--docs 50000] [--out SCALE_r13.json]
+    python tools/scale_rehearsal.py [--docs 50000] [--out SCALE_r14.json]
 """
 
 from __future__ import annotations
@@ -68,6 +80,112 @@ def gen_corpus(spark, n_docs: int, seed: int, start_id: int = 0):
     ).select("doc_id", "text", "source")
 
 
+def lsh_profile(spark, snap: str, ngram: int, k: int, bands: int,
+                threshold: float) -> dict:
+    """Per-stage attribution of the bootstrap sync's near-dup gate
+    (round-13 verdict item 1): the SAME operator pipeline the
+    DedupClusterMaintSink bootstrap runs (shingle -> MinHash -> band ->
+    candidate pairs -> exact-Jaccard verify -> connected components),
+    instrumented with row counts and per-stage wall so superlinear
+    growth can be localized rather than suspected.  Counts:
+
+      band_bucket_max / candidate_pairs_pre_distinct — bucket-size skew
+          and sum C(size,2) over band buckets, the pair volume the
+          bucket join MUST emit before distinct (pure aggregate over
+          bucket sizes, no join)
+      candidate_pairs — |distinct (d1,d2)| entering verification
+      verify_input_rows — exact input row count of the verify join
+          (sum over pairs of both sides' shingle counts, computed from
+          aggregates, not by materializing the join)
+      verified_pairs / cc_edges / cc_rounds — true near-dup edges and
+          the label-propagation round count
+    """
+    from pyspark.sql import functions as F
+
+    from vcf_pg_loader_spark.operators import dedup as D
+
+    prof: dict = {"ngram": ngram, "k": k, "bands": bands,
+                  "threshold": threshold}
+    docs = spark.read.parquet(snap).select("doc_id", "text")
+
+    from pyspark.storagelevel import StorageLevel
+
+    t0 = time.monotonic()
+    sh = D.shingles(docs, "doc_id", "text", ngram).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    prof["shingle_rows"] = sh.count()
+    prof["shingle_sec"] = round(time.monotonic() - t0, 2)
+
+    t0 = time.monotonic()
+    sig = D.minhash_signatures(sh, k).persist(StorageLevel.MEMORY_AND_DISK)
+    prof["signature_rows"] = sig.count()
+    prof["signature_sec"] = round(time.monotonic() - t0, 2)
+
+    t0 = time.monotonic()
+    buckets = (
+        D.lsh_band_table(sig, k, bands)
+        .groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("sz").alias("max_sz"),
+            F.sum(
+                (F.col("sz") * (F.col("sz") - 1) / 2).cast("bigint")
+            ).alias("pairs_pre"),
+        )
+        .collect()[0]
+    )
+    prof["band_buckets"] = int(buckets["n_buckets"])
+    prof["band_bucket_max"] = int(buckets["max_sz"])
+    prof["candidate_pairs_pre_distinct"] = int(buckets["pairs_pre"])
+    prof["bucket_stats_sec"] = round(time.monotonic() - t0, 2)
+
+    t0 = time.monotonic()
+    cands = D.lsh_candidate_pairs(sig, k, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    prof["candidate_pairs"] = cands.count()
+    prof["candidate_pairs_sec"] = round(time.monotonic() - t0, 2)
+
+    # exact verify-join input rows from aggregates: sum over pairs of
+    # each side's shingle count (the rows the two verify joins feed the
+    # per-pair intersection groupBy)
+    t0 = time.monotonic()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    vin = 0
+    for side in ("d1", "d2"):
+        vin += (
+            cands.groupBy(side)
+            .agg(F.count(F.lit(1)).alias("np"))
+            .join(sizes, F.col(side) == F.col("doc_id"))
+            .agg(F.sum(F.col("np") * F.col("n_sh")))
+            .collect()[0][0]
+            or 0
+        )
+    prof["verify_input_rows"] = int(vin)
+
+    verified = D.verify_candidate_jaccard(cands, sh, threshold).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    prof["verified_pairs"] = verified.count()
+    prof["verify_sec"] = round(time.monotonic() - t0, 2)
+
+    t0 = time.monotonic()
+    cc_stats: dict = {}
+    D.connected_components(
+        verified.select("d1", "d2"), stats=cc_stats
+    ).count()
+    prof.update(cc_stats)
+    prof["cc_sec"] = round(time.monotonic() - t0, 2)
+
+    verified.unpersist()
+    cands.unpersist()
+    sig.unpersist()
+    sh.unpersist()
+    return prof
+
+
 def run_cli(*argv) -> tuple[float, str]:
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
@@ -93,23 +211,64 @@ def run_cli(*argv) -> tuple[float, str]:
 
 
 def main() -> int:
+    from vcf_pg_loader_spark.queries.pipeline import (
+        JACCARD_T,
+        MINHASH_BANDS,
+        MINHASH_K,
+        NGRAM,
+    )
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=50_000)
-    ap.add_argument("--out", default=os.path.join(REPO, "SCALE_r13.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "SCALE_r14.json"))
     ap.add_argument("--n-merges", type=int, default=512)
     ap.add_argument("--keep-workdir", action="store_true")
+    # LSH collision-density knobs (round-13 verdict item 1): forwarded
+    # to every sync-corpus call AND to the attribution profile, so the
+    # measured pair counts describe exactly the parameters the sync ran
+    ap.add_argument("--ngram", type=int, default=NGRAM)
+    ap.add_argument("--minhash-k", type=int, default=MINHASH_K)
+    ap.add_argument("--bands", type=int, default=MINHASH_BANDS)
+    ap.add_argument("--threshold", type=float, default=JACCARD_T)
+    ap.add_argument("--profile-only", action="store_true",
+                    help="generate the corpus and run the per-stage LSH "
+                         "attribution profile, skipping the timed "
+                         "sync/train/export steps")
     args = ap.parse_args()
 
     from vcf_pg_loader_spark.session import get_spark
 
     spark = get_spark(app_name="scale-rehearsal")
     work = tempfile.mkdtemp(prefix="scale_rehearsal_")
-    report: dict = {"n_docs": args.docs, "n_merges": args.n_merges}
+    lsh_args = [
+        "--ngram", str(args.ngram), "--minhash-k", str(args.minhash_k),
+        "--bands", str(args.bands), "--threshold", str(args.threshold),
+    ]
+    report: dict = {
+        "n_docs": args.docs,
+        "n_merges": args.n_merges,
+        "lsh_params": {
+            "ngram": args.ngram, "k": args.minhash_k,
+            "bands": args.bands, "threshold": args.threshold,
+        },
+    }
     try:
         snap = os.path.join(work, "snap.parquet")
         t0 = time.monotonic()
         gen_corpus(spark, args.docs, seed=13).write.parquet(snap)
         report["gen_sec"] = round(time.monotonic() - t0, 2)
+
+        report["lsh_profile"] = lsh_profile(
+            spark, snap, args.ngram, args.minhash_k, args.bands,
+            args.threshold,
+        )
+        if args.profile_only:
+            with open(args.out, "w") as fh:
+                json.dump(report, fh, indent=1, sort_keys=True)
+            print(json.dumps(report, sort_keys=True))
+            if not args.keep_workdir:
+                shutil.rmtree(work, ignore_errors=True)
+            return 0
 
         vocab = os.path.join(work, "vocab.json")
         w, out = run_cli(
@@ -127,7 +286,7 @@ def main() -> int:
             "sync-corpus", "--state", state, "--snapshot", snap,
             "--batch-id", "0", "--shards-state", shards,
             "--shards-merges", vocab, "--vocab-state", vstate,
-            "--out", kept,
+            "--out", kept, *lsh_args,
         )
         report["sync_bootstrap_sec"] = round(w, 2)
         sync_rep = json.loads(out)
@@ -191,6 +350,7 @@ def main() -> int:
             "sync-corpus", "--state", state, "--snapshot", snap2,
             "--batch-id", "1", "--shards-state", shards,
             "--shards-merges", vocab, "--vocab-state", vstate,
+            *lsh_args,
         )
         report["sync_delta_1pct_sec"] = round(w, 2)
         after = file_inodes()
@@ -216,12 +376,30 @@ def main() -> int:
             "sync-corpus", "--state", state, "--snapshot", snap3,
             "--batch-id", "2", "--shards-state", shards,
             "--shards-merges", vocab, "--vocab-state", vstate,
+            *lsh_args,
         )
         report["sync_delta_5doc_sec"] = round(w, 2)
         after = file_inodes()
         report["tiny_delta_shard_dirs_rewritten"] = sum(
             1 for d in before if after.get(d) != before[d]
         )
+
+        # the same 5-doc-scale change as a PRE-DIFFED CDC feed
+        # (sync-corpus --delta, round-13 verdict item 2): no snapshot
+        # self-diff scan, epoch fingerprint folded forward in XOR
+        # algebra — the O(|delta|) end-to-end path
+        tiny2 = gen_corpus(spark, 5, seed=41, start_id=30_000_000)
+        feed_pq = os.path.join(work, "delta_feed.parquet")
+        tiny2.withColumn(
+            "_mult", F.lit(1).cast("bigint")
+        ).write.parquet(feed_pq)
+        w, out = run_cli(
+            "sync-corpus", "--state", state, "--delta", feed_pq,
+            "--batch-id", "3", "--shards-state", shards,
+            "--shards-merges", vocab, "--vocab-state", vstate,
+            *lsh_args,
+        )
+        report["sync_delta_5doc_prediffed_sec"] = round(w, 2)
     finally:
         if not args.keep_workdir:
             shutil.rmtree(work, ignore_errors=True)

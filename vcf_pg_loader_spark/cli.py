@@ -62,21 +62,33 @@ def _sink_kwargs_from_state(state_dir: str):
 
 def _load_merges_artifact(path: str) -> tuple[dict, dict]:
     """Read a train-vocab artifact into (TrainingShardSink kwargs, the
-    raw artifact): the merge table, the corpus fingerprint downstream
-    state refuses on, and the pre-segmentation mode the merges were
-    learned under (chars mode changes every token length, so a sink
-    built from this dict fingerprints it too).  The raw artifact rides
-    along for consumers that need more than the sink does (e.g. the
-    id-assignment alphabet for --emit-ids)."""
+    raw artifact): the merge table, the TOKENIZER fingerprint
+    downstream state refuses on, and the pre-segmentation mode the
+    merges were learned under (chars mode changes every token length,
+    so a sink built from this dict fingerprints it too).  vocab_fp is
+    tokenizer identity — merges + mode + max_chars — NOT corpus_fp:
+    retraining the same corpus with a different --n-merges must refuse
+    against a layout packed under the old merges (round-13 advice
+    item 2).  Artifacts stamped before tokenizer_fp existed get it
+    recomputed from their own contents, so old files keep loading.
+    The raw artifact rides along for consumers that need more than the
+    sink does (e.g. the id-assignment alphabet for --emit-ids)."""
+    from vcf_pg_loader_spark.operators.bpe import tokenizer_fingerprint
+
     with open(path) as fh:
         art = json.load(fh)
+    merges = [tuple(m) for m in art["merges"]]
+    mode = art.get("mode", "words")
+    max_chars = art.get("max_chars")
     kw = {
-        "merges": [tuple(m) for m in art["merges"]],
-        "vocab_fp": art["corpus_fp"],
-        "token_mode": art.get("mode", "words"),
+        "merges": merges,
+        "vocab_fp": art.get(
+            "tokenizer_fp", tokenizer_fingerprint(merges, mode, max_chars)
+        ),
+        "token_mode": mode,
     }
-    if art.get("max_chars") is not None:
-        kw["max_chars"] = art["max_chars"]
+    if max_chars is not None:
+        kw["max_chars"] = max_chars
     return kw, art
 
 
@@ -568,62 +580,260 @@ def cmd_sync_corpus(args) -> int:
     diff-then-apply."""
     from pyspark.sql import functions as F
 
+    from vcf_pg_loader_spark.functions.hashing import h60
     from vcf_pg_loader_spark.operators.ivm import MULT, zset_snapshot_delta
     from vcf_pg_loader_spark.streaming.retract import DedupClusterMaintSink
 
+    use_delta = bool(getattr(args, "delta", None))
+    if bool(args.snapshot) == use_delta:
+        print("sync-corpus needs exactly one of --snapshot or --delta",
+              file=sys.stderr)
+        return 2
+    if use_delta and args.mix_budget:
+        print(
+            "--mix-budget needs --snapshot: the per-source quotas are a "
+            "function of the FULL kept corpus's source map, which a "
+            "pre-diffed delta does not carry",
+            file=sys.stderr,
+        )
+        return 2
     spark = _spark()
     sink = DedupClusterMaintSink(
         args.state, args.ngram, args.minhash_k, args.bands, args.threshold
     )
-    new = spark.read.parquet(args.snapshot).select("doc_id", "text")
-    old = sink._table(spark, "corpus")
-    if old is None:
-        # no state yet: the whole snapshot is the delta (bootstrap)
-        old = spark.createDataFrame([], "doc_id long, text string")
-    # materialize the delta BEFORE any apply: the cluster sink's swap
-    # replaces the very corpus files the lazy delta plan reads, so a
-    # second consumer (the funnel sink) re-executing the plan would hit
-    # deleted files.  localCheckpoint is distributed — the delta never
-    # lands on the driver.
-    delta = zset_snapshot_delta(old, new, "doc_id").localCheckpoint(
-        eager=True
-    )
-    stats = {
-        (r[MULT]): r["n"]
-        for r in delta.groupBy(MULT).agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    # corpus-epoch identity: an order-independent content fingerprint
-    # of the snapshot every lockstep sink is about to be synced to —
-    # stamped beside each state after its apply, so verify-consistency
-    # can prove (or refute) that N states are views of the SAME corpus
-    # without re-reading any of them.  One narrow agg over the
-    # already-loaded snapshot.
-    from vcf_pg_loader_spark.functions.hashing import h60
+    # the cluster state's stamp BEFORE this sync: --delta folds its
+    # fingerprint forward from it, and the shard self-diff below uses
+    # it to prove the layout is in lockstep (enabling the dfp carry)
+    prior_epoch = sink.read_epoch()
+    if use_delta:
+        # Pre-diffed CDC input (round-13 verdict item 2): the caller
+        # already knows WHICH documents changed — a (doc_id, text,
+        # _mult[, source]) Z-set parquet — so the O(|snapshot|)
+        # self-diff scan and the full-snapshot epoch aggregation are
+        # both skipped.  The epoch fingerprint folds forward in XOR
+        # algebra (bit_xor is self-inverse: retracting a row's h60
+        # removes exactly what stamping it added), so the stamp equals
+        # the snapshot path's recomputation bit-for-bit — pinned by
+        # tests.  Per-sync cost is O(|delta| + touched id-buckets),
+        # end to end.
+        old = sink._table(spark, "corpus")
+        if old is None or prior_epoch is None:
+            print(
+                "--delta needs an existing, epoch-stamped cluster state: "
+                "bootstrap (and stamp) with --snapshot first",
+                file=sys.stderr,
+            )
+            return 2
+        if "fp_cols" not in prior_epoch:
+            print(
+                "the state's epoch stamp predates incremental "
+                "fingerprinting (no fp_cols field): run one --snapshot "
+                "sync to upgrade the stamp, then use --delta",
+                file=sys.stderr,
+            )
+            return 2
+        feed_raw = spark.read.parquet(args.delta)
+        has_source = "source" in feed_raw.columns
+        want_source = prior_epoch["fp_cols"] == "id:md5:source"
+        if want_source != has_source:
+            print(
+                f"epoch fingerprint column mismatch: the state was "
+                f"stamped over {prior_epoch['fp_cols']!r} but the delta "
+                f"{'carries no' if want_source else 'carries a'} source "
+                f"column — a fold-forward would diverge from the "
+                f"snapshot-path fingerprint",
+                file=sys.stderr,
+            )
+            return 2
+        cols = ["doc_id", "text"] + (["source"] if has_source else [])
+        feed = feed_raw.select(
+            *cols, F.col(MULT).cast("bigint").alias(MULT)
+        ).localCheckpoint(eager=True)
+        # structural validation — all aggregates over the (small) feed
+        n_rows = feed.count()
+        if feed.select("doc_id", MULT).distinct().count() != n_rows:
+            print("--delta rows must be unique per (doc_id, _mult)",
+                  file=sys.stderr)
+            return 2
+        if feed.filter(~F.col(MULT).isin(1, -1)).count():
+            print("--delta _mult must be +1 or -1", file=sys.stderr)
+            return 2
+        dels_feed = feed.filter(F.col(MULT) == -1)
+        ins_feed = feed.filter(F.col(MULT) == 1)
+        from vcf_pg_loader_spark.streaming.sink import (
+            id_bucket,
+            isin_values,
+        )
 
-    # source rides into the fingerprint when the snapshot carries it:
-    # source is a recognized delta class (the card sink re-syncs on
-    # source-only moves, --mix-budget quotas depend on it), so two
-    # snapshots differing only in source must NOT share an epoch_fp —
-    # verify-consistency would otherwise vouch for states synced to
-    # different snapshots (round-11 advice item 2).  Sourceless
-    # snapshots keep the original two-part formula, so their stamps
-    # stay comparable across engine versions.
-    snap_raw = spark.read.parquet(args.snapshot)
-    fp_cols = [F.col("doc_id").cast("string"), F.md5("text")]
-    if "source" in snap_raw.columns:
-        fp_cols.append(F.coalesce(F.col("source").cast("string"), F.lit("")))
-    ep = snap_raw.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.coalesce(
-            F.bit_xor(h60(F.concat_ws(":", *fp_cols), "epoch:")),
-            F.lit(0),
-        ).alias("fp"),
-    ).collect()[0]
-    epoch = {
-        "epoch_fp": int(ep.fp),
-        "n_docs": int(ep.n_docs),
-        "batch_id": args.batch_id,
-    }
+        # every verification read below is touched-id-bucket-pruned —
+        # never a full corpus scan
+        tb = {
+            r[0]
+            for r in feed.select(
+                id_bucket(F.col("doc_id")).alias("b")
+            ).distinct().collect()
+        }
+        corpus_slice = (
+            sink._table_raw(spark, "corpus")
+            .filter(isin_values(F.col("ib"), tb))
+            .select("doc_id", F.col("text").alias("_state_text"))
+        )
+        delta = feed.select("doc_id", "text", MULT)
+        if sink.applied(args.batch_id):
+            # REPLAYED batch id: the cluster state and stamp already
+            # contain this delta, so the fold must NOT run again (XOR
+            # is self-inverse — refolding would back the stamp out).
+            # Verify the feed matches the applied one against the
+            # post-state: every +1 tuple is live with identical text,
+            # every -1 tuple's old content is gone.  The sibling sinks
+            # below still consume the delta — each no-ops or catches
+            # up via its own ledger (the partial-failure recovery).
+            drift = (
+                ins_feed.join(corpus_slice, "doc_id", "left")
+                .filter(
+                    F.col("_state_text").isNull()
+                    | (F.md5("text") != F.md5("_state_text"))
+                )
+                .count()
+            ) + (
+                dels_feed.join(corpus_slice, "doc_id", "left")
+                .filter(
+                    F.col("_state_text").isNotNull()
+                    & (F.md5("text") == F.md5("_state_text"))
+                )
+                .count()
+            )
+            if drift:
+                raise ValueError(
+                    f"batch {args.batch_id} was already applied at "
+                    f"{sink.target} but {drift} row(s) of this delta "
+                    f"contradict the maintained corpus — a reused "
+                    f"batch id under a different delta would leave the "
+                    f"state at the old data; use a fresh batch id"
+                )
+            epoch = dict(prior_epoch)
+            stats = {}
+        else:
+            # -1 rows must carry the doc's CURRENT text (the XOR fold
+            # and the vocab decrement both depend on it)
+            bad = (
+                dels_feed.join(corpus_slice, "doc_id", "left")
+                .filter(
+                    F.col("_state_text").isNull()
+                    | (F.md5("text") != F.md5("_state_text"))
+                )
+                .count()
+            )
+            if bad:
+                print(
+                    f"{bad} retraction row(s) are missing from or "
+                    f"differ in content from the maintained corpus — "
+                    f"-1 tuples must carry each document's current "
+                    f"text (a changed doc rides as its -1 old tuple "
+                    f"plus its +1 new tuple)",
+                    file=sys.stderr,
+                )
+                return 2
+            unpaired = (
+                ins_feed.join(corpus_slice.select("doc_id"), "doc_id",
+                              "left_semi")
+                .join(dels_feed.select("doc_id"), "doc_id", "left_anti")
+                .count()
+            )
+            if unpaired:
+                print(
+                    f"{unpaired} insert row(s) target documents "
+                    f"already in the state without a paired -1 tuple "
+                    f"— changed docs must ride as +/-1 pairs or the "
+                    f"folded fingerprint would diverge",
+                    file=sys.stderr,
+                )
+                return 2
+            stats = {
+                (r[MULT]): r["n"]
+                for r in delta.groupBy(MULT)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            fp_cols = [F.col("doc_id").cast("string"), F.md5("text")]
+            if has_source:
+                fp_cols.append(
+                    F.coalesce(F.col("source").cast("string"), F.lit(""))
+                )
+            fold = feed.agg(
+                F.coalesce(
+                    F.bit_xor(h60(F.concat_ws(":", *fp_cols), "epoch:")),
+                    F.lit(0),
+                ).alias("fp"),
+                F.coalesce(F.sum(MULT), F.lit(0)).alias("dn"),
+            ).collect()[0]
+            epoch = {
+                "epoch_fp": int(prior_epoch["epoch_fp"]) ^ int(fold.fp),
+                "n_docs": int(prior_epoch["n_docs"]) + int(fold.dn),
+                "batch_id": args.batch_id,
+                "fp_cols": prior_epoch["fp_cols"],
+            }
+    else:
+        new = spark.read.parquet(args.snapshot).select("doc_id", "text")
+        old = sink._table(spark, "corpus")
+        if old is None:
+            # no state yet: the whole snapshot is the delta (bootstrap)
+            old = spark.createDataFrame([], "doc_id long, text string")
+        # materialize the delta BEFORE any apply: the cluster sink's
+        # swap replaces the very corpus files the lazy delta plan
+        # reads, so a second consumer (the funnel sink) re-executing
+        # the plan would hit deleted files.  localCheckpoint is
+        # distributed — the delta never lands on the driver.
+        delta = zset_snapshot_delta(old, new, "doc_id").localCheckpoint(
+            eager=True
+        )
+        stats = {
+            (r[MULT]): r["n"]
+            for r in delta.groupBy(MULT)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # corpus-epoch identity: an order-independent content
+        # fingerprint of the snapshot every lockstep sink is about to
+        # be synced to — stamped beside each state after its apply, so
+        # verify-consistency can prove (or refute) that N states are
+        # views of the SAME corpus without re-reading any of them.
+        # One narrow agg over the already-loaded snapshot.
+        #
+        # source rides into the fingerprint when the snapshot carries
+        # it: source is a recognized delta class (the card sink
+        # re-syncs on source-only moves, --mix-budget quotas depend on
+        # it), so two snapshots differing only in source must NOT
+        # share an epoch_fp — verify-consistency would otherwise vouch
+        # for states synced to different snapshots (round-11 advice
+        # item 2).  Sourceless snapshots keep the original two-part
+        # formula, so their stamps stay comparable across engine
+        # versions.  fp_cols records which formula stamped this epoch,
+        # so --delta can refuse a feed that would fold a DIFFERENT
+        # formula forward.
+        snap_raw = spark.read.parquet(args.snapshot)
+        fp_cols = [F.col("doc_id").cast("string"), F.md5("text")]
+        if "source" in snap_raw.columns:
+            fp_cols.append(
+                F.coalesce(F.col("source").cast("string"), F.lit(""))
+            )
+        ep = snap_raw.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(
+                F.bit_xor(h60(F.concat_ws(":", *fp_cols), "epoch:")),
+                F.lit(0),
+            ).alias("fp"),
+        ).collect()[0]
+        epoch = {
+            "epoch_fp": int(ep.fp),
+            "n_docs": int(ep.n_docs),
+            "batch_id": args.batch_id,
+            "fp_cols": (
+                "id:md5:source"
+                if "source" in snap_raw.columns
+                else "id:md5"
+            ),
+        }
 
     def apply_and_stamp(s, batch_delta, stamp):
         """Stamp the epoch ONLY when the batch actually applies this
@@ -701,44 +911,64 @@ def cmd_sync_corpus(args) -> int:
         from vcf_pg_loader_spark.streaming.retract import DatasetCardSink
 
         card_sink = DatasetCardSink(args.card_state)
-        snap = spark.read.parquet(args.snapshot)
-        src_col = (
-            F.coalesce(F.col("source"), F.lit("unknown"))
-            if "source" in snap.columns
-            else F.lit("unknown")
-        )
-        new_card = snap.withColumn("source", src_col).select(
-            "doc_id", "text", "source"
-        )
-        new_card = new_card.join(
-            fingerprint(new_card.select("doc_id", "text")).select(
-                "doc_id", "doc_fp"
-            ),
-            "doc_id",
-        ).select("doc_id", "text", "source", "doc_fp")
-        stats_old = card_sink._table(spark, "stats")
-        fp_old = card_sink._table(spark, "fp")
-        if stats_old is None or fp_old is None:
-            old_card = new_card.limit(0)  # bootstrap: everything inserts
+        if use_delta:
+            # pre-diffed feed: it IS the card's delta (source rides
+            # along when the stamp says so; a source-only move arrives
+            # as a +/-1 pair).  The snapshot path's self-diff healing
+            # needs a full snapshot and is deliberately not available
+            # here — a card that fell behind heals on the next
+            # --snapshot sync.
+            src_col = (
+                F.coalesce(F.col("source"), F.lit("unknown"))
+                if has_source
+                else F.lit("unknown")
+            )
+            card_delta = feed.select(
+                "doc_id", "text", src_col.alias("source"), F.col(MULT)
+            ).localCheckpoint(eager=True)
+            apply_and_stamp(card_sink, card_delta, epoch)
         else:
-            # deleted docs' -1 tuples need only doc_id downstream, so
-            # the old side's text is a typed null, never a state read
-            old_card = (
-                stats_old.select("doc_id", "source")
-                .join(fp_old.select("doc_id", "doc_fp"), "doc_id")
-                .withColumn("text", F.lit(None).cast("string"))
-                .select("doc_id", "text", "source", "doc_fp")
+            snap = spark.read.parquet(args.snapshot)
+            src_col = (
+                F.coalesce(F.col("source"), F.lit("unknown"))
+                if "source" in snap.columns
+                else F.lit("unknown")
             )
-        # eager: the card sink's swap replaces the very stats/fp files
-        # the lazy diff plan reads (same rule as the main delta)
-        card_delta = (
-            zset_snapshot_delta(
-                old_card, new_card, "doc_id", cmp_cols=["doc_fp", "source"]
+            new_card = snap.withColumn("source", src_col).select(
+                "doc_id", "text", "source"
             )
-            .drop("doc_fp")
-            .localCheckpoint(eager=True)
-        )
-        apply_and_stamp(card_sink, card_delta, epoch)
+            new_card = new_card.join(
+                fingerprint(new_card.select("doc_id", "text")).select(
+                    "doc_id", "doc_fp"
+                ),
+                "doc_id",
+            ).select("doc_id", "text", "source", "doc_fp")
+            stats_old = card_sink._table(spark, "stats")
+            fp_old = card_sink._table(spark, "fp")
+            if stats_old is None or fp_old is None:
+                old_card = new_card.limit(0)  # bootstrap: all inserts
+            else:
+                # deleted docs' -1 tuples need only doc_id downstream,
+                # so the old side's text is a typed null, never a
+                # state read
+                old_card = (
+                    stats_old.select("doc_id", "source")
+                    .join(fp_old.select("doc_id", "doc_fp"), "doc_id")
+                    .withColumn("text", F.lit(None).cast("string"))
+                    .select("doc_id", "text", "source", "doc_fp")
+                )
+            # eager: the card sink's swap replaces the very stats/fp
+            # files the lazy diff plan reads (same rule as the main
+            # delta)
+            card_delta = (
+                zset_snapshot_delta(
+                    old_card, new_card, "doc_id",
+                    cmp_cols=["doc_fp", "source"],
+                )
+                .drop("doc_fp")
+                .localCheckpoint(eager=True)
+            )
+            apply_and_stamp(card_sink, card_delta, epoch)
     kept = sink.keep(spark)
     if args.shards_state:
         # The training-shard layout packs the CURATED corpus — the
@@ -841,8 +1071,50 @@ def cmd_sync_corpus(args) -> int:
                 .filter(F.col("_rn") <= F.col("pd"))
                 .select("doc_id", "text")
             )
-        new_sh = sel_docs.withColumn("dfp", doc_fp(F.col("text")))
         old_layout = shard_sink._table(spark, "layout")
+        # dfp carry (round-14): recomputing the content fingerprint
+        # over EVERY kept doc's text each sync is the self-diff's one
+        # O(|corpus|) md5 pass — but a doc's text changes only via the
+        # delta, so when the layout is provably in LOCKSTEP with the
+        # cluster state (its epoch stamp equals the cluster's
+        # pre-sync stamp, i.e. both states describe the same corpus
+        # content), every untouched doc's persisted dfp is current and
+        # carries verbatim; md5 runs only for arriving/changed/new
+        # docs.  A layout that fell behind (stamps differ) falls back
+        # to the full recompute, which is exactly the healing pass.
+        sh_stamp = shard_sink.read_epoch()
+        in_lockstep = (
+            old_layout is not None
+            and sh_stamp is not None
+            and prior_epoch is not None
+            and sh_stamp.get("epoch_fp") == prior_epoch.get("epoch_fp")
+        )
+        if in_lockstep:
+            touched_ids = delta.select("doc_id").distinct()
+            carried = sel_docs.join(
+                old_layout.select(
+                    "doc_id", F.col("dfp").alias("_old_dfp")
+                ),
+                "doc_id",
+                "left",
+            ).join(
+                touched_ids.withColumn("_touched", F.lit(True)),
+                "doc_id",
+                "left",
+            )
+            new_sh = carried.select(
+                "doc_id",
+                "text",
+                F.when(
+                    F.col("_old_dfp").isNotNull()
+                    & F.col("_touched").isNull(),
+                    F.col("_old_dfp"),
+                )
+                .otherwise(doc_fp(F.col("text")))
+                .alias("dfp"),
+            )
+        else:
+            new_sh = sel_docs.withColumn("dfp", doc_fp(F.col("text")))
         if old_layout is None:
             old_sh = new_sh.limit(0)  # bootstrap: everything inserts
         else:
@@ -940,6 +1212,12 @@ def cmd_train_vocab(args) -> int:
         from vcf_pg_loader_spark.streaming.vocab import VocabSink
 
         sink = VocabSink(counts_state, **seg_kw)
+        # the READ path must refuse a mode/max_chars mismatch exactly
+        # like apply_batch does: training words-mode merges over a
+        # chars-mode state's chunk counts would silently learn the
+        # wrong unit statistics and stamp the wrong mode into the
+        # artifact (round-13 advice item 1)
+        sink._validate_params()
         counts_df = sink.counts(spark)
         if args.min_count > 1:
             counts_df = counts_df.filter(F.col("n") >= args.min_count)
@@ -1044,11 +1322,18 @@ def cmd_train_vocab(args) -> int:
             ).alias("fp"),
         ).collect()[0]
         fp_val, n_docs = int(fp.fp), int(fp.n_docs)
+    from vcf_pg_loader_spark.operators.bpe import tokenizer_fingerprint
+
     artifact = {
         "merges": [list(m) for m in merges],
         "n_merges_requested": args.n_merges,
         "strategy": strategy,
         "corpus_fp": fp_val,
+        # tokenizer IDENTITY (merges + pre-segmentation), distinct from
+        # corpus_fp (training-corpus identity): downstream packed state
+        # refuses on THIS — two vocabs off the same corpus with
+        # different --n-merges share corpus_fp but tokenize differently
+        "tokenizer_fp": tokenizer_fingerprint(merges, mode, max_chars),
         "n_docs": n_docs,
         # sorted training alphabet (+END in words mode): with the
         # merge list this makes the piece->id assignment
@@ -1079,6 +1364,7 @@ def cmd_train_vocab(args) -> int:
                 "merges_learned": len(merges),
                 "n_docs": artifact["n_docs"],
                 "corpus_fp": artifact["corpus_fp"],
+                "tokenizer_fp": artifact["tokenizer_fp"],
                 "encode_out": args.encode_out,
             }
         )
@@ -2041,8 +2327,23 @@ def build_parser() -> argparse.ArgumentParser:
                   "cluster state and apply the Z-set delta (CDC path)")
     sp.add_argument("--state", required=True,
                     help="DedupClusterMaintSink state dir")
-    sp.add_argument("--snapshot", required=True,
-                    help="parquet of the NEW corpus snapshot (doc_id, text)")
+    sp.add_argument("--snapshot",
+                    help="parquet of the NEW corpus snapshot (doc_id, "
+                         "text); the delta is derived by self-diffing "
+                         "the state (one of --snapshot/--delta)")
+    sp.add_argument("--delta",
+                    help="parquet of a PRE-DIFFED Z-set feed (doc_id, "
+                         "text, _mult[, source]) — the CDC input path: "
+                         "skips the O(|snapshot|) self-diff and folds "
+                         "the epoch fingerprint forward in XOR algebra, "
+                         "so a small delta syncs in O(|delta|) end to "
+                         "end.  -1 tuples must carry each doc's current "
+                         "text (verified against the state, id-bucket-"
+                         "pruned); changed docs ride as +/-1 pairs; the "
+                         "state must already be epoch-stamped (bootstrap "
+                         "with --snapshot).  Lockstep sibling states "
+                         "consume the same feed; the card/shards "
+                         "self-diff HEALING passes need --snapshot")
     sp.add_argument("--batch-id", type=int, required=True,
                     help="exactly-once batch id (replays are no-ops)")
     sp.add_argument("--out", help="write the kept corpus here")

@@ -46,6 +46,39 @@ END = "</w>"  # end-of-word marker, per the original formulation
 MAX_CHARS = 16
 
 
+def tokenizer_fingerprint(
+    merges: list[tuple[str, str]],
+    mode: str = "words",
+    max_chars: int | None = None,
+) -> int:
+    """60-bit identity of the token-LENGTH function — the thing a
+    packed shard layout actually depends on: the merge table in
+    application order plus the pre-segmentation (mode, and in chars
+    mode the chunk bound).  Two artifacts trained on the SAME corpus
+    with different --n-merges (same corpus_fp) tokenize differently
+    and must not share this fingerprint; conversely max_chars is
+    irrelevant in words mode and deliberately excluded there, so a
+    spelling-only knob never splits identities (round-13 advice
+    item 2: corpus_fp is corpus identity, not tokenizer identity)."""
+    import hashlib
+    import json as _json
+
+    payload = _json.dumps(
+        {
+            "merges": [list(m) for m in merges],
+            "mode": mode,
+            "max_chars": (
+                int(max_chars if max_chars is not None else MAX_CHARS)
+                if mode != "words"
+                else None
+            ),
+        },
+        sort_keys=True,
+        ensure_ascii=False,
+    )
+    return int(hashlib.md5(payload.encode("utf-8")).hexdigest()[:15], 16)
+
+
 def _chunks(text: Column, max_chars: int) -> Column:
     """Raw text chunked into max_chars-character units (chars mode)."""
     n = F.ceil(F.length(text) / F.lit(max_chars)).cast("int")

@@ -458,6 +458,7 @@ def connected_components(
     src: str = "d1",
     dst: str = "d2",
     max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every node with the minimum node id reachable from it.
 
@@ -505,6 +506,11 @@ def connected_components(
             )
         )
 
+    if stats is not None:
+        # diagnostic out-param (scale attribution): edge count is cheap
+        # here — `half` is persisted and about to be scanned anyway
+        stats["cc_edges"] = half.count()
+        stats["cc_rounds"] = 0
     # round 0 folded into initialization: against identity labels the
     # neighbor-min message set IS the edge list, so min(self, neighbors)
     # needs no join — one aggregation plus a jump
@@ -536,6 +542,8 @@ def connected_components(
             .count()
         )
         labels = jumped
+        if stats is not None:
+            stats["cc_rounds"] += 1
         if changed == 0:
             break
     und.unpersist()

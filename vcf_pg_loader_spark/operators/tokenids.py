@@ -230,6 +230,18 @@ def write_id_shards(
         )
 
     rows = part.mapInPandas(write_partition, schema=stats_schema).collect()
+    # a failed or speculatively-duplicated task leaves .shard_*.tmp{pid}
+    # staging files behind (only successful tasks rename); they are
+    # invisible to the manifest — sweep them now the job is complete.
+    # A late rename racing this sweep would only be re-creating a file
+    # an owning task already wrote identically (the bytes are a pure
+    # function of the layout), so the sweep cannot lose data.
+    for name in os.listdir(out_dir):
+        if name.startswith(".shard_") and ".tmp" in name:
+            try:
+                os.remove(os.path.join(out_dir, name))
+            except OSError:
+                pass
     manifest = {
         "dtype": "<i4",
         "seq_len": seq_len,

@@ -209,7 +209,9 @@ def repack_merges(
     change genuinely needs one corpus re-encode (every token length
     moves), but nothing else does: doc_id, shard assignment, okey, and
     dfp all carry verbatim from the persisted layout — only lengths
-    are re-derived, under the new vocab, from a corpus VERIFIED
+    are re-derived (and, for a LENGTH-curriculum state, okeys rebucket
+    from those new lengths, since the old okeys embed old-vocab length
+    buckets), under the new vocab, from a corpus VERIFIED
     identical to the state (per-doc content fingerprints must match;
     any drift or missing document aborts before anything is written,
     because repacking against a drifted corpus would silently diverge
@@ -236,12 +238,17 @@ def repack_merges(
             with open(fp_path) as fh:
                 on_disk = json.load(fh)
         old_fp = on_disk.get("vocab_fp")
-        if old_fp == vocab_fp and on_disk.get("token_mode", "words") == (
-            token_mode
-        ):
+        # vocab_fp is TOKENIZER identity (operators/bpe.py
+        # tokenizer_fingerprint: merges + mode + max_chars), so equality
+        # alone is the no-op condition: retraining the same corpus with
+        # a different --n-merges (same corpus_fp under the pre-round-14
+        # stamping) now correctly proceeds, a chars-mode max_chars-only
+        # change proceeds, and only a genuinely identical tokenizer
+        # refuses (round-13 advice item 2)
+        if old_fp == vocab_fp:
             raise ValueError(
-                f"state at {target} is already packed under vocab_fp="
-                f"{vocab_fp}"
+                f"state at {target} is already packed under tokenizer "
+                f"fingerprint {vocab_fp} — repack would be a no-op"
             )
         n_shards = on_disk.get("n_shards", N_SHARDS)
         seq_len = on_disk.get("seq_len", SEQ_LEN)
@@ -290,6 +297,36 @@ def repack_merges(
             ),
             "doc_id",
         ).select(*_LAYOUT_COLS)
+        cur = _parse_curriculum(on_disk.get("curriculum"))
+        if cur is not None and cur[0] == "length":
+            # a length curriculum's okeys embed OLD-vocab length
+            # buckets; carrying them verbatim would diverge the
+            # migrated state's packing order from a scratch build under
+            # the identical fingerprint (round-13 advice item 3).
+            # Recompute from the NEW packed n_tokens — the exact
+            # _apply_curriculum arithmetic.  Quality curricula are
+            # text-pure (frozen-LM nll), so their okeys carry verbatim.
+            from vcf_pg_loader_spark.operators.shards import (
+                curriculum_okey,
+            )
+
+            _, k, step = cur
+            bucket = F.greatest(
+                F.lit(0).cast("bigint"),
+                F.least(
+                    F.lit(k - 1).cast("bigint"),
+                    F.floor(
+                        F.col("n_tokens").cast("double") / F.lit(step)
+                    ).cast("bigint"),
+                ),
+            )
+            base = base.select(
+                "doc_id",
+                "shard",
+                curriculum_okey(bucket, F.col("doc_id")).alias("okey"),
+                "n_tokens",
+                "dfp",
+            )
         layout = shard_layout_from_lengths(base, seq_len)
         man = shard_manifest(layout, seq_len)
         staging = sink._staging_dir()
@@ -362,10 +399,14 @@ class TrainingShardSink(ParquetUpsertSink):
         n_tokens comes from operators/bpe.py bpe_token_lengths under
         the given merge table instead of the whitespace count, so the
         layout's seq_len cuts speak the trainer's tokens (round-11
-        verdict item 3).  ``vocab_fp`` is the vocab artifact's
-        corpus_fp (cli train-vocab); it joins the parameter fingerprint
-        so a layout packed under one tokenizer REFUSES maintenance or
-        reads under another.
+        verdict item 3).  ``vocab_fp`` is the artifact's TOKENIZER
+        fingerprint (operators/bpe.py tokenizer_fingerprint — merges +
+        mode + max_chars; cli train-vocab stamps it, and
+        _load_merges_artifact recomputes it for older artifacts); it
+        joins the parameter fingerprint so a layout packed under one
+        tokenizer REFUSES maintenance or reads under another — even
+        one retrained on the SAME corpus with a different merge count,
+        which shares corpus_fp but tokenizes differently.
 
         ``doc_sep`` packs EOS-aware: every document budgets that many
         separator tokens (operators/shards.py shard_base doc_sep=), and
