@@ -677,3 +677,78 @@ class TestLshKnobRefusal:
             ["sync-corpus", "--state", state, "--snapshot", snap,
              "--batch-id", "1", "--minhash-k", "32"]
         ) == 0
+
+
+class TestDeltaKeepFlipCompMates:
+    def test_deleting_canonical_flips_mate_into_layout(
+        self, spark, tmp_path, capsys
+    ):
+        """The comp-mates-restricted shard self-diff (--delta) must
+        catch a keep flip of an UNTOUCHED doc: docs 0 and 1 are exact
+        near-dups (0 canonical, 1 dropped); deleting 0 through the CDC
+        feed makes 1 the survivor, and the layout must gain doc 1 even
+        though no delta row mentions it — in both sync paths, equally."""
+        from vcf_pg_loader_spark.cli import main
+        from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+        rows0 = TestSyncCorpusDelta.ROWS0
+        snap0 = str(tmp_path / "snap0")
+        _corpus(spark, rows0).write.parquet(snap0)
+
+        def states(tag):
+            return {
+                k: str(tmp_path / f"{tag}_{k}")
+                for k in ("state", "shards")
+            }
+
+        a, b = states("a"), states("b")
+        for s in (a, b):
+            assert main(
+                ["sync-corpus", "--state", s["state"], "--snapshot",
+                 snap0, "--batch-id", "0", "--shards-state", s["shards"]]
+            ) == 0
+            capsys.readouterr()
+        lay0 = {
+            r.doc_id
+            for r in TrainingShardSink(a["shards"]).layout(spark).collect()
+        }
+        assert 0 in lay0 and 1 not in lay0  # 1 lost the dup election
+
+        # path A: snapshot without doc 0
+        rows1 = [r for r in rows0 if r[0] != 0]
+        snap1 = str(tmp_path / "snap1")
+        _corpus(spark, rows1).write.parquet(snap1)
+        assert main(
+            ["sync-corpus", "--state", a["state"], "--snapshot", snap1,
+             "--batch-id", "1", "--shards-state", a["shards"]]
+        ) == 0
+        capsys.readouterr()
+        # path B: the -1 CDC tuple for doc 0
+        feed = str(tmp_path / "feed")
+        spark.createDataFrame(
+            [(*rows0[0], -1)],
+            "doc_id bigint, text string, source string, _mult bigint",
+        ).write.parquet(feed)
+        assert main(
+            ["sync-corpus", "--state", b["state"], "--delta", feed,
+             "--batch-id", "1", "--shards-state", b["shards"]]
+        ) == 0
+        capsys.readouterr()
+
+        for s in (a, b):
+            lay = {
+                r.doc_id: r.dfp
+                for r in TrainingShardSink(s["shards"])
+                .layout(spark)
+                .collect()
+            }
+            assert 0 not in lay and 1 in lay, s
+        ga = sorted(
+            tuple(r)
+            for r in TrainingShardSink(a["shards"]).layout(spark).collect()
+        )
+        gb = sorted(
+            tuple(r)
+            for r in TrainingShardSink(b["shards"]).layout(spark).collect()
+        )
+        assert ga == gb

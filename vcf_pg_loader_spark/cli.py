@@ -566,18 +566,32 @@ def cmd_retract_corpus(args) -> int:
 
 
 def cmd_sync_corpus(args) -> int:
-    """Synchronize the retraction-maintained cluster state with a NEW
-    corpus snapshot — the CDC bridge for the most common 100 TB flow
-    (a re-crawl arrives as a whole snapshot, not a delta stream):
-    diff the snapshot against the state's current corpus with
-    zset_snapshot_delta (operators/ivm.py) and apply the resulting
-    Z-set batch.  Removed docs retract, new docs insert, CHANGED docs
-    upsert (both ±1 tuples ride the batch; the sink rebuilds their
-    state from the arriving text), and unchanged docs cost nothing —
-    per-sync work is O(|delta|), not O(|snapshot|).  Exactly-once per
-    --batch-id, like retract-corpus.  Reference analogue: idempotent
-    delete-then-reload (loader.py:230-252), generalized to
-    diff-then-apply."""
+    """Synchronize the retraction-maintained cluster state with new
+    corpus content — the CDC bridge, with two input shapes:
+
+    --snapshot: a whole re-crawl arrives; diff it against the state's
+    current corpus with zset_snapshot_delta (operators/ivm.py) and
+    apply the resulting Z-set batch.  Removed docs retract, new docs
+    insert, CHANGED docs upsert (both ±1 tuples ride the batch; the
+    sink rebuilds their state from the arriving text), and unchanged
+    docs cost nothing in the SINKS — but deriving the delta costs one
+    O(|snapshot|) self-diff scan per sync.
+
+    --delta (round 14): the caller already knows which documents
+    changed — a pre-diffed (doc_id, text, _mult[, source]) Z-set
+    parquet.  The self-diff and the full-snapshot epoch aggregation
+    are both skipped; the epoch fingerprint folds forward in XOR
+    algebra from the state's prior stamp (bit-equal to the snapshot
+    path's recomputation — h60 per-row hashes under bit_xor are
+    self-inverse), so verify-consistency still holds across lockstep
+    states.  -1 tuples must carry each doc's current text, verified
+    against the state with id-bucket-pruned reads; changed docs ride
+    as ±1 pairs.  End-to-end cost is O(|delta| + touched buckets) —
+    at 100 TB the difference between minutes and hours per sync.
+
+    Exactly-once per --batch-id, like retract-corpus.  Reference
+    analogue: idempotent delete-then-reload (loader.py:230-252),
+    generalized to diff-then-apply."""
     from pyspark.sql import functions as F
 
     from vcf_pg_loader_spark.functions.hashing import h60
@@ -860,6 +874,31 @@ def cmd_sync_corpus(args) -> int:
                 f"— use a fresh batch id for the new snapshot"
             )
 
+    affected_pre = None
+    if use_delta and args.shards_state:
+        # the keep-decision is a GLOBAL function of the cluster state,
+        # but it can only move inside components that contain a touched
+        # doc: capture those components' members from the PRE-apply
+        # cluster table (the swap below replaces its files — eager
+        # checkpoint), so the shard self-diff can restrict itself to
+        # touched ∪ component-mates instead of re-diffing the whole
+        # kept corpus.  The cluster table holds only CLUSTERED docs, so
+        # this is small by construction.
+        cc_pre = sink._table(spark, "clusters")
+        affected_pre = delta.select("doc_id")
+        if cc_pre is not None:
+            t_nodes = delta.select(F.col("doc_id").alias("node"))
+            comps = (
+                cc_pre.join(t_nodes, "node", "left_semi")
+                .select("comp")
+                .distinct()
+            )
+            affected_pre = affected_pre.unionByName(
+                cc_pre.join(comps, "comp", "left_semi").select(
+                    F.col("node").alias("doc_id")
+                )
+            )
+        affected_pre = affected_pre.distinct().localCheckpoint(eager=True)
     apply_and_stamp(sink, delta, epoch)
     if args.funnel_state:
         # the funnel's own corpus/ holds quality+LM SURVIVORS only, so
@@ -1089,8 +1128,39 @@ def cmd_sync_corpus(args) -> int:
             and prior_epoch is not None
             and sh_stamp.get("epoch_fp") == prior_epoch.get("epoch_fp")
         )
+        touched_ids = delta.select("doc_id").distinct()
+        restrict = None
+        if in_lockstep and affected_pre is not None and not args.mix_budget:
+            # comp-mates restriction (round 14, --delta only): a doc's
+            # keep-decision can flip ONLY if its cluster component
+            # gained or lost a touched member — union the touched ids'
+            # component members from the pre-apply table (captured
+            # above) and the post-apply table (a new edge may have
+            # pulled an existing component in), and self-diff ONLY
+            # those docs.  Everything else is provably unchanged in
+            # both membership (lockstep + untouched component) and
+            # content fingerprint (lockstep + untouched doc), so the
+            # O(|kept corpus|) diff becomes O(|delta| + affected
+            # components) — the end-to-end O(|delta|) sync.  The
+            # snapshot path keeps the full self-diff: it doubles as
+            # the healing pass for a layout that fell behind.
+            aff = affected_pre
+            cc_post = sink._table(spark, "clusters")
+            if cc_post is not None:
+                t_nodes = touched_ids.withColumnRenamed("doc_id", "node")
+                comps = (
+                    cc_post.join(t_nodes, "node", "left_semi")
+                    .select("comp")
+                    .distinct()
+                )
+                aff = aff.unionByName(
+                    cc_post.join(comps, "comp", "left_semi").select(
+                        F.col("node").alias("doc_id")
+                    )
+                ).distinct()
+            restrict = aff
+            sel_docs = sel_docs.join(restrict, "doc_id", "left_semi")
         if in_lockstep:
-            touched_ids = delta.select("doc_id").distinct()
             carried = sel_docs.join(
                 old_layout.select(
                     "doc_id", F.col("dfp").alias("_old_dfp")
@@ -1121,6 +1191,12 @@ def cmd_sync_corpus(args) -> int:
             old_sh = old_layout.select("doc_id", "dfp").withColumn(
                 "text", F.lit(None).cast("string")
             ).select("doc_id", "text", "dfp")
+            if restrict is not None:
+                # restricted diff: rows outside the affected set are
+                # identical on both sides by the lockstep argument —
+                # exclude them from the old side too or the diff would
+                # retract every unchanged doc
+                old_sh = old_sh.join(restrict, "doc_id", "left_semi")
         shard_delta = (
             zset_snapshot_delta(old_sh, new_sh, "doc_id", cmp_cols=["dfp"])
             .drop("dfp")

@@ -237,17 +237,51 @@ class DedupClusterMaintSink(ParquetUpsertSink):
         # touched ids leave every table first: deletions permanently,
         # re-inserts so their state rebuilds from the arriving text
         touched = dels.unionByName(ins.select("doc_id")).distinct()
+        pairs_raw = self._table(spark, "pairs")
         corpus_old = _without(self._table(spark, "corpus"), touched, "doc_id")
         bands_old = _without(self._table(spark, "bands"), touched, "doc_id")
-        pairs_old = _edges_without(self._table(spark, "pairs"), touched)
+        pairs_old = _edges_without(pairs_raw, touched)
 
         bands_new, pairs_new = self._new_pairs(
             ins.select("doc_id", "text"), corpus_old, bands_old
         )
+        # connectivity-unchanged fast path (round 14): the cluster
+        # labels are a pure function of the edge set, so when the batch
+        # verified NO new edges and no touched id appears in the
+        # persisted edge table, pairs/ and clusters/ are byte-for-byte
+        # unchanged — hard-link them through the swap instead of
+        # re-running CC and rewriting both tables.  This is the common
+        # steady-state shape (a few non-duplicate documents arriving
+        # between snapshots); at 100 TB it keeps per-sync cost free of
+        # the cluster-table rewrite entirely.  One small count on the
+        # (checkpointed) verified pairs plus one existence probe on the
+        # edge table decide it.
+        pairs_new = pairs_new.localCheckpoint(eager=True)
+        touched_edges = 0
+        if pairs_raw is not None:
+            t1 = touched.withColumnRenamed("doc_id", "d1")
+            t2 = touched.withColumnRenamed("doc_id", "d2")
+            touched_edges = (
+                pairs_raw.join(t1, "d1", "left_semi")
+                .unionByName(pairs_raw.join(t2, "d2", "left_semi"))
+                .limit(1)
+                .count()
+            )
+        # the fast path requires BOTH tables to already exist on disk:
+        # a first apply must still materialize (possibly empty) pairs/
+        # clusters so readers see a schema-stable state, and keep_tables
+        # can only hard-link directories that are there
+        connectivity_unchanged = (
+            pairs_raw is not None
+            and self._table(spark, "clusters") is not None
+            and pairs_new.limit(1).count() == 0
+            and touched_edges == 0
+        )
         # WRITE side of the id-keyed tables is bucket-pruned (the probe
         # reads above stay full — a new doc must collide against the
         # whole index, that is the operator's semantics); pairs and
-        # clusters rewrite whole, they are tiny next to the corpus
+        # clusters rewrite whole when connectivity moved, they are tiny
+        # next to the corpus
         corpus, c_prune = self._merge_id_bucketed(
             self._table_raw(spark, "corpus"),
             ins.select("doc_id", "text"),
@@ -257,27 +291,29 @@ class DedupClusterMaintSink(ParquetUpsertSink):
         bands, b_prune = self._merge_id_bucketed(
             self._table_raw(spark, "bands"), bands_new, touched, "doc_id"
         )
-        pairs = (
-            pairs_new if pairs_old is None
-            else pairs_old.unionByName(pairs_new).distinct()
-        )
-        clusters = D.connected_components(pairs, "d1", "d2")
+        frames = {"corpus": corpus, "bands": bands}
+        keep: list[str] = []
+        if connectivity_unchanged:
+            keep = ["pairs", "clusters"]
+        else:
+            pairs = (
+                pairs_new if pairs_old is None
+                else pairs_old.unionByName(pairs_new).distinct()
+            )
+            frames["pairs"] = pairs
+            frames["clusters"] = D.connected_components(pairs, "d1", "d2")
         prune = {}
         if c_prune is not None:
             prune["corpus"] = c_prune
         if b_prune is not None:
             prune["bands"] = b_prune
         n = self._swap_in_frames(
-            {
-                "corpus": corpus,
-                "bands": bands,
-                "pairs": pairs,
-                "clusters": clusters,
-            },
+            frames,
             batch_id,
             count_table="corpus",
             partition_by={"corpus": ["ib"], "bands": ["ib"]},
             prune=prune or None,
+            keep_tables=keep,
         )
         self._record(batch_id, n)
 
