@@ -752,3 +752,150 @@ class TestDeltaKeepFlipCompMates:
             for r in TrainingShardSink(b["shards"]).layout(spark).collect()
         )
         assert ga == gb
+
+
+class TestSeqShingleIndex:
+    """Round-13 verdict stretch item 7: the maintained sequence-shingle
+    index — touched-shards-only maintenance, lockstep-stamped serving,
+    and equality with the assembly-path scan."""
+
+    def _train(self, spark, n=60, extra=0):
+        rows = [
+            (i, " ".join(f"t{(i + j + extra) % 9}" for j in range(5 + i % 6)))
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_incremental_equals_full_and_prunes_untouched(
+        self, spark, tmp_path
+    ):
+        from vcf_pg_loader_spark.operators.shards import shard_of
+        from vcf_pg_loader_spark.streaming.seqdecontam import (
+            SeqShingleIndexSink,
+        )
+        from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+        docs = self._train(spark)
+        first = docs.filter(F.col("doc_id") % 4 != 0)
+        rest = docs.filter(F.col("doc_id") % 4 == 0)
+        lay = str(tmp_path / "lay")
+        ssink = TrainingShardSink(lay, n_shards=4, seq_len=16)
+        ssink.apply_batch(first.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+        idx = SeqShingleIndexSink(str(tmp_path / "idx"), ngram=3)
+        idx.sync(spark, ssink, first, 0, None)
+
+        ssink.apply_batch(rest.withColumn(MULT, F.lit(1).cast("bigint")), 1)
+        touched = {
+            r[0]
+            for r in rest.select(shard_of(F.col("doc_id"), 4)).distinct()
+            .collect()
+        }
+        # inode pin: untouched shard partitions must hard-link through
+        untouched = set(range(4)) - touched
+        post_dir = os.path.join(str(tmp_path / "idx"), "post")
+
+        def inodes(shard):
+            d = os.path.join(post_dir, f"shard={shard}")
+            if not os.path.isdir(d):
+                return None
+            return sorted(
+                os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+
+        before = {s: inodes(s) for s in untouched}
+        idx.sync(spark, ssink, docs, 1, touched)
+        for s in untouched:
+            assert inodes(s) == before[s], s
+
+        # equality with a from-scratch index over the same layout
+        scratch = SeqShingleIndexSink(str(tmp_path / "scratch"), ngram=3)
+        scratch.sync(spark, ssink, docs, 0, None)
+        got = sorted(tuple(r) for r in idx.postings(spark).collect())
+        want = sorted(tuple(r) for r in scratch.postings(spark).collect())
+        assert got == want
+
+        # parameter refusal: a different window width refuses the state
+        with pytest.raises(ValueError, match="parameters"):
+            SeqShingleIndexSink(str(tmp_path / "idx"), ngram=2).sync(
+                spark, ssink, docs, 2, None
+            )
+
+    def test_cli_lockstep_serve_and_refusal(self, spark, tmp_path, capsys):
+        from vcf_pg_loader_spark.cli import main
+
+        docs = self._train(spark, 40)
+        snap0 = str(tmp_path / "snap0")
+        docs.write.parquet(snap0)
+        state = str(tmp_path / "state")
+        shards = str(tmp_path / "shards")
+        seqidx = str(tmp_path / "seqidx")
+        assert main(
+            ["sync-corpus", "--state", state, "--snapshot", snap0,
+             "--batch-id", "0", "--shards-state", shards,
+             "--seq-index-state", seqidx, "--out",
+             str(tmp_path / "kept0")]
+        ) == 0
+        capsys.readouterr()
+        evals = str(tmp_path / "evals")
+        docs.limit(3).write.parquet(evals)
+
+        # served report == assembly report, row for row
+        out_a = str(tmp_path / "rep_assembly")
+        assert main(
+            ["seq-decontam", "--state", shards, "--corpus",
+             str(tmp_path / "kept0"), "--eval", evals, "--out", out_a,
+             "--ngram", "3"]
+        ) == 0
+        rep_a = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        out_s = str(tmp_path / "rep_served")
+        assert main(
+            ["seq-decontam", "--state", shards, "--corpus",
+             str(tmp_path / "kept0"), "--eval", evals, "--out", out_s,
+             "--ngram", "3", "--index-state", seqidx]
+        ) == 0
+        rep_s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep_s["hits"] == rep_a["hits"] > 0
+        ga = sorted(tuple(r) for r in spark.read.parquet(out_a).collect())
+        gs = sorted(tuple(r) for r in spark.read.parquet(out_s).collect())
+        assert ga == gs
+
+        # a delta sync WITHOUT --seq-index-state moves the shard state
+        # ahead; the stale index must refuse to serve
+        snap1 = str(tmp_path / "snap1")
+        docs.unionByName(
+            self._train(spark, 5, extra=3).withColumn(
+                "doc_id", F.col("doc_id") + 1000
+            )
+        ).write.parquet(snap1)
+        assert main(
+            ["sync-corpus", "--state", state, "--snapshot", snap1,
+             "--batch-id", "1", "--shards-state", shards]
+        ) == 0
+        capsys.readouterr()
+        rc = main(
+            ["seq-decontam", "--state", shards, "--corpus",
+             str(tmp_path / "kept0"), "--eval", evals,
+             "--out", str(tmp_path / "rep2"), "--ngram", "3",
+             "--index-state", seqidx]
+        )
+        assert rc == 2
+        assert "not in lockstep" in capsys.readouterr().err
+
+        # re-syncing WITH the index heals it (full rebuild) and serves
+        snap2 = str(tmp_path / "snap2")
+        spark.read.parquet(snap1).write.parquet(snap2)
+        assert main(
+            ["sync-corpus", "--state", state, "--snapshot", snap2,
+             "--batch-id", "2", "--shards-state", shards,
+             "--seq-index-state", seqidx,
+             "--out", str(tmp_path / "kept2")]
+        ) == 0
+        capsys.readouterr()
+        assert main(
+            ["seq-decontam", "--state", shards, "--corpus",
+             str(tmp_path / "kept2"), "--eval", evals,
+             "--out", str(tmp_path / "rep3"), "--ngram", "3",
+             "--index-state", seqidx]
+        ) == 0

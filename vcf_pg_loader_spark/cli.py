@@ -1209,6 +1209,58 @@ def cmd_sync_corpus(args) -> int:
             if args.mix_budget
             else epoch,
         )
+        if getattr(args, "seq_index_state", None):
+            # maintained sequence-shingle postings, lockstep with the
+            # layout just synced (streaming/seqdecontam.py): the
+            # touched shards are exactly the layout delta's shards
+            # (packing shifts a whole shard wholesale); the index
+            # recomputes those and hard-links the rest.  A state out
+            # of lockstep (stamp mismatch) or absent rebuilds whole —
+            # the healing pass.  Exactly-once via its own ledger.
+            from vcf_pg_loader_spark.operators.shards import shard_of
+            from vcf_pg_loader_spark.streaming.seqdecontam import (
+                SeqShingleIndexSink,
+            )
+
+            idx_sink = SeqShingleIndexSink(
+                args.seq_index_state,
+                ngram=getattr(args, "seq_index_ngram", None) or args.ngram,
+                sep="\x1f" if tok_kw.get("merges") else " ",
+            )
+            idx_stamp = idx_sink.read_epoch()
+            idx_lockstep = (
+                idx_stamp is not None
+                and prior_epoch is not None
+                and idx_stamp.get("epoch_fp")
+                == prior_epoch.get("epoch_fp")
+            )
+            touched_shards = None
+            if idx_lockstep:
+                touched_shards = {
+                    r[0]
+                    for r in shard_delta.select(
+                        shard_of(
+                            F.col("doc_id"), shard_sink.n_shards
+                        ).alias("s")
+                    ).distinct().collect()
+                }
+            replay = idx_sink.applied(args.batch_id)
+            idx_sink.sync(
+                spark, shard_sink, kept_docs, args.batch_id,
+                touched_shards,
+            )
+            if not replay:
+                idx_sink.stamp_epoch(epoch)
+            else:
+                prior_idx = idx_sink.read_epoch()
+                if prior_idx is not None and prior_idx.get(
+                    "epoch_fp"
+                ) != epoch["epoch_fp"]:
+                    raise ValueError(
+                        f"batch {args.batch_id} was already applied at "
+                        f"{idx_sink.target} under a different epoch — "
+                        f"use a fresh batch id for the new snapshot"
+                    )
     if args.out:
         corpus = sink._table(spark, "corpus")
         corpus.join(kept, "doc_id", "left_semi").write.mode(
@@ -1934,57 +1986,62 @@ def cmd_seq_decontam(args) -> int:
             .select("shingle")
             .distinct()
         )
-    lay = sink.layout(spark, epoch=getattr(args, "epoch", None))
-    spans = shard_sequences(lay, sink.seq_len)
-    seqs = sink.materialize_sequences(
-        spark, corpus, epoch=getattr(args, "epoch", None)
-    )
-    bounds = (
-        spans.filter((F.col("tok_start") == 0) & (F.col("seq_off") > 0))
-        .groupBy("shard", "seq_id")
-        .agg(F.collect_list("seq_off").alias("bnds"))
-    )
-    seqs = seqs.join(bounds, ["shard", "seq_id"], "left").select(
-        "shard",
-        "seq_id",
-        "tokens",
-        F.coalesce(F.col("bnds"), F.array().cast("array<bigint>")).alias(
-            "bnds"
-        ),
-    )
-    windows = seqs.filter(F.size("tokens") >= n).select(
-        "shard",
-        "seq_id",
-        "tokens",
-        "bnds",
-        F.explode(
-            F.sequence(
-                F.lit(0).cast("bigint"),
-                (F.size("tokens") - n).cast("bigint"),
+    if getattr(args, "index_state", None):
+        # served path (round 14): the maintained sequence-shingle
+        # postings already hold every window — one broadcast join, no
+        # re-assembly, no corpus read.  The index must prove it
+        # describes the SAME corpus as the shard state (lockstep epoch
+        # stamps), else refuse — serving stale postings as a
+        # decontamination verdict is the one unforgivable failure here.
+        if getattr(args, "epoch", None):
+            print(
+                "--index-state serves the CURRENT state; epoch-pinned "
+                "scans need the assembly path (drop --index-state)",
+                file=sys.stderr,
             )
-        ).alias("p"),
-    )
-    sh = windows.select(
-        "shard",
-        "seq_id",
-        F.concat_ws(
-            sep, F.slice(F.col("tokens"), (F.col("p") + 1).cast("int"), n)
-        ).alias("shingle"),
-        F.exists(
-            "bnds",
-            lambda b: (b > F.col("p")) & (b <= F.col("p") + (n - 1)),
-        ).alias("crosses"),
-    )
-    report_df = (
-        sh.join(F.broadcast(ev_sh), "shingle")
-        .groupBy("shard", "seq_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_hits"),
-            F.sum(F.col("crosses").cast("bigint")).alias(
-                "n_cross_boundary"
-            ),
+            return 2
+        from vcf_pg_loader_spark.streaming.seqdecontam import (
+            SeqShingleIndexSink,
         )
-    )
+
+        idx = SeqShingleIndexSink(args.index_state, ngram=n, sep=sep)
+        idx._validate_params()
+        idx_stamp = idx.read_epoch()
+        st_stamp = sink.read_epoch()
+        if (
+            idx_stamp is None
+            or st_stamp is None
+            or idx_stamp.get("epoch_fp") != st_stamp.get("epoch_fp")
+        ):
+            print(
+                "the sequence index is not in lockstep with the shard "
+                "state (epoch stamps differ or missing) — re-run "
+                "sync-corpus with --seq-index-state before serving",
+                file=sys.stderr,
+            )
+            return 2
+        report_df = idx.serve(spark, ev_sh)
+    else:
+        lay = sink.layout(spark, epoch=getattr(args, "epoch", None))
+        spans = shard_sequences(lay, sink.seq_len)
+        seqs = sink.materialize_sequences(
+            spark, corpus, epoch=getattr(args, "epoch", None)
+        )
+        from vcf_pg_loader_spark.streaming.seqdecontam import (
+            sequence_shingle_table,
+        )
+
+        sh = sequence_shingle_table(seqs, spans, n, sep)
+        report_df = (
+            sh.join(F.broadcast(ev_sh), "shingle")
+            .groupBy("shard", "seq_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_hits"),
+                F.sum(F.col("crosses").cast("bigint")).alias(
+                    "n_cross_boundary"
+                ),
+            )
+        )
     report_df.write.mode("overwrite").parquet(args.out)
     agg = spark.read.parquet(args.out).agg(
         F.count(F.lit(1)).alias("seqs"),
@@ -2449,6 +2506,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "from the same delta, lockstep with --state; "
                          "train-vocab --counts-state then retrains "
                          "without a corpus pass")
+    sp.add_argument("--seq-index-state",
+                    help="with --shards-state: also maintain this "
+                         "SeqShingleIndexSink (packed-stream n-gram "
+                         "postings, shard-partitioned) in lockstep — "
+                         "only the layout delta's shards recompute; "
+                         "seq-decontam --index-state then serves "
+                         "without re-assembling any sequence")
+    sp.add_argument("--seq-index-ngram", type=int,
+                    help="window width for --seq-index-state (default: "
+                         "--ngram); SEMANTIC — fingerprinted")
     sp.add_argument("--curriculum",
                     help="with --shards-state: pack each shard "
                          "bucket-by-bucket instead of pure hash order "
@@ -2666,6 +2733,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--ngram", type=int, default=3)
     sp.add_argument("--epoch",
                     help="pin to a retained corpus-epoch snapshot")
+    sp.add_argument("--index-state",
+                    help="serve from this maintained SeqShingleIndexSink "
+                         "(sync-corpus --seq-index-state) instead of "
+                         "re-assembling sequences: one broadcast join "
+                         "against the persisted postings — O(eval) per "
+                         "check.  Refuses an index whose epoch stamp "
+                         "is not in lockstep with --state")
     sp.add_argument("--fail-on-hit", action="store_true",
                     help="exit 1 when any contaminated sequence exists")
 

@@ -53,6 +53,7 @@ STATE_VERSIONS = {
     # kept-corpus self-diff keys on
     "shards": 11.1,  # maintained training-shard layout (new in round 11)
     "vocab": 12,     # maintained vocabulary counts (new in round 12)
+    "seqdecontam": 14,  # maintained sequence-shingle index (round 14)
 }
 
 # _served_root name -> structure group; every persisted root must be
@@ -91,6 +92,8 @@ _STRUCTURE_OF = {
     "vocab_store": "vocab",
     "vocab_train_store": "vocab",
     "cdc_vocab": "vocab",
+    "seq_shingle_index": "seqdecontam",
+    "seq_shingle_layout": "shards",
 }
 
 
@@ -5264,6 +5267,66 @@ GROUP BY 1, 2
 Q_SEQ_DECONTAM_SQL = _seq_decontam_sql()
 
 
+def q_seq_decontam_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_seq_decontam's answer served from the MAINTAINED
+    sequence-shingle index (streaming/seqdecontam.py
+    SeqShingleIndexSink, round-13 verdict item 7): the shard layout is
+    built INCREMENTALLY through the maintained sink (a bootstrap batch
+    of ~4/5 of the train split, then a delta batch with the rest), the
+    index syncs after each — bootstrap builds every shard's postings,
+    the delta recomputes ONLY the touched shards and hard-links the
+    rest — and serving is one broadcast join of the eval shingle
+    vocabulary against the persisted postings, no sequence
+    re-assembly, no corpus read.  Same oracle as q_seq_decontam: the
+    maintained index over the incrementally-built layout must equal
+    the from-scratch pack + shingle + join, value-exactly."""
+    from vcf_pg_loader_spark.operators import sampling as SP
+    from vcf_pg_loader_spark.operators.ivm import MULT
+    from vcf_pg_loader_spark.operators.shards import shard_of
+    from vcf_pg_loader_spark.streaming.seqdecontam import (
+        SeqShingleIndexSink,
+    )
+    from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+    docs = SP.assign_split(
+        load_table(spark, sf_dir, "documents"), "doc_id", SPLIT_WEIGHTS
+    )
+    train = docs.filter(F.col("split") == "train").select("doc_id", "text")
+    evals = docs.filter(F.col("split") != "train")
+    ev_sh = (
+        D.shingles(evals, "doc_id", "text", NGRAM)
+        .select("shingle")
+        .distinct()
+    )
+    root = _served_root(sf_dir, "seq_shingle_index", "documents.parquet")
+    lay_root = _served_root(
+        sf_dir, "seq_shingle_layout", "documents.parquet"
+    )
+    shard_sink = TrainingShardSink(lay_root)
+    idx = SeqShingleIndexSink(root, ngram=NGRAM)
+    first = train.filter(F.col("doc_id") % 5 != 0)
+    rest = train.filter(F.col("doc_id") % 5 == 0)
+    if not shard_sink.applied(0):
+        shard_sink.apply_batch(
+            first.withColumn(MULT, F.lit(1).cast("bigint")), 0
+        )
+    if not idx.applied(0):
+        idx.sync(spark, shard_sink, first, 0, None)
+    if not shard_sink.applied(1):
+        shard_sink.apply_batch(
+            rest.withColumn(MULT, F.lit(1).cast("bigint")), 1
+        )
+    if not idx.applied(1):
+        touched = {
+            r[0]
+            for r in rest.select(
+                shard_of(F.col("doc_id"), shard_sink.n_shards)
+            ).distinct().collect()
+        }
+        idx.sync(spark, shard_sink, train, 1, touched)
+    return idx.serve(spark, ev_sh)
+
+
 def q_seq_decontam_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-level decontamination in TOKEN space (the round-13
     `seq-decontam --merges` path): a BPE-packed layout's streams are
@@ -6605,6 +6668,7 @@ QUERIES = {
     "q_curriculum_shards": q_curriculum_shards,
     "q_epoch_seq_order": q_epoch_seq_order,
     "q_seq_decontam": q_seq_decontam,
+    "q_seq_decontam_served": q_seq_decontam_served,
     "q_token_budget": q_token_budget,
     "q_mask_schedule": q_mask_schedule,
     "q_shard_advisor": q_shard_advisor,
@@ -6727,6 +6791,7 @@ ORACLE = {
     "q_curriculum_shards": Q_CURRICULUM_SHARDS_SQL,
     "q_epoch_seq_order": Q_EPOCH_SEQ_ORDER_SQL,
     "q_seq_decontam": Q_SEQ_DECONTAM_SQL,
+    "q_seq_decontam_served": Q_SEQ_DECONTAM_SQL,
     "q_token_budget": Q_TOKEN_BUDGET_SQL,
     "q_mask_schedule": Q_MASK_SCHEDULE_SQL,
     "q_shard_advisor": Q_SHARD_ADVISOR_SQL,
