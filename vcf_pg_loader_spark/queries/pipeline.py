@@ -189,6 +189,69 @@ SELECT cand.d1, cand.d2, n_inter, jaccard FROM cand JOIN verified
 Q_MINHASH_LSH_SQL = _minhash_sql()
 
 
+def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-bucket density profile under the pipeline LSH parameters —
+    the operational counters behind the round-14 scale attribution
+    (tools/scale_rehearsal.py lsh_profile), oracled: per band, the
+    bucket count, the largest bucket, and sum C(size, 2) over buckets
+    (the candidate-pair volume the bucket self-join MUST emit before
+    distinct).  This is what a 100 TB operator watches per sync to
+    know whether collision density is drifting toward the quadratic
+    regime — and the number the rows-per-band knob (--minhash-k) is
+    chosen against.  Pure integer arithmetic (DIV 2 both engines), so
+    the twin is value-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(docs, "doc_id", "text", NGRAM)
+    banded = D.lsh_band_table(
+        D.minhash_signatures(sh, MINHASH_K), MINHASH_K, MINHASH_BANDS
+    )
+    per = banded.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return per.groupBy(
+        F.col("band_id").cast("bigint").alias("band_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("sz").cast("bigint").alias("max_bucket"),
+        F.sum(
+            F.expr("CAST(sz AS BIGINT) * (sz - 1) DIV 2")
+        ).cast("bigint").alias("pairs_pre_distinct"),
+    )
+
+
+def _lsh_bucket_stats_sql() -> str:
+    base = sql_h60("shingle", salt="mh:")
+    mins = ",\n         ".join(
+        f"MIN({D.sql_mh_expr('_h', i)}) AS mh{i}" for i in range(MINHASH_K)
+    )
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    band_selects = []
+    for b in range(MINHASH_BANDS):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({key}) AS band_key FROM sig"
+        )
+    banded = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH sh AS ({_SH}),
+sig AS (SELECT doc_id, {mins}
+        FROM (SELECT doc_id, {base} AS _h FROM sh) GROUP BY doc_id),
+banded AS ({banded}),
+per AS (
+  SELECT band_id, band_key, COUNT(*) AS sz FROM banded GROUP BY 1, 2
+)
+SELECT CAST(band_id AS BIGINT) AS band_id,
+       COUNT(*) AS n_buckets,
+       CAST(MAX(sz) AS BIGINT) AS max_bucket,
+       CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS pairs_pre_distinct
+FROM per GROUP BY 1
+"""
+
+
+Q_LSH_BUCKET_STATS_SQL = _lsh_bucket_stats_sql()
+
+
 # --------------------------------------------------------------------------
 # SimHash fingerprints
 # --------------------------------------------------------------------------
@@ -6573,6 +6636,7 @@ QUERIES = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_minhash_lsh": q_minhash_lsh,
+    "q_lsh_bucket_stats": q_lsh_bucket_stats,
     "q_simhash": q_simhash,
     "q_token_topk": q_token_topk,
     "q_bpe_token_stats": q_bpe_token_stats,
@@ -6699,6 +6763,7 @@ ORACLE = {
     "q_dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
     "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "q_minhash_lsh": Q_MINHASH_LSH_SQL,
+    "q_lsh_bucket_stats": Q_LSH_BUCKET_STATS_SQL,
     "q_simhash": Q_SIMHASH_SQL,
     "q_token_topk": Q_TOKEN_TOPK_SQL,
     "q_bpe_token_stats": Q_BPE_TOKEN_STATS_SQL,
