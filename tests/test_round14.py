@@ -899,3 +899,60 @@ class TestSeqShingleIndex:
              "--out", str(tmp_path / "rep3"), "--ngram", "3",
              "--index-state", seqidx]
         ) == 0
+
+
+class TestConnectivityUnchangedFastPath:
+    def test_no_dup_delta_hardlinks_pairs_and_clusters(
+        self, spark, tmp_path
+    ):
+        """A batch with no new near-dup edges and no touched edge must
+        hard-link pairs/ and clusters/ through the swap (inode pin) —
+        and a batch that DOES create an edge must rewrite them."""
+        from vcf_pg_loader_spark.streaming.retract import (
+            DedupClusterMaintSink,
+        )
+
+        rows = [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon zeta"),  # dup of 0
+            (2, "one two three four five six seven"),
+            (3, "red green blue yellow purple orange"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        t = str(tmp_path / "state")
+        sink = DedupClusterMaintSink(t)
+        sink.apply_batch(docs.withColumn(MULT, F.lit(1).cast("bigint")), 0)
+
+        def inodes(table):
+            d = os.path.join(t, table)
+            return sorted(
+                os.stat(os.path.join(root, f)).st_ino
+                for root, _dirs, files in os.walk(d)
+                for f in files
+                if f.endswith(".parquet")
+            )
+
+        before_p, before_c = inodes("pairs"), inodes("clusters")
+        assert before_p and before_c  # the dup pair (0,1) exists
+
+        # non-duplicate arrival: connectivity unchanged -> hard-link
+        fresh = spark.createDataFrame(
+            [(9, "totally different words entirely here now")],
+            "doc_id bigint, text string",
+        )
+        sink.apply_batch(fresh.withColumn(MULT, F.lit(1).cast("bigint")), 1)
+        assert inodes("pairs") == before_p
+        assert inodes("clusters") == before_c
+        # and the corpus did grow
+        assert sink._table(spark, "corpus").count() == 5
+
+        # deleting a clustered doc touches an edge -> tables rewrite
+        dels = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")],
+            "doc_id bigint, text string",
+        )
+        sink.apply_batch(dels.withColumn(MULT, F.lit(-1).cast("bigint")), 2)
+        assert inodes("pairs") != before_p
+        assert sink._table(spark, "pairs").count() == 0
+        # keep-decision now keeps everything (no losers)
+        assert sink.keep(spark).count() == 4
