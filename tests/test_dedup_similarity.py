@@ -266,13 +266,42 @@ class TestConnectedComponents:
         )
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
-    def test_long_path_converges_in_log_rounds(self, spark):
+    def test_long_path_converges_in_log_rounds(self, spark, monkeypatch):
         # pointer jumping: a 16-node path must converge well inside
-        # max_iter=6 (hash-min alone would need ~15 rounds)
+        # max_iter=6 (hash-min alone would need ~15 rounds).  Force the
+        # DISTRIBUTED loop — the round-14 small-graph union-find would
+        # otherwise take this case and leave the loop untested.
+        from vcf_pg_loader_spark.operators import dedup as D
+
+        monkeypatch.setattr(D, "SMALL_CC_EDGES", 0)
         edges = [(i, i + 1) for i in range(1, 16)]
         got = self._cc(spark, edges, max_iter=6)
         assert set(got.values()) == {1}
         assert len(got) == 16
+
+    def test_small_graph_fast_path_equals_distributed(
+        self, spark, monkeypatch
+    ):
+        """Round 14: below SMALL_CC_EDGES the labels come from driver
+        union-find — must equal the distributed loop's output exactly,
+        including string node ids (lexicographic min)."""
+        from vcf_pg_loader_spark.operators import dedup as D
+
+        edges = [(1, 5), (5, 9), (2, 9), (7, 8), (3, 4), (4, 12),
+                 (12, 3), (20, 21)]
+        fast = self._cc(spark, edges)
+        monkeypatch.setattr(D, "SMALL_CC_EDGES", 0)
+        dist = self._cc(spark, edges)
+        assert fast == dist
+        monkeypatch.undo()
+        sdf = spark.createDataFrame(
+            [("b", "a"), ("a", "c"), ("x", "y")], "d1 string, d2 string"
+        )
+        rows = {
+            r["node"]: r["comp"]
+            for r in D.connected_components(sdf, "d1", "d2").collect()
+        }
+        assert rows == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
     def test_duplicate_and_reversed_edges(self, spark):
         got = self._cc(spark, [(2, 1), (1, 2), (2, 1), (3, 2)])
