@@ -14,7 +14,7 @@ from collections import Counter
 
 import numpy as np
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -115,6 +115,23 @@ class TestGlobalRankProperty:
         assert got == want
 
 
+# Provable round-trip envelope of the all-ones-quantizer codec
+# (operators/_jpeg.py).  The only lossy step is np.rint on the FDCT
+# coefficients (_encode_block), so each of the 64 coefficients of a
+# block carries error |e| <= 0.5.  The IDCT is the orthonormal 8-point
+# DCT-II matrix A, whose every row has abs-sum  s = max_i sum_k
+# |A[i,k]| = 2.6418459874...  Per-pixel plane error is
+#   |sum_{k,l} e_kl A[i,k] A[j,l]| <= 0.5 * s^2 = 3.4896751...
+# The YCbCr->RGB inverse amplifies plane errors by at most the B
+# channel's 1 + 1.772 = 2.772 abs row-sum, and the final uint8
+# rounding adds 0.5:
+#   2.772 * 3.48968 + 0.5 = 10.173...  ->  integer bound 10.
+# (R: 2.402*B+0.5 = 8.88, G: 2.058*B+0.5 = 7.68.)  Empirically random
+# images stay <= 3 (pinned below); the old <=2 assertion was a ~1/200
+# Hypothesis flake — seed 1061251287 produces a single pixel at 3.
+JPEG_ROUNDTRIP_BOUND = 10
+
+
 class TestJPEGRoundtripProperty:
     @settings(**SETTINGS)
     @given(
@@ -122,6 +139,7 @@ class TestJPEGRoundtripProperty:
         st.integers(1, 4),  # width in 8-px blocks
         st.integers(0, 2**31 - 1),
     )
+    @example(1, 4, 1061251287)  # historical falsifier of the old <=2 bound
     def test_roundtrip_within_idct_rounding(self, h8, w8, seed):
         from vcf_pg_loader_spark.operators._jpeg import (
             decode_jpeg,
@@ -132,7 +150,31 @@ class TestJPEGRoundtripProperty:
         img = rng.integers(0, 256, (8 * h8, 8 * w8, 3), dtype=np.uint8)
         dec = decode_jpeg(encode_jpeg(img, "4:4:4"))
         assert dec.shape == img.shape
-        assert int(np.max(np.abs(dec.astype(int) - img.astype(int)))) <= 2
+        err = int(np.max(np.abs(dec.astype(int) - img.astype(int))))
+        assert err <= JPEG_ROUNDTRIP_BOUND
+
+    def test_roundtrip_pinned_seeds_stay_tight(self):
+        """Deterministic regression: on these fixed inputs (including the
+        seed that falsified the old <=2 bound) the codec's observed error
+        is exactly <= 3.  Unlike the property above this cannot flake —
+        if a codec change pushes these inputs past 3, that is a real
+        accuracy regression even though the provable envelope is 10."""
+        from vcf_pg_loader_spark.operators._jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        for seed, shape in [
+            (1061251287, (8, 32, 3)),  # the 1-pixel-at-3 falsifier
+            (0, (16, 16, 3)),
+            (12345, (32, 8, 3)),
+            (999983, (24, 24, 3)),
+        ]:
+            rng = np.random.default_rng(seed)
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            dec = decode_jpeg(encode_jpeg(img, "4:4:4"))
+            err = int(np.max(np.abs(dec.astype(int) - img.astype(int))))
+            assert err <= 3, (seed, err)
 
     @settings(**SETTINGS)
     @given(st.binary(min_size=0, max_size=64))
