@@ -81,7 +81,7 @@ def gen_corpus(spark, n_docs: int, seed: int, start_id: int = 0):
 
 
 def lsh_profile(spark, snap: str, ngram: int, k: int, bands: int,
-                threshold: float) -> dict:
+                threshold: float, recall_sample_mod: int = 0) -> dict:
     """Per-stage attribution of the bootstrap sync's near-dup gate
     (round-13 verdict item 1): the SAME operator pipeline the
     DedupClusterMaintSink bootstrap runs (shingle -> MinHash -> band ->
@@ -179,6 +179,25 @@ def lsh_profile(spark, snap: str, ngram: int, k: int, bands: int,
     prof.update(cc_stats)
     prof["cc_sec"] = round(time.monotonic() - t0, 2)
 
+    if recall_sample_mod:
+        # the recall side of the cost/recall trade (round-14 verdict
+        # item 2): sampled exact-Jaccard truth vs banded-candidate
+        # coverage under THESE (k, bands) — recorded per scale point so
+        # an operator raising --minhash-k can read what the tightened
+        # s-curve misses, not just what it saves
+        t0 = time.monotonic()
+        rs = D.lsh_recall_sample(
+            docs, "doc_id", "text", ngram, k, bands, threshold,
+            sample_mod=recall_sample_mod,
+        ).collect()[0]
+        prof["recall_sample"] = {
+            "sample_mod": recall_sample_mod,
+            "n_sample_docs": int(rs["n_sample_docs"]),
+            "n_true_pairs": int(rs["n_true_pairs"]),
+            "n_banded_pairs": int(rs["n_banded_pairs"]),
+            "recall": float(rs["recall"]),
+        }
+        prof["recall_sample_sec"] = round(time.monotonic() - t0, 2)
     verified.unpersist()
     cands.unpersist()
     sig.unpersist()
@@ -234,6 +253,11 @@ def main() -> int:
                     help="generate the corpus and run the per-stage LSH "
                          "attribution profile, skipping the timed "
                          "sync/train/export steps")
+    ap.add_argument("--recall-sample", type=int, default=4,
+                    metavar="MOD",
+                    help="sample modulus for the LSH recall estimate "
+                         "recorded in lsh_profile (docs with "
+                         "h60(doc_id) %% MOD == 0; 0 disables)")
     args = ap.parse_args()
 
     from vcf_pg_loader_spark.session import get_spark
@@ -260,7 +284,7 @@ def main() -> int:
 
         report["lsh_profile"] = lsh_profile(
             spark, snap, args.ngram, args.minhash_k, args.bands,
-            args.threshold,
+            args.threshold, recall_sample_mod=args.recall_sample,
         )
         if args.profile_only:
             with open(args.out, "w") as fh:

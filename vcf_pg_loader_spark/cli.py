@@ -86,6 +86,10 @@ def _load_merges_artifact(path: str) -> tuple[dict, dict]:
             "tokenizer_fp", tokenizer_fingerprint(merges, mode, max_chars)
         ),
         "token_mode": mode,
+        # pre-round-14 layouts were stamped vocab_fp=corpus_fp; passing
+        # the artifact's corpus_fp lets TrainingShardSink recognize its
+        # own legacy stamp and restamp in place instead of refusing
+        "legacy_vocab_fp": art.get("corpus_fp"),
     }
     if max_chars is not None:
         kw["max_chars"] = max_chars
@@ -611,6 +615,32 @@ def cmd_sync_corpus(args) -> int:
             file=sys.stderr,
         )
         return 2
+    if use_delta and args.shards_state:
+        # a layout last synced under --snapshot --mix-budget holds a
+        # QUOTA selection (its epoch stamp carries the mix_budget
+        # marker); a --delta sync would self-diff against the full
+        # kept corpus — restricted or not, the result is neither the
+        # old quota nor a coherent new one, then restamped without the
+        # marker (round-14 advice item 4).  Refuse up front, before
+        # any sibling applies: the transition out of (or within) a
+        # quota selection needs --snapshot.
+        from vcf_pg_loader_spark.streaming.sink import ParquetUpsertSink
+
+        sh_probe = ParquetUpsertSink(
+            args.shards_state, key=["doc_id"]
+        ).read_epoch()
+        if sh_probe is not None and "mix_budget" in sh_probe:
+            print(
+                f"the shards state at {args.shards_state} was last "
+                f"synced under --mix-budget "
+                f"{sh_probe['mix_budget']} (a per-source quota "
+                f"selection over the full kept corpus); --delta "
+                f"cannot maintain a quota — re-sync with --snapshot "
+                f"--mix-budget N (keep the quota) or --snapshot "
+                f"(drop it), then resume --delta",
+                file=sys.stderr,
+            )
+            return 2
     spark = _spark()
     sink = DedupClusterMaintSink(
         args.state, args.ngram, args.minhash_k, args.bands, args.threshold
@@ -693,6 +723,34 @@ def cmd_sync_corpus(args) -> int:
             .select("doc_id", F.col("text").alias("_state_text"))
         )
         delta = feed.select("doc_id", "text", MULT)
+
+        def fold_epoch() -> dict:
+            """XOR-fold this feed forward over the persisted stamp —
+            the delta path's epoch arithmetic, also used to HEAL a
+            stamp left one batch behind by a crash between
+            apply_batch's swap and stamp_epoch (round-14 advice
+            item 1: the ledger records the batch, the stamp file is
+            written after — the stale stamp would otherwise propagate
+            the pre-batch fingerprint to every sibling sink and every
+            later fold, permanently and undetectably)."""
+            fcols = [F.col("doc_id").cast("string"), F.md5("text")]
+            if has_source:
+                fcols.append(
+                    F.coalesce(F.col("source").cast("string"), F.lit(""))
+                )
+            fold = feed.agg(
+                F.coalesce(
+                    F.bit_xor(h60(F.concat_ws(":", *fcols), "epoch:")),
+                    F.lit(0),
+                ).alias("fp"),
+                F.coalesce(F.sum(MULT), F.lit(0)).alias("dn"),
+            ).collect()[0]
+            return {
+                "epoch_fp": int(prior_epoch["epoch_fp"]) ^ int(fold.fp),
+                "n_docs": int(prior_epoch["n_docs"]) + int(fold.dn),
+                "batch_id": args.batch_id,
+                "fp_cols": prior_epoch["fp_cols"],
+            }
         if sink.applied(args.batch_id):
             # REPLAYED batch id: the cluster state and stamp already
             # contain this delta, so the fold must NOT run again (XOR
@@ -725,7 +783,16 @@ def cmd_sync_corpus(args) -> int:
                     f"batch id under a different delta would leave the "
                     f"state at the old data; use a fresh batch id"
                 )
-            epoch = dict(prior_epoch)
+            if prior_epoch.get("batch_id") != args.batch_id:
+                # crash window: the ledger says this batch is IN the
+                # cluster state (and the drift check above just proved
+                # the feed is that batch), but the stamp predates it —
+                # fold the batch forward so the healed stamp, not the
+                # stale pre-batch fingerprint, propagates to the
+                # sibling sinks and every later --delta fold
+                epoch = fold_epoch()
+            else:
+                epoch = dict(prior_epoch)
             stats = {}
         else:
             # -1 rows must carry the doc's CURRENT text (the XOR fold
@@ -763,30 +830,64 @@ def cmd_sync_corpus(args) -> int:
                     file=sys.stderr,
                 )
                 return 2
+            if has_source and args.card_state:
+                # -1 tuples' SOURCE folds into the epoch fingerprint
+                # but the cluster corpus stores no source to check it
+                # against — the card state does (per-doc source in its
+                # stats table).  Verify retractions carry each doc's
+                # current source, or a wrong historical source would
+                # silently corrupt the stamp and break the
+                # bit-equal-to-snapshot invariant (round-14 advice
+                # item 3).  Without --card-state the -1 source is the
+                # caller's unverified obligation (documented on the
+                # --delta flag).  Touched-bucket-pruned read.
+                from vcf_pg_loader_spark.streaming.retract import (
+                    DatasetCardSink,
+                )
+
+                card_stats = DatasetCardSink(args.card_state)._table_raw(
+                    spark, "stats"
+                )
+                if card_stats is not None:
+                    if "ib" in card_stats.columns:
+                        card_stats = card_stats.filter(
+                            isin_values(F.col("ib"), tb)
+                        )
+                    wrong_src = (
+                        dels_feed.select(
+                            "doc_id",
+                            F.coalesce(
+                                F.col("source"), F.lit("unknown")
+                            ).alias("_feed_src"),
+                        )
+                        .join(
+                            card_stats.select(
+                                "doc_id",
+                                F.col("source").alias("_card_src"),
+                            ),
+                            "doc_id",
+                        )
+                        .filter(F.col("_feed_src") != F.col("_card_src"))
+                        .count()
+                    )
+                    if wrong_src:
+                        print(
+                            f"{wrong_src} retraction row(s) carry a "
+                            f"source that differs from the maintained "
+                            f"card state's per-doc source — -1 tuples "
+                            f"must carry each document's CURRENT "
+                            f"source or the folded epoch fingerprint "
+                            f"diverges from the snapshot path",
+                            file=sys.stderr,
+                        )
+                        return 2
             stats = {
                 (r[MULT]): r["n"]
                 for r in delta.groupBy(MULT)
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }
-            fp_cols = [F.col("doc_id").cast("string"), F.md5("text")]
-            if has_source:
-                fp_cols.append(
-                    F.coalesce(F.col("source").cast("string"), F.lit(""))
-                )
-            fold = feed.agg(
-                F.coalesce(
-                    F.bit_xor(h60(F.concat_ws(":", *fp_cols), "epoch:")),
-                    F.lit(0),
-                ).alias("fp"),
-                F.coalesce(F.sum(MULT), F.lit(0)).alias("dn"),
-            ).collect()[0]
-            epoch = {
-                "epoch_fp": int(prior_epoch["epoch_fp"]) ^ int(fold.fp),
-                "n_docs": int(prior_epoch["n_docs"]) + int(fold.dn),
-                "batch_id": args.batch_id,
-                "fp_cols": prior_epoch["fp_cols"],
-            }
+            epoch = fold_epoch()
     else:
         new = spark.read.parquet(args.snapshot).select("doc_id", "text")
         old = sink._table(spark, "corpus")
@@ -849,7 +950,7 @@ def cmd_sync_corpus(args) -> int:
             ),
         }
 
-    def apply_and_stamp(s, batch_delta, stamp):
+    def apply_and_stamp(s, batch_delta, stamp, heal_verified=False):
         """Stamp the epoch ONLY when the batch actually applies this
         run.  apply_batch is a silent no-op on a replayed batch id;
         stamping unconditionally would re-stamp the state with a NEW
@@ -857,14 +958,40 @@ def cmd_sync_corpus(args) -> int:
         after which verify-consistency (whose whole purpose is catching
         divergence) vouches for genuinely diverged states (round-11
         advice item 1).  A replay under the SAME snapshot is a clean
-        no-op; a reused batch id under a DIFFERENT snapshot refuses."""
+        no-op; a reused batch id under a DIFFERENT snapshot refuses.
+
+        One exception (round-14 advice item 1): stamp_epoch writes a
+        separate file AFTER apply_batch's swap, so a crash in that
+        window leaves the ledger one batch ahead of the stamp.  The
+        stamp records its batch_id, which makes the window detectable:
+        on replay, a stamp whose batch_id is NOT args.batch_id is
+        stale — heal it forward, but only when this run has PROVEN the
+        stamp target matches the data (``heal_verified``: the --delta
+        path's feed-vs-post-state drift check), or when the recomputed
+        delta is empty (the state already equals the snapshot, so the
+        stamp describes exactly what's on disk).  A non-empty
+        unverified delta under a replayed id means a reused batch id
+        over different data — refuse, never vouch."""
         replay = s.applied(args.batch_id)
         s.apply_batch(batch_delta, args.batch_id)
         if not replay:
             s.stamp_epoch(stamp)
             return
         prior = s.read_epoch()
-        if prior is not None and prior.get("epoch_fp") != stamp["epoch_fp"]:
+        if prior is None or prior.get("batch_id") != args.batch_id:
+            if heal_verified or batch_delta.limit(1).count() == 0:
+                s.stamp_epoch(stamp)
+                return
+            raise ValueError(
+                f"batch {args.batch_id} is in {s.target}'s ledger but "
+                f"its epoch stamp records batch "
+                f"{None if prior is None else prior.get('batch_id')} "
+                f"and this run's recomputed delta is non-empty: the "
+                f"state holds different data than this snapshot — a "
+                f"crash-window heal is only safe for the exact batch "
+                f"that was applied; use a fresh batch id"
+            )
+        if prior.get("epoch_fp") != stamp["epoch_fp"]:
             raise ValueError(
                 f"batch {args.batch_id} was already applied at "
                 f"{s.target} under epoch_fp {prior.get('epoch_fp')}, but "
@@ -875,7 +1002,16 @@ def cmd_sync_corpus(args) -> int:
             )
 
     affected_pre = None
-    if use_delta and args.shards_state:
+    if use_delta and args.shards_state and not sink.applied(args.batch_id):
+        # (The replay/recovery guard: when the batch is ALREADY in the
+        # cluster state at entry — a crash between its apply and the
+        # sibling syncs — this "pre-apply" capture would really be a
+        # POST-apply read: deleted docs are gone from the clusters
+        # table, their former comp-mates are missed, and the
+        # restricted self-diff could skip a keep-flip (round-14
+        # advice item 2).  Leave affected_pre None so the shard sync
+        # below runs the FULL self-diff — the healing pass.)
+        #
         # the keep-decision is a GLOBAL function of the cluster state,
         # but it can only move inside components that contain a touched
         # doc: capture those components' members from the PRE-apply
@@ -899,7 +1035,7 @@ def cmd_sync_corpus(args) -> int:
                 )
             )
         affected_pre = affected_pre.distinct().localCheckpoint(eager=True)
-    apply_and_stamp(sink, delta, epoch)
+    apply_and_stamp(sink, delta, epoch, heal_verified=use_delta)
     if args.funnel_state:
         # the funnel's own corpus/ holds quality+LM SURVIVORS only, so
         # it cannot self-diff — it consumes the delta computed against
@@ -912,7 +1048,8 @@ def cmd_sync_corpus(args) -> int:
             args.funnel_state, args.nll_max, args.ngram, args.minhash_k,
             args.bands, args.threshold,
         )
-        apply_and_stamp(funnel_sink, delta, epoch)
+        apply_and_stamp(funnel_sink, delta, epoch,
+                        heal_verified=use_delta)
     if args.decontam_state:
         # same lockstep rule as --funnel-state: the decontamination
         # index consumes the delta computed against the cluster state's
@@ -920,7 +1057,8 @@ def cmd_sync_corpus(args) -> int:
         from vcf_pg_loader_spark.streaming.retract import DecontamIndexSink
 
         dec_sink = DecontamIndexSink(args.decontam_state, args.ngram)
-        apply_and_stamp(dec_sink, delta, epoch)
+        apply_and_stamp(dec_sink, delta, epoch,
+                        heal_verified=use_delta)
     if getattr(args, "vocab_state", None):
         # maintained (word, n) table: same lockstep delta, counts merge
         # additively inside the touched word-hash buckets — after which
@@ -931,7 +1069,8 @@ def cmd_sync_corpus(args) -> int:
         if getattr(args, "vocab_max_chars", None) is not None:
             vkw["max_chars"] = args.vocab_max_chars
         vocab_sink = VocabSink(args.vocab_state, **vkw)
-        apply_and_stamp(vocab_sink, delta, epoch)
+        apply_and_stamp(vocab_sink, delta, epoch,
+                        heal_verified=use_delta)
     if args.card_state:
         # The release card diffs ITS OWN state against the snapshot, on
         # (content-fingerprint, source) — NOT the text-keyed delta the
@@ -965,7 +1104,8 @@ def cmd_sync_corpus(args) -> int:
             card_delta = feed.select(
                 "doc_id", "text", src_col.alias("source"), F.col(MULT)
             ).localCheckpoint(eager=True)
-            apply_and_stamp(card_sink, card_delta, epoch)
+            apply_and_stamp(card_sink, card_delta, epoch,
+                            heal_verified=True)
         else:
             snap = spark.read.parquet(args.snapshot)
             src_col = (
@@ -1266,20 +1406,43 @@ def cmd_sync_corpus(args) -> int:
         corpus.join(kept, "doc_id", "left_semi").write.mode(
             "overwrite"
         ).parquet(args.out)
-    print(
-        json.dumps(
-            {
-                "state": args.state,
-                "batch_id": args.batch_id,
-                "rows_retracted": stats.get(-1, 0),
-                "rows_upserted": stats.get(1, 0),
-                "docs_in_state": sink._table(spark, "corpus").count(),
-                "docs_kept": kept.count(),
-                "out": args.out,
-                "epoch_fp": epoch["epoch_fp"],
-            }
-        )
-    )
+    report = {
+        "state": args.state,
+        "batch_id": args.batch_id,
+        "rows_retracted": stats.get(-1, 0),
+        "rows_upserted": stats.get(1, 0),
+        "docs_in_state": sink._table(spark, "corpus").count(),
+        "docs_kept": kept.count(),
+        "out": args.out,
+        "epoch_fp": epoch["epoch_fp"],
+    }
+    if getattr(args, "recall_sample", 0):
+        # sampled recall of the banded LSH at THIS state's fingerprinted
+        # parameters over the post-sync corpus — the counter that makes
+        # the rows-per-band cost/recall trade visible per sync (the
+        # bucket-density counters watch cost; this watches what the
+        # tightened s-curve misses).  q_lsh_recall_sample pins the
+        # arithmetic against the DuckDB oracle.
+        from vcf_pg_loader_spark.operators.dedup import lsh_recall_sample
+
+        rs = lsh_recall_sample(
+            sink._table(spark, "corpus"),
+            "doc_id",
+            "text",
+            args.ngram,
+            args.minhash_k,
+            args.bands,
+            args.threshold,
+            sample_mod=args.recall_sample,
+        ).collect()[0]
+        report["recall_sample"] = {
+            "sample_mod": args.recall_sample,
+            "n_sample_docs": int(rs["n_sample_docs"]),
+            "n_true_pairs": int(rs["n_true_pairs"]),
+            "n_banded_pairs": int(rs["n_banded_pairs"]),
+            "recall": float(rs["recall"]),
+        }
+    print(json.dumps(report))
     return 0
 
 
@@ -2476,9 +2639,27 @@ def build_parser() -> argparse.ArgumentParser:
                          "state must already be epoch-stamped (bootstrap "
                          "with --snapshot).  Lockstep sibling states "
                          "consume the same feed; the card/shards "
-                         "self-diff HEALING passes need --snapshot")
+                         "self-diff HEALING passes need --snapshot.  "
+                         "When the stamp folds source (fp_cols "
+                         "id:md5:source), -1 tuples must carry each "
+                         "doc's CURRENT source: verified against the "
+                         "card state when --card-state is given, "
+                         "otherwise the caller's unverified obligation "
+                         "(the cluster corpus persists no source)")
     sp.add_argument("--batch-id", type=int, required=True,
                     help="exactly-once batch id (replays are no-ops)")
+    sp.add_argument("--recall-sample", type=int, default=0,
+                    metavar="MOD",
+                    help="log a sampled LSH recall estimate in the sync "
+                         "report: docs with h60(doc_id) %% MOD == 0 are "
+                         "exact-verified against themselves "
+                         "(prefix-filtered AllPairs) and checked for "
+                         "band collisions under this state's (k, bands) "
+                         "— the recall side of the --minhash-k "
+                         "cost/recall trade (cost side: "
+                         "q_lsh_bucket_stats).  0 (default) = off; "
+                         "raise MOD to cap the sample at any corpus "
+                         "size")
     sp.add_argument("--out", help="write the kept corpus here")
     sp.add_argument("--funnel-state",
                     help="also apply the delta to this FunnelReportSink "

@@ -450,6 +450,152 @@ def minhash_lsh_dedup(
     return verify_candidate_jaccard(cands, sh, threshold)
 
 
+def lsh_recall_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.8,
+    sample_mod: int = 4,
+    salt: str = "recall:",
+) -> DataFrame:
+    """Sampled recall estimator for the banded LSH at (k, bands) — the
+    counter the bucket-density profile (q_lsh_bucket_stats) lacks: the
+    density counters watch what the s-curve COSTS; this watches what it
+    MISSES (round-14 verdict item 2: the rows-per-band knob buys its
+    candidate collapse by spending recall at the threshold margin, and
+    production had nothing measuring that trade).
+
+    A deterministic hash sample (h60(id) % sample_mod == 0 — stable
+    across syncs and engines, never a random split) is exact-verified
+    against itself via prefix-filtered AllPairs, giving the sample's
+    TRUE pairs at Jaccard >= threshold; the same sample is banded
+    under the CURRENT parameters, and recall is the fraction of true
+    pairs that collide in at least one band.  Cost is
+    O((docs/sample_mod) * shingles) + the sample's candidate join —
+    per-sync affordable at any corpus size by raising sample_mod.
+    Pairs straddling the sample boundary are invisible by design: a
+    pair's band-collision probability depends only on its Jaccard, so
+    the within-sample estimate is unbiased for the corpus at the same
+    similarity profile.
+
+    One row: (n_sample_docs, n_true_pairs, n_banded_pairs, recall),
+    recall = 1.0 when the sample holds no true pairs (nothing to
+    miss)."""
+    from pyspark.storagelevel import StorageLevel
+
+    sample = df.filter(
+        h60(F.col(id_col).cast("string"), salt) % F.lit(sample_mod) == 0
+    ).select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    sh = shingles(sample, "doc_id", "text", n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    true_pairs = prefix_filtered_jaccard_pairs(sh, threshold).select(
+        "d1", "d2"
+    )
+    cands = lsh_candidate_pairs(minhash_signatures(sh, k), k, bands)
+    covered = true_pairs.join(cands, ["d1", "d2"], "left_semi")
+    n_docs = sample.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_sample_docs")
+    )
+    n_true = true_pairs.agg(
+        F.count(F.lit(1)).alias("n_true_pairs")
+    )
+    n_cov = covered.agg(F.count(F.lit(1)).alias("n_banded_pairs"))
+    return (
+        n_docs.crossJoin(n_true)
+        .crossJoin(n_cov)
+        .select(
+            "n_sample_docs",
+            "n_true_pairs",
+            "n_banded_pairs",
+            F.when(F.col("n_true_pairs") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.col("n_banded_pairs").cast("double")
+                    / F.col("n_true_pairs"),
+                    6,
+                )
+            )
+            .alias("recall"),
+        )
+    )
+
+
+def sql_lsh_recall_sample(
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.8,
+    sample_mod: int = 4,
+    salt: str = "recall:",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`lsh_recall_sample` (brute-force exact
+    pairs — same verified set the prefix filter prunes toward)."""
+    sample = (
+        f"SELECT doc_id, text FROM {table} "
+        f"WHERE {sql_h60('CAST(doc_id AS VARCHAR)', salt)} "
+        f"% {sample_mod} = 0"
+    )
+    sh_sql = sql_shingles(n, table="sample")
+    base = sql_h60("shingle", salt="mh:")
+    mins = ",\n         ".join(
+        f"MIN({sql_mh_expr('_h', i)}) AS mh{i}" for i in range(k)
+    )
+    rows_per_band = k // bands
+    band_selects = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({key}) AS band_key "
+            f"FROM sig"
+        )
+    banded = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH sample AS ({sample}),
+sh AS ({sh_sql}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+true_pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes sa ON sa.doc_id = d1
+  JOIN sizes sb ON sb.doc_id = d2
+  WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}
+),
+sig AS (SELECT doc_id, {mins}
+        FROM (SELECT doc_id, {base} AS _h FROM sh) GROUP BY doc_id),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+covered AS (
+  SELECT t.d1, t.d2 FROM true_pairs t
+  WHERE EXISTS (SELECT 1 FROM cand c
+                WHERE c.d1 = t.d1 AND c.d2 = t.d2)
+)
+SELECT (SELECT COUNT(*) FROM sample) AS n_sample_docs,
+       (SELECT COUNT(*) FROM true_pairs) AS n_true_pairs,
+       (SELECT COUNT(*) FROM covered) AS n_banded_pairs,
+       CASE WHEN (SELECT COUNT(*) FROM true_pairs) = 0
+            THEN CAST(1.0 AS DOUBLE)
+            ELSE ROUND(
+              CAST((SELECT COUNT(*) FROM covered) AS DOUBLE)
+              / (SELECT COUNT(*) FROM true_pairs), 6)
+       END AS recall
+"""
+
+
 # --------------------------------------------------------------------------
 # connected components — near-dup pairs -> cluster ids
 # --------------------------------------------------------------------------

@@ -252,6 +252,30 @@ FROM per GROUP BY 1
 Q_LSH_BUCKET_STATS_SQL = _lsh_bucket_stats_sql()
 
 
+def q_lsh_recall_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled LSH recall estimator under the pipeline parameters — the
+    recall counterpart of q_lsh_bucket_stats' cost counters (round-14
+    verdict item 2): a deterministic hash sample of the corpus is
+    exact-verified against itself (prefix-filtered AllPairs), banded
+    under the current (k, bands), and recall is the fraction of true
+    >=threshold pairs that collide in at least one band.  This is the
+    number an operator reads before and after raising --minhash-k: the
+    density counters say what the tighter s-curve saves, this says
+    what it misses.  sync-corpus --recall-sample logs the same
+    arithmetic per sync; tools/scale_rehearsal.py records it per scale
+    point."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.lsh_recall_sample(
+        docs, "doc_id", "text", NGRAM, MINHASH_K, MINHASH_BANDS,
+        JACCARD_T, sample_mod=2,
+    )
+
+
+Q_LSH_RECALL_SAMPLE_SQL = D.sql_lsh_recall_sample(
+    NGRAM, MINHASH_K, MINHASH_BANDS, JACCARD_T, sample_mod=2,
+)
+
+
 # --------------------------------------------------------------------------
 # SimHash fingerprints
 # --------------------------------------------------------------------------
@@ -6637,6 +6661,7 @@ QUERIES = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_minhash_lsh": q_minhash_lsh,
     "q_lsh_bucket_stats": q_lsh_bucket_stats,
+    "q_lsh_recall_sample": q_lsh_recall_sample,
     "q_simhash": q_simhash,
     "q_token_topk": q_token_topk,
     "q_bpe_token_stats": q_bpe_token_stats,
@@ -6764,6 +6789,7 @@ ORACLE = {
     "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "q_minhash_lsh": Q_MINHASH_LSH_SQL,
     "q_lsh_bucket_stats": Q_LSH_BUCKET_STATS_SQL,
+    "q_lsh_recall_sample": Q_LSH_RECALL_SAMPLE_SQL,
     "q_simhash": Q_SIMHASH_SQL,
     "q_token_topk": Q_TOKEN_TOPK_SQL,
     "q_bpe_token_stats": Q_BPE_TOKEN_STATS_SQL,

@@ -394,6 +394,7 @@ class TrainingShardSink(ParquetUpsertSink):
         token_mode: str = "words",
         max_chars: int | None = None,
         curriculum: str | None = None,
+        legacy_vocab_fp: int | None = None,
     ):
         """``merges`` switches packing to TOKENIZER space: per-doc
         n_tokens comes from operators/bpe.py bpe_token_lengths under
@@ -448,6 +449,12 @@ class TrainingShardSink(ParquetUpsertSink):
             [tuple(m) for m in merges] if merges is not None else None
         )
         self.vocab_fp = vocab_fp
+        # the artifact's corpus_fp (NOT fingerprinted): pre-round-14
+        # layouts were stamped vocab_fp=corpus_fp, so this lets
+        # _validate_params recognize a legacy stamp of the SAME
+        # artifact and restamp in place instead of demanding a full
+        # repack re-encode of an unchanged tokenizer (round-14 advice)
+        self.legacy_vocab_fp = legacy_vocab_fp
         self.token_mode = token_mode
         if max_chars is None:
             from vcf_pg_loader_spark.operators.bpe import MAX_CHARS
@@ -493,6 +500,54 @@ class TrainingShardSink(ParquetUpsertSink):
             kind, k, step = self.curriculum
             fp["curriculum"] = f"{kind}:{k}:{step}"
         return fp
+
+    def _validate_params(self) -> None:
+        """Base validation, plus the round-10-style legacy migration
+        for the round-14 vocab_fp semantics change: pre-round-14 BPE
+        layouts were stamped ``vocab_fp = corpus_fp`` (training-corpus
+        identity); the sink now fingerprints ``vocab_fp =
+        tokenizer_fp`` from the SAME artifact.  When the on-disk stamp
+        differs ONLY in vocab_fp and its value equals the artifact's
+        corpus_fp (recognizably the legacy stamping of this exact
+        artifact — the caller passes it as ``legacy_vocab_fp``), the
+        packed bytes are already correct: accept and restamp in place
+        rather than raising 'rebuild the state' (round-14 advice
+        item 5).  Any other mismatch still refuses via the base."""
+        try:
+            super()._validate_params()
+            return
+        except ValueError:
+            fp = self._params_fingerprint()
+            p = os.path.join(self.target, "_params.json")
+            if (
+                fp is None
+                or self.legacy_vocab_fp is None
+                or not os.path.exists(p)
+            ):
+                raise
+            with open(p) as fh:
+                on_disk = json.load(fh)
+            if not (
+                on_disk.get("vocab_fp") == self.legacy_vocab_fp
+                and "vocab_fp" in fp
+                and {**on_disk, "vocab_fp": fp["vocab_fp"]} == fp
+            ):
+                raise
+            import warnings
+
+            warnings.warn(
+                f"maintained state at {self.target} carries the legacy "
+                f"corpus_fp vocab stamp {self.legacy_vocab_fp}; the "
+                f"artifact's tokenizer fingerprint is "
+                f"{fp['vocab_fp']} — accepting and restamping in place "
+                f"(packed bytes are unchanged; only the stamp "
+                f"semantics moved in round 14)",
+                stacklevel=3,
+            )
+            tmp = p + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(fp, fh, sort_keys=True)
+            os.replace(tmp, p)
 
     def _apply_curriculum(self, base: DataFrame) -> DataFrame:
         """Overwrite okey with the curriculum order key — bucket from
