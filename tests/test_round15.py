@@ -354,6 +354,48 @@ class TestLshRecallSample:
         )
 
 
+class TestSeqIndexHashedPostings:
+    """Round-14 verdict item 4: the posting table stores h60(shingle)
+    (8 bytes/window), never the raw joined string (O(ngram x token)
+    bytes — several times the corpus at 100 TB)."""
+
+    def test_post_table_schema_is_hashed(self, spark, tmp_path):
+        from vcf_pg_loader_spark.operators.ivm import MULT
+        from vcf_pg_loader_spark.streaming.seqdecontam import (
+            SeqShingleIndexSink,
+        )
+        from vcf_pg_loader_spark.streaming.shards import TrainingShardSink
+
+        shards = str(tmp_path / "shards")
+        idx = str(tmp_path / "idx")
+        shard_sink = TrainingShardSink(shards, n_shards=2, seq_len=8)
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{j}" for j in range(10))) for i in range(6)],
+            "doc_id bigint, text string",
+        )
+        shard_sink.apply_batch(
+            docs.selectExpr("doc_id", "text",
+                            f"cast(1 as bigint) as {MULT}"), 0
+        )
+        sink = SeqShingleIndexSink(idx, ngram=3)
+        sink.sync(spark, shard_sink, docs, 0, None)
+        post = sink.postings(spark)
+        assert "sh60" in post.columns and "shingle" not in post.columns
+        assert dict(post.dtypes)["sh60"] == "bigint"
+        assert post.count() > 0
+        # a raw-shingle-era state must refuse (representation is in the
+        # parameter fingerprint)
+        p = os.path.join(idx, "_params.json")
+        with open(p) as fh:
+            stamped = json.load(fh)
+        legacy = {k: v for k, v in stamped.items()
+                  if k != "shingle_repr"}
+        with open(p, "w") as fh:
+            json.dump(legacy, fh, sort_keys=True)
+        with pytest.raises(ValueError, match="rebuild"):
+            SeqShingleIndexSink(idx, ngram=3)._validate_params()
+
+
 class TestLegacyVocabFpRestamp:
     """Round-14 advice item 5: pre-round-14 BPE layouts were stamped
     vocab_fp=corpus_fp; the sink now fingerprints the TOKENIZER.  A

@@ -53,7 +53,7 @@ STATE_VERSIONS = {
     # kept-corpus self-diff keys on
     "shards": 11.1,  # maintained training-shard layout (new in round 11)
     "vocab": 12,     # maintained vocabulary counts (new in round 12)
-    "seqdecontam": 14,  # maintained sequence-shingle index (round 14)
+    "seqdecontam": 15,  # round 15: postings store h60(shingle), not raw
 }
 
 # _served_root name -> structure group; every persisted root must be

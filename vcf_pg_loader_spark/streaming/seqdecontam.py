@@ -19,16 +19,27 @@ describe.
 
 State, one swap-atomic directory:
 
-  post/ (shard, seq_id, shingle, crosses) partitioned by shard — one
-        row per n-gram window of every packed sequence, `crosses`
-        marking windows that span a document boundary (the class of
+  post/ (shard, seq_id, sh60, crosses) partitioned by shard — one row
+        per n-gram window of every packed sequence, `crosses` marking
+        windows that span a document boundary (the class of
         contamination only packing creates; cli.py cmd_seq_decontam
-        documents the semantics).
+        documents the semantics).  `sh60` is the 60-bit deterministic
+        hash (functions/hashing.py h60, salt "seqix:") of the joined
+        window — NOT the raw string: a raw posting table is
+        O(tokens x ngram) bytes, several times the corpus itself at
+        100 TB, while the hash is a fixed 8 bytes per window
+        (round-14 verdict item 4).
 
-Serving: one broadcast join of the eval corpus's shingle vocabulary
-against the posting table + one keyed aggregation — the exact
-q_seq_decontam result (queries/pipeline.py), which is the equality
-the q_seq_decontam_served oracle twin pins value-exactly.
+Serving: one broadcast join of the eval corpus's shingle vocabulary —
+hashed with the SAME salt — against the posting table + one keyed
+aggregation: the exact q_seq_decontam result (queries/pipeline.py),
+which is the equality the q_seq_decontam_served oracle twin pins
+value-exactly.  Hash-collision bound: a false hit needs an eval
+shingle and a DIFFERENT corpus window sharing one 60-bit value;
+expected spurious hits ~ |eval shingles| x |distinct corpus windows|
+/ 2^60 — at 10^6 eval shingles against 10^9 corpus windows that is
+~10^-3 expected false sequence-hits corpus-wide, and a hit only ever
+FLAGS a sequence for exclusion (conservative direction).
 
 Reference analogue: the reference's staged-load + post-load validation
 loop (loader.py) re-derives integrity tables per load; this is that
@@ -40,7 +51,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vcf_pg_loader_spark.functions.hashing import h60
 from vcf_pg_loader_spark.streaming.sink import ParquetUpsertSink, isin_values
+
+#: salt for the posting-table shingle hash — index and serve must agree
+SHINGLE_SALT = "seqix:"
 
 
 def sequence_shingle_table(
@@ -101,9 +116,12 @@ class SeqShingleIndexSink(ParquetUpsertSink):
         self._ctx = None
 
     def _params_fingerprint(self) -> dict:
-        # both are SEMANTIC: the window width changes every posting row,
-        # and the joiner changes shingle equality itself (piece space)
-        return {"ngram": self.ngram, "sep": self.sep}
+        # all SEMANTIC: the window width changes every posting row, the
+        # joiner changes shingle equality itself (piece space), and the
+        # posting representation (h60 since round 15) changes the
+        # table's join column — a raw-shingle state must refuse
+        return {"ngram": self.ngram, "sep": self.sep,
+                "shingle_repr": "h60"}
 
     # -- maintenance -------------------------------------------------------
     def sync(
@@ -140,7 +158,15 @@ class SeqShingleIndexSink(ParquetUpsertSink):
         if shards is not None:
             lay = lay.filter(isin_values(F.col("shard"), shards))
         spans = shard_sequences(lay, shard_sink.seq_len)
-        return sequence_shingle_table(seqs, spans, self.ngram, self.sep)
+        sh = sequence_shingle_table(seqs, spans, self.ngram, self.sep)
+        # store the 60-bit hash, not the raw joined window: fixed 8
+        # bytes per posting instead of O(ngram x token) strings
+        return sh.select(
+            "shard",
+            "seq_id",
+            h60(F.col("shingle"), SHINGLE_SALT).alias("sh60"),
+            "crosses",
+        )
 
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -179,10 +205,15 @@ class SeqShingleIndexSink(ParquetUpsertSink):
         shape, one broadcast join + one keyed aggregation against the
         maintained postings (no sequence re-assembly, no corpus
         read)."""
-        ev = eval_shingles.select("shingle").distinct()
+        ev = (
+            eval_shingles.select(
+                h60(F.col("shingle"), SHINGLE_SALT).alias("sh60")
+            )
+            .distinct()
+        )
         return (
             self.postings(spark)
-            .join(F.broadcast(ev), "shingle")
+            .join(F.broadcast(ev), "sh60")
             .groupBy("shard", "seq_id")
             .agg(
                 F.count(F.lit(1)).alias("n_hits"),
