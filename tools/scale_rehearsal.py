@@ -54,17 +54,27 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def gen_corpus(spark, n_docs: int, seed: int, start_id: int = 0):
+def gen_corpus(spark, n_docs: int, seed: int, start_id: int = 0,
+               mode: str = "zipf"):
     """Zipfian word corpus matching the documents fixture's shape
-    (vocab ~2k types, 10-100 tokens/doc, 20 sources)."""
-    from pyspark.sql import functions as F
+    (vocab ~2k types, 10-100 tokens/doc, 20 sources).
 
+    mode="onekey" is the ADVERSARIAL shape for the bucket-size safety
+    valve (round-14 verdict item 6): 90% of docs are the same
+    boilerplate sentence (one hyper-dup LSH key — every band bucket it
+    lands in is O(0.9·n) and the uncapped pairwise join is
+    O(0.81·n²)), 10% normal Zipf docs."""
     vocab_size = 2000
     sc = spark.sparkContext
+    boiler = ("click here to accept all cookies and continue to the "
+              "requested site content today")
 
     def make_part(idx_iter):
         for i in idx_iter:
             rng = random.Random(seed * 1_000_003 + i)
+            if mode == "onekey" and i % 10 != 0:
+                yield (start_id + i, boiler, f"src{i % 20}")
+                continue
             n = rng.randint(10, 100)
             words = [
                 f"w{min(int(rng.paretovariate(1.1)), vocab_size)}"
@@ -81,7 +91,8 @@ def gen_corpus(spark, n_docs: int, seed: int, start_id: int = 0):
 
 
 def lsh_profile(spark, snap: str, ngram: int, k: int, bands: int,
-                threshold: float, recall_sample_mod: int = 0) -> dict:
+                threshold: float, recall_sample_mod: int = 0,
+                bucket_cap: int | None = None) -> dict:
     """Per-stage attribution of the bootstrap sync's near-dup gate
     (round-13 verdict item 1): the SAME operator pipeline the
     DedupClusterMaintSink bootstrap runs (shingle -> MinHash -> band ->
@@ -142,11 +153,20 @@ def lsh_profile(spark, snap: str, ngram: int, k: int, bands: int,
     prof["bucket_stats_sec"] = round(time.monotonic() - t0, 2)
 
     t0 = time.monotonic()
-    cands = D.lsh_candidate_pairs(sig, k, bands).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    cands, routed = D.lsh_candidate_pairs_capped(sig, k, bands, bucket_cap)
+    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
     prof["candidate_pairs"] = cands.count()
     prof["candidate_pairs_sec"] = round(time.monotonic() - t0, 2)
+    if bucket_cap is not None:
+        from pyspark.sql import functions as _F
+
+        r = routed.agg(
+            _F.count(_F.lit(1)).alias("nb"),
+            _F.coalesce(_F.sum("sz"), _F.lit(0)).alias("nr"),
+        ).collect()[0]
+        prof["bucket_cap"] = bucket_cap
+        prof["routed_buckets"] = int(r["nb"])
+        prof["routed_rows"] = int(r["nr"])
 
     # exact verify-join input rows from aggregates: sum over pairs of
     # each side's shingle count (the rows the two verify joins feed the
@@ -258,6 +278,30 @@ def main() -> int:
                     help="sample modulus for the LSH recall estimate "
                          "recorded in lsh_profile (docs with "
                          "h60(doc_id) %% MOD == 0; 0 disables)")
+    ap.add_argument("--bucket-cap", type=int,
+                    help="per-band bucket-size safety valve (round-14 "
+                         "verdict item 6): forwarded to the profile "
+                         "and to every sync-corpus call; routed "
+                         "bucket/row counts recorded")
+    ap.add_argument("--corpus",
+                    help="use this parquet (doc_id, text[, source]) as "
+                         "the rehearsal corpus instead of the "
+                         "synthetic generator — lets the density/"
+                         "recall numbers be reproduced on realistic "
+                         "text (round-14 verdict stretch item 8); "
+                         "--docs is ignored for the base corpus")
+    ap.add_argument("--corpus-mode", default="zipf",
+                    choices=("zipf", "onekey"),
+                    help="synthetic corpus shape: zipf (default) or "
+                         "the adversarial one-key hyper-dup corpus "
+                         "(90%% identical boilerplate) the bucket cap "
+                         "is designed for")
+    ap.add_argument("--serve-syncs", type=int, default=0, metavar="N",
+                    help="after the timed steps, generate N successive "
+                         "5-doc pre-diffed feeds and apply them via "
+                         "ONE sync-serve session; records per-sync "
+                         "wall and the marginal warm sync cost "
+                         "(round-14 verdict item 5)")
     args = ap.parse_args()
 
     from vcf_pg_loader_spark.session import get_spark
@@ -268,23 +312,41 @@ def main() -> int:
         "--ngram", str(args.ngram), "--minhash-k", str(args.minhash_k),
         "--bands", str(args.bands), "--threshold", str(args.threshold),
     ]
+    if args.bucket_cap is not None:
+        lsh_args += ["--bucket-cap", str(args.bucket_cap)]
     report: dict = {
         "n_docs": args.docs,
         "n_merges": args.n_merges,
+        "corpus_mode": args.corpus_mode,
         "lsh_params": {
             "ngram": args.ngram, "k": args.minhash_k,
             "bands": args.bands, "threshold": args.threshold,
+            "bucket_cap": args.bucket_cap,
         },
     }
     try:
         snap = os.path.join(work, "snap.parquet")
         t0 = time.monotonic()
-        gen_corpus(spark, args.docs, seed=13).write.parquet(snap)
+        if args.corpus:
+            from pyspark.sql import functions as F
+
+            ext = spark.read.parquet(args.corpus)
+            if "source" not in ext.columns:
+                ext = ext.withColumn("source", F.lit("external"))
+            ext = ext.select("doc_id", "text", "source")
+            ext.write.parquet(snap)
+            report["corpus"] = args.corpus
+            report["n_docs"] = ext.count()
+        else:
+            gen_corpus(
+                spark, args.docs, seed=13, mode=args.corpus_mode
+            ).write.parquet(snap)
         report["gen_sec"] = round(time.monotonic() - t0, 2)
 
         report["lsh_profile"] = lsh_profile(
             spark, snap, args.ngram, args.minhash_k, args.bands,
             args.threshold, recall_sample_mod=args.recall_sample,
+            bucket_cap=args.bucket_cap,
         )
         if args.profile_only:
             with open(args.out, "w") as fh:
@@ -424,6 +486,38 @@ def main() -> int:
             *lsh_args,
         )
         report["sync_delta_5doc_prediffed_sec"] = round(w, 2)
+
+        if args.serve_syncs:
+            # the session-reuse loop (round-14 verdict item 5): the
+            # 5-doc sync's 36-43 s was measured to be 100% fixed
+            # JVM/session startup + DAG scheduling — apply N successive
+            # 5-doc feeds through ONE sync-serve session and record
+            # what a warm sync actually costs at the margin
+            feeds = os.path.join(work, "serve_feeds")
+            os.makedirs(feeds, exist_ok=True)
+            for i in range(args.serve_syncs):
+                gen_corpus(
+                    spark, 5, seed=61 + i, start_id=40_000_000 + i * 100
+                ).withColumn(
+                    "_mult", F.lit(1).cast("bigint")
+                ).write.parquet(os.path.join(feeds, str(100 + i)))
+            w, out = run_cli(
+                "sync-serve", "--feeds", feeds, "--",
+                "--state", state, "--shards-state", shards,
+                "--shards-merges", vocab, "--vocab-state", vstate,
+                *lsh_args,
+            )
+            serve_rep = json.loads(out)
+            report["sync_serve"] = {
+                "total_wall_sec": round(w, 2),
+                "n_syncs": serve_rep["n_syncs"],
+                "session_init_sec": serve_rep["session_init_sec"],
+                "warm_marginal_median_sec":
+                    serve_rep["warm_marginal_median_sec"],
+                "sync_walls_sec": [
+                    s["wall_sec"] for s in serve_rep["syncs"]
+                ],
+            }
     finally:
         if not args.keep_workdir:
             shutil.rmtree(work, ignore_errors=True)

@@ -65,6 +65,11 @@ RATE_PAT = re.compile(
     r"\b(\d+(?:[.,]\d+)*)\s*([MkK])?\s*(?:variants)?/s", re.ASCII
 )
 COUNT_PAT = re.compile(r"\b(\d{2,4})\s+(?:oracled\s+)?quer(?:y|ies)")
+SCALE_PIN_PAT = re.compile(r"\bSCALE_r\d+[A-Za-z0-9_]*")
+SCALE_NUM_PAT = re.compile(r"\b(\d+(?:\.\d+)?)([MkB])\b")
+SCALE_RATIO_PAT = re.compile(r"\b(\d{2,})/(\d{2,})\b")
+SCALE_INT_PAT = re.compile(r"\b(\d{4,})\b")
+SCALE_PCT_PAT = re.compile(r"\b(\d{1,3}(?:\.\d+)?)%")
 QNAME_PAT = re.compile(r"\bq_[a-z0-9_]+\b")
 SEC_PAT = re.compile(r"\b(\d+(?:\.\d+)?)\s*s\b")
 
@@ -89,6 +94,8 @@ def load_artifact(name: str) -> dict | None:
     """
     if name == "BENCH_DETAIL":
         return _load_json(os.path.join(REPO, "BENCH_DETAIL.json"))
+    if name.startswith("SCALE_r"):
+        return _load_json(os.path.join(REPO, name + ".json"))
     if name.startswith("BENCH_r"):
         raw = _load_json(os.path.join(REPO, name + ".json"))
         if raw and raw.get("parsed"):
@@ -348,6 +355,136 @@ def check_query_walls(
     return errors, warnings
 
 
+def _flatten_scale_numbers(obj, out: list[float]) -> None:
+    """Every numeric value in a SCALE artifact, recursively — plus the
+    derived drop count (n_docs - docs_kept) wherever a dict carries
+    both, since 'drops' is how the recall/cost trade is narrated."""
+    if isinstance(obj, bool):
+        return
+    if isinstance(obj, (int, float)):
+        out.append(float(obj))
+        return
+    if isinstance(obj, dict):
+        nd, dk = obj.get("n_docs"), obj.get("docs_kept")
+        if isinstance(nd, (int, float)) and isinstance(dk, (int, float)):
+            out.append(float(nd) - float(dk))
+        for v in obj.values():
+            _flatten_scale_numbers(v, out)
+    elif isinstance(obj, list):
+        for v in obj:
+            _flatten_scale_numbers(v, out)
+
+
+def check_scale_claims(path: str) -> tuple[list[str], list[str]]:
+    """Pair-count / recall-style claims pinned to SCALE artifacts
+    (round-14 verdict item 3: the 25k attribution row and the recall
+    counts were narrated with no saved artifact behind them, and the
+    pin discipline didn't parse those claim shapes).  On any line that
+    names a SCALE_rN artifact — or any table row within 10 lines below
+    such a pin — every suffixed count (3.15M / 17.8k), 4+-digit bare
+    integer, and a/b ratio must match a number in the pinned
+    artifact(s) within 10%; a percent with an a/b ratio on the same
+    line must agree with that ratio within 1.5 points."""
+    errors: list[str] = []
+    warnings: list[str] = []
+    with open(path) as fh:
+        lines = fh.read().splitlines()
+    rel = os.path.relpath(path, REPO)
+    arts: dict[str, list[float] | None] = {}
+
+    def nums_for(pins: list[str]) -> tuple[list[float], list[str]]:
+        vals: list[float] = []
+        missing: list[str] = []
+        for p in pins:
+            if p not in arts:
+                a = load_artifact(p)
+                if a is None:
+                    arts[p] = None
+                else:
+                    collected: list[float] = []
+                    _flatten_scale_numbers(a, collected)
+                    arts[p] = collected
+            if arts[p] is None:
+                missing.append(p)
+            else:
+                vals.extend(arts[p])
+        return vals, missing
+
+    def matches(v: float, pool: list[float]) -> bool:
+        return any(
+            n != 0 and abs(v - n) / max(abs(n), 1.0) <= 0.10 for n in pool
+        )
+
+    def pins_in(line: str) -> list[str]:
+        """SCALE pins on a line, expanding the docs' `SCALE_r14.json/
+        _2x/_4x` shorthand into SCALE_r14, SCALE_r14_2x, SCALE_r14_4x."""
+        out: list[str] = []
+        for m in SCALE_PIN_PAT.finditer(line):
+            out.append(m.group(0))
+            tail = line[m.end():]
+            if tail.startswith(".json"):
+                tail = tail[len(".json"):]
+            while True:
+                sm = re.match(r"/_([A-Za-z0-9]+)(?:\.json)?", tail)
+                if sm is None:
+                    break
+                out.append(m.group(0) + "_" + sm.group(1))
+                tail = tail[sm.end():]
+        return out
+
+    for i, line in enumerate(lines, 1):
+        pins_here = pins_in(line)
+        # claims validate against the UNION of pins in a 10-line
+        # look-back window: multi-artifact tables cite their artifacts
+        # in the prose introducing them (one row per artifact), and
+        # wrapped prose puts the pin list on the line above the numbers
+        window = list(pins_here)
+        if pins_here or line.lstrip().startswith("|"):
+            for prev in lines[max(0, i - 11): i - 1]:
+                window.extend(pins_in(prev))
+        if not window:
+            continue
+        pins = list(dict.fromkeys(window))
+        pool, missing = nums_for(pins)
+        for p in missing:
+            errors.append(
+                f"{rel}:{i}: claim pinned to missing artifact {p}"
+            )
+        if not pool:
+            continue
+        stripped = SCALE_PIN_PAT.sub("", line)
+        claimed: list[tuple[str, float]] = []
+        for m in SCALE_NUM_PAT.finditer(stripped):
+            mult = {"k": 1e3, "M": 1e6, "B": 1e9}[m.group(2)]
+            claimed.append((m.group(0), float(m.group(1)) * mult))
+        ratio_spans = []
+        for m in SCALE_RATIO_PAT.finditer(stripped):
+            a, b = float(m.group(1)), float(m.group(2))
+            if a < 50 and b < 50:
+                continue  # "round 10/11"-style references, not counts
+            ratio_spans.append(m.span())
+            claimed.append((m.group(1), a))
+            claimed.append((m.group(2), b))
+            for pm in SCALE_PCT_PAT.finditer(stripped):
+                pct = float(pm.group(1))
+                if b and abs(100 * a / b - pct) > 1.5:
+                    errors.append(
+                        f"{rel}:{i}: percent {pm.group(0)} disagrees "
+                        f"with ratio {m.group(0)} on the same line"
+                    )
+        for m in SCALE_INT_PAT.finditer(stripped):
+            if any(s <= m.start() < e for s, e in ratio_spans):
+                continue
+            claimed.append((m.group(0), float(m.group(1))))
+        for txt, v in claimed:
+            if not matches(v, pool):
+                errors.append(
+                    f"{rel}:{i}: scale claim {txt!r} matches no number "
+                    f"in {'/'.join(pins)} within 10%"
+                )
+    return errors, warnings
+
+
 # -------------------------------------------------------------------- fix
 
 
@@ -492,6 +629,10 @@ def main() -> int:
         all_warnings.extend(warns)
     for path in _wall_guarded_files():
         errs, warns = check_query_walls(path, latest)
+        all_errors.extend(errs)
+        all_warnings.extend(warns)
+    for path in doc_files():
+        errs, warns = check_scale_claims(path)
         all_errors.extend(errs)
         all_warnings.extend(warns)
     for w in all_warnings:

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -498,6 +499,7 @@ def cmd_dedup_corpus(args) -> int:
         pairs = D.minhash_lsh_dedup(
             docs, "doc_id", "text",
             args.ngram, args.minhash_k, args.bands, args.threshold,
+            bucket_cap=getattr(args, "bucket_cap", None),
         )
         cc = D.connected_components(pairs.select("d1", "d2"), "d1", "d2")
         store.write(cc)
@@ -535,7 +537,8 @@ def cmd_retract_corpus(args) -> int:
 
     spark = _spark()
     sink = DedupClusterMaintSink(
-        args.state, args.ngram, args.minhash_k, args.bands, args.threshold
+        args.state, args.ngram, args.minhash_k, args.bands, args.threshold,
+        getattr(args, "bucket_cap", None),
     )
     if args.batch:
         batch = spark.read.parquet(args.batch)
@@ -643,7 +646,8 @@ def cmd_sync_corpus(args) -> int:
             return 2
     spark = _spark()
     sink = DedupClusterMaintSink(
-        args.state, args.ngram, args.minhash_k, args.bands, args.threshold
+        args.state, args.ngram, args.minhash_k, args.bands, args.threshold,
+        getattr(args, "bucket_cap", None),
     )
     # the cluster state's stamp BEFORE this sync: --delta folds its
     # fingerprint forward from it, and the shard self-diff below uses
@@ -783,13 +787,23 @@ def cmd_sync_corpus(args) -> int:
                     f"batch id under a different delta would leave the "
                     f"state at the old data; use a fresh batch id"
                 )
-            if prior_epoch.get("batch_id") != args.batch_id:
+            if (
+                prior_epoch.get("batch_id") != args.batch_id
+                and args.batch_id == max(sink.applied_ids())
+            ):
                 # crash window: the ledger says this batch is IN the
                 # cluster state (and the drift check above just proved
                 # the feed is that batch), but the stamp predates it —
                 # fold the batch forward so the healed stamp, not the
                 # stale pre-batch fingerprint, propagates to the
-                # sibling sinks and every later --delta fold
+                # sibling sinks and every later --delta fold.  Only
+                # the LATEST applied batch can be the stale-stamp
+                # culprit: replaying an OLDER batch (a resumed
+                # sync-serve loop re-walking its feed list) also sees
+                # stamp.batch_id != args.batch_id, but its XOR term is
+                # already inside the stamp — re-folding it would back
+                # the term OUT and corrupt every later fold, so that
+                # case keeps the current stamp untouched.
                 epoch = fold_epoch()
             else:
                 epoch = dict(prior_epoch)
@@ -1047,6 +1061,7 @@ def cmd_sync_corpus(args) -> int:
         funnel_sink = FunnelReportSink(
             args.funnel_state, args.nll_max, args.ngram, args.minhash_k,
             args.bands, args.threshold,
+            getattr(args, "bucket_cap", None),
         )
         apply_and_stamp(funnel_sink, delta, epoch,
                         heal_verified=use_delta)
@@ -1416,6 +1431,14 @@ def cmd_sync_corpus(args) -> int:
         "out": args.out,
         "epoch_fp": epoch["epoch_fp"],
     }
+    if getattr(args, "bucket_cap", None) is not None:
+        # no silent truncation: what the bucket-size valve routed this
+        # sync (None routing counters on a replayed/no-op batch)
+        report["bucket_cap_routing"] = sink.last_cap_routing or {
+            "bucket_cap": args.bucket_cap,
+            "routed_buckets": 0,
+            "routed_rows": 0,
+        }
     if getattr(args, "recall_sample", 0):
         # sampled recall of the banded LSH at THIS state's fingerprinted
         # parameters over the post-sync corpus — the counter that makes
@@ -1444,6 +1467,110 @@ def cmd_sync_corpus(args) -> int:
         }
     print(json.dumps(report))
     return 0
+
+
+def cmd_sync_serve(args) -> int:
+    """Session-reuse CDC loop (round-14 verdict item 5): apply N
+    successive pre-diffed delta feeds to the same maintained states in
+    ONE Spark session.
+
+    SCALE_r14 measured a 5-doc --delta sync at a flat 36-43 s across a
+    4x corpus — 100% fixed JVM/session startup plus ~15-stage DAG
+    scheduling, zero data dependence — because every sync was its own
+    cold spark-submit.  A long-running sync service amortizes that
+    floor to one payment: this verb IS that service's inner loop, and
+    the scale rehearsal's serve mode records the marginal warm sync
+    wall it buys (SCALE_r15 sync_serve).
+
+    ``--feeds DIR`` holds one subdirectory per batch, named by its
+    integer batch id and applied in ascending numeric order; each
+    subdir is a --delta parquet feed.  Everything after the serve
+    flags is the EXACT sync-corpus flag surface, forwarded verbatim
+    per batch with --delta/--batch-id filled in — refusal, replay,
+    crash-window healing, and lockstep semantics are inherited from
+    cmd_sync_corpus, not re-implemented.  A non-zero child exit (a
+    refusal) or an exception stops the loop and is recorded in the
+    report; already-applied batch ids replay as no-ops, so the loop
+    is resumable from the top after any crash."""
+    import time as _time
+
+    entries = []
+    for name in sorted(os.listdir(args.feeds)):
+        p = os.path.join(args.feeds, name)
+        if not os.path.isdir(p):
+            continue
+        try:
+            entries.append((int(name), p))
+        except ValueError:
+            print(
+                f"feed subdirectory {name!r} is not an integer batch id",
+                file=sys.stderr,
+            )
+            return 2
+    if not entries:
+        print(f"no batch feed subdirectories under {args.feeds}",
+              file=sys.stderr)
+        return 2
+    entries.sort()
+    # argparse REMAINDER keeps the leading "--" separator (the form
+    # `sync-serve --feeds DIR -- --state ...` is the only one argparse
+    # routes correctly) — drop it before forwarding
+    rest = [a for i, a in enumerate(args.rest) if not (i == 0 and a == "--")]
+    args.rest = rest
+    for banned in ("--delta", "--snapshot", "--batch-id"):
+        if banned in args.rest:
+            print(
+                f"{banned} is filled in per feed by sync-serve; pass "
+                f"only the other sync-corpus flags",
+                file=sys.stderr,
+            )
+            return 2
+    t0 = _time.monotonic()
+    _spark()  # pay the JVM/session floor once, before the loop
+    session_init = _time.monotonic() - t0
+    parser = build_parser()
+    syncs = []
+    rc_final = 0
+    for bid, path in entries:
+        argv = ["sync-corpus", *args.rest,
+                "--delta", path, "--batch-id", str(bid)]
+        child = parser.parse_args(argv)
+        t = _time.monotonic()
+        try:
+            rc = child.fn(child)
+        except Exception as e:  # refusals raise too (reused batch ids)
+            syncs.append({
+                "batch_id": bid,
+                "wall_sec": round(_time.monotonic() - t, 3),
+                "rc": 1,
+                "error": str(e)[:500],
+            })
+            rc_final = 1
+            break
+        syncs.append({
+            "batch_id": bid,
+            "wall_sec": round(_time.monotonic() - t, 3),
+            "rc": rc,
+        })
+        if rc != 0:
+            rc_final = rc
+            break
+    ok_walls = [s["wall_sec"] for s in syncs if s["rc"] == 0]
+    # marginal warm cost = median over syncs AFTER the first (the first
+    # warm sync still pays one-time reads of the existing state tables)
+    marginal = sorted(ok_walls[1:]) or sorted(ok_walls)
+    report = {
+        "feeds": args.feeds,
+        "session_init_sec": round(session_init, 3),
+        "n_syncs": len(syncs),
+        "n_ok": len(ok_walls),
+        "warm_marginal_median_sec": (
+            marginal[len(marginal) // 2] if marginal else None
+        ),
+        "syncs": syncs,
+    }
+    print(json.dumps(report))
+    return rc_final
 
 
 def cmd_train_vocab(args) -> int:
@@ -2600,6 +2727,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--minhash-k", type=int, default=MINHASH_K)
     sp.add_argument("--bands", type=int, default=MINHASH_BANDS)
     sp.add_argument("--threshold", type=float, default=JACCARD_T)
+    sp.add_argument("--bucket-cap", type=int,
+                    help="per-band bucket-size safety valve (see sync-corpus --bucket-cap)")
 
     sp = add("retract-corpus", cmd_retract_corpus,
              help="apply a Z-set insert/retraction batch to the "
@@ -2617,6 +2746,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--minhash-k", type=int, default=MINHASH_K)
     sp.add_argument("--bands", type=int, default=MINHASH_BANDS)
     sp.add_argument("--threshold", type=float, default=JACCARD_T)
+    sp.add_argument("--bucket-cap", type=int,
+                    help="per-band bucket-size safety valve (see sync-corpus --bucket-cap)")
 
     sp = add("sync-corpus", cmd_sync_corpus,
              help="diff a new corpus snapshot against the maintained "
@@ -2741,6 +2872,33 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--minhash-k", type=int, default=MINHASH_K)
     sp.add_argument("--bands", type=int, default=MINHASH_BANDS)
     sp.add_argument("--threshold", type=float, default=JACCARD_T)
+    sp.add_argument("--bucket-cap", type=int,
+                    help="per-band bucket-size safety valve: intra-"
+                         "batch LSH buckets larger than this route "
+                         "through a verified star against the bucket "
+                         "minimum instead of the pairwise self-join — "
+                         "bounds the verify join on hyper-duplicated "
+                         "keys (boilerplate, empty docs).  SEMANTIC "
+                         "(fingerprinted: a capped state refuses an "
+                         "uncapped sink and vice versa); routed "
+                         "bucket/row counts are logged in the sync "
+                         "report — never silent")
+
+    sp = add("sync-serve", cmd_sync_serve,
+             help="apply N pre-diffed delta feeds in ONE Spark session "
+                  "(the sync service inner loop — amortizes the per-"
+                  "sync JVM/session floor); forwards every flag after "
+                  "--feeds verbatim to sync-corpus per batch")
+    sp.add_argument("--feeds", required=True,
+                    help="directory of batch feeds: one subdirectory "
+                         "per batch, named by its integer batch id "
+                         "(applied ascending), each a --delta parquet")
+    sp.add_argument("rest", nargs=argparse.REMAINDER,
+                    help="sync-corpus flags, after a literal `--` "
+                         "separator (everything except --delta/"
+                         "--snapshot/--batch-id, which sync-serve "
+                         "fills in per feed): sync-serve --feeds DIR "
+                         "-- --state S --bucket-cap 64 ...")
 
     sp = add("train-vocab", cmd_train_vocab,
              help="learn a BPE merge table from a corpus parquet (or a "

@@ -188,6 +188,88 @@ SELECT cand.d1, cand.d2, n_inter, jaccard FROM cand JOIN verified
 
 Q_MINHASH_LSH_SQL = _minhash_sql()
 
+# Demo cap for the oracled routing pin: small enough to BIND on the
+# test fixtures (max band bucket is 3-4 there), so the star path is
+# actually exercised, not just compiled.
+LSH_BUCKET_CAP_DEMO = 2
+
+
+def q_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs under the per-band bucket-size safety
+    valve (round-14 verdict item 6): band buckets larger than the cap
+    route through a star against the bucket's minimum doc_id instead of
+    the pairwise self-join — the guard that keeps one hyper-duplicated
+    key (boilerplate crawled a million times) from making the verify
+    join quadratic at 100 TB.  The cap here (2) deliberately binds on
+    the fixtures so the DuckDB twin pins the ROUTING arithmetic
+    value-exactly, star pairs included.  Capped output with a
+    non-binding cap is pinned equal to q_minhash_lsh by
+    tests/test_round15b.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_dedup(
+        docs, "doc_id", "text", NGRAM, MINHASH_K, MINHASH_BANDS, JACCARD_T,
+        bucket_cap=LSH_BUCKET_CAP_DEMO,
+    )
+
+
+def _minhash_capped_sql(cap: int) -> str:
+    base = sql_h60("shingle", salt="mh:")
+    mins = ",\n         ".join(
+        f"MIN({D.sql_mh_expr('_h', i)}) AS mh{i}" for i in range(MINHASH_K)
+    )
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    band_selects = []
+    for b in range(MINHASH_BANDS):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({key}) AS band_key FROM sig"
+        )
+    banded = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH sh AS ({_SH}),
+sig AS (SELECT doc_id, {mins}
+        FROM (SELECT doc_id, {base} AS _h FROM sh) GROUP BY doc_id),
+banded AS ({banded}),
+sized AS (
+  SELECT doc_id, band_id, band_key,
+         COUNT(*) OVER (PARTITION BY band_id, band_key) AS sz,
+         MIN(doc_id) OVER (PARTITION BY band_id, band_key) AS bmin
+  FROM banded
+),
+cand AS (
+  SELECT DISTINCT d1, d2 FROM (
+    SELECT a.doc_id AS d1, b.doc_id AS d2
+    FROM (SELECT * FROM sized WHERE sz <= {cap}) a
+    JOIN (SELECT * FROM sized WHERE sz <= {cap}) b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT bmin AS d1, doc_id AS d2
+    FROM sized WHERE sz > {cap} AND doc_id <> bmin
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT d1, d2, n_inter,
+         ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = d1
+  JOIN sizes sb ON sb.doc_id = d2
+  WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {JACCARD_T}
+)
+SELECT cand.d1, cand.d2, n_inter, jaccard FROM cand JOIN verified
+  ON cand.d1 = verified.d1 AND cand.d2 = verified.d2
+"""
+
+
+Q_MINHASH_LSH_CAPPED_SQL = _minhash_capped_sql(LSH_BUCKET_CAP_DEMO)
+
 
 def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band-bucket density profile under the pipeline LSH parameters —
@@ -6660,6 +6742,7 @@ QUERIES = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_minhash_lsh": q_minhash_lsh,
+    "q_minhash_lsh_capped": q_minhash_lsh_capped,
     "q_lsh_bucket_stats": q_lsh_bucket_stats,
     "q_lsh_recall_sample": q_lsh_recall_sample,
     "q_simhash": q_simhash,
@@ -6788,6 +6871,7 @@ ORACLE = {
     "q_dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
     "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "q_minhash_lsh": Q_MINHASH_LSH_SQL,
+    "q_minhash_lsh_capped": Q_MINHASH_LSH_CAPPED_SQL,
     "q_lsh_bucket_stats": Q_LSH_BUCKET_STATS_SQL,
     "q_lsh_recall_sample": Q_LSH_RECALL_SAMPLE_SQL,
     "q_simhash": Q_SIMHASH_SQL,

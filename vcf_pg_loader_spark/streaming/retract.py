@@ -129,6 +129,7 @@ class DedupClusterMaintSink(ParquetUpsertSink):
         k: int | None = None,
         bands: int | None = None,
         threshold: float | None = None,
+        bucket_cap: int | None = None,
     ):
         super().__init__(target, key=["doc_id"])
         # defaults ARE the pipeline constants (round-10; a default-
@@ -145,20 +146,36 @@ class DedupClusterMaintSink(ParquetUpsertSink):
         self.k = MINHASH_K if k is None else k
         self.bands = MINHASH_BANDS if bands is None else bands
         self.threshold = JACCARD_T if threshold is None else threshold
+        # per-band bucket-size safety valve (round-14 verdict item 6):
+        # intra-batch buckets above this route through the star path
+        # (operators/dedup.py lsh_candidate_pairs_capped) so one
+        # hyper-dup key cannot make a bootstrap/sync verify join
+        # quadratic.  None = unchanged uncapped behavior.
+        self.bucket_cap = bucket_cap
+        # routing counters from the most recent _new_pairs under a cap
+        # — surfaced by sync-corpus's report so routing is never silent
+        self.last_cap_routing: dict | None = None
 
     def _params_fingerprint(self) -> dict:
         # persisted with the state, validated on every apply_batch: a
         # batch applied under different LSH parameters would mix
-        # incompatible band tables and corrupt candidate generation
+        # incompatible band tables and corrupt candidate generation.
+        # bucket_cap rides in ONLY when set: the maintained pair table
+        # is a function of the routing rule, so a capped sink refuses
+        # an uncapped state (and vice versa), while legacy/uncapped
+        # states keep validating against default sinks unchanged.
         from vcf_pg_loader_spark.streaming.sink import N_ID_BUCKETS
 
-        return {
+        fp = {
             "ngram": self.ngram,
             "k": self.k,
             "bands": self.bands,
             "threshold": self.threshold,
             "n_id_buckets": N_ID_BUCKETS,
         }
+        if self.bucket_cap is not None:
+            fp["bucket_cap"] = self.bucket_cap
+        return fp
 
     # -- serve ----------------------------------------------------------
     def keep(self, spark) -> DataFrame:
@@ -193,7 +210,22 @@ class DedupClusterMaintSink(ParquetUpsertSink):
         try:
             sig = D.minhash_signatures(sh_new, self.k)
             bands_new = D.lsh_band_table(sig, self.k, self.bands)
-            cand = D.lsh_candidate_pairs(sig, self.k, self.bands)
+            cand, routed = D.lsh_candidate_pairs_capped(
+                sig, self.k, self.bands, self.bucket_cap
+            )
+            if self.bucket_cap is not None:
+                # no silent truncation: count what the valve routed
+                # (tiny agg — one row per oversized bucket) so the
+                # sync report can log it
+                r = routed.agg(
+                    F.count(F.lit(1)).alias("nb"),
+                    F.coalesce(F.sum("sz"), F.lit(0)).alias("nr"),
+                ).collect()[0]
+                self.last_cap_routing = {
+                    "bucket_cap": self.bucket_cap,
+                    "routed_buckets": int(r["nb"]),
+                    "routed_rows": int(r["nr"]),
+                }
             sh_all = sh_new
             if bands_old is not None and corpus_old is not None:
                 cross = (
@@ -355,23 +387,26 @@ class FunnelReportSink(ParquetUpsertSink):
         k: int | None = None,
         bands: int | None = None,
         threshold: float | None = None,
+        bucket_cap: int | None = None,
     ):
         super().__init__(target, key=["doc_id"])
         self.nll_max = nll_max
         # LSH defaults resolve to the pipeline constants, via the same
-        # None-sentinel rule as DedupClusterMaintSink
+        # None-sentinel rule as DedupClusterMaintSink; bucket_cap rides
+        # through so a capped sync-corpus caps BOTH lockstep states
         self._pair_maker = DedupClusterMaintSink(
-            target, ngram, k, bands, threshold
+            target, ngram, k, bands, threshold, bucket_cap
         )
         self.ngram = self._pair_maker.ngram
         self.k = self._pair_maker.k
         self.bands = self._pair_maker.bands
         self.threshold = self._pair_maker.threshold
+        self.bucket_cap = bucket_cap
 
     def _params_fingerprint(self) -> dict:
         from vcf_pg_loader_spark.streaming.sink import N_ID_BUCKETS
 
-        return {
+        fp = {
             "ngram": self.ngram,
             "k": self.k,
             "bands": self.bands,
@@ -379,6 +414,9 @@ class FunnelReportSink(ParquetUpsertSink):
             "nll_max": self.nll_max,
             "n_id_buckets": N_ID_BUCKETS,
         }
+        if self.bucket_cap is not None:
+            fp["bucket_cap"] = self.bucket_cap
+        return fp
 
     # -- serve ----------------------------------------------------------
     def report(self, spark) -> DataFrame:
