@@ -296,6 +296,14 @@ def main() -> int:
                          "the adversarial one-key hyper-dup corpus "
                          "(90%% identical boilerplate) the bucket cap "
                          "is designed for")
+    ap.add_argument("--seq-index", action="store_true",
+                    help="also maintain the sequence-shingle posting "
+                         "index through the bootstrap sync and record "
+                         "its storage: posting rows, on-disk bytes, "
+                         "and the EXACT raw-string payload the "
+                         "round-15 h60 representation replaced "
+                         "(sum of shingle string lengths, recomputed "
+                         "from the same packed stream)")
     ap.add_argument("--serve-syncs", type=int, default=0, metavar="N",
                     help="after the timed steps, generate N successive "
                          "5-doc pre-diffed feeds and apply them via "
@@ -368,15 +376,72 @@ def main() -> int:
         shards = os.path.join(work, "shards")
         vstate = os.path.join(work, "vstate")
         kept = os.path.join(work, "kept.parquet")
+        seqidx = os.path.join(work, "seqidx")
+        seq_args = ["--seq-index-state", seqidx] if args.seq_index else []
         w, out = run_cli(
             "sync-corpus", "--state", state, "--snapshot", snap,
             "--batch-id", "0", "--shards-state", shards,
             "--shards-merges", vocab, "--vocab-state", vstate,
-            "--out", kept, *lsh_args,
+            "--out", kept, *lsh_args, *seq_args,
         )
         report["sync_bootstrap_sec"] = round(w, 2)
         sync_rep = json.loads(out)
         report["sync_bootstrap"] = sync_rep
+
+        if args.seq_index:
+            # storage accounting for the h60 posting representation
+            # (round-14 verdict item 4): posting rows + on-disk bytes
+            # vs the EXACT raw-string payload those rows would carry
+            # under the pre-round-15 representation, recomputed from
+            # the same packed stream with the same window arithmetic
+            from pyspark.sql import functions as F
+
+            from vcf_pg_loader_spark.cli import (
+                _load_merges_artifact,
+                _sink_kwargs_from_state,
+            )
+            from vcf_pg_loader_spark.operators.shards import (
+                shard_sequences,
+            )
+            from vcf_pg_loader_spark.streaming.seqdecontam import (
+                sequence_shingle_table,
+            )
+            from vcf_pg_loader_spark.streaming.shards import (
+                TrainingShardSink,
+            )
+
+            post_dir = os.path.join(seqidx, "post")
+            disk = 0
+            for root, _dirs, files in os.walk(post_dir):
+                for f in files:
+                    disk += os.stat(os.path.join(root, f)).st_size
+            kw, _p = _sink_kwargs_from_state(shards)
+            tok_kw, _art = _load_merges_artifact(vocab)
+            kw.update(tok_kw)
+            shard_sink = TrainingShardSink(shards, **kw)
+            corpus_df = spark.read.parquet(kept).select("doc_id", "text")
+            seqs = shard_sink.materialize_sequences(spark, corpus_df)
+            spans = shard_sequences(
+                shard_sink.layout(spark), shard_sink.seq_len
+            )
+            sep = "\x1f"  # BPE piece space: the rehearsal packs --shards-merges
+            sh = sequence_shingle_table(seqs, spans, args.ngram, sep)
+            agg = sh.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.coalesce(
+                    F.sum(F.length("shingle")), F.lit(0)
+                ).alias("raw_bytes"),
+            ).collect()[0]
+            report["seq_index"] = {
+                "post_rows": int(agg["rows"]),
+                "post_bytes_disk": disk,
+                "hashed_payload_bytes": int(agg["rows"]) * 8,
+                "raw_shingle_payload_bytes": int(agg["raw_bytes"]),
+                "payload_ratio": round(
+                    int(agg["raw_bytes"])
+                    / max(int(agg["rows"]) * 8, 1), 2
+                ),
+            }
 
         w, out = run_cli(
             "train-vocab", "--counts-state", vstate,
