@@ -106,6 +106,31 @@ class TestBucketCapOperator:
         assert _components(pairs_u) == _components(pairs_c)
 
 
+class TestBucketCapPlan:
+    def test_capped_candidates_stay_equi_join(self, spark):
+        """The valve must not cost the plan its shape: the capped
+        candidate generation is still a (band_id, band_key) equi-join
+        plus one window over the SAME key — no cartesian/nested-loop
+        join anywhere, which is the whole point at 100 TB."""
+        import io
+        from contextlib import redirect_stdout
+
+        df = _df(spark, _hyperdup_rows(10))
+        sh = D.shingles(df, "doc_id", "text", NGRAM_T)
+        pairs, _ = D.lsh_candidate_pairs_capped(
+            D.minhash_signatures(sh, K_T), K_T, BANDS_T, 5
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            pairs.explain(mode="formatted")
+        plan = buf.getvalue()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Window" in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+            or "BroadcastHashJoin" in plan
+
+
 class TestBucketCapSink:
     def test_fingerprint_refuses_cap_mismatch(self, spark, tmp_path,
                                               capsys):
