@@ -37,7 +37,12 @@ class TestDocNLL:
             .toString()
         )
         assert "EvalPython" not in plan and "Arrow" not in plan
-        # bigrams are built array-side (round 8): no window, no sort —
-        # adjacency never pays an exchange
-        assert "windowspecdefinition" not in plan
+        # bigrams are built array-side (round 8): adjacency never pays
+        # an exchange, so no window may partition by the document id.
+        # The one allowed window is the VOCABULARY-sized c1 lookup
+        # (partitioned by w1 — optimization round 15: c(w1) = Σ_w2
+        # c12(w1, w2) attached over the c12 aggregate, replacing a
+        # second corpus-wide bigram aggregation).
+        assert "windowspecdefinition(doc_id" not in plan
+        assert "windowspecdefinition(w1" in plan
         assert "Sort" not in plan.split("HashAggregate")[-1]

@@ -122,7 +122,10 @@ def word_counts(
     max_chars: int = MAX_CHARS,
 ) -> DataFrame:
     """(word, n): the corpus collapsed to unit statistics (whitespace
-    words, or bounded chunks in chars mode)."""
+    words, or bounded chunks in chars mode).
+    Deliberately not widened (optimization round 15): the
+    ensure_min_parallelism A/B lost at bench scale — see
+    operators/lm.py _doc_bigrams."""
     return (
         docs.select(
             F.explode(_units(F.col(text_col), mode, max_chars)).alias("w")

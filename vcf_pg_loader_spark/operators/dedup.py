@@ -150,8 +150,14 @@ def prefix_filtered_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
 
     sh: output of :func:`shingles` — persist it first (feeds the df
     counts, the prefixes, and verification).
+
+    The prefix frame feeds BOTH self-join sides; persist it (a bounded
+    fraction of sh, spills safely) or the double-window pass — two
+    sorts + two exchanges over the full shingle table — executes twice
+    (optimization round 15, guide §2.4/§5; caller owns the lifetime).
     """
     from pyspark.sql.window import Window
+    from pyspark.storagelevel import StorageLevel
 
     # Document frequency via a window over the shingle partition: ONE
     # exchange of sh (the old groupBy+join shuffled sh twice).  Rank and
@@ -168,6 +174,7 @@ def prefix_filtered_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
             <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 2
         )
         .select("doc_id", "shingle", "rn", "n_sh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -373,8 +380,18 @@ def lsh_candidate_pairs(sig: DataFrame, k: int = 8, bands: int = 4) -> DataFrame
 
     Equi-join on (band_id, band_key): this is the scale path — shuffle is
     proportional to docs×bands, and only colliding buckets produce pairs.
+
+    The band table feeds BOTH self-join sides; persist it (docs×bands
+    narrow rows, spills safely) or the signature aggregate — a full
+    groupBy over the exploded shingles — executes twice (optimization
+    round 15, guide §2.4/§5; caller/bench owns the cache lifetime, as
+    with the LSH shingle tables).
     """
-    banded = lsh_band_table(sig, k, bands)
+    from pyspark.storagelevel import StorageLevel
+
+    banded = lsh_band_table(sig, k, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -422,10 +439,18 @@ def lsh_candidate_pairs_capped(
 
     Returns ``(pairs, routed)``: pairs is (d1, d2) distinct with
     d1 < d2; routed is (band_id, band_key, sz) for buckets > cap.
+
+    The band table feeds multiple plan branches — persist it or the
+    signature aggregate (a full groupBy over the exploded shingles)
+    re-executes per branch (optimization round 15, guide §2.4/§5;
+    caller owns the cache lifetime).
     """
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
-    banded = lsh_band_table(sig, k, bands)
+    banded = lsh_band_table(sig, k, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if bucket_cap is None:
         a = banded.alias("a")
         b = banded.alias("b")
@@ -444,6 +469,10 @@ def lsh_candidate_pairs_capped(
         )
         return pairs, routed
     w = Window.partitionBy("band_id", "band_key")
+    # `sized` itself stays lazy: its three consumers (small, star,
+    # routed) re-run only the window over the PERSISTED band table —
+    # an A/B persisting sized too measured a small loss (the extra
+    # cache write outweighs re-running a window over cached input)
     sized = banded.withColumn(
         "_sz", F.count(F.lit(1)).over(w)
     ).withColumn("_bmin", F.min("doc_id").over(w))
@@ -573,7 +602,15 @@ def lsh_recall_sample(
 
     One row: (n_sample_docs, n_true_pairs, n_banded_pairs, recall),
     recall = 1.0 when the sample holds no true pairs (nothing to
-    miss)."""
+    miss).
+
+    Plan shape (optimization round 15, guide §1.2/§2.4): the true-pair
+    and banded-coverage counters come out of ONE left join + ONE
+    aggregate — the original three crossJoined scalar aggregates each
+    re-executed their full upstream (the AllPairs prefix-filter subtree
+    ran twice, the banding once more), which doubled the dominant cost.
+    The join cannot duplicate rows (cands is distinct on (d1, d2)), so
+    COUNT(*) / COUNT(flag) equal the old separate counts exactly."""
     from pyspark.storagelevel import StorageLevel
 
     sample = df.filter(
@@ -586,17 +623,20 @@ def lsh_recall_sample(
         "d1", "d2"
     )
     cands = lsh_candidate_pairs(minhash_signatures(sh, k), k, bands)
-    covered = true_pairs.join(cands, ["d1", "d2"], "left_semi")
+    pair_counts = (
+        true_pairs.join(
+            cands.withColumn("_b", F.lit(1)), ["d1", "d2"], "left"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.count("_b").alias("n_banded_pairs"),
+        )
+    )
     n_docs = sample.agg(F.count(F.lit(1)).alias("n")).select(
         F.col("n").alias("n_sample_docs")
     )
-    n_true = true_pairs.agg(
-        F.count(F.lit(1)).alias("n_true_pairs")
-    )
-    n_cov = covered.agg(F.count(F.lit(1)).alias("n_banded_pairs"))
     return (
-        n_docs.crossJoin(n_true)
-        .crossJoin(n_cov)
+        n_docs.crossJoin(pair_counts)
         .select(
             "n_sample_docs",
             "n_true_pairs",

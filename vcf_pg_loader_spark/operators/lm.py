@@ -43,7 +43,16 @@ def _doc_bigrams(
     explode once.  Round 8: this replaces a posexplode + per-doc lead
     window — adjacency is already explicit in the array, so paying a
     shuffle + sort to rediscover it was pure waste; the whole bigram
-    build now stays inside whole-stage codegen with zero exchanges."""
+    build now stays inside whole-stage codegen with zero exchanges.
+
+    Deliberately NOT widened (optimization round 15): an interleaved
+    same-session A/B of ensure_min_parallelism here measured the widen
+    a consistent ~30% LOSS at bench scale (doc_nll 1.6 s unwidened vs
+    2.1-2.5 s widened, 5 reps each) — the round-robin repartition's
+    exchange + sortBeforeRepartition costs more than the single-task
+    explode it parallelizes, and the bigram frame feeds two subtrees so
+    the exchange runs twice.  At real scale the scan is already wide
+    and the guard would no-op anyway."""
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     # single-token and empty docs have no bigram: clamp the slice length
     # (slice rejects negative lengths)
@@ -58,6 +67,30 @@ def _doc_bigrams(
     ).select(id_col, "g.w1", "g.w2")
 
 
+def _model_tables(
+    bg: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(c12, c1, vocab-size scalar) from one exploded-bigram frame.
+
+    Optimization round 15 (guide §2.3 "aggregate before you shuffle"):
+    c(w1) = Σ_w2 c12(w1, w2) is an exact identity over the c12 table
+    (every bigram contributes exactly one to its w1's count), so c1
+    derives from the VOCABULARY-sized c12 aggregate instead of a second
+    corpus-wide aggregation of the exploded bigrams — the c1 branch's
+    exchange shrinks from bigram-sized to c12-sized.  An A/B with c12
+    additionally persisted measured a net LOSS at bench scale (+0.5 s
+    on q_lm_perplexity: the cache-write barrier serializes stages the
+    scheduler otherwise overlaps, guide §2.6/§5), so the three tables
+    stay lazy; doc_nll below avoids the multi-consumption entirely by
+    folding c1 into the c12 lookup with a window."""
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # unigram continuation counts: c(w1) = number of bigrams starting w1,
+    # so probabilities normalize exactly over the observed vocabulary
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = c12.select("w2").distinct().agg(F.count(F.lit(1)).alias("v"))
+    return c12, c1, vocab
+
+
 def doc_nll(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -66,20 +99,31 @@ def doc_nll(
 ) -> DataFrame:
     """Per-document mean negative log-likelihood under the corpus bigram
     model: (doc_id, n_bigrams, nll) — nll rounded to 6 dp, monotone with
-    perplexity (ppl = e^nll).  Docs with no bigram are absent."""
+    perplexity (ppl = e^nll).  Docs with no bigram are absent.
+
+    Plan shape (optimization round 15, guide §2.3/§2.4): ONE bigram
+    lookup table carries both counts — c12 from the keyed aggregation,
+    c1 attached by a window over the (vocabulary-sized) c12 partitioned
+    on w1 — so scoring is a single equi-join instead of two, and the
+    exploded bigrams are aggregated twice (c12 lookup, vocab scalar)
+    rather than three times.  c1-via-window is the identity
+    c(w1) = Σ_w2 c12(w1, w2): exact integers, so the smoothed
+    log-probability operands are bit-identical to the three-table
+    formulation (pinned in tests/test_opt_r15.py)."""
+    from pyspark.sql.window import Window
+
     bg = _doc_bigrams(docs, id_col, text_col)
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    # unigram continuation counts: c(w1) = number of bigrams starting w1,
-    # so probabilities normalize exactly over the observed vocabulary
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = bg.select("w2").distinct().agg(F.count(F.lit(1)).alias("v"))
+    lookup = c12.withColumn(
+        "c1", F.sum("c12").over(Window.partitionBy("w1"))
+    )
+    vocab = c12.select("w2").distinct().agg(F.count(F.lit(1)).alias("v"))
 
     logprob = F.log(
         (F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v"))
     )
     return (
-        bg.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
+        bg.join(lookup, ["w1", "w2"])
         .crossJoin(F.broadcast(vocab))
         .select(F.col(id_col), logprob.alias("lp"))
         .groupBy(id_col)
@@ -104,11 +148,7 @@ def bigram_model(
     shard) and the incremental-funnel shape (the maintained drop-reason
     report scores arrivals under the bootstrap model, the same
     frozen-parameter stance as SemDeDupIngestSink's centroids)."""
-    bg = _doc_bigrams(train, id_col, text_col)
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = bg.select("w2").distinct().agg(F.count(F.lit(1)).alias("v"))
-    return c12, c1, vocab
+    return _model_tables(_doc_bigrams(train, id_col, text_col))
 
 
 def doc_nll_frozen(

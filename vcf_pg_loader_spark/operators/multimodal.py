@@ -639,9 +639,19 @@ def _phash_clusters(
     """Shared tail of the perceptual pipelines: Hamming-banded pairs ->
     exact bit_count verification -> connected components; singletons
     label themselves.  (Carries the scoped constraint-propagation
-    workaround — see image_neardup_clusters.)"""
+    workaround — see image_neardup_clusters.)
+
+    The fingerprint frame feeds FOUR plan branches (both banding
+    self-join sides, the CC edge collect, the final labeling join) —
+    persist it or the mapInPandas DECODE PASS re-executes per branch
+    (optimization round 15, guide §4.1/§5: the Python decode is the
+    dominant cost; the fingerprints themselves are two narrow columns
+    per item).  Caller/bench owns the cache lifetime."""
+    from pyspark.storagelevel import StorageLevel
+
     from vcf_pg_loader_spark.operators.dedup import connected_components
 
+    ph = ph.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = phash_neardup_pairs(ph, max_hamming, n_bands)
     spark = ph.sparkSession
     key = "spark.sql.constraintPropagation.enabled"

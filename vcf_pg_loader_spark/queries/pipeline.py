@@ -2477,7 +2477,9 @@ DSIR_TARGET_LANG = "en"
 
 def _dsir_features(docs: DataFrame) -> DataFrame:
     """(doc_id, b, n): hashed unigram+bigram bucket counts per doc.
-    The base hash materializes as a column before bucketing (no-CSE)."""
+    The base hash materializes as a column before bucketing (no-CSE).
+    Deliberately not widened: the ensure_min_parallelism A/B lost at
+    bench scale (see operators/lm.py _doc_bigrams)."""
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     bigrams = F.zip_with(
@@ -2498,28 +2500,55 @@ def _dsir_features(docs: DataFrame) -> DataFrame:
 
 
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     docs = load_table(spark, sf_dir, "documents")
     feats = _dsir_features(docs)
-    target_ids = docs.filter(F.col("lang") == DSIR_TARGET_LANG).select("doc_id")
-    tgt = (
-        feats.join(target_ids, "doc_id", "left_semi")
-        .groupBy("b")
-        .agg(F.sum("n").alias("nt"))
+    # Bucket totals in ONE corpus pass (optimization round 15, guide
+    # §1.2/§2.3): the target and source bucket counts are sums over the
+    # same exploded-gram frame distinguished only by a per-doc flag, so
+    # a single groupBy with a conditional count replaces the two
+    # corpus-wide aggregations (and the per-(doc, bucket) intermediate
+    # they shared); the grand totals Tt/Ts attach by a window over the
+    # BUCKETS-row result instead of two scalar-aggregate branches that
+    # each re-executed the corpus explode.  Exact equalities:
+    # Σ_docs n(doc, b) = count of gram rows in bucket b (and likewise
+    # filtered to target docs), so every operand double of `lr` is
+    # bit-identical to the three-branch formulation (pinned in
+    # tests/test_opt_r15.py).  An A/B persisting the shared feats frame
+    # instead measured a net LOSS (+2.5 s: cache-write barrier
+    # serializes stages the scheduler overlaps, guide §2.6/§5).
+    is_target = F.col("lang") == DSIR_TARGET_LANG
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
     )
-    src = feats.groupBy("b").agg(F.sum("n").alias("ns"))
-    tt = tgt.agg(F.sum("nt").alias("Tt"))
-    ts = src.agg(F.sum("ns").alias("Ts"))
+    grams = F.concat(toks, bigrams)
+    from vcf_pg_loader_spark.functions.hashing import h60
+
+    bucket_stats = (
+        docs.select(is_target.alias("_t"), F.explode(grams).alias("g"))
+        .select("_t", h60(F.col("g"), salt="dsir:").alias("_h"))
+        .select("_t", F.pmod(F.col("_h"), F.lit(DSIR_BUCKETS)).alias("b"))
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("ns"),
+            F.count(F.when(F.col("_t"), F.lit(1))).alias("nt"),
+        )
+    )
     a, m = DSIR_ALPHA, DSIR_BUCKETS
+    w_all = Window.partitionBy()
     lr = (
-        src.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tt))
-        .crossJoin(F.broadcast(ts))
+        bucket_stats.withColumn("Ts", F.sum("ns").over(w_all))
+        .withColumn("Tt", F.sum("nt").over(w_all))
         .select(
             "b",
             (
                 F.log(
-                    (F.coalesce(F.col("nt"), F.lit(0)) + F.lit(a))
-                    / (F.col("Tt") + F.lit(a * m))
+                    (F.col("nt") + F.lit(a)) / (F.col("Tt") + F.lit(a * m))
                 )
                 - F.log((F.col("ns") + F.lit(a)) / (F.col("Ts") + F.lit(a * m)))
             ).alias("lr"),
@@ -4100,7 +4129,11 @@ SHARD_BPE_MERGES = 4
 
 def q_training_shards_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard manifest with per-doc lengths in TOKENIZER space: learn
-    SHARD_BPE_MERGES merges (bpe_learn_batched, pinned == sequential),
+    SHARD_BPE_MERGES merges (bpe_learn_local — the default
+    `train-vocab` trainer; merges pinned identical to the sequential
+    and batched strategies in tests/test_bpe.py, and the cheaper
+    equal-output path per the round-14 chars-query precedent —
+    q_bpe_pairs_roundk keeps the batched trainer oracled),
     count each document's BPE tokens via the Arrow encoder, and pack
     through the same shard_layout_from_lengths seam the maintenance
     sink uses.  The DuckDB twin re-derives the identical merges with
@@ -4110,7 +4143,7 @@ def q_training_shards_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vcf_pg_loader_spark.operators import shards as SHD
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = B.bpe_learn_batched(docs, n_merges=SHARD_BPE_MERGES)
+    merges = B.bpe_learn_local(docs, n_merges=SHARD_BPE_MERGES)
     lengths = B.bpe_token_lengths(docs, merges)
     base = SHD.shard_base(docs, lengths=lengths)
     return SHD.shard_manifest(SHD.shard_layout_from_lengths(base))
@@ -4203,8 +4236,19 @@ def q_train_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vcf_pg_loader_spark.operators import shards as SHD
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = B.bpe_learn_batched(docs, n_merges=SHARD_BPE_MERGES)
-    enc = B.bpe_encode_doc_arrow(docs, merges)
+    merges = B.bpe_learn_local(docs, n_merges=SHARD_BPE_MERGES)
+    # enc feeds TWO sequential consumers (the lengths->layout->spans
+    # chain, then the stream-assembly join): persist it or the Arrow
+    # encode — the Python-boundary pass, the dominant cost here — runs
+    # twice (optimization round 15, guide §4.1/§5).  The consumers are
+    # already serialized by the packing window, so unlike the lazy
+    # multi-branch frames (doc_nll, DSIR) the cache barrier costs no
+    # scheduler overlap.  Caller/bench owns the cache lifetime.
+    from pyspark.storagelevel import StorageLevel
+
+    enc = B.bpe_encode_doc_arrow(docs, merges).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     lengths = enc.select(
         "doc_id", F.size("pieces").cast("bigint").alias("n_tokens")
     )
@@ -4277,10 +4321,16 @@ def q_train_sequence_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids_col_arrow,
     )
 
+    from pyspark.storagelevel import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    merges = B.bpe_learn_batched(docs, n_merges=SHARD_BPE_MERGES)
+    merges = B.bpe_learn_local(docs, n_merges=SHARD_BPE_MERGES)
     alphabet = alphabet_from_counts(B.word_counts(docs), "words")
-    enc = B.bpe_encode_doc_arrow(docs, merges)
+    # persist: two sequential consumers of the Arrow encode — see
+    # q_train_sequences (optimization round 15, guide §4.1/§5)
+    enc = B.bpe_encode_doc_arrow(docs, merges).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     lengths = enc.select(
         "doc_id", F.size("pieces").cast("bigint").alias("n_tokens")
     )
@@ -4366,9 +4416,15 @@ def q_train_sequences_eos(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vcf_pg_loader_spark.operators import bpe as B
     from vcf_pg_loader_spark.operators import shards as SHD
 
+    from pyspark.storagelevel import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    merges = B.bpe_learn_batched(docs, n_merges=SHARD_BPE_MERGES)
-    enc = B.bpe_encode_doc_arrow(docs, merges)
+    merges = B.bpe_learn_local(docs, n_merges=SHARD_BPE_MERGES)
+    # persist: two sequential consumers of the Arrow encode — see
+    # q_train_sequences (optimization round 15, guide §4.1/§5)
+    enc = B.bpe_encode_doc_arrow(docs, merges).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     lengths = enc.select(
         "doc_id", F.size("pieces").cast("bigint").alias("n_tokens")
     )
@@ -4437,9 +4493,15 @@ def q_seq_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vcf_pg_loader_spark.operators import bpe as B
     from vcf_pg_loader_spark.operators import shards as SHD
 
+    from pyspark.storagelevel import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    merges = B.bpe_learn_batched(docs, n_merges=SHARD_BPE_MERGES)
-    enc = B.bpe_encode_doc_arrow(docs, merges)
+    merges = B.bpe_learn_local(docs, n_merges=SHARD_BPE_MERGES)
+    # persist: two sequential consumers of the Arrow encode — see
+    # q_train_sequences (optimization round 15, guide §4.1/§5)
+    enc = B.bpe_encode_doc_arrow(docs, merges).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     lengths = enc.select(
         "doc_id", F.size("pieces").cast("bigint").alias("n_tokens")
     )
@@ -4545,7 +4607,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vcf_pg_loader_spark.operators import bpe as B
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = B.bpe_learn_batched(docs, n_merges=SHARD_BPE_MERGES)
+    merges = B.bpe_learn_local(docs, n_merges=SHARD_BPE_MERGES)
     enc = B.bpe_encode_doc_arrow(docs, merges)
     return enc.select(
         "doc_id",
@@ -4744,7 +4806,7 @@ def q_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = B.bpe_learn_batched(docs, n_merges=SHARD_BPE_MERGES)
+    merges = B.bpe_learn_local(docs, n_merges=SHARD_BPE_MERGES)
     alphabet = alphabet_from_counts(B.word_counts(docs), "words")
     pieces = vocab_pieces(alphabet, merges)
     ids = piece_ids(alphabet, merges)
@@ -5179,9 +5241,19 @@ def q_curriculum_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vcf_pg_loader_spark.operators import shards as SHD
     from vcf_pg_loader_spark.operators.lm import doc_nll
 
+    from pyspark.storagelevel import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     k = CURRICULUM_Q_K
-    nll = doc_nll(docs).select("doc_id", "nll")
+    # persist: the per-doc score frame feeds both the packing chain
+    # (via bdocs -> shard_base) and the final bucket-labeling join, and
+    # the labeling join cannot start before the packing window anyway —
+    # caching the tiny (doc_id, nll) frame saves a full second
+    # execution of the LM scoring pipeline at no overlap cost
+    # (optimization round 15, guide §2.4/§5)
+    nll = doc_nll(docs).select("doc_id", "nll").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bucket = (
         F.when(F.col("nll").isNull(), F.lit(k - 1).cast("bigint"))
         .otherwise(
@@ -5513,8 +5585,10 @@ def q_seq_decontam_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vcf_pg_loader_spark.operators import sampling as SP
     from vcf_pg_loader_spark.operators import shards as SHD
 
+    from pyspark.storagelevel import StorageLevel
+
     docs_all = load_table(spark, sf_dir, "documents")
-    merges = B.bpe_learn_batched(docs_all, n_merges=SHARD_BPE_MERGES)
+    merges = B.bpe_learn_local(docs_all, n_merges=SHARD_BPE_MERGES)
     split = SP.assign_split(docs_all, "doc_id", SPLIT_WEIGHTS)
     train = split.filter(F.col("split") == "train").select(
         "doc_id", "text"
@@ -5522,7 +5596,14 @@ def q_seq_decontam_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     evals = split.filter(F.col("split") != "train").select(
         "doc_id", "text"
     )
-    enc_train = B.bpe_encode_doc_arrow(train, merges)
+    # persist: the train-side Arrow encode feeds the lengths->layout->
+    # spans chain, the stream-assembly join, AND (via spans) the
+    # boundary frame — all sequential, so the cache barrier costs no
+    # overlap and saves two Python encode passes (optimization round
+    # 15, guide §4.1/§5)
+    enc_train = B.bpe_encode_doc_arrow(train, merges).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     lengths = enc_train.select(
         "doc_id", F.size("pieces").cast("bigint").alias("n_tokens")
     )
@@ -6066,7 +6147,7 @@ def q_vocab_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vcf_pg_loader_spark.operators import bpe as B
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = B.bpe_learn_batched(docs, n_merges=SHARD_BPE_MERGES)
+    merges = B.bpe_learn_local(docs, n_merges=SHARD_BPE_MERGES)
     lengths = B.bpe_token_lengths(docs, merges)
     chars = docs.select(
         "doc_id",
