@@ -269,3 +269,198 @@ class TestRecallSampleRestructure:
         )
         assert got.recall == want_recall
         spark.catalog.clearCache()
+
+
+class TestIvfAssignRestructure:
+    """operators/similarity.py _ivf_assign / _ivf_rank_centroids and
+    operators/pq.py pq_encode: the crossJoin-against-centroid-rows +
+    groupBy(vid)/window formulations are now row-local array folds over
+    ONE broadcast centroid-array row — guide §2.4 'remove shuffles
+    outright'.  array_min / array_sort over (d, cid) structs compare
+    field-by-field, so the winners are exactly the old
+    min(struct(d, cid)) / ROW_NUMBER() ORDER BY d, cid picks; the
+    distance arithmetic is written identically, so assignments, ranks
+    and PQ codes must match bit-for-bit — and the new plans must carry
+    ZERO Exchange (the corpus never shuffles to be assigned/encoded)."""
+
+    def _emb(self, spark, n=40, d=8):
+        rows = [
+            (i, [((i * 7 + j * 13) % 19) - 9.0 + 0.25 * j for j in range(d)])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        )
+
+    def _reference_assign(self, vecs, cents, kernel="exact"):
+        # the pre-optimization formulation, verbatim: corpus × centroids
+        # broadcast cross join, hash-aggregate argmin keyed on vid
+        from vcf_pg_loader_spark.operators.similarity import _dot
+
+        dot = _dot(kernel)
+        scored = vecs.crossJoin(F.broadcast(cents)).select(
+            "vid",
+            "vec",
+            "vv",
+            "cid",
+            (
+                (F.col("vv") - F.lit(2.0) * dot(F.col("vec"), F.col("cvec")))
+                + F.col("cc")
+            ).alias("d"),
+        )
+        return (
+            scored.groupBy("vid")
+            .agg(
+                F.first("vec").alias("vec"),
+                F.first("vv").alias("vv"),
+                F.min(F.struct("d", "cid")).alias("_m"),
+            )
+            .select("vid", "vec", "vv", F.col("_m.cid").alias("cid"))
+        )
+
+    def test_assign_matches_reference_bitwise(self, spark):
+        from vcf_pg_loader_spark.operators.similarity import (
+            _ivf_assign,
+            _prep_vectors,
+        )
+
+        emb = self._emb(spark)
+        vecs = _prep_vectors(emb, "vec_id", "embedding")
+        cents = vecs.orderBy("vid").limit(5).select(
+            F.col("vid").alias("cid"),
+            F.col("vec").alias("cvec"),
+            F.col("vv").alias("cc"),
+        )
+        got = {
+            r.vid: r.cid for r in _ivf_assign(vecs, cents).collect()
+        }
+        want = {
+            r.vid: r.cid
+            for r in self._reference_assign(vecs, cents).collect()
+        }
+        assert got == want
+
+    def test_rank_matches_window_reference(self, spark):
+        from pyspark.sql.window import Window
+
+        from vcf_pg_loader_spark.operators.similarity import (
+            _dot,
+            _ivf_rank_centroids,
+            _prep_vectors,
+        )
+
+        emb = self._emb(spark, n=12)
+        vecs = _prep_vectors(emb, "vec_id", "embedding")
+        cents = vecs.orderBy("vid").limit(4).select(
+            F.col("vid").alias("cid"),
+            F.col("vec").alias("cvec"),
+            F.col("vv").alias("cc"),
+        )
+        dot = _dot("exact")
+        scored = vecs.crossJoin(F.broadcast(cents)).select(
+            "vid",
+            "cid",
+            (
+                (F.col("vv") - F.lit(2.0) * dot(F.col("vec"), F.col("cvec")))
+                + F.col("cc")
+            ).alias("d"),
+        )
+        w = Window.partitionBy("vid").orderBy(F.asc("d"), F.asc("cid"))
+        want = {
+            (r.vid, r.cid): r.rn
+            for r in scored.withColumn(
+                "rn", F.row_number().over(w)
+            ).collect()
+        }
+        got = {
+            (r.vid, r.cid): r.rn
+            for r in _ivf_rank_centroids(vecs, cents).collect()
+        }
+        assert got == want
+
+    def test_assign_and_encode_plans_have_no_exchange(self, spark):
+        from vcf_pg_loader_spark.operators.pq import pq_encode, pq_fit
+        from vcf_pg_loader_spark.operators.similarity import (
+            _ivf_assign,
+            _prep_vectors,
+        )
+
+        emb = self._emb(spark)
+        vecs = _prep_vectors(emb, "vec_id", "embedding")
+        cents = vecs.orderBy("vid").limit(5).select(
+            F.col("vid").alias("cid"),
+            F.col("vec").alias("cvec"),
+            F.col("vv").alias("cc"),
+        )
+        assigned = _ivf_assign(vecs, cents)
+        plan = assigned._jdf.queryExecution().executedPlan().toString()
+        # the one-row centroid-array aggregate pays a SinglePartition
+        # exchange of k rows inside the broadcast subtree; the corpus
+        # itself must never shuffle (no hash partitioning anywhere)
+        assert "hashpartitioning" not in plan
+
+        books = pq_fit(emb, m=4, k_sub=4)
+        codes = pq_encode(emb, books, m=4)
+        plan = codes._jdf.queryExecution().executedPlan().toString()
+        # the codebook subtree may aggregate (it is k-sized); the corpus
+        # side must not shuffle: no hashpartitioning on vid anywhere
+        assert "hashpartitioning(vid" not in plan
+
+    def test_pq_codes_match_reference(self, spark):
+        from vcf_pg_loader_spark.operators.pq import (
+            _subvector,
+            pq_encode,
+            pq_fit,
+        )
+        from vcf_pg_loader_spark.operators.similarity import dot_fast
+
+        emb = self._emb(spark, n=24, d=8)
+        m, k_sub = 4, 4
+        books = pq_fit(emb, m=m, k_sub=k_sub)
+        got = {
+            r.vid: list(r.codes) for r in pq_encode(emb, books, m=m).collect()
+        }
+        # reference: the pre-optimization per-subspace loop, verbatim
+        vecs = emb.select(
+            F.col("vec_id").alias("vid"),
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double")
+            ).alias("vec"),
+        )
+        parts = None
+        for sub in range(m):
+            sv = vecs.select(
+                "vid", _subvector(F.col("vec"), m, sub).alias("sv")
+            )
+            scored = sv.join(
+                F.broadcast(books.filter(F.col("sub") == sub)), how="cross"
+            ).select(
+                "vid",
+                F.lit(sub).alias("sub"),
+                "code",
+                (
+                    dot_fast(F.col("sv"), F.col("sv"))
+                    - 2.0 * dot_fast(F.col("sv"), F.col("cvec"))
+                    + dot_fast(F.col("cvec"), F.col("cvec"))
+                ).alias("d"),
+            )
+            best = scored.groupBy("vid", "sub").agg(
+                F.min(F.struct("d", "code")).alias("_m")
+            )
+            part = best.select("vid", "sub", F.col("_m.code").alias("code"))
+            parts = part if parts is None else parts.unionByName(part)
+        want = {
+            r.vid: list(r.codes)
+            for r in parts.groupBy("vid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("sub", "code"))
+                ).alias("_sc")
+            )
+            .select(
+                "vid",
+                F.transform(F.col("_sc"), lambda s: s.code).alias("codes"),
+            )
+            .collect()
+        }
+        assert got == want

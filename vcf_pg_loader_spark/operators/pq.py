@@ -95,34 +95,63 @@ def pq_encode(
     cross join against the k_sub codewords of that subspace."""
     from vcf_pg_loader_spark.operators.similarity import dot_fast
 
+    # The whole codebook collapses to ONE broadcast array row (m × k_sub
+    # entries, control-plane sized) with each codeword's self-dot
+    # pre-attached, and every row's m codes become a row-local argmin
+    # fold over it.  The previous formulation ran one broadcast
+    # cross-join + groupBy(vid) argmin PER SUBSPACE plus a final
+    # collect_list groupBy — m+1 full-corpus exchanges; this is a single
+    # narrow map with ZERO exchange (guide §2.4).  Arithmetic and the
+    # min(struct(d, code)) tie-break are written identically, so the
+    # codes are bit-identical.
+    books = codebooks.agg(
+        F.collect_list(
+            F.struct(
+                "sub",
+                "code",
+                "cvec",
+                dot_fast(F.col("cvec"), F.col("cvec")).alias("cc"),
+            )
+        ).alias("_books")
+    )
     vecs = corpus.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     )
-    parts = None
-    for sub in range(int(m)):
-        sv = vecs.select("vid", _subvector(F.col("vec"), m, sub).alias("sv"))
-        scored = sv.join(
-            F.broadcast(codebooks.filter(F.col("sub") == sub)), how="cross"
-        ).select(
-            "vid",
-            F.lit(sub).alias("sub"),
-            "code",
-            (
-                dot_fast(F.col("sv"), F.col("sv"))
-                - 2.0 * dot_fast(F.col("sv"), F.col("cvec"))
-                + dot_fast(F.col("cvec"), F.col("cvec"))
-            ).alias("d"),
-        )
-        best = scored.groupBy("vid", "sub").agg(
-            F.min(F.struct("d", "code")).alias("_m")
-        )
-        part = best.select("vid", "sub", F.col("_m.code").alias("code"))
-        parts = part if parts is None else parts.unionByName(part)
+
+    def _sv(sub):
+        return F.element_at(F.col("_subs"), sub + F.lit(1))
+
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(int(m) - 1)),
+        lambda sub: F.array_min(
+            F.transform(
+                F.filter(F.col("_books"), lambda b: b["sub"] == sub),
+                lambda b: F.struct(
+                    (
+                        F.element_at(F.col("_svv"), sub + F.lit(1))
+                        - 2.0 * dot_fast(_sv(sub), b["cvec"])
+                        + b["cc"]
+                    ).alias("d"),
+                    b["code"].alias("code"),
+                ),
+            )
+        )["code"],
+    )
     return (
-        parts.groupBy("vid")
-        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("_sc"))
-        .select("vid", F.transform(F.col("_sc"), lambda s: s.code).alias("codes"))
+        vecs.crossJoin(F.broadcast(books))
+        .withColumn(
+            "_subs",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(int(m) - 1)),
+                lambda sub: _subvector(F.col("vec"), m, sub),
+            ),
+        )
+        .withColumn(
+            "_svv",
+            F.transform(F.col("_subs"), lambda a: dot_fast(a, a)),
+        )
+        .select("vid", codes.alias("codes"))
     )
 
 

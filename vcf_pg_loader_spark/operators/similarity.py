@@ -322,12 +322,51 @@ def sql_sq_dist(v: str, c: str) -> str:
     )
 
 
+def _cents_array(cents: DataFrame) -> DataFrame:
+    """ONE-row frame holding the whole centroid table as an array of
+    (cid, cvec, cc) structs.  Centroid tables are control-plane sized
+    (k_centroids entries), so folding them into a single broadcast row
+    lets every per-vector decision (argmin, ranking) run as a row-local
+    array fold with ZERO exchange on the corpus side."""
+    return cents.agg(
+        F.collect_list(F.struct("cid", "cvec", "cc")).alias("_cents")
+    )
+
+
+def _cent_dists(dot) -> Column:
+    """array<struct<d,cid>> of this row's distance to every centroid in
+    `_cents`.  The double arithmetic ((vv - 2*v·c) + cc) is written in
+    the same order as sql_sq_dist, so bit-exactness against the oracle
+    is preserved; norms are pre-materialized (`vv` on the row, `cc` in
+    the centroid struct) because Catalyst has no cross-expression CSE."""
+    return F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (
+                (F.col("vv") - F.lit(2.0) * dot(F.col("vec"), c["cvec"]))
+                + c["cc"]
+            ).alias("d"),
+            c["cid"].alias("cid"),
+        ),
+    )
+
+
 def _ivf_rank_centroids(
     vecs: DataFrame, cents: DataFrame, kernel: str = "exact"
 ) -> DataFrame:
     """(vid, vec, vv, cid, rn): every vector's centroids ranked by
-    distance.  Centroids broadcast — the corpus never shuffles for
-    assignment; the only exchange is the per-vector rank window.
+    distance.  Centroids broadcast — the probe side never shuffles for
+    the cross join; the only exchange is the per-vector rank window.
+
+    This one deliberately KEEPS the window formulation (optimization
+    round 15): every caller ranks the QUERY side, which is small by
+    contract (a probe batch), so the window's exchange is tiny — an
+    interleaved A/B of the :func:`_cents_array` array_sort form here
+    measured the serve paths (q_cdc_ann, q_ann_reindex, q_ann_retract)
+    ~0.2-0.3 s WORSE per query: the one-row centroid aggregate adds a
+    scheduled stage whose fixed latency exceeds the removed tiny
+    shuffle.  The corpus-sized assignment (:func:`_ivf_assign`), where
+    the removed exchange is the full corpus, uses the array fold.
 
     Expects pre-materialized norms (`vv` on vecs, `cc` on cents): with no
     CSE across expression trees, inlining _sq_dist would recompute the
@@ -352,31 +391,22 @@ def _ivf_rank_centroids(
 
 def _ivf_assign(vecs: DataFrame, cents: DataFrame, kernel: str = "exact") -> DataFrame:
     """(vid, vec, vv, cid): each vector's nearest centroid — the rn=1
-    slice of :func:`_ivf_rank_centroids`, computed as a hash-aggregate
-    argmin instead of a sort window.
+    slice of :func:`_ivf_rank_centroids`, computed as a row-local
+    array_min over the broadcast centroid array.
 
     MIN over a (d, cid) struct compares field-by-field, so the winner is
-    exactly ROW_NUMBER() ... ORDER BY d ASC, cid ASC = 1 — but a groupBy
-    gets a map-side partial aggregate: the corpus×centroids frame
-    collapses k× BEFORE the exchange, where the window must shuffle and
-    sort every scored pair.  first(vec)/first(vv) are deterministic here
-    because both are functions of the grouping key."""
+    exactly ROW_NUMBER() ... ORDER BY d ASC, cid ASC = 1.  The previous
+    formulation exploded the corpus k× against the centroid table and
+    hash-aggregated it back by vid — a full-corpus exchange (carrying
+    the vectors) per assignment round; the array fold removes that
+    exchange outright (guide §2.4): assignment is now a narrow map."""
     dot = _dot(kernel)
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
+    return vecs.crossJoin(F.broadcast(_cents_array(cents))).select(
         "vid",
         "vec",
         "vv",
-        "cid",
-        (
-            (F.col("vv") - F.lit(2.0) * dot(F.col("vec"), F.col("cvec")))
-            + F.col("cc")
-        ).alias("d"),
+        F.array_min(_cent_dists(dot))["cid"].alias("cid"),
     )
-    return scored.groupBy("vid").agg(
-        F.first("vec").alias("vec"),
-        F.first("vv").alias("vv"),
-        F.min(F.struct("d", "cid")).alias("_m"),
-    ).select("vid", "vec", "vv", F.col("_m.cid").alias("cid"))
 
 
 def ivf_assign(
