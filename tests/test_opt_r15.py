@@ -464,3 +464,85 @@ class TestIvfAssignRestructure:
             .collect()
         }
         assert got == want
+
+
+class TestCmsPreaggRestructure:
+    """operators/sketch.py cms_partial: multiplicities are now summed
+    per DISTINCT value BEFORE the md5-derived h60 hash and the rowpos
+    explode — guide §2.3 'aggregate before you shuffle'.  Count-Min
+    counters are linear, so Σ_occurrences m == Σ_values (Σ m per value)
+    per (row, pos): exact integers, the sketch must match the
+    per-occurrence formulation bit-for-bit, signed multiplicities
+    included."""
+
+    def _reference_partial(self, df, value_col, rows, width, mult_col):
+        # the pre-optimization formulation, verbatim: hash + explode per
+        # occurrence, one terminal (row, pos) aggregation
+        from vcf_pg_loader_spark.functions.hashing import h60
+        from vcf_pg_loader_spark.operators.sketch import _cms_rowpos_pairs
+
+        m = (
+            F.col(mult_col).cast("bigint")
+            if mult_col
+            else F.lit(1).cast("bigint")
+        )
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .select(
+                h60(F.col(value_col), salt="cms:").alias("_h"), m.alias("_m")
+            )
+            .select(
+                F.col("_m"),
+                F.explode(
+                    _cms_rowpos_pairs(F.col("_h"), rows, width)
+                ).alias("_rp"),
+            )
+            .select(
+                F.col("_rp.row").alias("row"),
+                F.col("_rp.pos").alias("pos"),
+                "_m",
+            )
+            .groupBy("row", "pos")
+            .agg(F.sum("_m").alias("cnt"))
+        )
+
+    def test_partial_matches_reference_with_signed_mults(self, spark):
+        from vcf_pg_loader_spark.operators.sketch import cms_partial
+
+        rows = [
+            ("alpha", 1), ("alpha", 1), ("beta", 1), ("gamma", 1),
+            ("alpha", -1), ("beta", -1), ("beta", 1), ("delta", -1),
+            (None, 1), ("gamma", 1), ("alpha", 1),
+        ]
+        df = spark.createDataFrame(rows, "token string, zmult bigint")
+        got = {
+            (r.row, r.pos): r.cnt
+            for r in cms_partial(
+                df, "token", rows=4, width=64, mult_col="zmult"
+            ).collect()
+        }
+        want = {
+            (r.row, r.pos): r.cnt
+            for r in self._reference_partial(
+                df, "token", 4, 64, "zmult"
+            ).collect()
+        }
+        assert got == want
+
+    def test_partial_matches_reference_unit_mult(self, spark):
+        from vcf_pg_loader_spark.operators.sketch import cms_partial
+
+        df = spark.createDataFrame(
+            [(t,) for t in "a b c a b a d e f a".split()], "token string"
+        )
+        got = {
+            (r.row, r.pos): r.cnt
+            for r in cms_partial(df, "token", rows=4, width=32).collect()
+        }
+        want = {
+            (r.row, r.pos): r.cnt
+            for r in self._reference_partial(
+                df, "token", 4, 32, None
+            ).collect()
+        }
+        assert got == want

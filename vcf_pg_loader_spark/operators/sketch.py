@@ -311,9 +311,21 @@ def cms_partial(
         if mult_col
         else F.lit(1).cast("bigint")
     )
-    return (
+    # Pre-aggregate multiplicities per DISTINCT value before hashing
+    # (optimization round 15, guide §2.3 "aggregate before you shuffle" /
+    # §1.2): counters are linear, so Σ_occurrences m ≡ Σ_values (Σ m per
+    # value) — exact integers, bit-identical sketch.  The md5-derived
+    # h60 and the rows-wide rowpos explode now run once per distinct
+    # value (vocabulary-sized under Zipf) instead of once per occurrence
+    # (corpus-sized); the value groupBy partial-aggregates map-side, so
+    # the added exchange carries the per-task-distinct values only.
+    vals = (
         df.filter(F.col(value_col).isNotNull())
-        .select(h60(F.col(value_col), salt="cms:").alias("_h"), m.alias("_m"))
+        .groupBy(F.col(value_col).alias("_v"))
+        .agg(F.sum(m).alias("_m"))
+    )
+    return (
+        vals.select(h60(F.col("_v"), salt="cms:").alias("_h"), "_m")
         .select(
             F.col("_m"),
             F.explode(_cms_rowpos_pairs(F.col("_h"), rows, width)).alias("_rp"),

@@ -2981,8 +2981,21 @@ def q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
         qual.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
     ).join(lm_losers, "doc_id", "left_anti")
     fp = T.fingerprint(kept_q)
-    canon = fp.groupBy("doc_fp").agg(F.min("doc_id").alias("doc_id"))
-    surv = fp.join(canon.select("doc_id"), "doc_id", "left_semi")
+    # canon's min-ids ARE the exact-dedup survivor set (doc_id is unique
+    # per doc, so the semi-join back onto fp keeps exactly these ids) —
+    # persist the narrow id frame and serve BOTH consumers (the surv
+    # semi-join below and the final _exact attribution join) from it:
+    # without the cache the docs→kept_q→fingerprint subtree executed
+    # once per canon consumer per surv consumer — four md5 passes over
+    # the kept corpus per run (optimization round 15, guide §2.4/§5;
+    # same ID-LEVEL-persist rule as qual/lm_losers above).
+    canon_ids = (
+        fp.groupBy("doc_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    surv = fp.join(canon_ids, "doc_id", "left_semi")
 
     pairs = D.minhash_lsh_dedup(
         surv, "doc_id", "text", NGRAM, MINHASH_K, MINHASH_BANDS, JACCARD_T
@@ -2993,7 +3006,7 @@ def q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     q = qual.select("doc_id", "keep", "reasons")
-    exact_ids = surv.select("doc_id")
+    exact_ids = canon_ids
     stage = (
         F.when(
             ~F.col("keep"), F.concat(F.lit("quality:"), F.col("reasons"))
