@@ -44,6 +44,26 @@ def get_spark(
         # TIMESTAMP(NANOS); Spark has no nanos type, so read them as long
         # and convert explicitly (sources/tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- joins / shuffle wire (guide §3.1/§2.3/§9) --------------------
+        # Parameterized, not local[32]-tuned.  Both knobs were A/B'd at
+        # sf0.1 (OPTIMIZATION_r15.md "Global session conf A/B"):
+        # preferSortMergeJoin=false measured NEUTRAL over the full
+        # registry once run-order bias was cancelled (AQE already
+        # broadcast-converts the eligible joins here), and zstd measured
+        # neutral-to-slightly-worse (shuffles are small, the extra CPU
+        # buys nothing locally).  Defaults therefore stay at Spark's
+        # (true / lz4); the env overrides exist for cluster deployments
+        # where the trade-offs flip (network-bound shuffles favor
+        # zstd's ratio; bounded post-AQE partitions make shuffled-hash
+        # safe — measure there, §2.3).
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
+        )
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         # --- python interop ----------------------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
