@@ -546,3 +546,88 @@ class TestCmsPreaggRestructure:
             ).collect()
         }
         assert got == want
+
+
+class TestVerifyJaccardRestructure:
+    """operators/dedup.py verify_candidate_jaccard: the row-expanded
+    pair×shingle join + per-pair count + twice-joined sizes aggregation
+    is now per-doc sorted shingle arrays + row-local array_intersect —
+    guide §2.4 (six exchanges → three).  shingles() emits distinct grams
+    per doc, so the intersection size and hence the rounded jaccard are
+    bit-identical; zero-overlap candidates drop in both shapes."""
+
+    def _reference_verify(self, cands, sh, threshold):
+        # the pre-optimization formulation, verbatim
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            cands.join(a, cands["d1"] == F.col("a.doc_id"))
+            .join(
+                b,
+                (cands["d2"] == F.col("b.doc_id"))
+                & (F.col("a.shingle") == F.col("b.shingle")),
+            )
+            .groupBy("d1", "d2")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sa = sizes.alias("sa")
+        sb = sizes.alias("sb")
+        return (
+            inter.join(sa, F.col("d1") == F.col("sa.doc_id"))
+            .join(sb, F.col("d2") == F.col("sb.doc_id"))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_inter")
+                    / (
+                        F.col("sa.n_sh")
+                        + F.col("sb.n_sh")
+                        - F.col("n_inter")
+                    ),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("d1", "d2", "n_inter", "jaccard")
+        )
+
+    def test_matches_reference_incl_zero_overlap_and_threshold_zero(
+        self, spark
+    ):
+        from vcf_pg_loader_spark.operators.dedup import (
+            shingles,
+            verify_candidate_jaccard,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e f g"),
+                (2, "a b c d e f h"),
+                (3, "a b c d e f g"),
+                (4, "x y z w v u t"),
+                (5, "p q r s"),
+            ],
+            "doc_id bigint, text string",
+        )
+        sh = shingles(docs, "doc_id", "text", 3)
+        cands = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4), (2, 3), (4, 5)],
+            "d1 bigint, d2 bigint",
+        )
+        for t in (0.0, 0.5, 0.8):
+            got = {
+                tuple(r)
+                for r in verify_candidate_jaccard(cands, sh, t).collect()
+            }
+            want = {
+                tuple(r)
+                for r in self._reference_verify(cands, sh, t).collect()
+            }
+            assert got == want, f"threshold {t}"
+        # sanity: the zero-overlap pair (1,4) is absent even at t=0.0
+        got0 = {
+            (r.d1, r.d2)
+            for r in verify_candidate_jaccard(cands, sh, 0.0).collect()
+        }
+        assert (1, 4) not in got0

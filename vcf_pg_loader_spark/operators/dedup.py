@@ -505,36 +505,55 @@ def lsh_candidate_pairs_capped(
 def verify_candidate_jaccard(
     cands: DataFrame, sh: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact Jaccard for CANDIDATE pairs only: join each side's shingles
-    onto the pair list, count matches per pair.  Cost is proportional to
-    |candidates| × shingles-per-doc — never all-pairs."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        cands.join(a, cands["d1"] == F.col("a.doc_id"))
-        .join(
-            b,
-            (cands["d2"] == F.col("b.doc_id"))
-            & (F.col("a.shingle") == F.col("b.shingle")),
-        )
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    """Exact Jaccard for CANDIDATE pairs only.  Cost is proportional to
+    |candidates| × shingles-per-doc — never all-pairs.
+
+    Plan shape (optimization round 15, guide §2.4): each doc's distinct
+    shingles fold into ONE sorted array row (per-doc size rides the same
+    aggregation), the pair list joins both sides' arrays by id, and the
+    intersection is a row-local `array_intersect` — three exchanges
+    where the row-expanded formulation (pair×shingle join + per-pair
+    count + a separate sizes aggregation joined twice) paid six.
+    shingles() emits DISTINCT grams per doc, so |array_intersect| IS the
+    set-intersection count the old per-row match count computed —
+    integers, hence the rounded jaccard doubles, are bit-identical
+    (pinned in tests/test_opt_r15.py::TestVerifyJaccardRestructure).
+    Zero-overlap candidates drop exactly as the old inner shingle join
+    dropped them (the n_inter > 0 filter keeps that contract even at
+    threshold 0.0)."""
+    sets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("_set"),
+        F.count(F.lit(1)).alias("n_sh"),
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     return (
-        inter.join(sa, F.col("d1") == F.col("sa.doc_id"))
-        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        cands.join(
+            sets.select(
+                F.col("doc_id").alias("d1"),
+                F.col("_set").alias("_sa"),
+                F.col("n_sh").alias("_na"),
+            ),
+            "d1",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("d2"),
+                F.col("_set").alias("_sb"),
+                F.col("n_sh").alias("_nb"),
+            ),
+            "d2",
+        )
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("_sa", "_sb")).cast("bigint")
+        )
         .withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter")
-                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+                / (F.col("_na") + F.col("_nb") - F.col("n_inter")),
                 6,
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter((F.col("jaccard") >= threshold) & (F.col("n_inter") > 0))
         .select("d1", "d2", "n_inter", "jaccard")
     )
 
