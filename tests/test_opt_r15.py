@@ -631,3 +631,162 @@ class TestVerifyJaccardRestructure:
             for r in verify_candidate_jaccard(cands, sh, 0.0).collect()
         }
         assert (1, 4) not in got0
+
+
+class TestCappedSmallBucketArrayPairs:
+    """operators/dedup.py lsh_candidate_pairs_capped: small-bucket pairs
+    are now generated row-locally from a per-bucket sorted member array
+    (bounded by the cap itself) instead of a second window execution
+    feeding a bucket self-join — guide §2.4.  sort_array + suffix
+    slicing enumerates exactly the d1 < d2 member pairs the self-join's
+    a.doc_id < b.doc_id predicate emitted, so the candidate set (and
+    hence everything verified downstream) is identical; the star path
+    for oversized buckets and the routed frame are untouched."""
+
+    def _reference_capped(self, sig, k, bands, cap):
+        # the pre-optimization small-bucket formulation, verbatim:
+        # window-sized band table self-joined on the bucket keys
+        from pyspark.sql import Window
+
+        from vcf_pg_loader_spark.operators.dedup import lsh_band_table
+
+        banded = lsh_band_table(sig, k, bands)
+        w = Window.partitionBy("band_id", "band_key")
+        sized = banded.withColumn(
+            "_sz", F.count(F.lit(1)).over(w)
+        ).withColumn("_bmin", F.min("doc_id").over(w))
+        small = sized.filter(F.col("_sz") <= cap).select(
+            "doc_id", "band_id", "band_key"
+        )
+        a = small.alias("a")
+        b = small.alias("b")
+        pairs_small = a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        big = sized.filter(F.col("_sz") > cap)
+        pairs_big = big.filter(F.col("doc_id") != F.col("_bmin")).select(
+            F.col("_bmin").alias("d1"), F.col("doc_id").alias("d2")
+        )
+        return pairs_small.unionByName(pairs_big).distinct()
+
+    def _docs(self, spark, as_string_ids=False):
+        rows = [(i, "a b c d e f g h i j") for i in range(1, 13)] + [
+            (100, "x y z w v u t s r q"),
+            (101, "x y z w v u t s r p"),
+            (102, "m n o p q r s t u v"),
+            (103, "entirely different words appear in this document here"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        if as_string_ids:
+            docs = docs.select(
+                F.concat(F.lit("id"), F.col("doc_id").cast("string")).alias(
+                    "doc_id"
+                ),
+                "text",
+            )
+        return docs
+
+    def test_matches_reference_binding_and_nonbinding_cap(self, spark):
+        from vcf_pg_loader_spark.operators.dedup import (
+            lsh_candidate_pairs_capped,
+            minhash_signatures,
+            shingles,
+        )
+
+        docs = self._docs(spark)
+        sh = shingles(docs, "doc_id", "text", 3)
+        sig = minhash_signatures(sh, 8)
+        for cap in (1, 2, 10_000):  # binding hard, binding, non-binding
+            got_pairs, got_routed = lsh_candidate_pairs_capped(
+                sig, 8, 4, bucket_cap=cap
+            )
+            want = {
+                tuple(r)
+                for r in self._reference_capped(sig, 8, 4, cap).collect()
+            }
+            got = {tuple(r) for r in got_pairs.collect()}
+            assert got == want, f"cap {cap}"
+            if cap == 10_000:
+                assert got_routed.count() == 0
+
+    def test_string_ids_same_order_as_join_predicate(self, spark):
+        """sort_array on string ids must agree with the old predicate's
+        lexicographic a.doc_id < b.doc_id (same total order)."""
+        from vcf_pg_loader_spark.operators.dedup import (
+            lsh_candidate_pairs_capped,
+            minhash_signatures,
+            shingles,
+        )
+
+        docs = self._docs(spark, as_string_ids=True)
+        sig = minhash_signatures(shingles(docs, "doc_id", "text", 3), 8)
+        got_pairs, _ = lsh_candidate_pairs_capped(sig, 8, 4, bucket_cap=2)
+        want = {
+            tuple(r) for r in self._reference_capped(sig, 8, 4, 2).collect()
+        }
+        assert {tuple(r) for r in got_pairs.collect()} == want
+
+
+class TestVerifyCandidateDocPrefilter:
+    """operators/dedup.py verify_candidate_jaccard invariant: docs
+    outside the candidate list can never affect the output (the two
+    inner joins restrict to candidate ids), pinned on a corpus where
+    most docs are NOT candidates, plus the empty-candidates edge.  This
+    is the equivalence a semi-join prefilter of the set aggregation
+    would rely on — measured and REJECTED in optimization round 15
+    (every prefilter variant lost its interleaved A/B; see the kernel
+    docstring) — kept as a pin so the invariant survives whatever shape
+    the kernel takes next."""
+
+    def test_non_candidate_docs_do_not_change_output(self, spark):
+        from vcf_pg_loader_spark.operators.dedup import (
+            shingles,
+            verify_candidate_jaccard,
+        )
+
+        rows = [(i, f"filler document number {i} with its own words {i}")
+                for i in range(10, 40)]
+        rows += [
+            (1, "a b c d e f g"),
+            (2, "a b c d e f h"),
+            (3, "a b c d e f g"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        sh = shingles(docs, "doc_id", "text", 3)
+        cands = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3)], "d1 bigint, d2 bigint"
+        )
+        got = {
+            tuple(r)
+            for r in verify_candidate_jaccard(cands, sh, 0.5).collect()
+        }
+        # reference: the same kernel fed ONLY the candidate docs' shingles
+        # (what the semi-join reduces it to) must equal the full-corpus
+        # call — and both must contain the known duplicate pair
+        sh_c = sh.filter(F.col("doc_id").isin(1, 2, 3))
+        want = {
+            tuple(r)
+            for r in verify_candidate_jaccard(cands, sh_c, 0.5).collect()
+        }
+        assert got == want
+        assert {(d1, d2) for (d1, d2, *_rest) in got} == {
+            (1, 2), (1, 3), (2, 3)
+        }
+
+    def test_empty_candidates(self, spark):
+        from vcf_pg_loader_spark.operators.dedup import (
+            shingles,
+            verify_candidate_jaccard,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e")], "doc_id bigint, text string"
+        )
+        sh = shingles(docs, "doc_id", "text", 3)
+        cands = spark.createDataFrame([], "d1 bigint, d2 bigint")
+        assert verify_candidate_jaccard(cands, sh, 0.0).count() == 0

@@ -109,9 +109,13 @@ class TestBucketCapOperator:
 class TestBucketCapPlan:
     def test_capped_candidates_stay_equi_join(self, spark):
         """The valve must not cost the plan its shape: the capped
-        candidate generation is still a (band_id, band_key) equi-join
-        plus one window over the SAME key — no cartesian/nested-loop
-        join anywhere, which is the whole point at 100 TB."""
+        candidate generation is one window over the bucket key plus a
+        row-local array expansion of the (cap-bounded) small buckets —
+        no cartesian/nested-loop join anywhere, and since optimization
+        round 15 no bucket self-join either (small-bucket pairs come
+        out of a per-bucket sorted member array, so the only Generate
+        input is bounded by the cap).  Which is the whole point at
+        100 TB."""
         import io
         from contextlib import redirect_stdout
 
@@ -127,8 +131,11 @@ class TestBucketCapPlan:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "Window" in plan
-        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
-            or "BroadcastHashJoin" in plan
+        # small-bucket pairs: bounded collect per bucket + explode —
+        # the second window execution and the self-join are gone
+        assert "collect_list" in plan and "Generate" in plan
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
 
 
 class TestBucketCapSink:

@@ -479,17 +479,32 @@ def lsh_candidate_pairs_capped(
     small = sized.filter(F.col("_sz") <= bucket_cap).select(
         "doc_id", "band_id", "band_key"
     )
-    a = small.alias("a")
-    b = small.alias("b")
-    pairs_small = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+    # Small-bucket pairs are generated ROW-LOCALLY (optimization round
+    # 15, guide §2.4): the cap itself bounds every small bucket at
+    # `bucket_cap` members, so collecting them into one sorted array row
+    # is safe at any corpus size — and all i<j member pairs come out of
+    # an array transform instead of a second window execution feeding a
+    # bucket self-join.  The groupBy keys equal the window partition
+    # keys, so no new exchange; sort_array + suffix slicing yields
+    # exactly the d1 < d2 pairs the self-join emitted (same total order
+    # as the old a.doc_id < b.doc_id predicate).  Hyper-dup buckets
+    # never aggregate into arrays — they stay on the row-wise star path
+    # below, which is the valve's whole point.
+    grp = small.groupBy("band_id", "band_key").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("_ms")
     )
+    _pair_structs = F.flatten(
+        F.transform(
+            F.col("_ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ms"), i + F.lit(2), F.size(F.col("_ms"))),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
+    pairs_small = grp.select(
+        F.explode(_pair_structs).alias("_p")
+    ).select("_p.d1", "_p.d2")
     big = sized.filter(F.col("_sz") > bucket_cap)
     # star: min pairs with every other member — d1 < d2 by construction
     pairs_big = big.filter(F.col("doc_id") != F.col("_bmin")).select(
@@ -520,7 +535,21 @@ def verify_candidate_jaccard(
     (pinned in tests/test_opt_r15.py::TestVerifyJaccardRestructure).
     Zero-overlap candidates drop exactly as the old inner shingle join
     dropped them (the n_inter > 0 filter keeps that contract even at
-    threshold 0.0)."""
+    threshold 0.0).
+
+    A candidate-doc semi-join prefilter of the set aggregation (guide
+    §3: only docs appearing in a candidate pair can survive the verify
+    joins) was measured and REJECTED in optimization round 15: a
+    four-arm interleaved A/B (plain / semi-join / persisted-cands /
+    broadcast-hinted semi-join) put every prefilter variant +0.5-1.4 s
+    per query at sf0.1 — the extra id-distinct aggregation and the
+    semi-join stage cost more than the full-corpus set aggregation they
+    save at bench scale, and the persisted-cands variant alone was
+    neutral (pure cost, single consumer).  At 100 TB dup rates the
+    candidate-doc set approaches the corpus anyway (most docs collide
+    in some band), so the prefilter is not even a clear scale win —
+    unlike the band/prefix persists above, which remove whole corpus
+    passes."""
     sets = sh.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("shingle")).alias("_set"),
         F.count(F.lit(1)).alias("n_sh"),
