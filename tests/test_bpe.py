@@ -310,6 +310,98 @@ class TestBPELearnLocal:
         )
 
 
+class TestLocalMaxTypesGuard:
+    """Optimization round 16, verdict item 1: bpe_learn_local must never
+    collect an unbounded type table to the driver — the collect is
+    limit(max_types + 1)-bounded, and overflowing the bound falls back
+    to the distributed batched trainer with IDENTICAL merges."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            list(enumerate(TEXTS)), "doc_id bigint, text string"
+        )
+
+    def test_fallback_engages_and_merges_identical(self, spark, monkeypatch):
+        docs = self._docs(spark)
+        unguarded = B.bpe_learn_local(docs, n_merges=10, max_types=0)
+        called = {}
+        real_batched = B.bpe_learn_batched
+
+        def spy(*a, **kw):
+            called["yes"] = True
+            return real_batched(*a, **kw)
+
+        monkeypatch.setattr(B, "bpe_learn_batched", spy)
+        # the fixture corpus has ~17 word types; max_types=3 must overflow
+        guarded = B.bpe_learn_local(docs, n_merges=10, max_types=3)
+        assert called.get("yes"), "fallback did not engage"
+        assert guarded == unguarded
+
+    def test_under_bound_stays_local(self, spark, monkeypatch):
+        docs = self._docs(spark)
+
+        def boom(*a, **kw):  # pragma: no cover - must not run
+            raise AssertionError("batched fallback ran below the bound")
+
+        monkeypatch.setattr(B, "bpe_learn_batched", boom)
+        merges = B.bpe_learn_local(docs, n_merges=10, max_types=10_000)
+        assert merges == _ref_learn(TEXTS, 10)
+
+    def test_env_knob_bounds_default(self, spark, monkeypatch):
+        docs = self._docs(spark)
+        monkeypatch.setenv("SPARK_GRAFT_BPE_LOCAL_MAX_TYPES", "2")
+        called = {}
+        real_batched = B.bpe_learn_batched
+
+        def spy(*a, **kw):
+            called["yes"] = True
+            return real_batched(*a, **kw)
+
+        monkeypatch.setattr(B, "bpe_learn_batched", spy)
+        merges = B.bpe_learn_local(docs, n_merges=10)  # max_types=None -> env
+        assert called.get("yes")
+        assert merges == _ref_learn(TEXTS, 10)
+
+    def test_fallback_preserves_min_count_floor(self, spark):
+        texts = ["low low lower", "rare"]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id bigint, text string"
+        )
+        floored_local = B.bpe_learn_local(
+            docs, n_merges=6, min_count=2, max_types=0
+        )
+        floored_fallback = B.bpe_learn_local(
+            docs, n_merges=6, min_count=2, max_types=1
+        )
+        assert floored_fallback == floored_local
+
+    def test_driver_collect_is_bounded(self, spark, monkeypatch):
+        """The overflow probe itself must be limit-bounded: patch
+        DataFrame.collect to record the plan's limit and assert no
+        unbounded collect happens on the word-count frame."""
+        # Spark 4: the concrete class (with its own collect override)
+        # lives in pyspark.sql.classic; patching the abstract base
+        # would not intercept anything.
+        try:
+            from pyspark.sql.classic.dataframe import DataFrame
+        except ImportError:  # pragma: no cover - older Spark
+            from pyspark.sql import DataFrame
+
+        docs = self._docs(spark)
+        real_collect = DataFrame.collect
+        sizes = []
+
+        def spy(self):
+            rows = real_collect(self)
+            sizes.append(len(rows))
+            return rows
+
+        monkeypatch.setattr(DataFrame, "collect", spy)
+        B.bpe_learn_local(docs, n_merges=4, max_types=3)
+        # first collect is the guarded probe: exactly max_types+1 rows
+        assert sizes[0] == 4
+
+
 class TestMinCountFloor:
     def test_floor_drops_singletons_before_collect(self, spark):
         texts = ["low low lower", "rare"]  # 'rare' is a singleton type

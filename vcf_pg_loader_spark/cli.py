@@ -1702,7 +1702,10 @@ def cmd_train_vocab(args) -> int:
                 )
                 strategy = "batched"
                 merges = bpe_learn_batched(
-                    docs, n_merges=args.n_merges, **seg_kw
+                    docs,
+                    n_merges=args.n_merges,
+                    min_count=args.min_count,
+                    **seg_kw,
                 )
             else:
                 strategy = "local"
@@ -1710,6 +1713,10 @@ def cmd_train_vocab(args) -> int:
                     docs,
                     n_merges=args.n_merges,
                     min_count=args.min_count,
+                    # the CLI already counted the type table against
+                    # --local-max-types; align the in-function guard
+                    # with that bound instead of the env default
+                    max_types=bound,
                     **seg_kw,
                 )
         else:

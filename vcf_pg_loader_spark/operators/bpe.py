@@ -429,6 +429,7 @@ def bpe_learn_batched(
     max_batch: int = 64,
     mode: str = "words",
     max_chars: int = MAX_CHARS,
+    min_count: int = 1,
 ) -> list[tuple[str, str]]:
     """Sequential-exact BPE learning with BATCHED rounds (round-11
     verdict item 2): each Spark round runs one pair-count job, collects
@@ -440,8 +441,14 @@ def bpe_learn_batched(
     guaranteed identical to :func:`bpe_learn` (pinned in
     tests/test_bpe.py).  In chars mode this is the fully-distributed
     path for no-space corpora: the state table is chunk-typed (each
-    row <= max_chars symbols), never line-sized."""
+    row <= max_chars symbols), never line-sized.
+
+    ``min_count`` floors the type frequency before training — the same
+    (documented-approximate) knob as :func:`bpe_learn_local`, applied
+    here so the local trainer's overflow fallback preserves it."""
     wc = word_counts(docs, id_col, text_col, mode, max_chars)
+    if min_count > 1:
+        wc = wc.filter(F.col("n") >= min_count)
     state = wc.select(
         _initial_symbols(F.col("w"), mode).alias("sym"), F.col("n")
     ).localCheckpoint(eager=True)
@@ -554,6 +561,7 @@ def bpe_learn_local(
     min_count: int = 1,
     mode: str = "words",
     max_chars: int = MAX_CHARS,
+    max_types: int | None = None,
 ) -> list[tuple[str, str]]:
     """Distributed word-count collapse + in-memory exact trainer: the
     default `train-vocab` strategy (see bpe_learn_from_counts for the
@@ -570,11 +578,43 @@ def bpe_learn_local(
     merge-preserving: a dropped type still contributed < min_count to
     each of its pair counts, which can matter at ties — the default
     (1) keeps training exact; raise it only when the type table
-    would not fit the driver."""
+    would not fit the driver.
+
+    ``max_types`` bounds the driver collect UNCONDITIONALLY
+    (optimization round 16, verdict item 1): the type table is fetched
+    through ``limit(max_types + 1)`` — so at most max_types + 1 rows
+    ever reach the driver, whatever the corpus — and if it overflows
+    the bound the trainer falls back to :func:`bpe_learn_batched`,
+    whose per-round collects are model-parameter-sized.  All trainer
+    strategies are pinned merge-identical (tests/test_bpe.py), so the
+    fallback changes WHERE training happens, never what it learns.
+    Default: the ``SPARK_GRAFT_BPE_LOCAL_MAX_TYPES`` env knob
+    (1,000,000 — vocabulary scale; a words-mode type table at 100 TB
+    has a billions-deep singleton tail and MUST overflow into the
+    distributed path).  ``max_types=0`` disables the guard."""
+    if max_types is None:
+        import os
+
+        max_types = int(
+            os.environ.get("SPARK_GRAFT_BPE_LOCAL_MAX_TYPES", "1000000")
+        )
     wc = word_counts(docs, id_col, text_col, mode, max_chars)
     if min_count > 1:
         wc = wc.filter(F.col("n") >= min_count)
-    rows = wc.collect()
+    if max_types:
+        rows = wc.limit(max_types + 1).collect()
+        if len(rows) > max_types:
+            return bpe_learn_batched(
+                docs,
+                n_merges,
+                id_col,
+                text_col,
+                mode=mode,
+                max_chars=max_chars,
+                min_count=min_count,
+            )
+    else:
+        rows = wc.collect()
     return bpe_learn_from_counts(
         [(r["w"], r["n"]) for r in rows], n_merges, mode
     )
