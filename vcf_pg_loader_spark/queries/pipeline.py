@@ -2908,7 +2908,15 @@ def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = docs.join(qual.filter(F.col("keep")).select("doc_id"), "doc_id")
     fp = T.fingerprint(kept)
     canon = fp.groupBy("doc_fp").agg(F.min("doc_id").alias("doc_id"))
-    surviving = fp.join(canon.select("doc_id"), "doc_id")
+    # Join the survivor ids back onto the RAW docs, not onto fp: canon's
+    # min-ids are already downstream of the quality gate and the md5
+    # aggregation, and doc_id is unique — so this inner join keeps
+    # exactly the rows fp ⋈ canon kept, without executing the
+    # quality-metrics + fingerprint subtree a second time for the join's
+    # left side (optimization round 16; the q_drop_reasons surv rule).
+    surviving = docs.select("doc_id", "source", "text").join(
+        canon.select("doc_id"), "doc_id"
+    )
     split = SP.assign_split(surviving, "doc_id", SPLIT_WEIGHTS)
     return split.groupBy("split", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -2995,7 +3003,19 @@ def q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    surv = fp.join(canon_ids, "doc_id", "left_semi")
+    # surv = the exact-dedup survivors WITH their text.  canon_ids is
+    # already downstream of the quality gate, the LM gate and the
+    # fingerprint aggregation, and doc_id is unique per doc — so
+    # semi-joining the RAW docs on the persisted id set yields exactly
+    # the same (doc_id, text) rows as semi-joining fp, WITHOUT
+    # re-running the qual->LM->md5 chain under the LSH path
+    # (optimization round 16, verdict item 3: that chain previously
+    # re-executed per surv consumer — one more full md5 corpus pass
+    # plus the quality/LM gates, per run).  The LSH kernel touches
+    # only (doc_id, text).
+    surv = docs.select("doc_id", "text").join(
+        canon_ids, "doc_id", "left_semi"
+    )
 
     pairs = D.minhash_lsh_dedup(
         surv, "doc_id", "text", NGRAM, MINHASH_K, MINHASH_BANDS, JACCARD_T
