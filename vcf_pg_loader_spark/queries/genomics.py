@@ -557,9 +557,22 @@ def q_gx_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to cheap counts over the already-distinct persisted pairs.
     # Cache lifetime: the persist backs the returned lazy plan, so the
     # caller owns it (bench.py clearCache()s after each query).
+    #
+    # The single corpus shuffle is KEYED on pos, not round-robin
+    # (optimization round 16, guide §2.4 "share one exchange"):
+    # hashpartitioning(pos) satisfies the clustered distribution of the
+    # 5-key pairs groupBy (pos is in its key set), so the repartition
+    # that widens the single-file scan IS the aggregation exchange —
+    # one corpus exchange instead of round-robin + 5-key re-shuffle
+    # (CollapseRepartition drops synth_genotypes' round-robin widen
+    # under this keyed one).  Interleaved A/B at sf0.1: 3.17 -> 1.76 s
+    # median.  Partition count stays the shuffle-partitions conf
+    # (scale-adaptive, AQE-coalescible), and pos is corpus-cardinality
+    # so the hash spreads without skew.
     cls = classify_gt(F.col("gt"))
     pairs = (
-        gts.groupBy("chrom", "pos", "ref", "alt", "sample_id")
+        gts.repartition("pos")
+        .groupBy("chrom", "pos", "ref", "alt", "sample_id")
         .agg(
             F.max(
                 F.when(cls.isin("het", "hom_alt"), F.lit(1)).otherwise(F.lit(0))
