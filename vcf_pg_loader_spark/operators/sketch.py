@@ -67,17 +67,24 @@ def kmv_sketch(
 
 def kmv_merge(a: DataFrame, b: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
     """Union two sketch tables: per group, the k smallest of the
-    concatenated hash sets — the sketch of the unioned inputs."""
+    concatenated hash sets — the sketch of the unioned inputs.
+
+    Row-local (optimization round 16, guide §2.4): each group holds at
+    most one ≤k-element sketch row per side, so ONE keyed aggregation
+    gathers both rows and the k-smallest-distinct fold is pure array
+    arithmetic (flatten → array_distinct → array_sort → slice) — the
+    previous shape exploded every hash back into rows and paid a
+    dedup exchange plus a window sort over the exploded table.  The
+    merged sketch is identical: sort(distinct(S_a ∪ S_b))[:k] IS the
+    k smallest distinct hashes (pinned against the exploded
+    formulation in tests/test_opt_r16.py)."""
     both = a.unionByName(b)
-    exploded = both.select(*group_cols, F.explode("hashes").alias("_h")).dropDuplicates(
-        [*group_cols, "_h"]
-    )
-    w = Window.partitionBy(*group_cols).orderBy("_h")
-    return (
-        exploded.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .groupBy(*group_cols)
-        .agg(F.sort_array(F.collect_list("_h")).alias("hashes"))
+    return both.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("hashes")))),
+            1,
+            k,
+        ).alias("hashes")
     )
 
 

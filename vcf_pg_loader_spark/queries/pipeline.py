@@ -6696,6 +6696,16 @@ def q_kmv_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", F.date_trunc("hour", F.col("ts"))
     )
     keys = ["bucket", "event_type"]
+    # Measured and REJECTED (optimization round 16): building both
+    # partials from ONE events scan with the split flag as a leading
+    # group key (bit-identical slices, pinned in
+    # tests/test_opt_r16.py::TestKmvSingleScanPartials) lost its
+    # interleaved A/B here — old 2.34 vs flagged 3.10 s median — the
+    # same pattern as the r15 persist rejections: the two independent
+    # partial subtrees overlap on idle cores at bench scale, while the
+    # single-scan shape serializes behind a persist barrier.  At a
+    # saturated cluster the one-scan form halves the events passes;
+    # revisit there.
     a = kmv_rollup_partial(
         ev.filter(F.col("event_id") % 3 != 0), keys, "user_id", KMV_K
     )
