@@ -198,6 +198,40 @@ def test_ivf_assignment_broadcasts_centroids(spark, sf):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_ivf_assign_no_corpus_exchange_one_probe_window(spark, sf):
+    """Round-16 verdict item 8: pin the r15 IVF claims to the plan.
+    (a) _ivf_assign (the per-Lloyd-round corpus assignment) must be a
+    narrow map — ZERO hashpartitioning exchanges; its only exchange is
+    the SinglePartition gather of the k-row centroid array.  (b) the
+    full q_ann_ivf keeps exactly ONE rank Window — the deliberately
+    kept probe-side ranking — not one per assignment round."""
+    from vcf_pg_loader_spark.operators.similarity import (
+        _ivf_assign,
+        _prep_vectors,
+        ivf_fit,
+    )
+    from vcf_pg_loader_spark.queries.pipeline import q_ann_ivf
+    from vcf_pg_loader_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    cents, _assigned = ivf_fit(emb, 4, 1)
+    assign_plan = plan_of(
+        _ivf_assign(_prep_vectors(emb, "vec_id", "embedding", "exact"), cents),
+        mode="simple",
+    )
+    # the only permissible exchanges: the SinglePartition gather of the
+    # k-row centroid array, and the narrow-input scan widen (round
+    # robin).  No keyed corpus shuffle may appear.
+    assert "hashpartitioning" not in assign_plan
+
+    query_plan = plan_of(q_ann_ivf(spark, sf), mode="simple")
+    # exactly the two deliberately-kept PROBE-side rank windows (the
+    # nprobe cell ranking and the final top-k), never one per Lloyd
+    # assignment round.  "Window [" matches the executed window
+    # operator only, not WindowGroupLimit rank-pushdown helpers.
+    assert query_plan.count("Window [") == 2
+
+
 def test_text_pipeline_has_no_python_udf(spark, sf):
     """Repetition, BPE counting, PII scrubbing: all pure JVM expressions."""
     from vcf_pg_loader_spark.queries.pipeline import (
@@ -212,16 +246,29 @@ def test_text_pipeline_has_no_python_udf(spark, sf):
 
 
 def test_cohort_single_exchange_of_raw_genotypes(spark, sf):
-    """q_gx_cohort must shuffle the raw genotype frame exactly once: the
-    (variant, sample) pre-agg feeds both the carrier count and the
-    sample count, so no second wide scan/exchange of the raw frame."""
+    """q_gx_cohort must shuffle the raw genotype frame exactly once,
+    KEYED on pos (optimization round 16): the widening repartition is
+    the aggregation exchange — no round-robin widen followed by a
+    5-key re-shuffle.  Downstream exchanges (the per-variant rollup,
+    the sample countDistinct) operate on the pre-aggregated pairs."""
     from vcf_pg_loader_spark.queries.genomics import q_gx_cohort
 
+    import re
+
     plan = plan_of(q_gx_cohort(spark, sf), mode="simple")
-    # the persisted pre-agg appears as one InMemoryTableScan per consumer;
-    # the raw frame's hashpartitioning exchange on the 5 grouping keys
-    # must appear exactly once
-    assert plan.count("hashpartitioning(chrom") == 1
+    # the corpus exchange is keyed on pos and the widen's round-robin
+    # collapsed under it
+    assert "hashpartitioning(pos" in plan
+    assert "RoundRobinPartitioning" not in plan
+    # the old 5-key re-shuffle of the raw frame (keyed chrom..sample_id)
+    # must not reappear; the 4-key per-variant rollup over the cached
+    # pairs and the sample-keyed countDistinct exchange are fine
+    five_key = [
+        args
+        for args in re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        if "chrom" in args and "sample_id" in args
+    ]
+    assert five_key == []
 
 
 def test_token_rarity_broadcasts_frequency_table(spark, sf):
