@@ -28,6 +28,14 @@ from pyspark.sql import functions as F
 from vcf_pg_loader_spark.functions.hashing import h60, sql_h60
 from vcf_pg_loader_spark.operators._parallel import ensure_min_parallelism
 
+# Largest bucket_cap for which the capped LSH path may generate
+# small-bucket pairs from per-bucket arrays: the flattened pair array
+# is O(cap²) structs per row (round-15 advice), so 4096 bounds a row at
+# ~8.4M pair structs — far under Spark's ~2³¹ array-element / 2 GB row
+# limits while covering every sane valve setting.  Caps beyond this
+# use the streaming self-join formulation (identical pairs).
+BUCKET_CAP_ARRAY_MAX = 4096
+
 
 # --------------------------------------------------------------------------
 # exact dedup
@@ -444,6 +452,17 @@ def lsh_candidate_pairs_capped(
     signature aggregate (a full groupBy over the exploded shingles)
     re-executes per branch (optimization round 15, guide §2.4/§5;
     caller owns the cache lifetime).
+
+    Memory shape of the row-local pair generation (round-15 advice):
+    each small bucket's C(size, 2) pair structs flatten into ONE array
+    before the explode, so per-row memory is O(bucket_cap²) — safe for
+    the few-dozen-to-few-hundred caps the valve exists for, but a very
+    large cap (tens of thousands) would push single rows toward
+    Spark's ~2³¹ array-element / 2 GB limits.  Caps above
+    ``BUCKET_CAP_ARRAY_MAX`` therefore fall back to the streaming
+    self-join formulation for small buckets (identical pairs — the
+    array form is pinned against it in tests/test_opt_r15.py), which
+    streams any bucket size.
     """
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
@@ -490,21 +509,35 @@ def lsh_candidate_pairs_capped(
     # as the old a.doc_id < b.doc_id predicate).  Hyper-dup buckets
     # never aggregate into arrays — they stay on the row-wise star path
     # below, which is the valve's whole point.
-    grp = small.groupBy("band_id", "band_key").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("_ms")
-    )
-    _pair_structs = F.flatten(
-        F.transform(
-            F.col("_ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_ms"), i + F.lit(2), F.size(F.col("_ms"))),
-                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
-            ),
+    if bucket_cap <= BUCKET_CAP_ARRAY_MAX:
+        grp = small.groupBy("band_id", "band_key").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("_ms")
         )
-    )
-    pairs_small = grp.select(
-        F.explode(_pair_structs).alias("_p")
-    ).select("_p.d1", "_p.d2")
+        _pair_structs = F.flatten(
+            F.transform(
+                F.col("_ms"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_ms"), i + F.lit(2), F.size(F.col("_ms"))),
+                    lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+                ),
+            )
+        )
+        pairs_small = grp.select(
+            F.explode(_pair_structs).alias("_p")
+        ).select("_p.d1", "_p.d2")
+    else:
+        # cap too large for O(cap²) per-row arrays: stream the pairs
+        # through the self-join instead (identical output)
+        a = small.alias("a")
+        b = small.alias("b")
+        pairs_small = a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
     big = sized.filter(F.col("_sz") > bucket_cap)
     # star: min pairs with every other member — d1 < d2 by construction
     pairs_big = big.filter(F.col("doc_id") != F.col("_bmin")).select(
