@@ -106,8 +106,17 @@ def load_artifact(name: str) -> dict | None:
 
 
 def latest_bench_name() -> str | None:
+    # canonical round artifacts only: BENCH_r<N>.json — variant
+    # artifacts like the driver's BENCH_r15_c8.json (8-core scaling
+    # run, new in round 15) are not "the bench" and must not be
+    # picked up here (their name also breaks round-number parsing
+    # downstream)
     paths = sorted(
-        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+        (
+            p
+            for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+            if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p))
+        ),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
     for path in reversed(paths):
